@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md).
+  *
+  * One parquet file (or directory) per table under a scale-factor dir.
+  * Centralizing the reads keeps every operator behind a single scan
+  * entry point: at cluster scale this is where partition discovery,
+  * bucketing metadata, or a DSv2 catalog would plug in — queries stay
+  * unchanged.
+  *
+  * The reference engine's analog is `mongodb.getCollection(name)`
+  * (reference mongodb.js:26-45), which maps logical collection names to
+  * storage; here the storage is columnar parquet so column pruning and
+  * predicate pushdown reach the scan for free.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  /** events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; the only supported path is the legacy nanosAsLong
+    * conf, so read it as long and rebuild a TIMESTAMP_NTZ (session is
+    * pinned UTC, so the LTZ→NTZ cast is value-preserving). `div` keeps
+    * the ns→us conversion in integer space — a double division would
+    * lose precision above 2^53 ns (~1970+104 days). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.expr(
+        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator suite: scan/filter/project, hash & broadcast
+  * joins (inner/semi/anti/outer), aggregation (plain, rollup,
+  * conditional), window functions, sort/top-k, set ops, scalar and
+  * JSON functions.
+  *
+  * The reference implements only a thin slice of this surface
+  * (projection mapreduce.js:3-34, equality filters mapreduce.js:40-50,
+  * key-merge mapreduce.js:52-99, global collect mongodb.js:122-145);
+  * everything here is the full relational coverage the engine needs as
+  * a standalone analytics library (SURVEY.md §2b/§2c).
+  *
+  * Scale notes (100 TB design):
+  *  - Dimension tables (region, nation) are broadcast explicitly —
+  *    they are bounded-size (25/5 rows at any SF), so the join never
+  *    shuffles the fact side.
+  *  - All aggregations are expressed via groupBy/agg → Catalyst plans
+  *    partial (map-side) aggregation before the shuffle.
+  *  - Float aggregates are rounded in BOTH engines (here and in the
+  *    DuckDB oracle SQL) because cross-engine double summation order
+  *    differs in the last ulp; per-row arithmetic needs no rounding
+  *    (IEEE ops are bit-exact across engines).
+  *  - Top-k is orderBy+limit: Spark plans TakeOrderedAndProject — a
+  *    per-partition partial top-k then a k-row driver merge, no global
+  *    sort. Ties are broken by key so results are deterministic.
+  */
+object Relational {
+
+  private def ts(s: String): Column = to_timestamp_ntz(lit(s))
+
+  /** Aggregation with multiple measures over a filtered scan — TPC-H
+    * Q1 shape. Predicate and the 7 referenced columns push into the
+    * parquet scan. */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Pure filter + narrow projection: the pushdown / pruning
+    * benchmark. The scan must read only 5 of 11 lineitem columns and
+    * carry PushedFilters for shipdate/discount/quantity. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"), col("l_partkey"),
+        (col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  /** Single-row global aggregate (TPC-H Q6 shape). */
+  def aggRevenue(spark: SparkSession, dir: String): DataFrame =
+    filterProject(spark, dir)
+      .agg(round(sum(col("revenue")), 2).as("total_revenue"))
+
+  /** 3-way join + agg + deterministic top-k (TPC-H Q3 shape).
+    * customer is the small side at any SF ratio (1 customer : ~10
+    * lineitem) — AQE picks the build side; the final top-10 is
+    * TakeOrderedAndProject, not a global sort. */
+  def joinTopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < ts("1997-03-15"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > ts("1997-03-15"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** 6-way join through the whole star (TPC-H Q5 shape): two
+    * broadcast dims (region, nation) + three shuffle joins on the
+    * fact keys. */
+  def joinMultiway(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Ranking window function: top-3 orders per customer. One shuffle
+    * on o_custkey; rank ties broken by o_orderkey for determinism. */
+  def windowTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("bigint").as("rnk"))
+      .filter(col("rnk") <= 3)
+  }
+
+  /** Analytic window: running revenue per supplier by ship date.
+    * Frame = unbounded preceding..current row. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") < 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        round(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
+  }
+
+  /** Left-semi join (EXISTS): customers holding at least one open
+    * order. No payload columns from the right side cross the shuffle. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val open = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+    Tables.customer(spark, dir)
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** Distinct = hash aggregate with no measures. */
+  def distinctFlags(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+
+  /** Set operators: (big-spender custkeys UNION rich-customer
+    * custkeys) EXCEPT supplier keys. Union-distinct and except are
+    * both single hash-aggregate shapes after Catalyst. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey").as("custkey"))
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000).select(col("c_custkey").as("custkey"))
+    val supp = Tables.supplier(spark, dir).select(col("s_suppkey").as("custkey"))
+    bigOrders.union(rich).distinct().except(supp)
+  }
+
+  /** Hierarchical aggregate: ROLLUP over (returnflag, linestatus) —
+    * grouping-sets machinery. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+
+  /** Conditional-aggregation merge — the Spark-first re-expression of
+    * the reference's mergeReduce (reference mapreduce.js:52-99): both
+    * per-key variable streams fold into one row in a single shuffle,
+    * instead of two mapReduce jobs re-reducing into a shared
+    * collection (reference mongodb.js:96-115). max(CASE WHEN) replaces
+    * last-writer-wins for determinism (SURVEY.md O11). */
+  def conditionalMerge(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        round(max(when(col("event_type") === "click", col("value"))), 4).as("click_max"),
+        round(max(when(col("event_type") === "view", col("value"))), 4).as("view_max"),
+        round(max(when(col("event_type") === "purchase", col("value"))), 4).as("purchase_max"),
+        count(lit(1)).as("n_events"))
+
+  /** Scalar function library: string / math / casts — per-row, so no
+    * rounding games needed (IEEE-exact both engines). */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).cast("bigint").as("name_len"),
+        substring(col("p_type"), 1, 4).as("type4"),
+        round(col("p_retailprice") * 1.1, 2).as("bumped"),
+        abs(col("p_size") - 25).as("size_dist"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** Date/time function coverage over orders. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+        date_trunc("quarter", col("o_orderdate")).as("qtr_start"))
+
+  /** Time-bucketed aggregation over the event stream — the batch twin
+    * of the Structured Streaming tumbling-window query (same
+    * window(ts, '1 hour') operator runs unchanged under readStream +
+    * watermark; see graft.streaming). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+
+  /** Semi-structured extraction: JSON path over the events.props
+    * payload — get_json_object is codegen'd, no UDF. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") > 50)
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
+statement in DuckDB over the parquet tables in <sfDir>, and compares with
+the parquet result Verify dumped, after sorting columns by name and rows
+by all columns. Reports per-query PASS/FAIL with first differences.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize timestamp resolutions (ns vs us) to us
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.sql(sql).df()
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            exp, got = canon(exp), canon(got)
+            if list(exp.columns) != list(got.columns):
+                print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+                n_fail += 1
+                continue
+            if len(exp) != len(got):
+                print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+                n_fail += 1
+                continue
+            # exact compare first; report max numeric diff on mismatch
+            eq = exp.equals(got)
+            if eq:
+                print(f"PASS {name} ({len(got)} rows)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: value mismatch")
+                for c in exp.columns:
+                    if not exp[c].equals(got[c]):
+                        if pd.api.types.is_numeric_dtype(exp[c]):
+                            d = (exp[c] - got[c]).abs().max()
+                            print(f"  col {c}: max abs diff {d}")
+                        else:
+                            m = exp[c] != got[c]
+                            print(f"  col {c}: first diff exp={exp[c][m].iloc[0]!r} "
+                                  f"got={got[c][m].iloc[0]!r}")
+                n_fail += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
