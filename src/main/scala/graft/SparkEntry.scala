@@ -36,6 +36,8 @@ object SparkEntry {
     "q15_date_funcs"       -> ((s, d) => Relational.dateFuncs(s, d)),
     "q16_events_hourly"    -> ((s, d) => Relational.eventsHourly(s, d)),
     "q17_json_extract"     -> ((s, d) => Relational.jsonExtract(s, d)),
+    "q18_feature_json"     -> ((s, d) => Relational.featureJson(s, d)),
+    "q19_collect_sorted"   -> ((s, d) => Relational.collectSorted(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,5 +152,16 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50""".stripMargin,
+    "q18_feature_json" ->
+      """SELECT s_suppkey,
+        | to_json(struct_pack(type := 'Feature',
+        |   properties := struct_pack(name := s_name, nation := n_name))) AS feature
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "q19_collect_sorted" ->
+      """SELECT n_name,
+        | string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+        | count(*) AS n_supp
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
   )
 }

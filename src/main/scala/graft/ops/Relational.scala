@@ -218,6 +218,35 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total"))
 
+  /** O5 analog over testdata: nested-struct construction serialized
+    * to JSON — the same Feature-building shape as the hydro pipeline
+    * (reference mapreduce.js:3-34), hash-comparable as a string. */
+  def featureJson(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(
+        col("s_suppkey"),
+        to_json(struct(
+          lit("Feature").as("type"),
+          struct(
+            col("s_name").as("name"),
+            col("n_name").as("nation")).as("properties"))).as("feature"))
+  }
+
+  /** O13 analog over testdata: per-group collect-to-one with pinned
+    * ordering (reference mongodb.js:122-145 buffers every feature into
+    * one document; here the list is sorted and string-joined so the
+    * oracle can hash it). */
+  def collectSorted(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    s.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(sort_array(collect_list(col("s_name"))), "|").as("suppliers"),
+        count(lit(1)).as("n_supp"))
+  }
+
   /** Semi-structured extraction: JSON path over the events.props
     * payload — get_json_object is codegen'd, no UDF. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.WaterML
+
+/** The reference's whole dataflow — source → flatten → project →
+  * filter ×2 → key-merge (join) → collect-to-one → sink — as a single
+  * lazy Spark plan.
+  *
+  * Reference chain: geojsonMap projection (mapreduce.js:3-34), the two
+  * variable-branch filters (mapreduce.js:40-50), mergeReduce
+  * (mapreduce.js:52-99) dispatched as two mapReduce jobs re-reducing
+  * into one collection (mongodb.js:78-120), and the final
+  * FeatureCollection assembly (mongodb.js:122-145), orchestrated by an
+  * async waterfall (harvest.js:104-139).
+  *
+  * Documented divergences from reference quirks (SURVEY.md §7):
+  *  - `||`-coalesce (mapreduce.js:23-27) swallows `""`/`0`; here
+  *    null-only `coalesce`.
+  *  - variable labels: USGS 00065 is gage height, 00060 is
+  *    streamflow/discharge; the reference routes 00065 into
+  *    `streamFlow` (mapreduce.js:41,78-85). The engine keeps the
+  *    two-branch structure with the correct labels.
+  *  - last-writer-wins merge (mapreduce.js:61-77) is replaced by
+  *    deterministic `first(..., ignoreNulls)` under a one-shot merge —
+  *    the reference's re-reduce is not idempotent (re-running throws
+  *    at mapreduce.js:62-63).
+  *  - feature id: the Mongo ObjectId `_id` (mapreduce.js:16,33) only
+  *    needs uniqueness; the engine uses the USGS series `name`
+  *    ("USGS:site:param:statistic"), which is unique per series and
+  *    deterministic across runs.
+  *
+  * Scale notes (100 TB): the whole pipeline is one shuffle — the
+  * groupBy(siteCode) merge. The two variable branches are conditional
+  * aggregates inside that single shuffle, not two jobs re-reducing
+  * into shared state (mongodb.js:96-115), so there is no cross-job
+  * coordination and no second pass over the data. Collect-to-one is
+  * kept for reference parity but [[writeFeatureCollectionStreamed]] is
+  * the scale path — a distributed JSON-lines write instead of
+  * buffering every feature in one driver document (the reference's
+  * 16 MB BSON ceiling, mongodb.js:125-137).
+  */
+object HydroPipeline {
+
+  val GageHeightCode = "00065"
+  val StreamFlowCode = "00060"
+
+  private def undef(c: Column): Column = coalesce(c, lit("undefined"))
+
+  /** O5–O8: project each time series into a GeoJSON Feature
+    * (geojsonMap, mapreduce.js:3-34). Pure narrow map — no shuffle.
+    * The guard on `values[0].value[0]` (mapreduce.js:22-28) becomes a
+    * null `variableCode` that both downstream branch filters drop. */
+  def toFeatures(ts: DataFrame): DataFrame = {
+    val v0 = try_element_at(try_element_at(col("values"), lit(1)).getField("value"), lit(1))
+    val attrs = struct(
+      undef(try_element_at(col("variable.variableCode"), lit(1)).getField("value")).as("variableCode"),
+      undef(col("variable.unit.unitAbbreviation")).as("variableUnit"),
+      undef(col("variable.noDataValue").cast("string")).as("noDataValue"),
+      v0.getField("value").as("value"),
+      v0.getField("dateTime").as("timeStamp"))
+    val emptyAttrs = struct(
+      lit(null).cast("string").as("variableCode"),
+      lit(null).cast("string").as("variableUnit"),
+      lit(null).cast("string").as("noDataValue"),
+      lit(null).cast("string").as("value"),
+      lit(null).cast("string").as("timeStamp"))
+    ts.select(
+      lit("Feature").as("type"),
+      struct(
+        lit("Point").as("type"),
+        array(
+          col("sourceInfo.geoLocation.geogLocation.longitude"),
+          col("sourceInfo.geoLocation.geogLocation.latitude")).as("coordinates")
+      ).as("geometry"),
+      struct(
+        lit("usgs-water").as("record"),
+        col("name").as("id"),
+        undef(col("sourceInfo.siteName")).as("site"),
+        undef(col("sourceInfo.geoLocation.geogLocation.srs")).as("srs"),
+        try_element_at(col("sourceInfo.siteCode"), lit(1)).getField("value").as("siteCode"),
+        array(when(v0.isNotNull, attrs).otherwise(emptyAttrs)).as("variables")
+      ).as("properties"))
+  }
+
+  /** O9–O10: one variable branch — equality filter on the nested
+    * variableCode (streamFlowMap/gageHeightMap, mapreduce.js:40-50).
+    * Exposed for parity; [[mergeSites]] fuses both branches into its
+    * single aggregation so production plans never run two passes. */
+  def byVariable(features: DataFrame, code: String): DataFrame =
+    features.filter(
+      try_element_at(col("properties.variables"), lit(1)).getField("variableCode") === code)
+
+  /** O11: the per-site merge — semantically a key-equi full outer join
+    * of the two variable streams (mergeReduce, mapreduce.js:52-99 +
+    * the shared `out:{reduce:'joined'}`, mongodb.js:96-115), expressed
+    * as ONE conditional aggregation: a single shuffle on siteCode,
+    * partial (map-side) aggregation included. */
+  def mergeSites(features: DataFrame): DataFrame = {
+    val varCode = try_element_at(col("properties.variables"), lit(1)).getField("variableCode")
+    val var0 = try_element_at(col("properties.variables"), lit(1))
+    features
+      .filter(varCode.isNotNull) // O7: guard-empty features join neither branch
+      .groupBy(col("properties.siteCode").as("siteCode"))
+      .agg(
+        first(col("geometry"), ignoreNulls = true).as("geometry"),
+        first(col("properties.record"), ignoreNulls = true).as("record"),
+        first(col("properties.site"), ignoreNulls = true).as("site"),
+        first(col("properties.srs"), ignoreNulls = true).as("srs"),
+        first(when(varCode === StreamFlowCode, var0), ignoreNulls = true).as("streamFlow"),
+        first(when(varCode === GageHeightCode, var0), ignoreNulls = true).as("gageHeight"))
+      .select(
+        col("geometry"),
+        struct(
+          col("record"), col("site"), col("srs"), col("siteCode"),
+          col("streamFlow"), col("gageHeight")).as("properties"))
+  }
+
+  /** O13: collapse to a single FeatureCollection-style document
+    * (singleGeoJSONDoc, mongodb.js:122-145). Order pinned by siteCode
+    * so the output is deterministic (the reference's cursor order is
+    * whatever Mongo returns). Single-row global agg — reference
+    * parity only; use [[writeFeatureCollectionStreamed]] at scale. */
+  def toFeatureCollection(merged: DataFrame): DataFrame =
+    merged
+      .filter(col("geometry").isNotNull && col("properties").isNotNull)
+      .agg(
+        sort_array(collect_list(struct(
+          col("properties.siteCode").as("k"),
+          struct(lit("Feature").as("type"), col("properties"), col("geometry")).as("f")
+        ))).as("sorted"))
+      .select(transform(col("sorted"), e => e.getField("f")).as("data"))
+
+  /** Scale path replacing O13's driver-side buffer: features as
+    * distributed JSON lines (+ the enclosing FeatureCollection frame
+    * is a trivial concat at read time). No single-point memory
+    * ceiling, unlike the reference's one 16 MB document. */
+  def writeFeatureCollectionStreamed(merged: DataFrame, path: String): Unit =
+    merged
+      .filter(col("geometry").isNotNull && col("properties").isNotNull)
+      .select(to_json(struct(
+        lit("Feature").as("type"), col("properties"), col("geometry"))).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
+  /** O14: the whole pipeline as one lazy plan (the reference's 5-stage
+    * waterfall, harvest.js:104-139, materialized every stage to Mongo;
+    * `checkpointDir` opts back into per-stage materialization). */
+  def run(spark: SparkSession, inputPath: String,
+          checkpointDir: Option[String] = None): DataFrame = {
+    def stage(df: DataFrame, name: String): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val p = s"$dir/$name"
+        df.write.mode(SaveMode.Overwrite).parquet(p)
+        spark.read.parquet(p)
+      case None => df
+    }
+    val ts = WaterML.timeSeriesOf(spark, inputPath)
+    val features = stage(toFeatures(ts), "geojson")
+    val merged = stage(mergeSites(features), "joined")
+    toFeatureCollection(merged)
+  }
+}
