@@ -38,6 +38,17 @@ object SparkEntry {
     "q17_json_extract"     -> ((s, d) => Relational.jsonExtract(s, d)),
     "q18_feature_json"     -> ((s, d) => Relational.featureJson(s, d)),
     "q19_collect_sorted"   -> ((s, d) => Relational.collectSorted(s, d)),
+    "q20_text_tokens"      -> ((s, d) => TextOps.tokenStats(s, d)),
+    "q21_text_quality"     -> ((s, d) => TextOps.qualityScore(s, d)),
+    "q22_lang_id"          -> ((s, d) => TextOps.langId(s, d)),
+    "q23_fingerprint"      -> ((s, d) => TextOps.fingerprints(s, d)),
+    "q24_dedup_exact"      -> ((s, d) => DedupOps.dedupExact(s, d)),
+    "q25_neardup_ngram"    -> ((s, d) => DedupOps.nearDupNgram(s, d)),
+    "q26_neardup_minhash"  -> ((s, d) => DedupOps.nearDupMinHash(s, d)),
+    "q27_neardup_simhash"  -> ((s, d) => DedupOps.nearDupSimHash(s, d)),
+    "q28_neardup_embedding"-> ((s, d) => DedupOps.nearDupEmbedding(s, d)),
+    "q29_sim_topk"         -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -163,5 +174,94 @@ object SparkEntry {
         | count(*) AS n_supp
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q20_text_tokens" ->
+      s"""SELECT doc_id,
+        | length(text) AS n_chars_calc,
+        | len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS bpe_tokens,
+        | round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) /
+        |   len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')), 4) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q21_text_quality" ->
+      s"""SELECT doc_id,
+        | round(punct / n_chars, 6) AS punct_ratio,
+        | round(stops / n_tokens, 6) AS stopword_ratio,
+        | round(least(n_chars / 500.0, 1.0) * 0.5 +
+        |   least(stops / n_tokens * 5.0, 1.0) * 0.3 +
+        |   (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality
+        |FROM (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |  CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        | FROM documents) t""".stripMargin,
+    "q22_lang_id" ->
+      s"""SELECT doc_id, lang,
+        | CASE WHEN zh > 0 THEN 'zh'
+        |      WHEN de > en AND de > es AND de > fr THEN 'de'
+        |      WHEN es > en AND es > fr THEN 'es'
+        |      WHEN fr > en THEN 'fr'
+        |      ELSE 'en' END AS lang_pred
+        |FROM (SELECT doc_id, lang,
+        |  len(regexp_extract_all(text, '${TextOps.CjkPattern}')) AS zh,
+        |  len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS en,
+        |  len(regexp_extract_all(lower(text), '${TextOps.EsStops}')) AS es,
+        |  len(regexp_extract_all(lower(text), '${TextOps.DeStops}')) AS de,
+        |  len(regexp_extract_all(lower(text), '${TextOps.FrStops}')) AS fr
+        | FROM documents) t""".stripMargin,
+    "q23_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+    "q24_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        | min(doc_id) AS keeper, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q25_neardup_ngram" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+    "q28_neardup_embedding" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) AS dot,
+        |    sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |    sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+        |      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))) AS denom
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, CAST(label AS INTEGER) AS label,
+        |  round(dot / denom, 4) AS cos
+        |FROM p WHERE round(dot / denom, 4) >= 0.35""".stripMargin,
+    "q29_sim_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id, CAST(e.label AS INTEGER) AS label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))), 4) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
   )
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CosineSimilarity.cosineSimilarity
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2c):
+  * brute-force cosine top-k as the exact baseline, and an LSH
+  * (random-hyperplane) bucketed variant as the scale path.
+  *
+  * Scale design (100 TB):
+  *  - Brute force: the query vector is a broadcast literal; scoring
+  *    is a narrow map with the codegen'd CosineSimilarity kernel and
+  *    top-k is TakeOrderedAndProject — per-partition partial top-k,
+  *    k-row merge on the driver. No shuffle of the corpus, ever.
+  *  - ANN: 16 deterministic hyperplanes → 16-bit bucket per vector.
+  *    Bucketing is a one-off narrow map (or a stored column /
+  *    partition key in a real deployment); queries touch only their
+  *    bucket (+ optional multi-probe neighbors), turning top-k from
+  *    corpus-linear into bucket-linear.
+  */
+object SimilarityOps {
+
+  /** Deterministic pseudo-random unit-free hyperplanes (seed 42),
+    * materialized driver-side as literals — tiny (planes × dim
+    * doubles) and identical across runs. */
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Exact top-k by cosine against the embedding of `queryId`.
+    * Deterministic: ties broken by vec_id. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .select(col("vec_id"), col("label").cast("int").as("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** LSH bucket id: sign bits of the dot products with the
+    * hyperplanes, packed into an int. Pure narrow map. */
+  def withBucket(df: DataFrame, nPlanes: Int = 16, dim: Int = 64): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val bucket = (0 until nPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(
+          col("embedding"),
+          array(ps(p).map(v => lit(v)): _*),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, shiftleft(lit(1), p)).otherwise(0)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k: hyperplane-bucket candidates with multi-probe (the
+    * query probes its own bucket plus every bucket at Hamming
+    * distance 1 — the standard recall/cost knob), exact cosine rerank
+    * on candidates only. Plane count sizes bucket occupancy: 2^6
+    * buckets here for the small test corpora; at 100 TB you'd raise
+    * planes so buckets stay executor-sized and store the bucket as a
+    * partition key. */
+  def annTopK(spark: SparkSession, dir: String,
+              queryId: Long = 0L, k: Int = 10, nPlanes: Int = 6): DataFrame = {
+    val e = withBucket(Tables.embeddings(spark, dir), nPlanes)
+    val probes = array(
+      col("bucket") +: (0 until nPlanes).map(i =>
+        col("bucket").bitwiseXOR(shiftleft(lit(1), i))): _*)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), explode(probes).as("bucket"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .select(col("vec_id"), col("label").cast("int").as("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM-data pipelines over the
+  * `documents` table: token counting, quality scoring, language
+  * identification, and content fingerprinting (SURVEY.md §2c).
+  *
+  * Everything is built from codegen'd built-ins (`regexp_*`, `split`,
+  * `md5`, `length`) — no UDFs — so the whole stage stays inside
+  * WholeStageCodegen and scales as a pure narrow map: at 100 TB these
+  * run once per document with zero shuffles, and the derived columns
+  * prune down to the parquet scan of `text` only.
+  *
+  * Each heuristic is mirrored verbatim in SparkEntry.oracleSql (the
+  * regex/CASE constants below are interpolated into the SQL) so the
+  * DuckDB oracle checks the exact same function.
+  */
+object TextOps {
+
+  /** Word-ish BPE-style pre-tokenizer: alnum runs or single
+    * non-alnum-non-space marks. Same pattern compiles under Java
+    * regex (Spark) and RE2 (DuckDB). */
+  val BpeTokenPattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Punctuation-ish: any non-alnum, non-space char. */
+  val PunctPattern = "[^A-Za-z0-9\\s]"
+
+  /** Tiny per-language stopword alternations over lowercased text. */
+  val EnStops = "\\b(?:the|and|of|to|is|in|that|it|with|for)\\b"
+  val EsStops = "\\b(?:el|la|de|que|y|en|los|una|por|con)\\b"
+  val DeStops = "\\b(?:der|die|das|und|ist|nicht|ein|mit|von|zu)\\b"
+  val FrStops = "\\b(?:le|les|des|est|une|et|dans|pour|qui|sur)\\b"
+
+  /** CJK unified ideographs range as literal chars (U+4E00–U+9FFF). */
+  val CjkPattern = "[一-鿿]"
+
+  private def nMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("bigint")
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens +
+    * average token length. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars_calc"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("ws_tokens"),
+      nMatches(col("text"), BpeTokenPattern).as("bpe_tokens"),
+      round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        nMatches(col("text"), BpeTokenPattern), 4).as("avg_token_len"))
+
+  /** Quality scoring: length, punctuation density, stopword density,
+    * and a blended 0..1 score — the standard cheap pre-filter before
+    * expensive dedup/training steps. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(col("text"), "\\s+")).cast("double")
+    val punct = nMatches(col("text"), PunctPattern).cast("double")
+    val stops = nMatches(t, EnStops).cast("double")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      round(punct / nChars, 6).as("punct_ratio"),
+      round(stops / nTokens, 6).as("stopword_ratio"),
+      round(least(nChars / lit(500.0), lit(1.0)) * 0.5 +
+        least(stops / nTokens * 5.0, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6).as("quality"))
+  }
+
+  /** Language ID by stopword/CJK hit counts with a fixed, documented
+    * tie-break order (zh > de > es > fr > en). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val zh = nMatches(col("text"), CjkPattern)
+    val en = nMatches(t, EnStops)
+    val es = nMatches(t, EsStops)
+    val de = nMatches(t, DeStops)
+    val fr = nMatches(t, FrStops)
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      when(zh > 0, "zh")
+        .when(de > en && de > es && de > fr, "de")
+        .when(es > en && es > fr, "es")
+        .when(fr > en, "fr")
+        .otherwise("en").as("lang_pred"))
+  }
+
+  /** Normalized-content fingerprint: lowercase, strip non-alnum to
+    * single spaces, md5. Exact-dup detection key that survives
+    * whitespace/punctuation/case edits; distributable as a pure map
+    * (the shuffle, if any, happens in the groupBy that consumes it). */
+  def fingerprintCol(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), fingerprintCol(col("text")).as("fp"))
+}

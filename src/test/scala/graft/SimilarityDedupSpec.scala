@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CosineSimilarity.cosineSimilarity
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+
+class SimilarityDedupSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  test("cosine_similarity: exact values, null and zero-norm handling") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),   // identical -> 1
+      (Array(1f, 0f), Array(0f, 1f)),   // orthogonal -> 0
+      (Array(1f, 2f), Array(2f, 4f)),   // colinear -> 1
+      (Array(0f, 0f), Array(1f, 1f))    // zero norm -> null
+    ).toDF("a", "b")
+    val got = df.select(cosineSimilarity($"a", $"b")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(math.round(r.getDouble(0) * 1e9) / 1e9))
+    assert(got.toSeq == Seq(Some(1.0), Some(0.0), Some(1.0), None))
+    // mismatched lengths -> null
+    val m = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+      .select(cosineSimilarity($"a", $"b")).head()
+    assert(m.isNullAt(0))
+  }
+
+  test("cosine_similarity matches an independently computed double formula") {
+    val two = Tables.embeddings(spark, sf).filter($"vec_id" < 2)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val Array(a, b) = two
+    def dot(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+    val expected = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val e = Tables.embeddings(spark, sf)
+    val got = e.filter($"vec_id" === 0).select($"embedding".as("x"))
+      .crossJoin(e.filter($"vec_id" === 1).select($"embedding".as("y")))
+      .select(cosineSimilarity($"x", $"y")).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("cosine_similarity registered for SQL via GraftExtensions builder") {
+    // register on the live session the way withExtensions would
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions {})
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => graft.functions.CosineSimilarity(exprs.head, exprs(1)), "built-in")
+    val r = spark.sql("SELECT cosine_similarity(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+      "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("exact dedup: normalized variants collapse to one fingerprint") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "something else")).toDF("doc_id", "text")
+    val groups = docs.groupBy(TextOps.fingerprintCol($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(groups == Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("minhash LSH candidates cover the high-jaccard pairs ngram finds") {
+    val exact = DedupOps.nearDupNgram(spark, sf, threshold = 0.7)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.nearDupMinHash(spark, sf, threshold = 0.7)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at J>=0.7 with 8 bands x 4 rows, collision prob ≈ 1-(1-0.7^4)^8 ≈ 0.92+;
+    // on this corpus the banded LSH must find every such pair
+    assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
+  }
+
+  test("simhash pairs have genuinely close token multisets") {
+    val pairs = DedupOps.nearDupSimHash(spark, sf).collect()
+    assert(pairs.forall(_.getLong(2) <= 3))
+  }
+
+  test("ann top-k hits are a subset of brute-force candidates' ordering") {
+    val bf = SimilarityOps.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val ann = SimilarityOps.annTopK(spark, sf).collect()
+    // every ANN hit's cosine must equal the brute-force cosine for that id
+    ann.foreach { r =>
+      bf.get(r.getLong(0)).foreach(c => assert(c == r.getDouble(2)))
+    }
+    assert(ann.nonEmpty, "multi-probe ANN returned no candidates")
+  }
+}
