@@ -49,6 +49,9 @@ object SparkEntry {
     "q28_neardup_embedding"-> ((s, d) => DedupOps.nearDupEmbedding(s, d)),
     "q29_sim_topk"         -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
+    "q31_media_meta"       -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
+    "q32_multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
+    "q33_sessionize"       -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -263,5 +266,32 @@ object SparkEntry {
         |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))), 4) AS cos
         |  FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q31_media_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |      WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        | CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS width,
+        | CAST(240 + (doc_id % 4) * 120 AS INTEGER) AS height,
+        | CAST((320 + (doc_id % 4) * 160) / 2 AS INTEGER) AS target_width,
+        | CAST((240 + (doc_id % 4) * 120) / 2 AS INTEGER) AS target_height,
+        | octet_length(encode(text)) AS n_bytes,
+        | len(range(0, (doc_id % 120) + 1,
+        |   CAST(greatest(1, ceil(((doc_id % 120) + 1) / 8.0)) AS BIGINT))) AS frames_sampled
+        |FROM documents""".stripMargin,
+    "q33_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                        + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
   )
 }

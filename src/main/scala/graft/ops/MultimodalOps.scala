@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2c): media payloads as
+  * opaque `binary` columns with a typed metadata struct, plus the
+  * decode / feature-extract / resize / frame-sample operators a
+  * training-data pipeline runs over them.
+  *
+  * The decode kernel itself is STUBBED — this container has no image/
+  * audio codecs — behind the [[MediaDecoder]] trait with a
+  * deterministic fake ([[StubDecoder]], a byte histogram). Everything
+  * Spark-side is real and tested: the schema, the partition-wise
+  * batched execution shape (the Scala analog of `mapInPandas` — one
+  * decoder instance per partition, payloads processed in fixed-size
+  * batches), and the pure-column metadata operators.
+  *
+  * Scale notes (100 TB): payloads stay opaque bytes end-to-end — no
+  * decode happens outside [[extractFeatures]], and metadata-only plans
+  * (resize targets, frame sampling) never touch the payload column, so
+  * Parquet column pruning keeps those scans cheap. Feature extraction
+  * is a narrow partition-wise map: no shuffle, and batch size bounds
+  * per-task memory regardless of payload skew.
+  */
+object MultimodalOps {
+
+  /** Derive a deterministic media table from `documents`: the text
+    * bytes stand in for an encoded payload; metadata is a function of
+    * doc_id so the DuckDB oracle can reproduce it. */
+  def asMedia(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        when(pmod(col("doc_id"), lit(3)) === 0, "png")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "jpeg")
+          .otherwise("wav").as("format"),
+        (lit(320) + pmod(col("doc_id"), lit(4)) * 160).cast("int").as("width"),
+        (lit(240) + pmod(col("doc_id"), lit(4)) * 120).cast("int").as("height"),
+        (pmod(col("doc_id"), lit(120)) + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** Metadata-only operators — pure column expressions, payload never
+    * read. Resize: target box halving; frame-sample: up to 8 evenly
+    * spaced frame indices. */
+  def withPlan(media: DataFrame): DataFrame = {
+    val n = col("meta.n_frames")
+    val step = greatest(lit(1L), ceil(n / 8.0)).cast("long")
+    media
+      .withColumn("target_width", (col("meta.width") / 2).cast("int"))
+      .withColumn("target_height", (col("meta.height") / 2).cast("int"))
+      .withColumn("frame_indices", sequence(lit(0L), n.cast("long") - 1, step))
+  }
+
+  /** Pluggable decode kernel. A real deployment binds an image/audio
+    * codec here; the engine only promises the execution shape. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte], format: String): Array[Float]
+  }
+
+  /** Deterministic fake decoder: 16-bin normalized byte histogram.
+    * Marks exactly where a JNI/codec call would go. */
+  object StubDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte], format: String): Array[Float] = {
+      val bins = new Array[Float](16)
+      var i = 0
+      while (i < payload.length) { bins((payload(i) & 0xFF) >> 4) += 1f; i += 1 }
+      val n = math.max(payload.length, 1).toFloat
+      bins.map(_ / n)
+    }
+  }
+
+  /** Partition-wise batched feature extraction — the `mapInPandas`
+    * analog: one decoder per partition, payloads decoded in batches of
+    * `batchSize` (the batch boundary is where a vectorized/JNI decoder
+    * would amortize setup). Narrow map, no shuffle. */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder,
+                      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed: Dataset[(Long, Array[Byte], String)] = media
+      .select(col("doc_id"), col("payload"), col("meta.format"))
+      .as[(Long, Array[Byte], String)]
+    typed.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { case (id, payload, format) =>
+          (id, decoder.decode(payload, format))
+        }
+      }
+    }.toDF("doc_id", "features")
+  }
+
+  /** Driver-gate query: metadata + payload size + sampled-frame count
+    * (everything deterministic, so oracle-checkable; the stub decode
+    * path is exercised by q32 and the scalatest spec). */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    withPlan(asMedia(spark, dir)).select(
+      col("doc_id"),
+      col("meta.format").as("format"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      col("target_width"), col("target_height"),
+      length(col("payload")).cast("bigint").as("n_bytes"),
+      size(col("frame_indices")).cast("bigint").as("frames_sampled"))
+
+  /** Driver-gate query: stub decode over every payload; rows-only
+    * check (the histogram is deterministic but not SQL-practical). */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val f = extractFeatures(asMedia(spark, dir))
+    f.select(col("doc_id"),
+      round(aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("hist_sum"),
+      round(element_at(col("features"), 1).cast("double"), 6).as("bin0"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.time.LocalDateTime
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.MultimodalOps
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  test("streaming hourly agg over events parquet matches the batch twin") {
+    val stream = EventStream.hourly(
+      EventStream.readEventStream(spark, sf).withWatermark("ts", "2 hours"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      // normalize LTZ (stream) vs NTZ (batch) hour_start via formatting
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select(date_format($"hour_start", "yyyy-MM-dd HH:mm").as("h"),
+          $"event_type", $"n", $"total")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val streamed = keyed(spark.table("hourly_out"))
+      val batch = keyed(EventStream.hourly(Tables.events(spark, sf)))
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization: gaps close sessions, state spans micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      def ts(ldt: LocalDateTime) = java.sql.Timestamp.valueOf(ldt)
+      val t0 = LocalDateTime.of(2026, 1, 1, 10, 0)
+      // batch 1: user 1 has two events 10 min apart, then nothing
+      input.addData(
+        Event(1, ts(t0), 1L, "view", 1.0),
+        Event(2, ts(t0.plusMinutes(10)), 1L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // session still open in state
+      // batch 2: event 2 hours later closes the first session
+      input.addData(Event(3, ts(t0.plusHours(2)), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[Session].collect()
+      assert(closed.length == 1)
+      assert(closed.head.n_events == 2 && closed.head.session_start == ts(t0))
+    } finally q.stop()
+  }
+
+  test("batch sessionization: session bounds and event conservation") {
+    val s = EventStream.sessionizeBatch(spark, sf)
+    val total = s.agg(sum($"n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    // sessions of one user never overlap
+    val overlaps = s.alias("a").join(s.alias("b"),
+      $"a.user_id" === $"b.user_id" && $"a.session_seq" < $"b.session_seq" &&
+        $"a.session_end" >= $"b.session_start").count()
+    assert(overlaps == 0)
+  }
+
+  test("multimodal: stub decode features are normalized histograms with real batch shape") {
+    val feats = MultimodalOps.extractFeatures(
+      MultimodalOps.asMedia(spark, sf), batchSize = 7)
+    val rows = feats.collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val f = r.getSeq[Float](1)
+      assert(f.length == 16)
+      assert(math.abs(f.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("multimodal: metadata-only plan does not read the payload column") {
+    val plan = MultimodalOps.mediaMeta(spark, sf)
+      .drop("n_bytes") // payload-length is the only payload-touching column
+      .queryExecution.executedPlan.toString
+    // after pruning, the scan schema should not include text (payload source)
+    assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text"))
+  }
+
+  test("frame sampling: at most 8 evenly spaced frames, never empty") {
+    val planned = MultimodalOps.withPlan(MultimodalOps.asMedia(spark, sf))
+    val sizes = planned.select(size($"frame_indices")).collect().map(_.getInt(0))
+    assert(sizes.forall(s => s >= 1 && s <= 8))
+  }
+}
