@@ -51,23 +51,55 @@ object DedupOps {
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
+  /** Within-bucket pair generation: group docs by a blocking key,
+    * then emit ordered pairs by exploding each bucket's member list
+    * twice (the inner explode filtered to doc_id-greater members).
+    *
+    * This deliberately avoids a self-join: (a) the blocking subtree
+    * (regex shingling + hashing) is evaluated once, not once per join
+    * leg; (b) broadcast-building a derived-array relation proved ~2×
+    * slower than the whole groupBy plan; and (c) Spark 4.1's
+    * self-join attribute dedup silently collapsed both legs' array
+    * columns to one lineage in cached/aliased form — a correctness
+    * trap, not just a perf one. Buckets are bounded by the blocking
+    * key's selectivity; at 100 TB a degenerate stop-key bucket gets
+    * capped/salted before this step. `input` must have a `members`
+    * column of struct(doc_id, sh). */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("x"), col("members"))
+      .select(col("x"), explode(
+        filter(col("members"), y => y.getField("doc_id") > col("x.doc_id"))).as("y"))
+
+  /** Exact Jaccard verification over generated pairs; single
+    * array_intersect (|A∪B| = |A|+|B|−|A∩B| on the distinct shingle
+    * sets saves the second array pass). */
+  private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+    pairs.select(
+      col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+      round(inter.cast("double") /
+        (size(col("x.sh")) + size(col("y.sh")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-dup pairs by word-3-gram Jaccard, blocked on the minimum
     * md5'd shingle (a 1-permutation MinHash): only docs sharing their
     * min-shingle are compared — the standard cheap prefilter that
     * keeps candidate generation linear-ish in corpus size. */
   def nearDupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("minsh", array_min(transform(col("sh"), s => md5(s))))
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("minsh"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("minsh"))
-    a.join(b, Seq("minsh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // same explode-then-aggregate shape as nearDupMinHash: md5 as a
+    // codegen'd scalar per exploded shingle instead of an interpreted
+    // array lambda per doc (2x runtime there), min() as the blocking
+    // key with map-side partial aggregation
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val keyed = tok.groupBy(col("doc_id")).agg(
+      min(md5(col("s"))).as("minsh"), collect_list(col("s")).as("sh"))
+    val buckets = keyed.groupBy(col("minsh"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+    jaccardVerify(bucketPairs(buckets), threshold)
   }
 
   // ---------------------------------------------------------------
@@ -91,34 +123,38 @@ object DedupOps {
                      threshold: Double = 0.5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val coeffs = minHashCoeffs(k)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      // shingle → stable 64-bit hash, kept non-negative for the mod
-      .withColumn("hv", transform(col("sh"), s => pmod(xxhash64(s), lit(MinHashP))))
-    val sig = docs.withColumn("sig", array(
+    // explode-then-aggregate signature build: one row per (doc,
+    // shingle), k codegen'd scalar hashes per row, k min-aggregates
+    // per doc. Higher-order array lambdas (transform) are interpreted
+    // non-codegen expressions in Spark — at k=32 per doc they
+    // dominated this operator's runtime; the exploded form keeps the
+    // whole hash pipeline inside WholeStageCodegen and gets map-side
+    // partial min-aggregation for free. collect_list(s) rebuilds the
+    // (already-distinct) shingle set in the same pass, avoiding a
+    // second shuffle to re-attach it for verification.
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .withColumn("h0", pmod(xxhash64(col("s")), lit(MinHashP)))
+    val sig = tok.groupBy(col("doc_id")).agg(
+      collect_list(col("s")).as("sh"),
       coeffs.map { case (a, b) =>
-        array_min(transform(col("hv"), h => pmod(h * a + b, lit(MinHashP))))
-      }: _*))
+        min(pmod(col("h0") * a + b, lit(MinHashP)))
+      }.zipWithIndex.map { case (c, i) => c.as(s"m$i") }: _*)
     val banded = sig.select(
       col("doc_id"), col("sh"),
       posexplode(array((0 until bands).map { bd =>
         struct(lit(bd).as("band"),
           xxhash64(concat_ws(",",
-            (0 until rowsPerBand).map(r => element_at(col("sig"), bd * rowsPerBand + r + 1)): _*))
+            (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*))
             .as("bucket"))
       }: _*)))
       .select(col("doc_id"), col("sh"), col("col.band"), col("col.bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+    // a similar pair can collide in several bands: verify per
+    // occurrence (bounded ×bands), dedupe on the scalar result — far
+    // cheaper than a distinct that shuffles both shingle arrays
+    jaccardVerify(bucketPairs(buckets), threshold).distinct()
   }
 
   // ---------------------------------------------------------------
@@ -152,14 +188,13 @@ object DedupOps {
       posexplode(array((0 until 4).map(bd =>
         shiftright(col("simhash"), bd * 16).bitwiseAND(0xFFFFL)): _*)))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+    bucketPairs(buckets)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("bigint").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   // ---------------------------------------------------------------
