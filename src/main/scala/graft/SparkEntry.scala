@@ -52,6 +52,15 @@ object SparkEntry {
     "q31_media_meta"       -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     "q32_multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     "q33_sessionize"       -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
+    "q34_asof_join"        -> ((s, d) => AsofJoin.eventsToLatestOrder(s, d)),
+    "q35_weighted_mean"    -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Encoders
+      val wm = udaf(graft.functions.WeightedMean,
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(round(wm(col("l_extendedprice"), col("l_quantity")), 2).as("w_avg_price"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -293,5 +302,15 @@ object SparkEntry {
         | min(ts) AS session_start, max(ts) AS session_end,
         | count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "q34_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |     e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+        |FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q35_weighted_mean" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS w_avg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** As-of (backward) join — an operator the reference lacks entirely
+  * (SURVEY.md §2b) and core Spark has no primitive for. Implemented by
+  * composition (preference order (a) from SURVEY.md §7): union the two
+  * keyed streams, sort within key by time, and carry the most recent
+  * right-side row forward with last_value(ignoreNulls) — one shuffle,
+  * no custom SparkPlan needed.
+  *
+  * Scale notes (100 TB): the union+window form shuffles each input
+  * exactly once on the join key (same as a sort-merge join would) and
+  * streams within partitions — no per-key buffering beyond the single
+  * carried right row, so memory is O(1) per key regardless of how many
+  * events a key has. Right-side ties on (key, time) are collapsed
+  * up-front with max_by so the result is deterministic.
+  */
+object AsofJoin {
+
+  /** For each event, the most recent order of the same customer at or
+    * before the event time (inner as-of semantics: events before any
+    * order are dropped). */
+  def eventsToLatestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val orderStruct = struct(col("o_orderkey"), col("o_orderdate"))
+    // collapse right-side ties deterministically: one order per
+    // (custkey, orderdate), keeping the max orderkey
+    val orders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val right = orders.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("src"),
+      lit(null).cast("bigint").as("event_id"),
+      struct(col("o_orderkey"), col("o_orderdate")).as("r"))
+    val left = Tables.events(spark, dir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("src"),
+      col("event_id"),
+      lit(null).cast(
+        "struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>").as("r"))
+    // at equal t the right row sorts first (src 0 < 1), so an order
+    // placed exactly at the event time matches (<= semantics)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("src"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    right.unionByName(left)
+      .withColumn("m", last(col("r"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1 && col("m").isNotNull)
+      .select(
+        col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("m.o_orderkey").as("o_orderkey"),
+        col("m.o_orderdate").as("o_orderdate"))
+  }
+}

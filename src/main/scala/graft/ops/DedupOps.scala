@@ -89,14 +89,19 @@ object DedupOps {
     * min-shingle are compared — the standard cheap prefilter that
     * keeps candidate generation linear-ish in corpus size. */
   def nearDupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // same explode-then-aggregate shape as nearDupMinHash: md5 as a
-    // codegen'd scalar per exploded shingle instead of an interpreted
-    // array lambda per doc (2x runtime there), min() as the blocking
-    // key with map-side partial aggregation
+    // explode-then-aggregate: md5/xxhash as codegen'd scalars per
+    // exploded shingle instead of an interpreted array lambda per doc
+    // (2x runtime there), min() as the blocking key with map-side
+    // partial aggregation. Verification carries 64-bit shingle hashes,
+    // not strings: set cardinalities (and hence Jaccard) are unchanged
+    // up to a ~2^-65-per-pair collision, while the bucket shuffle
+    // moves ~3x fewer bytes and pair verification compares longs.
+    // The blocking key stays min-md5 so the DuckDB oracle mirrors the
+    // exact same candidate set.
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
     val keyed = tok.groupBy(col("doc_id")).agg(
-      min(md5(col("s"))).as("minsh"), collect_list(col("s")).as("sh"))
+      min(md5(col("s"))).as("minsh"), collect_list(xxhash64(col("s"))).as("sh"))
     val buckets = keyed.groupBy(col("minsh"))
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
     jaccardVerify(bucketPairs(buckets), threshold)
@@ -134,9 +139,10 @@ object DedupOps {
     // second shuffle to re-attach it for verification.
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .withColumn("h0", pmod(xxhash64(col("s")), lit(MinHashP)))
+      .withColumn("hraw", xxhash64(col("s")))
+      .withColumn("h0", pmod(col("hraw"), lit(MinHashP)))
     val sig = tok.groupBy(col("doc_id")).agg(
-      collect_list(col("s")).as("sh"),
+      collect_list(col("hraw")).as("sh"), // 64-bit shingle hashes for exact-Jaccard verify
       coeffs.map { case (a, b) =>
         min(pmod(col("h0") * a + b, lit(MinHashP)))
       }.zipWithIndex.map { case (c, i) => c.as(s"m$i") }: _*)

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Storage-format abstraction — the engine's equivalent of the
+  * reference's collection layer (reference mongodb.js:26-53: logical
+  * name → mongo collection, insert array-or-single). The engine is
+  * parquet-first (columnar + stats + pushdown); JSON/CSV/ORC cover
+  * interchange. A MongoDB deployment would swap `format("mongodb")`
+  * in here — the connector is not in this image (SURVEY.md §7 risk
+  * register), and nothing else in the engine would change.
+  *
+  * Scale notes: writes go through the normal committer (atomic,
+  * task-retry-safe at 1000 executors); text formats carry no stats so
+  * reads declare an explicit schema — schema inference over 100 TB of
+  * JSON is a full extra scan.
+  */
+object Formats {
+  val Supported: Seq[String] = Seq("parquet", "orc", "json", "csv")
+
+  def write(df: DataFrame, path: String, format: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(Supported.contains(format), s"unsupported format: $format")
+    val w = df.write.mode(mode).format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
+  }
+
+  def read(spark: SparkSession, path: String, format: String,
+           schema: Option[StructType] = None): DataFrame = {
+    require(Supported.contains(format), s"unsupported format: $format")
+    val r = spark.read.format(format)
+    val r2 = schema.map(r.schema).getOrElse(r)
+    (if (format == "csv") r2.option("header", "true") else r2).load(path)
+  }
+}

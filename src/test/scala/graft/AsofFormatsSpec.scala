@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.AsofJoin
+import graft.sources.Formats
+
+class AsofFormatsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  test("asof join: every match is the latest order at or before the event") {
+    val joined = AsofJoin.eventsToLatestOrder(spark, sf)
+    assert(joined.filter($"o_orderdate" > $"ts").count() == 0)
+    // no other order of the same customer lies strictly between the
+    // matched orderdate and the event time
+    val orders = Tables.orders(spark, sf)
+      .select($"o_custkey", $"o_orderdate".as("other_date"))
+    val better = joined.join(orders,
+      $"user_id" === $"o_custkey" &&
+        $"other_date" <= $"ts" && $"other_date" > $"o_orderdate")
+    assert(better.count() == 0)
+    assert(joined.count() > 0)
+  }
+
+  test("asof join drops events that precede every order of the customer") {
+    val joined = AsofJoin.eventsToLatestOrder(spark, sf)
+    val firstOrder = Tables.orders(spark, sf)
+      .groupBy($"o_custkey").agg(min($"o_orderdate").as("first_date"))
+    val early = Tables.events(spark, sf).join(firstOrder,
+      $"user_id" === $"o_custkey" && $"ts" < $"first_date")
+      .select($"event_id")
+    assert(joined.join(early, Seq("event_id"), "left_semi").count() == 0)
+  }
+
+  test("weighted mean aggregator matches the closed form") {
+    val got = SparkEntry.queries("q35_weighted_mean")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expect = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_extendedprice" * $"l_quantity") / sum($"l_quantity"), 2))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+  }
+
+  test("all four formats round-trip rows and values") {
+    val src = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag", $"l_shipdate")
+    val n = src.count()
+    val checksum = src.agg(round(sum($"l_quantity"), 2)).head().getDouble(0)
+    val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    Formats.Supported.foreach { fmt =>
+      val p = s"$base/$fmt"
+      Formats.write(src, p, fmt)
+      val back = Formats.read(spark, p, fmt, Some(src.schema))
+      assert(back.count() == n, s"$fmt row count")
+      assert(back.agg(round(sum($"l_quantity"), 2)).head().getDouble(0) == checksum, s"$fmt checksum")
+      assert(back.schema == src.schema, s"$fmt schema")
+    }
+  }
+
+  test("unsupported format is rejected eagerly") {
+    intercept[IllegalArgumentException] {
+      Formats.read(spark, "/tmp/x", "avro")
+    }
+  }
+}
