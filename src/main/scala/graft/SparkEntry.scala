@@ -53,6 +53,10 @@ object SparkEntry {
     "q32_multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     "q33_sessionize"       -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
     "q34_asof_join"        -> ((s, d) => AsofJoin.eventsToLatestOrder(s, d)),
+    "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
+    "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
+    "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
+    "q39_sql_subquery"     -> ((s, d) => Relational.sqlSubquery(s, d)),
     "q35_weighted_mean"    -> ((s, d) => {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.Encoders
@@ -312,5 +316,34 @@ object SparkEntry {
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS w_avg_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q36_math_funcs" ->
+      """SELECT p_partkey,
+        | round(sqrt(p_retailprice), 6) AS sq,
+        | round(ln(p_retailprice), 6) AS ln_p,
+        | round(log10(p_retailprice), 6) AS l10,
+        | round(pow(p_size, 2.0), 1) AS sz2,
+        | round(exp(p_size / 100.0), 6) AS ex,
+        | p_size % 7 AS m7
+        |FROM part""".stripMargin,
+    "q37_string_funcs" ->
+      """SELECT c_custkey,
+        | lpad(c_name, 25, '*') AS padded,
+        | replace(c_name, 'Customer', 'Cust') AS repl,
+        | reverse(c_mktsegment) AS rev,
+        | substr(c_mktsegment, 1, 3) AS l3,
+        | strpos(c_name, '#') AS hashpos,
+        | split_part(c_name, '#', 2) AS cust_num,
+        | translate(c_mktsegment, 'AEIOU', 'aeiou') AS lowvowel
+        |FROM customer""".stripMargin,
+    "q38_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        | count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q39_sql_subquery" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
   )
 }

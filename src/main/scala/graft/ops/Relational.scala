@@ -247,6 +247,54 @@ object Relational {
         count(lit(1)).as("n_supp"))
   }
 
+  /** Math function coverage (sqrt/ln/log10/pow/exp/mod) — per-row,
+    * rounded because libm implementations may differ in the last ulp
+    * across engines. */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      round(sqrt(col("p_retailprice")), 6).as("sq"),
+      round(log(col("p_retailprice")), 6).as("ln_p"),
+      round(log10(col("p_retailprice")), 6).as("l10"),
+      round(pow(col("p_size"), 2.0), 1).as("sz2"),
+      round(exp(col("p_size") / 100.0), 6).as("ex"),
+      pmod(col("p_size"), lit(7)).as("m7"))
+
+  /** String function coverage (lpad/replace/reverse/substr/strpos/
+    * split_part/translate/repeat). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      lpad(col("c_name"), 25, "*").as("padded"),
+      regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+      reverse(col("c_mktsegment")).as("rev"),
+      substring(col("c_mktsegment"), 1, 3).as("l3"),
+      locate("#", col("c_name")).cast("bigint").as("hashpos"),
+      expr("split_part(c_name, '#', 2)").as("cust_num"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("lowvowel"))
+
+  /** CUBE + GROUPING — full grouping-sets machinery beyond q12's
+    * rollup. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+        count(lit(1)).as("n"))
+
+  /** Correlated scalar subquery through the SQL front-end: customers
+    * above their nation's average balance. Demonstrates the
+    * spark.sql(...) entry path (temp views + subquery rewrite into a
+    * join by Catalyst). */
+  def sqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer_v c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
   /** Semi-structured extraction: JSON path over the events.props
     * payload — get_json_object is codegen'd, no UDF. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =

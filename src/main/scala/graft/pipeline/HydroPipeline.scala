@@ -22,9 +22,10 @@ import graft.sources.WaterML
   *    streamflow/discharge; the reference routes 00065 into
   *    `streamFlow` (mapreduce.js:41,78-85). The engine keeps the
   *    two-branch structure with the correct labels.
-  *  - last-writer-wins merge (mapreduce.js:61-77) is replaced by
-  *    deterministic `first(..., ignoreNulls)` under a one-shot merge —
-  *    the reference's re-reduce is not idempotent (re-running throws
+  *  - last-writer-wins merge (mapreduce.js:61-77) is replaced by a
+  *    deterministic min-by-series-id one-shot merge (order-independent
+  *    even when a site carries duplicate series per variable) — the
+  *    reference's re-reduce is also not idempotent (re-running throws
   *    at mapreduce.js:62-63).
   *  - feature id: the Mongo ObjectId `_id` (mapreduce.js:16,33) only
   *    needs uniqueness; the engine uses the USGS series `name`
@@ -100,16 +101,30 @@ object HydroPipeline {
   def mergeSites(features: DataFrame): DataFrame = {
     val varCode = try_element_at(col("properties.variables"), lit(1)).getField("variableCode")
     val var0 = try_element_at(col("properties.variables"), lit(1))
+    // min_by on a total ordering key instead of first(ignoreNulls):
+    // first() picks encounter order, which is only deterministic when
+    // a site has a single series per variable — with duplicates the
+    // reference's last-writer-wins nondeterminism would leak back in.
+    // The key is (series id, reading, timestamp), a total order even
+    // for pathological feeds repeating a series id with different
+    // readings. min_by keys with a null ordering value are skipped,
+    // so the conditional keys select within each variable branch only.
+    val ordKey = concat_ws("",
+      col("properties.id"),
+      coalesce(var0.getField("value"), lit("")),
+      coalesce(var0.getField("timeStamp"), lit("")))
     features
       .filter(varCode.isNotNull) // O7: guard-empty features join neither branch
       .groupBy(col("properties.siteCode").as("siteCode"))
       .agg(
-        first(col("geometry"), ignoreNulls = true).as("geometry"),
-        first(col("properties.record"), ignoreNulls = true).as("record"),
-        first(col("properties.site"), ignoreNulls = true).as("site"),
-        first(col("properties.srs"), ignoreNulls = true).as("srs"),
-        first(when(varCode === StreamFlowCode, var0), ignoreNulls = true).as("streamFlow"),
-        first(when(varCode === GageHeightCode, var0), ignoreNulls = true).as("gageHeight"))
+        min_by(col("geometry"), ordKey).as("geometry"),
+        min_by(col("properties.record"), ordKey).as("record"),
+        min_by(col("properties.site"), ordKey).as("site"),
+        min_by(col("properties.srs"), ordKey).as("srs"),
+        min_by(when(varCode === StreamFlowCode, var0),
+          when(varCode === StreamFlowCode, ordKey)).as("streamFlow"),
+        min_by(when(varCode === GageHeightCode, var0),
+          when(varCode === GageHeightCode, ordKey)).as("gageHeight"))
       .select(
         col("geometry"),
         struct(
