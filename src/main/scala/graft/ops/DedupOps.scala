@@ -74,13 +74,20 @@ object DedupOps {
 
   /** Exact Jaccard verification over generated pairs; single
     * array_intersect (|A∪B| = |A|+|B|−|A∩B| on the distinct shingle
-    * sets saves the second array pass). */
+    * sets saves the second array pass). A size-ratio prefilter skips
+    * the intersect when it provably can't reach the threshold:
+    * |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    * J ≤ min/max — if min < t·max the pair can never pass. Exactness
+    * preserved, and most candidate pairs are cheap size comparisons. */
   private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame = {
+    val sa = size(col("x.sh"))
+    val sb = size(col("y.sh"))
     val inter = size(array_intersect(col("x.sh"), col("y.sh")))
-    pairs.select(
-      col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-      round(inter.cast("double") /
-        (size(col("x.sh")) + size(col("y.sh")) - inter), 4).as("jaccard"))
+    pairs
+      .filter(least(sa, sb).cast("double") >= greatest(sa, sb) * threshold)
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(inter.cast("double") / (sa + sb - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
