@@ -49,6 +49,7 @@ object SparkEntry {
     "q28_neardup_embedding"-> ((s, d) => DedupOps.nearDupEmbedding(s, d)),
     "q29_sim_topk"         -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
+    "q40_neardup_emb_lsh"  -> ((s, d) => DedupOps.nearDupEmbeddingLSH(s, d)),
     "q31_media_meta"       -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     "q32_multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     "q33_sessionize"       -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),

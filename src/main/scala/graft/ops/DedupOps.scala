@@ -228,4 +228,22 @@ object DedupOps {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("label").cast("int").as("label"), col("cos"))
   }
+
+  /** General-purpose variant when no label exists: block on the
+    * random-hyperplane LSH bucket (vectors in the same half-space
+    * bundle share buckets), verify with the cosine kernel. Same
+    * groupBy-bucket pair shape as the text near-dups — one shuffle on
+    * the bucket key, no self-join. Low-cosine pairs simply land in
+    * different buckets, so recall concentrates on genuinely close
+    * pairs (raise nPlanes at scale to keep buckets executor-sized). */
+  def nearDupEmbeddingLSH(spark: SparkSession, dir: String,
+                          threshold: Double = 0.35, nPlanes: Int = 6): DataFrame = {
+    val e = SimilarityOps.withBucket(Tables.embeddings(spark, dir), nPlanes)
+    val buckets = e.groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id").as("doc_id"), col("embedding"))).as("members"))
+    bucketPairs(buckets)
+      .select(col("x.doc_id").as("vec_a"), col("y.doc_id").as("vec_b"),
+        round(cosineSimilarity(col("x.embedding"), col("y.embedding")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

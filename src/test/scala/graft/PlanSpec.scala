@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Relational, SimilarityOps}
+
+/** Physical-plan assertions: the scale properties the engine promises
+  * (pushdown, pruning, broadcast of bounded sides, partial top-k) must
+  * be visible in the plan, not just hoped for. These lock against
+  * regressions that would silently turn a scan-narrow query into a
+  * full-table read or a broadcast join into a shuffle at 100 TB. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  // formatted mode prints full PushedFilters/ReadSchema (plain
+  // toString truncates long filter lists with "...")
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter/project: predicates reach the parquet scan, schema pruned") {
+    val p = plan(Relational.filterProject(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    // 6 of 11 lineitem columns read, and no extras
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_returnflag") && !read.contains("l_tax"))
+  }
+
+  test("multiway join: bounded dimensions broadcast, never shuffled") {
+    val p = plan(Relational.joinMultiway(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("top-k: planned as partial TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.joinTopRevenue(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("brute-force similarity: the query vector is broadcast") {
+    val p = plan(SimilarityOps.bruteForceTopK(spark, sf))
+    assert(p.contains("Broadcast"))
+  }
+
+  test("whole-stage codegen covers the scan-filter-project pipeline") {
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    val p = plan(Relational.filterProject(spark, sf))
+    assert(p.contains("codegen id"))
+  }
+}
