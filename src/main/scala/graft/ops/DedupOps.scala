@@ -43,12 +43,43 @@ object DedupOps {
   // n-gram Jaccard near-dup
   // ---------------------------------------------------------------
 
-  /** Word 3-gram shingle set of a normalized text column. */
+  /** Word 3-gram shingle set of a normalized text column (array
+    * form — convenient for small inputs and tests). */
   def shingles(text: Column, n: Int = 3): Column = {
     val words = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
     array_distinct(transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Row-form 3-gram shingling: one row per (doc, shingle position),
+    * 3-grams assembled with window lead() over exploded words. Same
+    * shingle multiset as [[shingles]] (short docs yield their one
+    * partial shingle — concat_ws skips the null leads — and the pos
+    * filter cuts the trailing partials), but the whole chain is
+    * codegen'd: the array-HOF form (sequence/transform/slice) is
+    * interpreted and dominated near-dup runtime (~1ms/doc). The
+    * window's doc_id shuffle is reused verbatim by the downstream
+    * per-doc aggregation, so this costs no extra exchange. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      // spread BEFORE the 50x explode: a small documents file is one
+      // input split, so without this the entire shingle stage runs in
+      // a single task; hashing by doc_id also pre-satisfies the
+      // window/groupBy distribution, so no further exchange follows.
+      // (On a real multi-split 100 TB corpus the scan is already
+      // parallel and AQE would coalesce this exchange.)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), size(words).as("nw"), posexplode(words))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", col("col"),
+          lead(col("col"), 1).over(w), lead(col("col"), 2).over(w)).as("s"),
+        col("nw"))
+      .filter(col("pos") <= greatest(col("nw") - 3, lit(0)))
+      .select(col("doc_id"), col("s"))
   }
 
   /** Within-bucket pair generation: group docs by a blocking key,
@@ -105,10 +136,9 @@ object DedupOps {
     // moves ~3x fewer bytes and pair verification compares longs.
     // The blocking key stays min-md5 so the DuckDB oracle mirrors the
     // exact same candidate set.
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val tok = shingleRows(spark, dir)
     val keyed = tok.groupBy(col("doc_id")).agg(
-      min(md5(col("s"))).as("minsh"), collect_list(xxhash64(col("s"))).as("sh"))
+      min(md5(col("s"))).as("minsh"), collect_set(xxhash64(col("s"))).as("sh"))
     val buckets = keyed.groupBy(col("minsh"))
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
     jaccardVerify(bucketPairs(buckets), threshold)
@@ -144,12 +174,11 @@ object DedupOps {
     // partial min-aggregation for free. collect_list(s) rebuilds the
     // (already-distinct) shingle set in the same pass, avoiding a
     // second shuffle to re-attach it for verification.
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val tok = shingleRows(spark, dir)
       .withColumn("hraw", xxhash64(col("s")))
       .withColumn("h0", pmod(col("hraw"), lit(MinHashP)))
     val sig = tok.groupBy(col("doc_id")).agg(
-      collect_list(col("hraw")).as("sh"), // 64-bit shingle hashes for exact-Jaccard verify
+      collect_set(col("hraw")).as("sh"), // 64-bit shingle hashes for exact-Jaccard verify
       coeffs.map { case (a, b) =>
         min(pmod(col("h0") * a + b, lit(MinHashP)))
       }.zipWithIndex.map { case (c, i) => c.as(s"m$i") }: _*)
