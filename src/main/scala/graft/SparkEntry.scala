@@ -54,6 +54,7 @@ object SparkEntry {
     "q32_multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     "q33_sessionize"       -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
     "q34_asof_join"        -> ((s, d) => AsofJoin.eventsToLatestOrder(s, d)),
+    "q41_interval_join"    -> ((s, d) => AsofJoin.eventPairsWithin(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -313,6 +314,13 @@ object SparkEntry {
         |     e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
         |FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q41_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 4 HOUR
+        | AND a.event_id <> b.event_id""".stripMargin,
     "q35_weighted_mean" ->
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS w_avg_price

@@ -55,4 +55,36 @@ object AsofJoin {
         col("m.o_orderkey").as("o_orderkey"),
         col("m.o_orderdate").as("o_orderdate"))
   }
+
+  /** Interval (range) join: pairs of events of the same user where the
+    * second falls within `windowHours` after the first — another
+    * operator family the reference lacks (SURVEY.md §2b "range join").
+    *
+    * Scale path: a raw non-equi time predicate would force a
+    * nested-loop join; bucketing time into window-width buckets turns
+    * it into an equi-join on (user, bucket) with the left side probing
+    * its own and the next bucket (any in-window pair differs by at
+    * most one bucket), then the exact range refines. Shuffle volume is
+    * 2x the left side — independent of the time span — and skew is
+    * bounded per (user, bucket). */
+  def eventPairsWithin(spark: SparkSession, dir: String, windowHours: Int = 4): DataFrame = {
+    val winUs = windowHours * 3600L * 1000000L
+    // fresh plan per leg (def): Spark 4.1 self-join dedup is unsafe
+    // over shared cached lineages (see DedupOps.bucketPairs note)
+    def evs = Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      floor(unix_micros(col("ts").cast("timestamp")) / winUs).as("b0"))
+    val a = evs.select(
+      col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"),
+      explode(array(col("b0"), col("b0") + 1)).as("bk"))
+    val b = evs.select(
+      col("event_id").as("b_id"), col("user_id").as("u2"),
+      col("ts").as("b_ts"), col("b0").as("bk2"))
+    a.join(b, col("user_id") === col("u2") && col("bk") === col("bk2"))
+      .filter(
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") < col("a_ts") + expr(s"INTERVAL $windowHours HOURS") &&
+        col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("user_id"))
+  }
 }

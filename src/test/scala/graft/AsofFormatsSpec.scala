@@ -33,6 +33,19 @@ class AsofFormatsSpec extends AnyFunSuite {
     assert(joined.join(early, Seq("event_id"), "left_semi").count() == 0)
   }
 
+  test("interval join: pairs ordered, in-window, same user, no self-pairs") {
+    val pairs = AsofJoin.eventPairsWithin(spark, sf, windowHours = 4)
+    val e = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id".as("uid"))
+    val checked = pairs
+      .join(e.select($"event_id".as("a_id"), $"ts".as("a_ts")), "a_id")
+      .join(e.select($"event_id".as("b_id"), $"ts".as("b_ts")), "b_id")
+    assert(checked.filter($"b_ts" < $"a_ts" ||
+      $"b_ts" >= $"a_ts" + org.apache.spark.sql.functions.expr("INTERVAL 4 HOURS")).count() == 0)
+    assert(pairs.filter($"a_id" === $"b_id").count() == 0)
+    assert(pairs.count() > 0)
+  }
+
   test("weighted mean aggregator matches the closed form") {
     val got = SparkEntry.queries("q35_weighted_mean")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
