@@ -55,6 +55,9 @@ object SparkEntry {
     "q33_sessionize"       -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
     "q34_asof_join"        -> ((s, d) => AsofJoin.eventsToLatestOrder(s, d)),
     "q41_interval_join"    -> ((s, d) => AsofJoin.eventPairsWithin(s, d)),
+    "q42_quantiles"        -> ((s, d) => Relational.quantiles(s, d)),
+    "q43_pivot"            -> ((s, d) => Relational.pivotEvents(s, d)),
+    "q44_word_counts"      -> ((s, d) => Relational.wordCounts(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -325,6 +328,25 @@ object SparkEntry {
       """SELECT l_returnflag,
         | round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS w_avg_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q42_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q43_pivot" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        | round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        | round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        | round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q44_word_counts" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |      FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
     "q36_math_funcs" ->
       """SELECT p_partkey,
         | round(sqrt(p_retailprice), 6) AS sq,

@@ -295,6 +295,33 @@ object Relational {
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
   }
 
+  /** Exact quantiles (linear interpolation — Spark `percentile` and
+    * DuckDB `quantile_cont` share the formula, so values hash-match). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+
+  /** Pivot (long→wide reshape): per-user event-type value totals.
+    * The value list is pinned so the output schema is static — at
+    * scale an unpinned pivot needs a distinct-values job first. */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum(col("value")), 2))
+
+  /** Explode / flatten: corpus word frequencies (the unnest twin). */
+  def wordCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
   /** Semi-structured extraction: JSON path over the events.props
     * payload — get_json_object is codegen'd, no UDF. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =

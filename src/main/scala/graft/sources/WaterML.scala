@@ -67,12 +67,29 @@ object WaterML {
     * elements as null rows); a `timeSeries`-less response contributes
     * zero rows (harvest.js:34-41). */
   def timeSeriesOf(spark: SparkSession, path: String): DataFrame =
-    spark.read
+    flatten(spark.read
       .option("multiLine", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt")
       .schema(responseSchema)
-      .json(path)
+      .json(path))
+
+  /** Streaming twin of [[timeSeriesOf]]: new response files landing in
+    * `path` flow through the same parse/flatten plan incrementally —
+    * the engine's version of the reference's continuous per-state
+    * harvest loop (harvest.js:90-102), with ingest decoupled from the
+    * batch merge exactly as the reference decouples harvest from its
+    * mapReduce stages. */
+  def timeSeriesStreamOf(spark: SparkSession, path: String): DataFrame =
+    flatten(spark.readStream
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(responseSchema)
+      .json(path))
+
+  private def flatten(raw: DataFrame): DataFrame =
+    raw
       .select(explode(col("value.timeSeries")).as("ts"))
       .filter(col("ts").isNotNull)
       .select(col("ts.*"))

@@ -55,6 +55,24 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming WaterML ingest produces the same features as the batch source") {
+    val stream = graft.pipeline.HydroPipeline.toFeatures(
+      graft.sources.WaterML.timeSeriesStreamOf(spark, "src/test/resources/waterml"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("wml_stream").start()
+    try {
+      q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select($"properties.id", to_json($"properties"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val streamed = keyed(spark.table("wml_stream"))
+      val batch = keyed(graft.pipeline.HydroPipeline.toFeatures(
+        graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml")))
+      assert(streamed == batch)
+      assert(batch.size == 7)
+    } finally q.stop()
+  }
+
   test("batch sessionization: session bounds and event conservation") {
     val s = EventStream.sessionizeBatch(spark, sf)
     val total = s.agg(sum($"n_events")).head().getLong(0)
