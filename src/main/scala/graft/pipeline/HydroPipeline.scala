@@ -158,6 +158,23 @@ object HydroPipeline {
         lit("Feature").as("type"), col("properties"), col("geometry"))).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
 
+  /** Incremental ingest: response files landing in `inputPath` stream
+    * through parse→flatten→project and append to a features table;
+    * [[mergeSites]]/[[toFeatureCollection]] then run batch over the
+    * accumulated features on demand. This is the reference's own
+    * architecture (continuous harvest loop feeding batch mapReduce
+    * stages, harvest.js:90-144) with exactly-once file-source
+    * semantics instead of the reference's at-least-once inserts. */
+  def ingestStream(spark: SparkSession, inputPath: String,
+                   featuresPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    toFeatures(WaterML.timeSeriesStreamOf(spark, inputPath))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .start(featuresPath)
+
   /** O14: the whole pipeline as one lazy plan (the reference's 5-stage
     * waterfall, harvest.js:104-139, materialized every stage to Mongo;
     * `checkpointDir` opts back into per-stage materialization). */

@@ -33,4 +33,16 @@ object Formats {
     val r2 = schema.map(r.schema).getOrElse(r)
     (if (format == "csv") r2.option("header", "true") else r2).load(path)
   }
+
+  /** Persist as a bucketed + sorted catalog table: both sides of a
+    * recurring equi-join bucketed on the join key read back
+    * pre-partitioned and pre-sorted, so the join plans with NO shuffle
+    * exchange and no sort — the "pre-partition the fact tables once,
+    * join for free forever" pattern that matters most at 100 TB, where
+    * the shuffle would otherwise move the whole table per query.
+    * Bucket count is fixed at write time: pick it for target-cluster
+    * parallelism (it caps join parallelism until AQE splits). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

@@ -72,6 +72,26 @@ class AsofFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
+    val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
+    graft.sources.Formats.writeBucketed(li, "li_b", "l_orderkey", 8)
+    graft.sources.Formats.writeBucketed(o, "o_b", "o_orderkey", 8)
+    // at test scale the planner rightly prefers broadcast (which skips
+    // the bucketed scan); force the shuffle-family path — the one that
+    // matters at 100 TB — to show bucketing removes the exchange
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == li.join(o, $"l_orderkey" === $"o_orderkey").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("unsupported format is rejected eagerly") {
     intercept[IllegalArgumentException] {
       Formats.read(spark, "/tmp/x", "avro")

@@ -104,6 +104,16 @@ class HydroPipelineSpec extends AnyFunSuite {
     assert(lazyDoc.contains("\"siteCode\":\"01646500\""))
   }
 
+  test("incremental ingest: streamed features merge to the same sites as batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val q = HydroPipeline.ingestStream(spark, fixtures, s"$base/features", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val merged2 = HydroPipeline.mergeSites(spark.read.parquet(s"$base/features"))
+    val sites = merged2.select(col("properties.siteCode"))
+      .collect().map(_.getString(0)).sorted
+    assert(sites.toSeq == Seq("01646500", "02096960", "09380000", "11530500"))
+  }
+
   test("scale path: streamed FeatureCollection write emits one JSON line per site") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fc").toString + "/fc"
     HydroPipeline.writeFeatureCollectionStreamed(merged, dir)
