@@ -58,6 +58,7 @@ object SparkEntry {
     "q42_quantiles"        -> ((s, d) => Relational.quantiles(s, d)),
     "q43_pivot"            -> ((s, d) => Relational.pivotEvents(s, d)),
     "q44_word_counts"      -> ((s, d) => Relational.wordCounts(s, d)),
+    "q45_except_all"       -> ((s, d) => Relational.exceptAll(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -347,6 +348,10 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
         |      FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
+    "q45_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT ALL
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000""".stripMargin,
     "q36_math_funcs" ->
       """SELECT p_partkey,
         | round(sqrt(p_retailprice), 6) AS sq,

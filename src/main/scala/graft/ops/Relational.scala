@@ -163,6 +163,17 @@ object Relational {
     bigOrders.union(rich).distinct().except(supp)
   }
 
+  /** Multiset set-op: EXCEPT ALL keeps duplicate cardinality — each
+    * right-side row cancels ONE left occurrence (a rich customer with
+    * 5 orders still contributes 4 rows), unlike an anti join which
+    * would drop them all. */
+  def exceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val orderCusts = Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+    orderCusts.exceptAll(rich)
+  }
+
   /** Hierarchical aggregate: ROLLUP over (returnflag, linestatus) —
     * grouping-sets machinery. */
   def rollupAgg(spark: SparkSession, dir: String): DataFrame =
