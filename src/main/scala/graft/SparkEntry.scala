@@ -201,16 +201,18 @@ object SparkEntry {
         | length(text) AS n_chars_calc,
         | len(regexp_split_to_array(text, '\\s+')) AS ws_tokens,
         | len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS bpe_tokens,
-        | round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) /
-        |   len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')), 4) AS avg_token_len
+        | ${TextOps.roundAtSql(
+             "CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / " +
+             s"len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}'))", 4)} AS avg_token_len
         |FROM documents""".stripMargin,
     "q21_text_quality" ->
       s"""SELECT doc_id,
-        | round(punct / n_chars, 6) AS punct_ratio,
-        | round(stops / n_tokens, 6) AS stopword_ratio,
-        | round(least(n_chars / 500.0, 1.0) * 0.5 +
-        |   least(stops / n_tokens * 5.0, 1.0) * 0.3 +
-        |   (1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2, 6) AS quality
+        | ${TextOps.roundAtSql("punct / n_chars", 6)} AS punct_ratio,
+        | ${TextOps.roundAtSql("stops / n_tokens", 6)} AS stopword_ratio,
+        | ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS quality
         |FROM (SELECT doc_id,
         |  CAST(length(text) AS DOUBLE) AS n_chars,
         |  CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,

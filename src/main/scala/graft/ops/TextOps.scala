@@ -40,6 +40,22 @@ object TextOps {
   private def nMatches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("bigint")
 
+  /** Boundary-safe rounding for formula-derived ratios: floor(x·10^d
+    * + 0.5)/10^d is pure IEEE arithmetic, bit-identical across
+    * engines. Library round() is NOT: Spark rounds on the full
+    * decimal expansion of the double while DuckDB multiplies first,
+    * and values an ulp away from the .5 boundary (common here —
+    * the quality weights are exact decimal fractions) flip between
+    * them. Observed: one sf0.1 doc differed by exactly 1e-6. */
+  private def roundAt(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * p + lit(0.5)) / p
+  }
+  private[graft] def roundAtSql(expr: String, digits: Int): String = {
+    val p = "1" + "0" * digits
+    s"floor(($expr) * $p + 0.5) / $p"
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex tokens +
     * average token length. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
@@ -48,7 +64,7 @@ object TextOps {
       length(col("text")).cast("bigint").as("n_chars_calc"),
       size(split(col("text"), "\\s+")).cast("bigint").as("ws_tokens"),
       nMatches(col("text"), BpeTokenPattern).as("bpe_tokens"),
-      round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+      roundAt(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
         nMatches(col("text"), BpeTokenPattern), 4).as("avg_token_len"))
 
   /** Quality scoring: length, punctuation density, stopword density,
@@ -62,9 +78,9 @@ object TextOps {
     val stops = nMatches(t, EnStops).cast("double")
     Tables.documents(spark, dir).select(
       col("doc_id"),
-      round(punct / nChars, 6).as("punct_ratio"),
-      round(stops / nTokens, 6).as("stopword_ratio"),
-      round(least(nChars / lit(500.0), lit(1.0)) * 0.5 +
+      roundAt(punct / nChars, 6).as("punct_ratio"),
+      roundAt(stops / nTokens, 6).as("stopword_ratio"),
+      roundAt(least(nChars / lit(500.0), lit(1.0)) * 0.5 +
         least(stops / nTokens * 5.0, lit(1.0)) * 0.3 +
         (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6).as("quality"))
   }
