@@ -59,6 +59,11 @@ object SparkEntry {
     "q43_pivot"            -> ((s, d) => Relational.pivotEvents(s, d)),
     "q44_word_counts"      -> ((s, d) => Relational.wordCounts(s, d)),
     "q45_except_all"       -> ((s, d) => Relational.exceptAll(s, d)),
+    // MLVariants.nearDupMinHashML is deliberately NOT registered: the
+    // mllib approxSimilarityJoin form is ~5x slower than q26's
+    // hand-rolled banded LSH for identical results (cross-validated in
+    // SimilarityDedupSpec); it exists as the mllib integration path.
+    "q46_sim_ivf"          -> ((s, d) => MLVariants.ivfTopK(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),

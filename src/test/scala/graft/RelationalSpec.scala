@@ -42,7 +42,8 @@ class RelationalSpec extends AnyFunSuite {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // queries without oracle must be the non-SQL-expressible set
     assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash") ||
-      n.contains("lsh") || n.contains("multimodal") || n.contains("stream")),
+      n.contains("lsh") || n.contains("multimodal") || n.contains("stream") ||
+      n.contains("ivf")),
       s"missing oracle for: $noOracle")
   }
 

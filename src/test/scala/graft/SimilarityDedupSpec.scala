@@ -77,6 +77,25 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(pairs.forall(_.getLong(2) <= 3))
   }
 
+  test("mllib MinHashLSH finds the hand-rolled high-jaccard pairs") {
+    val exact = DedupOps.nearDupNgram(spark, sf, threshold = 0.9)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ml = graft.ops.MLVariants.nearDupMinHashML(spark, sf, threshold = 0.9)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.subsetOf(ml), s"mllib missed: ${exact -- ml}")
+  }
+
+  test("ivf top-k agrees with brute force on cosine values") {
+    val bf = SimilarityOps.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val ivf = graft.ops.MLVariants.ivfTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      bf.get(r.getLong(0)).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
   test("ann top-k hits are a subset of brute-force candidates' ordering") {
     val bf = SimilarityOps.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap
