@@ -23,9 +23,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val warmupDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmupDir).count() catch { case _: Throwable => () }
+    // warm up on the smallest sibling scale factor of the target dir
+    // (falls back to the target itself) so codegen/JIT cost never
+    // lands on the first timed query; failures are logged, not
+    // swallowed — a missing warmup dir would otherwise silently skew
+    // the first measurement.
+    val warmupDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmupDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"warmup failed for $name on $warmupDir: ${e.getMessage}")
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

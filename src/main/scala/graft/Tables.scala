@@ -33,11 +33,27 @@ object Tables {
     * the ns→us conversion in integer space — a double division would
     * lose precision above 2^53 ns (~1970+104 days). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr(
-        "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    // The conf cannot be a per-read datasource option (verified: the
+    // analyzer rejects the file during eager schema inference), so it
+    // is scoped here instead: schema inference happens inside load(),
+    // and the task-side scan does not re-read the session conf
+    // (verified: count() succeeds after restore) — so restoring the
+    // caller's value immediately after load() leaves no session-wide
+    // footprint on later unrelated parquet reads.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      load(spark, dir, "events").withColumn(
+        "ts",
+        org.apache.spark.sql.functions.expr(
+          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

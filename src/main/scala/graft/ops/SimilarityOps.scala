@@ -46,9 +46,20 @@ object SimilarityOps {
   }
 
   /** LSH bucket id: sign bits of the dot products with the
-    * hyperplanes, packed into an int. Pure narrow map. */
-  def withBucket(df: DataFrame, nPlanes: Int = 16, dim: Int = 64): DataFrame = {
-    val ps = planes(nPlanes, dim)
+    * hyperplanes, packed into an int. Pure narrow map (after a one-row
+    * probe job when `dim` is not supplied).
+    *
+    * The plane dimension is read from the data rather than assumed:
+    * a wrong dim would make zip_with null-pad, every dot product null,
+    * and all vectors silently collapse into bucket 0 (LSH degenerates
+    * to one O(n²) bucket). Rows whose embedding length differs from
+    * the probed/declared dim fail fast via raise_error instead. */
+  def withBucket(df: DataFrame, nPlanes: Int = 16, dim: Int = -1): DataFrame = {
+    val d =
+      if (dim > 0) dim
+      else df.select(size(col("embedding"))).take(1)
+        .headOption.map(_.getInt(0)).getOrElse(1)
+    val ps = planes(nPlanes, d)
     val bucket = (0 until nPlanes).map { p =>
       val dot = aggregate(
         zip_with(
@@ -58,7 +69,10 @@ object SimilarityOps {
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, shiftleft(lit(1), p)).otherwise(0)
     }.reduce((a, b) => a.bitwiseOR(b))
-    df.withColumn("bucket", bucket)
+    df.withColumn("bucket",
+      when(size(col("embedding")) === d, bucket).otherwise(raise_error(concat(
+        lit(s"embedding dimension mismatch: hyperplanes are $d-dim, row has "),
+        size(col("embedding")).cast("string")))))
   }
 
   /** ANN top-k: hyperplane-bucket candidates with multi-probe (the

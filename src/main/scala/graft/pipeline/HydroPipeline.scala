@@ -109,6 +109,11 @@ object HydroPipeline {
     // for pathological feeds repeating a series id with different
     // readings. min_by keys with a null ordering value are skipped,
     // so the conditional keys select within each variable branch only.
+    // SOH (\u0001)-separated so the key is injective: an empty
+    // separator would let distinct (value, timeStamp) pairs
+    // concatenate equal ("1"+"23" vs "12"+"3") and reintroduce a
+    // tie; \u0001 cannot appear in USGS series ids, readings, or
+    // ISO timestamps.
     val ordKey = concat_ws("",
       col("properties.id"),
       coalesce(var0.getField("value"), lit("")),

@@ -50,10 +50,20 @@ object EventStream {
     * rebuild as Tables.events, via readStream — but as TIMESTAMP
     * (with-local-tz): Structured Streaming watermarks reject
     * TIMESTAMP_NTZ. Session tz is pinned UTC, so wall-clock values
-    * match the batch NTZ twin. */
+    * match the batch NTZ twin. The nanosAsLong conf is scoped to the
+    * eager batch schema-inference read and restored afterwards (the
+    * stream itself gets the explicit schema, so its execution never
+    * consults the conf — same scoping as Tables.events). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet").schema
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val raw =
+      try spark.read.parquet(s"$dir/events.parquet").schema
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     // the streaming file source requires a directory; glob down to the
     // events file inside the sf dir
     spark.readStream.schema(raw)
@@ -84,32 +94,56 @@ object EventStream {
   /** Stateful streaming sessionization: per-user open-session state,
     * closed sessions emitted as soon as an event beyond the gap
     * arrives. Within a micro-batch events are sorted by time (event
-    * order inside a batch is not guaranteed by the source). */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    * order inside a batch is not guaranteed by the source).
+    *
+    * State is bounded: the input is watermarked (gap + allowed
+    * lateness) and each group arms an EventTimeTimeout at
+    * session_end + gap. When the watermark passes that instant no
+    * on-time event can extend the session any more, so the timeout
+    * callback emits the session and REMOVES the state — long-running
+    * streams hold state only for users active within the last
+    * gap + lateness window, not one entry per user ever seen. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 latenessMinutes: Int = 0): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
     def fn(userId: Long, it: Iterator[Event], state: GroupState[OpenSession]): Iterator[Session] = {
-      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var open = state.getOption
-      val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        open match {
-          case Some(s) if t - s.endMs <= gapMs =>
-            open = Some(s.copy(endMs = t, nEv = s.nEv + 1))
-          case Some(s) =>
-            closed += Session(userId, new java.sql.Timestamp(s.startMs),
-              new java.sql.Timestamp(s.endMs), s.nEv)
-            open = Some(OpenSession(t, t, 1))
-          case None =>
-            open = Some(OpenSession(t, t, 1))
+      def emit(s: OpenSession) = Session(userId, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.nEv)
+      if (state.hasTimedOut) {
+        // watermark passed session_end + gap: nothing on-time can
+        // extend this session — emit it and drop the state entry
+        val out = state.getOption.map(emit)
+        state.remove()
+        out.iterator
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var open = state.getOption
+        val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          open match {
+            case Some(s) if t - s.endMs <= gapMs =>
+              open = Some(s.copy(endMs = t, nEv = s.nEv + 1))
+            case Some(s) =>
+              closed += emit(s)
+              open = Some(OpenSession(t, t, 1))
+            case None =>
+              open = Some(OpenSession(t, t, 1))
+          }
         }
+        open.foreach { s =>
+          state.update(s)
+          // always > current watermark: every event in this batch
+          // passed the watermark filter, so endMs + gap does too
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        }
+        closed.iterator
       }
-      open.foreach(state.update)
-      closed.iterator
     }
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    events.withWatermark("ts", s"${gapMinutes + latenessMinutes} minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }
