@@ -19,6 +19,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scoped save-set-restore of the session-wide nanosAsLong conf,
+    * shared by every nanos-timestamp read path (batch events load and
+    * the streaming schema probe). The conf is session-global, so two
+    * threads interleaving set/restore on the same SparkSession could
+    * leak the conf or break a concurrent schema inference; the lock
+    * serializes the (brief) schema-inference window. Single-JVM scope
+    * is enough — the conf only matters on the driver at analysis time. */
+  private val nanosConfLock = new Object
+  private[graft] def withNanosAsLong[T](spark: SparkSession)(f: => T): T =
+    nanosConfLock.synchronized {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try f
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
@@ -32,7 +52,7 @@ object Tables {
     * pinned UTC, so the LTZ→NTZ cast is value-preserving). `div` keeps
     * the ns→us conversion in integer space — a double division would
     * lose precision above 2^53 ns (~1970+104 days). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
     // The conf cannot be a per-read datasource option (verified: the
     // analyzer rejects the file during eager schema inference), so it
     // is scoped here instead: schema inference happens inside load(),
@@ -40,21 +60,12 @@ object Tables {
     // (verified: count() succeeds after restore) — so restoring the
     // caller's value immediately after load() leaves no session-wide
     // footprint on later unrelated parquet reads.
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try {
+    withNanosAsLong(spark) {
       load(spark, dir, "events").withColumn(
         "ts",
         org.apache.spark.sql.functions.expr(
           "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

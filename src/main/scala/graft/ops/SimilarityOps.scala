@@ -53,11 +53,15 @@ object SimilarityOps {
     * a wrong dim would make zip_with null-pad, every dot product null,
     * and all vectors silently collapse into bucket 0 (LSH degenerates
     * to one O(n²) bucket). Rows whose embedding length differs from
-    * the probed/declared dim fail fast via raise_error instead. */
+    * the probed/declared dim — including null embeddings, which have
+    * no direction to bucket — fail fast via raise_error with an
+    * explicit message (the probe itself skips null rows, so a leading
+    * null can't NPE the dimension read). */
   def withBucket(df: DataFrame, nPlanes: Int = 16, dim: Int = -1): DataFrame = {
     val d =
       if (dim > 0) dim
-      else df.select(size(col("embedding"))).take(1)
+      else df.where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).take(1)
         .headOption.map(_.getInt(0)).getOrElse(1)
     val ps = planes(nPlanes, d)
     val bucket = (0 until nPlanes).map { p =>
@@ -70,9 +74,13 @@ object SimilarityOps {
       when(dot > 0, shiftleft(lit(1), p)).otherwise(0)
     }.reduce((a, b) => a.bitwiseOR(b))
     df.withColumn("bucket",
-      when(size(col("embedding")) === d, bucket).otherwise(raise_error(concat(
-        lit(s"embedding dimension mismatch: hyperplanes are $d-dim, row has "),
-        size(col("embedding")).cast("string")))))
+      when(col("embedding").isNull, raise_error(
+        lit("null embedding: cannot LSH-bucket a missing vector " +
+          "(filter nulls upstream or impute before bucketing)")))
+        .when(size(col("embedding")) === d, bucket)
+        .otherwise(raise_error(concat(
+          lit(s"embedding dimension mismatch: hyperplanes are $d-dim, row has "),
+          size(col("embedding")).cast("string")))))
   }
 
   /** ANN top-k: hyperplane-bucket candidates with multi-probe (the

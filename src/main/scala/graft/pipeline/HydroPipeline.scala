@@ -49,14 +49,25 @@ object HydroPipeline {
 
   private def undef(c: Column): Column = coalesce(c, lit("undefined"))
 
+  /** First array element, null-safe under ANSI: null when the array is
+    * null or empty, otherwise element 0. Semantically identical to
+    * try_element_at(c, 1), but avoids TryEval: nested try_element_at
+    * chains inlined into a pushed-down filter predicate hit a janino
+    * scope bug under subexpression elimination ("isNull_N is not an
+    * rvalue", Spark 4.1.2) and silently dropped the whole
+    * scan-project-filter stage out of codegen. The when-guard keeps
+    * GetArrayItem from ever evaluating out of bounds, so ANSI mode
+    * never throws. */
+  private def arrHead(c: Column): Column = when(size(c) > 0, c.getItem(0))
+
   /** O5–O8: project each time series into a GeoJSON Feature
     * (geojsonMap, mapreduce.js:3-34). Pure narrow map — no shuffle.
     * The guard on `values[0].value[0]` (mapreduce.js:22-28) becomes a
     * null `variableCode` that both downstream branch filters drop. */
   def toFeatures(ts: DataFrame): DataFrame = {
-    val v0 = try_element_at(try_element_at(col("values"), lit(1)).getField("value"), lit(1))
+    val v0 = arrHead(arrHead(col("values")).getField("value"))
     val attrs = struct(
-      undef(try_element_at(col("variable.variableCode"), lit(1)).getField("value")).as("variableCode"),
+      undef(arrHead(col("variable.variableCode")).getField("value")).as("variableCode"),
       undef(col("variable.unit.unitAbbreviation")).as("variableUnit"),
       undef(col("variable.noDataValue").cast("string")).as("noDataValue"),
       v0.getField("value").as("value"),
@@ -80,7 +91,7 @@ object HydroPipeline {
         col("name").as("id"),
         undef(col("sourceInfo.siteName")).as("site"),
         undef(col("sourceInfo.geoLocation.geogLocation.srs")).as("srs"),
-        try_element_at(col("sourceInfo.siteCode"), lit(1)).getField("value").as("siteCode"),
+        arrHead(col("sourceInfo.siteCode")).getField("value").as("siteCode"),
         array(when(v0.isNotNull, attrs).otherwise(emptyAttrs)).as("variables")
       ).as("properties"))
   }
@@ -91,7 +102,7 @@ object HydroPipeline {
     * single aggregation so production plans never run two passes. */
   def byVariable(features: DataFrame, code: String): DataFrame =
     features.filter(
-      try_element_at(col("properties.variables"), lit(1)).getField("variableCode") === code)
+      arrHead(col("properties.variables")).getField("variableCode") === code)
 
   /** O11: the per-site merge — semantically a key-equi full outer join
     * of the two variable streams (mergeReduce, mapreduce.js:52-99 +
@@ -99,8 +110,8 @@ object HydroPipeline {
     * as ONE conditional aggregation: a single shuffle on siteCode,
     * partial (map-side) aggregation included. */
   def mergeSites(features: DataFrame): DataFrame = {
-    val varCode = try_element_at(col("properties.variables"), lit(1)).getField("variableCode")
-    val var0 = try_element_at(col("properties.variables"), lit(1))
+    val varCode = arrHead(col("properties.variables")).getField("variableCode")
+    val var0 = arrHead(col("properties.variables"))
     // min_by on a total ordering key instead of first(ignoreNulls):
     // first() picks encounter order, which is only deterministic when
     // a site has a single series per variable — with duplicates the
@@ -114,22 +125,39 @@ object HydroPipeline {
     // concatenate equal ("1"+"23" vs "12"+"3") and reintroduce a
     // tie; \u0001 cannot appear in USGS series ids, readings, or
     // ISO timestamps.
-    val ordKey = concat_ws("",
+    val ordKey = concat_ws("\u0001",
       col("properties.id"),
       coalesce(var0.getField("value"), lit("")),
       coalesce(var0.getField("timeStamp"), lit("")))
     features
       .filter(varCode.isNotNull) // O7: guard-empty features join neither branch
-      .groupBy(col("properties.siteCode").as("siteCode"))
+      // Pre-project every aggregate input to a plain attribute before
+      // the groupBy: min_by over when()-derived keys sharing
+      // subexpressions trips a janino scope bug in HashAggregate
+      // codegen ("isNull_N is not an rvalue") and the whole aggregate
+      // silently falls back to interpreted eval. With attribute-only
+      // children the aggregate stays inside WholeStageCodegen; the
+      // projection fuses into the preceding narrow stage (no extra
+      // pass over the data).
+      .select(
+        col("properties.siteCode").as("siteCode"),
+        col("geometry"),
+        col("properties.record").as("record"),
+        col("properties.site").as("site"),
+        col("properties.srs").as("srs"),
+        ordKey.as("ord_key"),
+        when(varCode === StreamFlowCode, var0).as("flow_var"),
+        when(varCode === StreamFlowCode, ordKey).as("flow_key"),
+        when(varCode === GageHeightCode, var0).as("gage_var"),
+        when(varCode === GageHeightCode, ordKey).as("gage_key"))
+      .groupBy(col("siteCode"))
       .agg(
-        min_by(col("geometry"), ordKey).as("geometry"),
-        min_by(col("properties.record"), ordKey).as("record"),
-        min_by(col("properties.site"), ordKey).as("site"),
-        min_by(col("properties.srs"), ordKey).as("srs"),
-        min_by(when(varCode === StreamFlowCode, var0),
-          when(varCode === StreamFlowCode, ordKey)).as("streamFlow"),
-        min_by(when(varCode === GageHeightCode, var0),
-          when(varCode === GageHeightCode, ordKey)).as("gageHeight"))
+        min_by(col("geometry"), col("ord_key")).as("geometry"),
+        min_by(col("record"), col("ord_key")).as("record"),
+        min_by(col("site"), col("ord_key")).as("site"),
+        min_by(col("srs"), col("ord_key")).as("srs"),
+        min_by(col("flow_var"), col("flow_key")).as("streamFlow"),
+        min_by(col("gage_var"), col("gage_key")).as("gageHeight"))
       .select(
         col("geometry"),
         struct(

@@ -55,15 +55,9 @@ object EventStream {
     * stream itself gets the explicit schema, so its execution never
     * consults the conf — same scoping as Tables.events). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    val raw =
-      try spark.read.parquet(s"$dir/events.parquet").schema
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    val raw = Tables.withNanosAsLong(spark) {
+      spark.read.parquet(s"$dir/events.parquet").schema
+    }
     // the streaming file source requires a directory; glob down to the
     // events file inside the sf dir
     spark.readStream.schema(raw)
@@ -125,7 +119,15 @@ object EventStream {
           val t = e.ts.getTime
           open match {
             case Some(s) if t - s.endMs <= gapMs =>
-              open = Some(s.copy(endMs = t, nEv = s.nEv + 1))
+              // cross-batch out-of-order: an event above the watermark
+              // can still be OLDER than the stored endMs — min/max
+              // merge instead of unconditional overwrite, or the
+              // session would move backwards (and diverge from the
+              // batch gaps-and-islands twin, which takes min/max ts)
+              open = Some(s.copy(
+                startMs = math.min(s.startMs, t),
+                endMs = math.max(s.endMs, t),
+                nEv = s.nEv + 1))
             case Some(s) =>
               closed += emit(s)
               open = Some(OpenSession(t, t, 1))
