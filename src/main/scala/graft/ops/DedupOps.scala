@@ -73,13 +73,21 @@ object DedupOps {
       // (On a real multi-split 100 TB corpus the scan is already
       // parallel and AQE would coalesce this exchange.)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), size(words).as("nw"), posexplode(words))
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", col("col"),
-          lead(col("col"), 1).over(w), lead(col("col"), 2).over(w)).as("s"),
-        col("nw"))
-      .filter(col("pos") <= greatest(col("nw") - 3, lit(0)))
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), posexplode(words))
+      .select(col("doc_id"), col("pos"), col("col").as("w0"),
+        lead(col("col"), 1).over(w).as("w1"),
+        lead(col("col"), 2).over(w).as("w2"))
+      // Trailing-partial cut WITHOUT referencing a per-doc word count:
+      // `w2 IS NOT NULL OR pos = 0` ≡ `pos <= greatest(nw - 3, 0)`
+      // (full shingles have a 2-ahead word; the one partial shingle of
+      // a <3-word doc survives via pos = 0). Filtering on a projected
+      // size(words) column instead looks equivalent, but CollapseProject
+      // inlines it through the Generate and re-runs the regex+split per
+      // exploded ROW — measured 25x slower on the shingle stage at
+      // sf0.1. The lead values are computed by the window anyway, so
+      // this predicate is free.
+      .filter(col("w2").isNotNull || col("pos") === 0)
+      .select(col("doc_id"), concat_ws(" ", col("w0"), col("w1"), col("w2")).as("s"))
   }
 
   /** Within-bucket pair generation: group docs by a blocking key,
