@@ -64,6 +64,22 @@ object SparkEntry {
     // hand-rolled banded LSH for identical results (cross-validated in
     // SimilarityDedupSpec); it exists as the mllib integration path.
     "q46_sim_ivf"          -> ((s, d) => MLVariants.ivfTopK(s, d)),
+    "q47_stats_agg"        -> ((s, d) => RelationalExt.statsAgg(s, d)),
+    "q48_grouping_sets"    -> ((s, d) => RelationalExt.groupingSetsAgg(s, d)),
+    "q49_window_nav"       -> ((s, d) => RelationalExt.windowNav(s, d)),
+    "q50_ntile"            -> ((s, d) => RelationalExt.ntileStats(s, d)),
+    "q51_regexp_funcs"     -> ((s, d) => RelationalExt.regexpFuncs(s, d)),
+    "q52_intersect_all"    -> ((s, d) => RelationalExt.intersectAllKeys(s, d)),
+    "q53_count_distinct"   -> ((s, d) => RelationalExt.countDistinctAgg(s, d)),
+    "q54_approx_distinct"  -> ((s, d) => RelationalExt.approxDistinct(s, d)),
+    "q55_agg_filter"       -> ((s, d) => RelationalExt.aggFilterClause(s, d)),
+    "q56_histogram"        -> ((s, d) => RelationalExt.histogram(s, d)),
+    "q57_sample_hash"      -> ((s, d) => RelationalExt.sampleHash(s, d)),
+    "q58_sliding_window"   -> ((s, d) => RelationalExt.slidingWindow(s, d)),
+    "q59_tfidf"            -> ((s, d) => TextOps.tfidfTop(s, d)),
+    "q60_bigrams"          -> ((s, d) => TextOps.bigramCounts(s, d)),
+    "q61_dedup_clusters"   -> ((s, d) => DedupOps.dedupClusters(s, d)),
+    "q62_centroids"        -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -388,5 +404,148 @@ object SparkEntry {
       """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
+    "q47_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q48_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        | count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q49_window_nav" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | first_value(o_orderdate) OVER w2 AS first_date,
+        | last_value(o_orderdate) OVER w2 AS last_date,
+        | nth_value(o_totalprice, 2) OVER w2 AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        | w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q50_ntile" ->
+      s"""SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | ${TextOps.roundAtSql("percent_rank() OVER w", 6)} AS pct_rank,
+        | ${TextOps.roundAtSql("cume_dist() OVER w", 6)} AS cum_dist
+        |FROM lineitem WHERE l_suppkey < 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)""".stripMargin,
+    "q51_regexp_funcs" ->
+      """SELECT c_custkey,
+        | regexp_extract(c_name, '([0-9]+)', 1) AS cust_digits,
+        | len(regexp_extract_all(c_name, '[0-9]')) AS n_digits,
+        | regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        | CAST(CASE WHEN regexp_matches(c_name, '00[0-4]$') THEN 1 ELSE 0 END AS BIGINT) AS ends_low
+        |FROM customer""".stripMargin,
+    "q52_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT ALL
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000""".stripMargin,
+    "q53_count_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part,
+        | count(DISTINCT concat_ws('_', l_orderkey, l_linenumber)) AS n_lines,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q55_agg_filter" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        | count(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+        | round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS rev_bulk,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q56_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bin,
+        | count(*) AS n,
+        | round(min(l_extendedprice), 2) AS bin_min,
+        | round(max(l_extendedprice), 2) AS bin_max
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q57_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')""".stripMargin,
+    "q58_sliding_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |wins AS (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS win_start,
+        |         value
+        |  FROM e)
+        |SELECT win_start, count(*) AS n, round(sum(value), 2) AS total
+        |FROM wins GROUP BY win_start""".stripMargin,
+    "q59_tfidf" ->
+      s"""WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |wf AS (SELECT doc_id, word FROM words WHERE word <> ''),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM wf GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM wf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf,
+        |    tf.tf * (ln((nd.n + 1.0) / (df.df + 1.0)) + 1.0) AS score_raw
+        |  FROM tf JOIN df USING (word) CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT doc_id, word, tf, score_raw,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_raw DESC, word) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, word, tf,
+        | ${TextOps.roundAtSql("score_raw", 6)} AS score
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    "q60_bigrams" ->
+      """WITH ws AS (
+        |  SELECT regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+        |                i -> w[i + 1] || ' ' || w[i + 2])) AS bigram
+        |  FROM ws WHERE len(w) >= 2)
+        |SELECT bigram, count(*) AS n
+        |FROM pairs GROUP BY bigram HAVING count(*) >= 3""".stripMargin,
+    "q61_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |dup AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        |          UNION SELECT doc_b, doc_a FROM dup),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |FROM reach GROUP BY a""".stripMargin,
+    "q62_centroids" ->
+      """WITH flat AS (
+        |  SELECT label,
+        |    unnest(range(0, len(embedding))) AS dim,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings)
+        |SELECT CAST(label AS INTEGER) AS label, CAST(dim AS BIGINT) AS dim,
+        | round(avg(v), 6) AS mean, count(*) AS n
+        |FROM flat GROUP BY 1, 2""".stripMargin,
   )
 }

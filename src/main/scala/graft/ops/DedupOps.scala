@@ -152,6 +152,46 @@ object DedupOps {
     jaccardVerify(bucketPairs(buckets), threshold)
   }
 
+  /** Duplicate clusters: connected components over the near-dup pair
+    * graph, labeled by the minimum doc_id in each component — the step
+    * that turns pairwise near-dup hits into keep/drop decisions (keep
+    * one doc per cluster).
+    *
+    * Algorithm: iterative min-label propagation. Each node starts as
+    * its own label; every round each node takes the min of its label
+    * and its neighbors' labels; stop when a round changes nothing.
+    * Rounds = graph diameter (near-dup components are tiny chains, so
+    * 2-4 rounds in practice). Each round is one join + one aggregation
+    * on the edge list — all distributed, nothing driver-side except
+    * the convergence counter. Lineage is cut with localCheckpoint so
+    * the loop cannot build an unbounded plan. At 100 TB the same loop
+    * holds (edges ≪ corpus after blocking); the classic
+    * large-star/small-star variant is the upgrade path if components
+    * ever get deep. */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupNgram(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbMin = edges.join(labels, edges("doc_b") === labels("id"))
+        .groupBy(col("doc_a")).agg(min(col("label")).as("nb_label"))
+      val next = labels.join(nbMin, labels("id") === nbMin("doc_a"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
   // ---------------------------------------------------------------
   // MinHash + LSH near-dup
   // ---------------------------------------------------------------

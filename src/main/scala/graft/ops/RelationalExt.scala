@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Second tranche of relational coverage (SURVEY.md §2b checklist):
+  * statistical aggregates, grouping sets, navigation window
+  * functions, distribution window functions, regex functions,
+  * multiset intersection, multi-column distinct counting, approximate
+  * distinct sketches, FILTER-clause aggregation, arithmetic
+  * histograms, hash-based deterministic sampling, and sliding
+  * event-time windows.
+  *
+  * Scale notes (100 TB design):
+  *  - Every aggregate here plans map-side partial aggregation before
+  *    its single shuffle; the window functions shuffle once on their
+  *    partition key.
+  *  - approx_count_distinct is the scale path for distinct counting —
+  *    a fixed-size HLL sketch per group that merges associatively, vs
+  *    exact count(DISTINCT) whose state grows with cardinality.
+  *  - Hash sampling (md5-prefix) is stable under reruns and across
+  *    engines, needs no sort, and samples uniformly per row — the
+  *    right primitive for corpus subsampling at scale (vs TABLESAMPLE
+  *    which is split-dependent).
+  *  - The sliding window expands each event into exactly
+  *    window/slide rows (2 here) map-side — no self-join.
+  */
+object RelationalExt {
+
+  /** Sample-statistics aggregates per group: stddev, variance,
+    * correlation and covariance (all sample forms — Spark and DuckDB
+    * share the definitions). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+        count(lit(1)).as("n"))
+
+  /** Explicit GROUPING SETS — each flag total, each status total, and
+    * the grand total, with grouping() markers to disambiguate the
+    * generated nulls. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"))
+
+  /** Navigation window functions over each customer's order history:
+    * lag/lead plus first/last/nth value with explicit frames (the
+    * default last_value frame ends at CURRENT ROW — always the
+    * current order — so the full-partition frame is spelled out). */
+  def windowNav(spark: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      lag(col("o_totalprice"), 1).over(order).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(order).as("next_price"),
+      first(col("o_orderdate")).over(full).as("first_date"),
+      last(col("o_orderdate")).over(full).as("last_date"),
+      nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+  }
+
+  /** Distribution window functions: quartile bucket, percent rank and
+    * cumulative distribution over a totally-ordered slice (ties broken
+    * by key, so every engine produces identical ranks). */
+  def ntileStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") < 5)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        // percent_rank/cume_dist are exact rationals (k/n) that land
+        // precisely on rounding half-boundaries — use the boundary-safe
+        // floor form mirrored in the oracle SQL (TextOps.roundAt docs)
+        TextOps.roundAt(percent_rank().over(w), 6).as("pct_rank"),
+        TextOps.roundAt(cume_dist().over(w), 6).as("cum_dist"))
+  }
+
+  /** Regex function family: group extraction, match counting, global
+    * replacement, and a match predicate. */
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_digits"),
+      size(regexp_extract_all(col("c_name"), lit("[0-9]"), lit(0))).cast("bigint").as("n_digits"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+      col("c_name").rlike("00[0-4]$").cast("int").cast("bigint").as("ends_low"))
+
+  /** Multiset intersection (INTERSECT ALL): order-placing customer
+    * keys that also appear as high-balance customers, with
+    * multiplicity = min(count left, count right). */
+  def intersectAllKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+      .intersectAll(
+        Tables.customer(spark, dir)
+          .filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("custkey")))
+
+  /** Exact multi-column distinct counting per group. At scale each
+    * count(DISTINCT x) expands the aggregate; [[approxDistinct]] is
+    * the sketch-based alternative. */
+  def countDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        // tuple-distinct via concat_ws: DuckDB's multi-arg DISTINCT
+        // tuple syntax builds a STRUCT whose hash the driver can't
+        // compare; an injective string key keeps both engines scalar
+        countDistinct(concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("n_lines"),
+        count(lit(1)).as("n_rows"))
+
+  /** HyperLogLog++ distinct sketches — the 100 TB path for distinct
+    * counting: fixed-size state, associative merge, one shuffle. No
+    * DuckDB oracle (its approx_count_distinct uses a different sketch
+    * with different estimates); the exact twin is [[countDistinctAgg]]
+    * and the spec asserts the estimates land within rsd of it. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supp_approx"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_part_approx"))
+
+  /** SQL FILTER-clause aggregation — per-predicate conditional
+    * aggregates in one pass (same plan shape as the CASE WHEN form,
+    * exercised through the SQL surface). */
+  def aggFilterClause(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT l_returnflag,
+        | count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        | count(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+        | round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS rev_bulk,
+        | count(*) AS n
+        |FROM lineitem_v GROUP BY l_returnflag""".stripMargin)
+  }
+
+  /** Arithmetic histogram: fixed-width price bins entirely in integer
+    * arithmetic — a narrow map plus one aggregation, the
+    * scale-friendly histogram (vs sort-based percentile binning). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(floor(col("l_extendedprice") / 10000).cast("bigint").as("price_bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("bin_min"),
+        round(max(col("l_extendedprice")), 2).as("bin_max"))
+
+  /** Deterministic ~1/8 sample by md5-prefix of the row key: stable
+    * across runs, engines and partitionings (TABLESAMPLE is not), and
+    * composable (sample of a sample re-uses other hex positions). */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Sliding event-time windows (1 h window, 30 min slide): each event
+    * lands in exactly 2 windows, expanded map-side by the window()
+    * generator — no self-join, one shuffle on the window start.
+    * Identical logic runs under Structured Streaming with a watermark
+    * (EventStream.hourly is the tumbling twin). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("win_start"), col("n"), col("total"))
+}

@@ -83,6 +83,22 @@ object SimilarityOps {
           size(col("embedding")).cast("string")))))
   }
 
+  /** Per-label embedding centroids in flat (label, dim, mean, n)
+    * form: posexplode each vector and average per (label, dimension).
+    * Flat output keeps the oracle compare scalar-only; reassembling
+    * the centroid array is a collect_list(struct(dim, mean)) away.
+    *
+    * Scale: one shuffle on (label, dim) with map-side partial sums;
+    * cardinality after aggregation is labels × dim — tiny. This is the
+    * building block for IVF index construction and class prototypes. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 6).as("mean"), count(lit(1)).as("n"))
+      .select(col("label").cast("int").as("label"), col("pos").cast("bigint").as("dim"),
+        col("mean"), col("n"))
+
   /** ANN top-k: hyperplane-bucket candidates with multi-probe (the
     * query probes its own bucket plus every bucket at Hamming
     * distance 1 — the standard recall/cost knob), exact cosine rerank

@@ -47,7 +47,7 @@ object TextOps {
     * and values an ulp away from the .5 boundary (common here —
     * the quality weights are exact decimal fractions) flip between
     * them. Observed: one sf0.1 doc differed by exactly 1e-6. */
-  private def roundAt(c: Column, digits: Int): Column = {
+  private[graft] def roundAt(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
     floor(c * p + lit(0.5)) / p
   }
@@ -113,4 +113,56 @@ object TextOps {
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), fingerprintCol(col("text")).as("fp"))
+
+  /** Normalized word rows: one row per (doc, word occurrence), empty
+    * docs dropped. Shared by tf-idf and bigram stats. */
+  private def wordRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // spread the explode (cf. DedupOps.shingleRows)
+      .select(col("doc_id"),
+        posexplode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")))
+      .filter(col("col") =!= "")
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+
+  /** Top-5 tf-idf terms per document — the classic relevance ranking,
+    * fully relational: tf = per-(doc,word) count, df = distinct-doc
+    * count per word, idf = ln((N+1)/(df+1)) + 1 (smoothed), ranked per
+    * doc with deterministic ties (score desc, word asc).
+    *
+    * Scale: two aggregations (by (doc,word), then by word) and one
+    * window — each a single shuffle; df is a small broadcastable side
+    * (vocabulary-sized) joined back onto term rows. The doc count N is
+    * a scalar literal at plan time via a one-row subquery. */
+  def tfidfTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = wordRows(spark, dir)
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = words.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).count()
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_raw").desc, col("word"))
+    tf.join(broadcast(df), "word")
+      .withColumn("score_raw",
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("tf"),
+        roundAt(col("score_raw"), 6).as("score"))
+  }
+
+  /** Corpus bigram counts (≥3 occurrences): adjacent-word pairs via
+    * the same lead-over-window trick as DedupOps.shingleRows — the
+    * whole pair build is codegen'd, no array lambdas, and the filter
+    * uses the window's own lead value (never a per-doc recompute). */
+  def bigramCounts(spark: SparkSession, dir: String, minCount: Long = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wordRows(spark, dir)
+      .select(col("doc_id"), col("word").as("w0"),
+        lead(col("word"), 1).over(w).as("w1"))
+      .filter(col("w1").isNotNull)
+      .groupBy(concat_ws(" ", col("w0"), col("w1")).as("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{DedupOps, RelationalExt, SimilarityOps, TextOps}
+
+/** Semantic checks for the second-tranche operators (q47-q62) beyond
+  * the DuckDB oracle gate: invariants that would not be caught by a
+  * hash compare against an equally-wrong SQL twin. */
+class RelationalExtSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("approx_count_distinct lands within rsd of the exact counts") {
+    val exact = RelationalExt.countDistinctAgg(spark, sf)
+      .select(col("l_returnflag"), col("n_supp"), col("n_part"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    RelationalExt.approxDistinct(spark, sf).collect().foreach { r =>
+      val (supp, part) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - supp).toDouble / supp < 0.05,
+        s"n_supp_approx ${r.getLong(1)} vs exact $supp")
+      assert(math.abs(r.getLong(2) - part).toDouble / part < 0.05,
+        s"n_part_approx ${r.getLong(2)} vs exact $part")
+    }
+  }
+
+  test("sliding 1h/30m window holds every event exactly twice") {
+    val nEvents = Tables.events(spark, sf).count()
+    val windowed = RelationalExt.slidingWindow(spark, sf)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(windowed == 2 * nEvents)
+  }
+
+  test("grouping sets rows reconcile with their grand total") {
+    val rows = RelationalExt.groupingSetsAgg(spark, sf).collect()
+    val total = rows.filter(r => r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(total.length == 1)
+    val flagSum = rows.filter(r => r.getLong(2) == 0 && r.getLong(3) == 1)
+      .map(_.getLong(4)).sum
+    assert(flagSum == total.head.getLong(4))
+  }
+
+  test("hash sample is a stable subset with the expected rate") {
+    val n = Tables.orders(spark, sf).count()
+    val s1 = RelationalExt.sampleHash(spark, sf).collect().map(_.getLong(0)).sorted
+    val s2 = RelationalExt.sampleHash(spark, sf).collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "sample not deterministic")
+    val rate = s1.length.toDouble / n
+    assert(rate > 0.08 && rate < 0.17, s"rate $rate far from 2/16")
+  }
+
+  test("dedup clusters: every near-dup pair shares a cluster, labels are component minima") {
+    val pairs = DedupOps.nearDupNgram(spark, sf)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // label = min member of its component
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label, s"cluster $label not labeled by min member")
+    }
+  }
+
+  test("dedup clusters merge transitive chains (toy graph)") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: two components
+    import scala.jdk.CollectionConverters._
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    // run the same propagation loop inline (dedupClusters is bound to
+    // the documents table; the loop logic is what we exercise here)
+    val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = sym.select(col("doc_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    (1 to 5).foreach { _ =>
+      val nb = sym.join(labels, sym("doc_b") === labels("id"))
+        .groupBy(col("doc_a")).agg(min(col("label")).as("nb_label"))
+      labels = labels.join(nb, labels("id") === nb("doc_a"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+    }
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(10L) == 10L && m(11L) == 10L)
+  }
+
+  test("tf-idf ranks are 1..5 per doc and scores non-increasing") {
+    val rows = TextOps.tfidfTop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      .groupBy(_._1)
+    rows.foreach { case (doc, terms) =>
+      val byRank = terms.sortBy(_._2)
+      assert(byRank.head._2 == 1L, s"doc $doc missing rank 1")
+      assert(byRank.length <= 5)
+      byRank.sliding(2).foreach {
+        case Array((_, _, s1), (_, r2, s2)) =>
+          assert(s1 >= s2 - 1e-9, s"doc $doc scores increase at rank $r2")
+        case _ =>
+      }
+    }
+  }
+
+  test("label centroids have one row per (label, dim) and count = label size") {
+    val e = Tables.embeddings(spark, sf)
+    val labelSizes = e.groupBy(col("label")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cent = SimilarityOps.labelCentroids(spark, sf).collect()
+    val dims = cent.map(_.getLong(1)).distinct
+    assert(dims.length == 64, s"expected 64 dims, got ${dims.length}")
+    cent.foreach { r =>
+      assert(r.getLong(3) == labelSizes(r.getInt(0)), "centroid n != label size")
+    }
+  }
+}

@@ -43,7 +43,7 @@ class RelationalSpec extends AnyFunSuite {
     // queries without oracle must be the non-SQL-expressible set
     assert(noOracle.forall(n => n.contains("minhash") || n.contains("simhash") ||
       n.contains("lsh") || n.contains("multimodal") || n.contains("stream") ||
-      n.contains("ivf")),
+      n.contains("ivf") || n.contains("approx")),
       s"missing oracle for: $noOracle")
   }
 
