@@ -85,6 +85,39 @@ object EventStream {
         round(sum(col("value")), 4).as("total_value"))
   }
 
+  /** Streaming exact dedup: drops rows whose `event_id` was already
+    * seen within the watermark horizon. State is one entry per
+    * distinct key and is evicted once the watermark passes its event
+    * time — bounded by rate × horizon, not by stream lifetime (plain
+    * dropDuplicates on a stream never evicts). The batch twin is
+    * `dropDuplicates("event_id")`, identical when duplicates arrive
+    * within `lateness` of the original. */
+  def dedupStream(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval self-join: pairs each event with the same
+    * user's follow-up events arriving within `followMinutes`. Both
+    * inputs are watermarked and the join condition is a bounded time
+    * range, so each side's join state is evicted as the watermark
+    * advances — the conditions Structured Streaming requires to avoid
+    * unbounded buffering. Batch twin: AsofJoin.eventPairsWithin
+    * (strict ordering variant). */
+  def followupJoin(eventsA: DataFrame, eventsB: DataFrame,
+                   followMinutes: Int = 60): DataFrame = {
+    val a = eventsA
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", s"$followMinutes minutes")
+    val b = eventsB
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", s"${followMinutes * 2} minutes")
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $followMinutes MINUTES"))
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+  }
+
   /** Stateful streaming sessionization: per-user open-session state,
     * closed sessions emitted as soon as an event beyond the gap
     * arrives. Within a micro-batch events are sorted by time (event

@@ -55,6 +55,81 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization: cross-batch out-of-order event cannot move a session backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(input.toDS(), gapMinutes = 30, latenessMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_out").start()
+    try {
+      def ts(ldt: LocalDateTime) = java.sql.Timestamp.valueOf(ldt)
+      val t0 = LocalDateTime.of(2026, 1, 1, 10, 0)
+      input.addData(Event(1, ts(t0.plusMinutes(20)), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: above-watermark but OLDER than the stored end — must
+      // extend the session start, not rewind its end
+      input.addData(Event(2, ts(t0), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // batch 3: far-future event closes the session via gap
+      input.addData(Event(3, ts(t0.plusHours(3)), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val s = spark.table("sess_ooo_out").as[Session].collect()
+        .filter(_.n_events == 2)
+      assert(s.length == 1)
+      assert(s.head.session_start == ts(t0))
+      assert(s.head.session_end == ts(t0.plusMinutes(20)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-watermark duplicate event_ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = EventStream.dedupStream(input.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(LocalDateTime.of(2026, 1, 1, 10, m))
+      input.addData(
+        Event(1, ts(0), 1L, "view", 1.0),
+        Event(1, ts(1), 1L, "view", 1.0), // same-batch dup
+        Event(2, ts(2), 1L, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts(5), 1L, "click", 2.0)) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch join on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val inA = MemoryStream[Event]
+    val inB = MemoryStream[Event]
+    val joined = EventStream.followupJoin(inA.toDF(), inB.toDF(), followMinutes = 60)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("follow_out").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(LocalDateTime.of(2026, 1, 1, h, m))
+      val evs = Seq(
+        Event(1, ts(10, 0), 1L, "view", 1.0),
+        Event(2, ts(10, 30), 1L, "click", 1.0),  // follows 1
+        Event(3, ts(11, 45), 1L, "view", 1.0),   // follows neither (>1h after both)
+        Event(4, ts(10, 20), 2L, "view", 1.0))   // other user
+      inA.addData(evs: _*); inB.addData(evs: _*)
+      q.processAllAvailable()
+      val got = spark.table("follow_out")
+        .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = evs.toDF().select($"event_id".as("a_id"), $"user_id".as("a_user"), $"ts".as("a_ts"))
+        .join(evs.toDF().select($"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts")),
+          $"a_user" === $"b_user" && $"b_ts" > $"a_ts" &&
+            $"b_ts" <= $"a_ts" + expr("INTERVAL 60 MINUTES"))
+        .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch)
+      assert(got.contains((1L, 2L)) && !got.exists(_._2 == 3L))
+    } finally q.stop()
+  }
+
   test("streaming WaterML ingest produces the same features as the batch source") {
     val stream = graft.pipeline.HydroPipeline.toFeatures(
       graft.sources.WaterML.timeSeriesStreamOf(spark, "src/test/resources/waterml"))
