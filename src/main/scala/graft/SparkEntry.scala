@@ -80,6 +80,13 @@ object SparkEntry {
     "q60_bigrams"          -> ((s, d) => TextOps.bigramCounts(s, d)),
     "q61_dedup_clusters"   -> ((s, d) => DedupOps.dedupClusters(s, d)),
     "q62_centroids"        -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
+    "q63_array_funcs"      -> ((s, d) => RelationalExt.arrayFuncs(s, d)),
+    "q64_map_funcs"        -> ((s, d) => RelationalExt.mapFuncs(s, d)),
+    "q65_explode_outer"    -> ((s, d) => RelationalExt.explodeOuter(s, d)),
+    "q66_union_by_name"    -> ((s, d) => RelationalExt.unionByNameMixed(s, d)),
+    "q67_date_arith"       -> ((s, d) => RelationalExt.dateArith(s, d)),
+    "q68_salted_join"      -> ((s, d) => RelationalExt.saltedJoinAgg(s, d)),
+    "q69_lateral_topn"     -> ((s, d) => RelationalExt.lateralTopN(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -538,6 +545,53 @@ object SparkEntry {
         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster
         |FROM reach GROUP BY a""".stripMargin,
+    "q63_array_funcs" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        | len(list_distinct(words)) AS n_uniq,
+        | array_to_string(list_slice(list_sort(list_distinct(words)), 1, 5), ',') AS first5,
+        | CAST(CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END AS BIGINT) AS has_the,
+        | list_aggregate(words, 'max') AS max_word
+        |FROM w""".stripMargin,
+    "q64_map_funcs" ->
+      """SELECT event_id,
+        | len(json_keys(props)) AS n_keys,
+        | array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+        | json_extract_string(props, '$.k') AS k_val
+        |FROM events""".stripMargin,
+    "q65_explode_outer" ->
+      """SELECT doc_id,
+        | unnest(CASE WHEN len(a) = 0 THEN [NULL] ELSE a END) AS num
+        |FROM (SELECT doc_id, regexp_extract_all(text, '[0-9]+') AS a
+        |      FROM documents) t""".stripMargin,
+    "q66_union_by_name" ->
+      """SELECT c_custkey AS key, c_acctbal AS bal, 'cust' AS src FROM customer
+        |UNION ALL BY NAME
+        |SELECT 'supp' AS src, s_suppkey AS key FROM supplier""".stripMargin,
+    "q67_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) + 30 AS due_date,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        | CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        | CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr
+        |FROM orders""".stripMargin,
+    "q68_salted_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+        | round(sum(l_extendedprice), 2) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+    "q69_lateral_topn" ->
+      """SELECT n_name, t.s_name, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier s
+        |         WHERE s.s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin,
     "q62_centroids" ->
       """WITH flat AS (
         |  SELECT label,

@@ -171,6 +171,90 @@ object RelationalExt {
       .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** Array function family over derived word lists: distinct count,
+    * sorted slice join, membership, and max element — every step a
+    * codegen'd collection expression, flattened to scalars so the
+    * oracle compare stays scalar-only. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(array_distinct(words)).cast("bigint").as("n_uniq"),
+      array_join(slice(sort_array(array_distinct(words)), 1, 5), ",").as("first5"),
+      array_contains(words, "the").cast("int").cast("bigint").as("has_the"),
+      array_max(words).as("max_word"))
+  }
+
+  /** Map functions over JSON-derived maps: key count, sorted key
+    * list, and value lookup (from_json → map<string,string>). */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      size(map_keys(m)).cast("bigint").as("n_keys"),
+      array_join(sort_array(map_keys(m)), ",").as("keys_sorted"),
+      element_at(m, "k").as("k_val"))
+  }
+
+  /** explode_outer: unnest that PRESERVES rows with empty/null arrays
+    * (a null element row) — the digits-per-document example genuinely
+    * produces empty arrays. */
+  def explodeOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      explode_outer(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("num"))
+
+  /** unionByName with allowMissingColumns: schema-aligned union by
+    * column NAME (not position), absent columns null-filled — the
+    * schema-evolution-tolerant union. */
+  def unionByNameMixed(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).select(
+      col("c_custkey").as("key"), col("c_acctbal").as("bal"), lit("cust").as("src"))
+    val b = Tables.supplier(spark, dir).select(
+      lit("supp").as("src"), col("s_suppkey").as("key")) // no bal, different order
+    a.unionByName(b, allowMissingColumns = true)
+  }
+
+  /** Date arithmetic family: day offset, month-end, day diff, month
+    * add (end-of-month clamping in both engines), ISO week, quarter. */
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+      last_day(col("o_orderdate")).as("month_end"),
+      datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("bigint").as("days_since"),
+      add_months(col("o_orderdate"), 2).as("plus2m"),
+      weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"),
+      quarter(col("o_orderdate")).cast("bigint").as("qtr"))
+
+  /** Salted hot-key join registered at the gate: identical results to
+    * the plain equi-join (the oracle IS the plain join), while the
+    * physical plan spreads each l_suppkey over 8 salt buckets — the
+    * mitigation for a hot key that AQE cannot split (Skew.saltedJoin;
+    * equivalence also unit-tested in SkewSpec). */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedJoin(
+        Tables.lineitem(spark, dir), Tables.supplier(spark, dir),
+        col("l_suppkey"), col("s_suppkey"), factor = 8)
+      .groupBy(col("s_nationkey").cast("bigint").as("nationkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** SQL LATERAL correlated subquery: top-2 suppliers per nation —
+    * the per-group-top-k shape through the lateral join front-end
+    * (planned as a rewritten window/join, not a per-row re-execution). */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_v")
+    spark.sql(
+      """SELECT n_name, t.s_name, t.s_acctbal
+        |FROM nation_v n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier_v s
+        |         WHERE s.s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin)
+  }
+
   /** Sliding event-time windows (1 h window, 30 min slide): each event
     * lands in exactly 2 windows, expanded map-side by the window()
     * generator — no self-join, one shuffle on the window start.
