@@ -87,6 +87,11 @@ object SparkEntry {
     "q67_date_arith"       -> ((s, d) => RelationalExt.dateArith(s, d)),
     "q68_salted_join"      -> ((s, d) => RelationalExt.saltedJoinAgg(s, d)),
     "q69_lateral_topn"     -> ((s, d) => RelationalExt.lateralTopN(s, d)),
+    "q70_left_outer"       -> ((s, d) => RelationalExt.leftOuterJoin(s, d)),
+    "q71_full_outer"       -> ((s, d) => RelationalExt.fullOuterJoin(s, d)),
+    "q72_cross_join"       -> ((s, d) => RelationalExt.crossJoinDims(s, d)),
+    "q73_in_list"          -> ((s, d) => RelationalExt.inListFilter(s, d)),
+    "q74_range_frame"      -> ((s, d) => RelationalExt.rangeFrame(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -592,6 +597,36 @@ object SparkEntry {
         |LATERAL (SELECT s_name, s_acctbal FROM supplier s
         |         WHERE s.s_nationkey = n.n_nationkey
         |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin,
+    "q70_left_outer" ->
+      """SELECT c_custkey, c_mktsegment,
+        | count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin,
+    "q71_full_outer" ->
+      """WITH o AS (SELECT o_custkey AS key, count(*) AS n_big_orders
+        |           FROM orders WHERE o_totalprice > 400000 GROUP BY 1),
+        |     c AS (SELECT c_custkey AS key, c_acctbal FROM customer
+        |           WHERE c_acctbal > 9000)
+        |SELECT coalesce(o.key, c.key) AS key,
+        | coalesce(o.n_big_orders, 0) AS n_big_orders,
+        | CAST(CASE WHEN c.c_acctbal IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_rich
+        |FROM o FULL OUTER JOIN c ON o.key = c.key""".stripMargin,
+    "q72_cross_join" ->
+      "SELECT n_name, r_name FROM nation CROSS JOIN region",
+    "q73_in_list" ->
+      """SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderstatus IN ('F', 'P')""".stripMargin,
+    "q74_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, day_num, l_extendedprice,
+        | round(sum(l_extendedprice) OVER (
+        |   PARTITION BY l_suppkey ORDER BY day_num
+        |   RANGE BETWEEN 7 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        |FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+        |        date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_num,
+        |        l_extendedprice
+        |      FROM lineitem WHERE l_suppkey < 5) t""".stripMargin,
     "q62_centroids" ->
       """WITH flat AS (
         |  SELECT label,

@@ -255,6 +255,63 @@ object RelationalExt {
         |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin)
   }
 
+  /** Outer joins: left join keeps customers with no orders (null
+    * side aggregated with count of non-nulls), completing the
+    * inner/semi/anti coverage. */
+  def leftOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+
+  /** Full outer join over two keyed aggregates: high-value order
+    * customers vs high-balance customers — either side may be absent,
+    * flags mark which sides matched. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_big_orders"))
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("key"), col("c_acctbal"))
+    o.join(c, Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+        col("c_acctbal").isNotNull.cast("int").cast("bigint").as("is_rich"))
+  }
+
+  /** Cartesian product of the two bounded dimensions — the one join
+    * shape with no key (125 rows at any SF; anything bigger must be a
+    * deliberate crossJoin call in this engine). */
+  def crossJoinDims(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir).select(col("n_name"))
+      .crossJoin(Tables.region(spark, dir).select(col("r_name")))
+
+  /** IN-list predicates — the reference's single predicate form
+    * (mongodb.js:59-67 builds {_id:{$in:[...]}}): literal membership
+    * on two columns, pushed to the scan. */
+  def inListFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderstatus").isin("F", "P"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+
+  /** RANGE window frame (value-based, not row-based): trailing-7-day
+    * revenue per supplier, ordered by day number so the frame bound is
+    * a plain numeric offset — identical semantics in every engine (vs
+    * interval bounds, whose support differs). */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val dayNum = datediff(col("l_shipdate"), to_date(lit("1995-01-01"))).cast("bigint")
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day_num"))
+      .rangeBetween(-7, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") < 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        dayNum.as("day_num"), col("l_extendedprice"))
+      .withColumn("rev_7d", round(sum(col("l_extendedprice")).over(w), 2))
+  }
+
   /** Sliding event-time windows (1 h window, 30 min slide): each event
     * lands in exactly 2 windows, expanded map-side by the window()
     * generator — no self-join, one shuffle on the window start.
