@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // 64 MB broadcast threshold: the sf0.1 orders/customer sides sit
+      // just over the 10 MB default, forcing shuffle joins AQE then
+      // re-plans; measured ~10% faster on the join-heavy queries with
+      // the bigger threshold, and 64 MB remains executor-safe at
+      // cluster scale (multi-GB executors).
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

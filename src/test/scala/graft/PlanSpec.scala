@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Relational, SimilarityOps}
+import graft.ops.{Relational, RelationalExt, SimilarityOps, TextOps}
 
 /** Physical-plan assertions: the scale properties the engine promises
   * (pushdown, pruning, broadcast of bounded sides, partial top-k) must
@@ -45,5 +45,38 @@ class PlanSpec extends AnyFunSuite {
     // formatted mode marks codegen'd operators with "[codegen id : N]"
     val p = plan(Relational.filterProject(spark, sf))
     assert(p.contains("codegen id"))
+  }
+
+  test("IN-list predicates push into the parquet scan") {
+    val p = plan(RelationalExt.inListFilter(spark, sf))
+    assert(p.contains("In(o_orderpriority"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("o_totalprice") && !read.contains("o_custkey"))
+  }
+
+  test("tf-idf: the vocabulary-sized df side is broadcast, not shuffled onto terms") {
+    val p = plan(TextOps.tfidfTop(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("histogram and stats aggregate with a map-side partial phase") {
+    // partial_ functions before the exchange = map-side combine; the
+    // shuffle moves bins/groups, not rows
+    assert(plan(RelationalExt.histogram(spark, sf)).contains("partial_count"))
+    assert(plan(RelationalExt.statsAgg(spark, sf)).contains("partial_stddev_samp"))
+  }
+
+  test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
+    val feats = graft.pipeline.HydroPipeline.toFeatures(
+      graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml"))
+    val df = graft.pipeline.HydroPipeline.mergeSites(feats)
+    // simple mode prints one line per operator (AQE hides the physical
+    // tree from executedPlan.collect before execution)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.linesIterator.count(_.contains("Exchange")) == 1,
+      "merge must shuffle exactly once")
+    assert(!plan(df).contains("ObjectHashAggregate"),
+      "min_by merge fell out of codegen aggregation")
   }
 }
