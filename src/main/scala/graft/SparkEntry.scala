@@ -92,6 +92,7 @@ object SparkEntry {
     "q72_cross_join"       -> ((s, d) => RelationalExt.crossJoinDims(s, d)),
     "q73_in_list"          -> ((s, d) => RelationalExt.inListFilter(s, d)),
     "q74_range_frame"      -> ((s, d) => RelationalExt.rangeFrame(s, d)),
+    "q75_minhash_md5"      -> ((s, d) => DedupOps.nearDupMinHashMd5(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -627,6 +628,37 @@ object SparkEntry {
         |        date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_num,
         |        l_extendedprice
         |      FROM lineitem WHERE l_suppkey < 5) t""".stripMargin,
+    "q75_minhash_md5" -> {
+      // program-generated SQL: 16 salted-md5 min-signatures and 8
+      // two-row band buckets, mirroring nearDupMinHashMd5 exactly
+      val sigCols = (0 until 16).map(i =>
+        s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min') AS m$i")
+        .mkString(",\n    ")
+      val bandSelects = (0 until 8).map(bd =>
+        s"SELECT doc_id, sh, $bd AS band, md5(concat(m${2 * bd}, ',', m${2 * bd + 1})) AS bucket FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    $sigCols
+        |  FROM docs),
+        |banded AS (
+        |  $bandSelects),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+    },
     "q62_centroids" ->
       """WITH flat AS (
         |  SELECT label,

@@ -247,6 +247,43 @@ object DedupOps {
     jaccardVerify(bucketPairs(buckets), threshold).distinct()
   }
 
+  /** Banded MinHash LSH in a fully cross-engine-expressible form:
+    * hash function i is salted md5 (`md5("i|" || shingle)`), the
+    * signature is the lexicographic min hex digest per salt, and a
+    * band bucket is the md5 of its concatenated signature rows.
+    * Functionally the same S-curve LSH as [[nearDupMinHash]] (min over
+    * a random permutation per hash function), but every step — md5,
+    * string min, concat — exists identically in DuckDB, so this
+    * variant is hash-checked by the oracle end to end, anchoring the
+    * xxhash-based production variant (which the oracle can only
+    * row-count) via the shared bucketPairs/jaccardVerify machinery.
+    * Defaults bands=8 × rows=2: collision probability at j=0.5 per
+    * band is j²=0.25, ~90% recall across 8 bands.
+    *
+    * Scale: identical shape to nearDupMinHash — one explode, one
+    * groupBy(doc), one bucket shuffle. The md5-per-salt signature
+    * build costs ~3× the pmod form; prefer nearDupMinHash in
+    * production and this form when cross-engine verification matters. */
+  def nearDupMinHashMd5(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                        bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val tok = shingleRows(spark, dir)
+    val keyed = tok.groupBy(col("doc_id")).agg(
+      collect_set(col("s")).as("sh"), // raw shingle strings — the oracle mirrors these exactly
+      (0 until k).map(i =>
+        min(md5(concat(lit(s"$i|"), col("s")))).as(s"m$i")): _*)
+    val banded = keyed.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map { bd =>
+        md5(concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*))
+      }: _*)))
+      .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+    jaccardVerify(bucketPairs(buckets), threshold).distinct()
+  }
+
   // ---------------------------------------------------------------
   // SimHash near-dup
   // ---------------------------------------------------------------

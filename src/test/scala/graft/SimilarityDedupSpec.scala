@@ -72,6 +72,17 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
   }
 
+  test("md5-form minhash LSH (oracle-checkable variant) finds the same high-jaccard pairs") {
+    val exact = DedupOps.nearDupNgram(spark, sf, threshold = 0.7)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Lsh = DedupOps.nearDupMinHashMd5(spark, sf, threshold = 0.7)
+      .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 bands x 2 rows: collision prob at J>=0.7 ≈ 1-(1-0.49)^8 ≈ 0.995
+    assert(exact.subsetOf(md5Lsh), s"missed: ${exact -- md5Lsh}")
+    // and both variants verify exactly, so no false positives above threshold
+    assert(md5Lsh.forall { case (a, b) => a < b })
+  }
+
   test("simhash pairs have genuinely close token multisets") {
     val pairs = DedupOps.nearDupSimHash(spark, sf).collect()
     assert(pairs.forall(_.getLong(2) <= 3))
