@@ -93,6 +93,7 @@ object SparkEntry {
     "q73_in_list"          -> ((s, d) => RelationalExt.inListFilter(s, d)),
     "q74_range_frame"      -> ((s, d) => RelationalExt.rangeFrame(s, d)),
     "q75_minhash_md5"      -> ((s, d) => DedupOps.nearDupMinHashMd5(s, d)),
+    "q76_asof_forward"     -> ((s, d) => AsofJoin.ordersToNextEvent(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -354,6 +355,12 @@ object SparkEntry {
         |     e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
         |FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q76_asof_forward" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS event_id
+        |           FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events) GROUP BY 1, 2),
+        |     o AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_id, e.ts
+        |FROM o ASOF JOIN e ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts""".stripMargin,
     "q41_interval_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id

@@ -56,6 +56,45 @@ object AsofJoin {
         col("m.o_orderdate").as("o_orderdate"))
   }
 
+  /** Forward as-of: for each order, the customer's EARLIEST event at
+    * or after the order date — the mirror of [[eventsToLatestOrder]],
+    * carrying the nearest right row backward with
+    * first_value(ignoreNulls) over a forward frame. Same one-shuffle,
+    * O(1)-state-per-key design. (Direction is orders→events because
+    * the testdata's events all postdate every order; the composition
+    * is symmetric.) */
+  def ordersToNextEvent(spark: SparkSession, dir: String): DataFrame = {
+    // collapse right-side ties deterministically: one event per
+    // (user, ts), keeping the max event_id
+    val events = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("event_id"))
+    val right = events.select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("src"),
+      lit(null).cast("bigint").as("o_orderkey"),
+      struct(col("event_id"), col("ts")).as("r"))
+    val left = Tables.orders(spark, dir).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("src"),
+      col("o_orderkey"),
+      lit(null).cast(
+        "struct<event_id:bigint,ts:timestamp_ntz>").as("r"))
+    // at equal t the ORDER sorts first (src 0 < 1), so an event at
+    // exactly the order date is visible in the forward frame
+    // (>= semantics)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("src"), col("o_orderkey"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    right.unionByName(left)
+      .withColumn("m", first(col("r"), ignoreNulls = true).over(w))
+      .filter(col("src") === 0 && col("m").isNotNull)
+      .select(
+        col("o_orderkey"), col("k").as("o_custkey"), col("t").as("o_orderdate"),
+        col("m.event_id").as("event_id"),
+        col("m.ts").as("ts"))
+  }
+
   /** Interval (range) join: pairs of events of the same user where the
     * second falls within `windowHours` after the first — another
     * operator family the reference lacks (SURVEY.md §2b "range join").

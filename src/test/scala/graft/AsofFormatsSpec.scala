@@ -23,6 +23,20 @@ class AsofFormatsSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("forward asof join: every match is the customer's earliest event at or after the order") {
+    val joined = AsofJoin.ordersToNextEvent(spark, sf)
+    assert(joined.filter($"ts" < $"o_orderdate").count() == 0)
+    // no other event of the same user lies strictly between the order
+    // date and the matched event time
+    val events = Tables.events(spark, sf)
+      .select($"user_id", $"ts".as("other_ts"))
+    val better = joined.join(events,
+      $"o_custkey" === $"user_id" &&
+        $"other_ts" >= $"o_orderdate" && $"other_ts" < $"ts")
+    assert(better.count() == 0)
+    assert(joined.count() > 0)
+  }
+
   test("asof join drops events that precede every order of the customer") {
     val joined = AsofJoin.eventsToLatestOrder(spark, sf)
     val firstOrder = Tables.orders(spark, sf)
