@@ -94,6 +94,8 @@ object SparkEntry {
     "q74_range_frame"      -> ((s, d) => RelationalExt.rangeFrame(s, d)),
     "q75_minhash_md5"      -> ((s, d) => DedupOps.nearDupMinHashMd5(s, d)),
     "q76_asof_forward"     -> ((s, d) => AsofJoin.ordersToNextEvent(s, d)),
+    "q77_dedup_survivors"  -> ((s, d) => TextOps.dedupSurvivors(s, d)),
+    "q78_corpus_filter"    -> ((s, d) => TextOps.corpusFilter(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -666,6 +668,41 @@ object SparkEntry {
         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
     },
+    "q77_dedup_survivors" ->
+      """SELECT d.doc_id, d.lang, d.source, length(d.text) AS n_chars_calc
+        |FROM documents d
+        |JOIN (SELECT min(doc_id) AS doc_id FROM documents
+        |      GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) k
+        |  ON d.doc_id = k.doc_id""".stripMargin,
+    "q78_corpus_filter" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id,
+        |    ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS quality,
+        |    CASE WHEN zh > 0 THEN 'zh'
+        |         WHEN de > en AND de > es AND de > fr THEN 'de'
+        |         WHEN es > en AND es > fr THEN 'es'
+        |         WHEN fr > en THEN 'fr'
+        |         ELSE 'en' END AS lang_pred
+        |  FROM (SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops,
+        |    len(regexp_extract_all(text, '${TextOps.CjkPattern}')) AS zh,
+        |    len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS en,
+        |    len(regexp_extract_all(lower(text), '${TextOps.EsStops}')) AS es,
+        |    len(regexp_extract_all(lower(text), '${TextOps.DeStops}')) AS de,
+        |    len(regexp_extract_all(lower(text), '${TextOps.FrStops}')) AS fr
+        |   FROM documents) t),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+        |SELECT s.doc_id, s.quality, s.lang_pred
+        |FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+        |WHERE s.quality >= 0.5 AND s.lang_pred = 'en'""".stripMargin,
     "q62_centroids" ->
       """WITH flat AS (
         |  SELECT label,

@@ -114,6 +114,60 @@ object TextOps {
     Tables.documents(spark, dir).select(
       col("doc_id"), fingerprintCol(col("text")).as("fp"))
 
+  /** Exact-dedup survivors: the corpus after keeping one document
+    * (min doc_id) per normalized-content fingerprint — the
+    * materialization step downstream of [[DedupOps.dedupExact]]'s
+    * group report. One aggregation + one semi join, both on doc_id /
+    * fingerprint; at 100 TB the semi join broadcasts nothing and
+    * shuffles only (fp, keeper) pairs. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = Tables.documents(spark, dir)
+      .groupBy(fingerprintCol(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("bigint").as("n_chars_calc"))
+  }
+
+  /** The composed training-data gate: quality score, predicted
+    * language, and exact-dup survivorship evaluated together — keep
+    * English docs with quality ≥ 0.5 that survive dedup. Quality and
+    * language are computed in ONE pass over the text (shared
+    * normalization subexpressions); survivorship is the same
+    * fingerprint semi join as [[dedupSurvivors]]. This is the shape a
+    * 100 TB corpus-prep job takes: narrow scoring map + one keyed
+    * semi join, no wide shuffles of the text itself. */
+  def corpusFilter(spark: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
+    val t = lower(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(col("text"), "\\s+")).cast("double")
+    val punct = nMatches(col("text"), PunctPattern).cast("double")
+    val stops = nMatches(t, EnStops).cast("double")
+    val quality = roundAt(least(nChars / lit(500.0), lit(1.0)) * 0.5 +
+      least(stops / nTokens * 5.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6)
+    val zh = nMatches(col("text"), CjkPattern)
+    val en = nMatches(t, EnStops)
+    val es = nMatches(t, EsStops)
+    val de = nMatches(t, DeStops)
+    val fr = nMatches(t, FrStops)
+    val langPred = when(zh > 0, "zh")
+      .when(de > en && de > es && de > fr, "de")
+      .when(es > en && es > fr, "es")
+      .when(fr > en, "fr")
+      .otherwise("en")
+    val keepers = Tables.documents(spark, dir)
+      .groupBy(fingerprintCol(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), quality.as("quality"), langPred.as("lang_pred"))
+      .filter(col("quality") >= minQuality && col("lang_pred") === "en")
+      .join(keepers, Seq("doc_id"), "left_semi")
+  }
+
   /** Normalized word rows: one row per (doc, word occurrence), empty
     * docs dropped. Shared by tf-idf and bigram stats. */
   private def wordRows(spark: SparkSession, dir: String): DataFrame =
