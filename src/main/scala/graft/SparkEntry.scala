@@ -638,13 +638,17 @@ object SparkEntry {
         |        l_extendedprice
         |      FROM lineitem WHERE l_suppkey < 5) t""".stripMargin,
     "q75_minhash_md5" -> {
-      // program-generated SQL: 16 salted-md5 min-signatures and 8
-      // two-row band buckets, mirroring nearDupMinHashMd5 exactly
-      val sigCols = (0 until 16).map(i =>
-        s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min') AS m$i")
+      // program-generated SQL mirroring nearDupMinHashMd5: one md5 per
+      // shingle, double-hashing h_i = (lower + i*upper) mod p over the
+      // little-endian digest halves, 8 three-row band buckets
+      val P = "2147483647"
+      val sigCols = (0 until 24).map(i =>
+        s"list_aggregate(list_transform(sh, s -> " +
+          s"(md5_number_lower(s) % $P + $i * (md5_number_upper(s) % $P)) % $P), 'min') AS m$i")
         .mkString(",\n    ")
       val bandSelects = (0 until 8).map(bd =>
-        s"SELECT doc_id, sh, $bd AS band, md5(concat(m${2 * bd}, ',', m${2 * bd + 1})) AS bucket FROM sig")
+        s"SELECT doc_id, sh, $bd AS band, " +
+          s"concat(m${3 * bd}, ',', m${3 * bd + 1}, ',', m${3 * bd + 2}) AS bucket FROM sig")
         .mkString("\n  UNION ALL ")
       s"""WITH docs AS (
         |  SELECT doc_id,

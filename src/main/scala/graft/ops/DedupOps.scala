@@ -247,36 +247,51 @@ object DedupOps {
     jaccardVerify(bucketPairs(buckets), threshold).distinct()
   }
 
-  /** Banded MinHash LSH in a fully cross-engine-expressible form:
-    * hash function i is salted md5 (`md5("i|" || shingle)`), the
-    * signature is the lexicographic min hex digest per salt, and a
-    * band bucket is the md5 of its concatenated signature rows.
-    * Functionally the same S-curve LSH as [[nearDupMinHash]] (min over
-    * a random permutation per hash function), but every step — md5,
-    * string min, concat — exists identically in DuckDB, so this
-    * variant is hash-checked by the oracle end to end, anchoring the
-    * xxhash-based production variant (which the oracle can only
-    * row-count) via the shared bucketPairs/jaccardVerify machinery.
-    * Defaults bands=8 × rows=2: collision probability at j=0.5 per
-    * band is j²=0.25, ~90% recall across 8 bands.
+  /** Banded MinHash LSH in a fully cross-engine-expressible form. The
+    * base hash is ONE md5 per shingle whose two little-endian uint64
+    * digest halves (DuckDB: md5_number_lower/_upper; here: reversed
+    * hex byte pairs through conv) seed k double-hashing functions
+    * h_i = (h1 + i·h2) mod p — the standard Kirsch-Mitzenmacher
+    * construction, pure long arithmetic per hash. Every step exists
+    * identically in DuckDB, so signature build, banding, candidate
+    * generation and exact Jaccard verify are all hash-checked by the
+    * oracle end to end, anchoring the xxhash-based production variant
+    * (which the oracle can only row-count) via the shared
+    * bucketPairs/jaccardVerify machinery. An earlier form used one
+    * salted md5 PER hash function — 24 digests per shingle row
+    * dominated the whole operator (~4s of a 4.4s runtime at sf0.1).
+    * Defaults bands=8 × rows=3: candidate probability ≈0.97 at j=0.7,
+    * ≈6% for j≈0.2 noise pairs.
     *
     * Scale: identical shape to nearDupMinHash — one explode, one
-    * groupBy(doc), one bucket shuffle. The md5-per-salt signature
-    * build costs ~3× the pmod form; prefer nearDupMinHash in
-    * production and this form when cross-engine verification matters. */
+    * groupBy(doc), one bucket shuffle. Verification carries xxhash64'd
+    * shingles: Jaccard over distinct sets is invariant under an
+    * (effectively) injective per-element hash, so the value matches
+    * the oracle's string-list Jaccard exactly (same argument as
+    * nearDupNgram) while moving longs instead of ~20-char strings. */
   def nearDupMinHashMd5(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                        bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                        bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
     val k = bands * rowsPerBand
     val tok = shingleRows(spark, dir)
-    val keyed = tok.groupBy(col("doc_id")).agg(
-      collect_set(col("s")).as("sh"), // raw shingle strings — the oracle mirrors these exactly
+    // little-endian uint64 of 8 digest bytes starting at 1-based hex
+    // char `start`: reversed byte pairs, parsed as unsigned via conv
+    // (exceeds Long for high bytes — go through decimal(20,0))
+    def leU64(hex: Column, start: Int): Column =
+      conv(concat((0 until 8).reverse.map(b =>
+        substring(hex, start + 2 * b, 2)): _*), 16, 10).cast("decimal(20,0)")
+    val withH = tok
+      .withColumn("mhex", md5(col("s")))
+      .withColumn("h1", pmod(leU64(col("mhex"), 17), lit(MinHashP)).cast("long"))
+      .withColumn("h2", pmod(leU64(col("mhex"), 1), lit(MinHashP)).cast("long"))
+    val keyed = withH.groupBy(col("doc_id")).agg(
+      collect_set(xxhash64(col("s"))).as("sh"),
       (0 until k).map(i =>
-        min(md5(concat(lit(s"$i|"), col("s")))).as(s"m$i")): _*)
+        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(MinHashP))).as(s"m$i")): _*)
     val banded = keyed.select(
       col("doc_id"), col("sh"),
       posexplode(array((0 until bands).map { bd =>
-        md5(concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*))
+        concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*)
       }: _*)))
       .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
     val buckets = banded.groupBy(col("band"), col("bucket"))

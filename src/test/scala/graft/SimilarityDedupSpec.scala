@@ -77,7 +77,9 @@ class SimilarityDedupSpec extends AnyFunSuite {
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val md5Lsh = DedupOps.nearDupMinHashMd5(spark, sf, threshold = 0.7)
       .select($"doc_a", $"doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 8 bands x 2 rows: collision prob at J>=0.7 ≈ 1-(1-0.49)^8 ≈ 0.995
+    // 8 bands x 3 rows: collision prob at J>=0.7 ≈ 1-(1-0.343)^8 ≈ 0.97
+    // (deterministic salted-md5 hashes: this either always passes on
+    // this corpus or always fails — no flake)
     assert(exact.subsetOf(md5Lsh), s"missed: ${exact -- md5Lsh}")
     // and both variants verify exactly, so no false positives above threshold
     assert(md5Lsh.forall { case (a, b) => a < b })
