@@ -16,8 +16,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicate pushdown reach the scan for free.
   */
 object Tables {
+  // Memoized per (session, path): a DataFrame is an immutable logical
+  // plan, so re-serving it is safe, and it skips the file listing +
+  // parquet footer schema read that spark.read.parquet repeats on
+  // every call — measurable across a many-query run (the driver bench
+  // loads each table dozens of times). Weak keys let dropped sessions
+  // (tests create and stop their own) release their entries.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.synchronized {
+      val bySession = cache.computeIfAbsent(
+        spark, _ => scala.collection.mutable.Map.empty[String, DataFrame])
+      bySession.getOrElseUpdate(s"$dir/$name.parquet",
+        spark.read.parquet(s"$dir/$name.parquet"))
+    }
 
   /** Scoped save-set-restore of the session-wide nanosAsLong conf,
     * shared by every nanos-timestamp read path (batch events load and
