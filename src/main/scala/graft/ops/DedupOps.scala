@@ -168,28 +168,42 @@ object DedupOps {
     * holds (edges ≪ corpus after blocking); the classic
     * large-star/small-star variant is the upgrade path if components
     * ever get deep. */
-  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = nearDupNgram(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    connectedComponents(
+      nearDupNgram(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("cluster"))
+
+  /** Connected components over an undirected pair list (`doc_a`,
+    * `doc_b` long columns): returns (id, cluster) where cluster is the
+    * minimum member id of the component. Iterative min-label
+    * propagation with localCheckpoint lineage cuts; convergence is
+    * detected by the label SUM going stationary — labels only ever
+    * decrease, so an unchanged sum means an unchanged labeling, and
+    * the check costs one tiny aggregate on the already-materialized
+    * round instead of a join against the previous one. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val edges = p.union(
+      p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
+    def labelSum() = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum()
+    var done = false
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (!done && rounds < 50) {
       val nbMin = edges.join(labels, edges("doc_b") === labels("id"))
         .groupBy(col("doc_a")).agg(min(col("label")).as("nb_label"))
-      val next = labels.join(nbMin, labels("id") === nbMin("doc_a"), "left")
+      labels = labels.join(nbMin, labels("id") === nbMin("doc_a"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
-        .filter(col("label") =!= col("old_label")).count()
-      labels = next
+      val s = labelSum()
+      done = s == prevSum
+      prevSum = s
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    labels.select(col("id"), col("label").as("cluster"))
   }
 
   // ---------------------------------------------------------------

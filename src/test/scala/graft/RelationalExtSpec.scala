@@ -65,24 +65,47 @@ class RelationalExtSpec extends AnyFunSuite {
 
   test("dedup clusters merge transitive chains (toy graph)") {
     // chain 1-2, 2-3 plus isolated pair 10-11: two components
-    import scala.jdk.CollectionConverters._
     val spark2 = spark
     import spark2.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    // run the same propagation loop inline (dedupClusters is bound to
-    // the documents table; the loop logic is what we exercise here)
-    val sym = edges.union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = sym.select(col("doc_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-    (1 to 5).foreach { _ =>
-      val nb = sym.join(labels, sym("doc_b") === labels("id"))
-        .groupBy(col("doc_a")).agg(min(col("label")).as("nb_label"))
-      labels = labels.join(nb, labels("id") === nb("doc_a"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
-    }
-    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
     assert(m(10L) == 10L && m(11L) == 10L)
+  }
+
+  test("property: connected components match union-find on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference: driver-side union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => x -> find(x)).toMap
+      // min member of each component equals the root found by min-union
+      val minOfComp = expected.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val got = DedupOps.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == expected.keySet, s"trial $trial node set")
+      expected.foreach { case (node, root) =>
+        assert(got(node) == minOfComp(root),
+          s"trial $trial: node $node got ${got(node)} expected ${minOfComp(root)}")
+      }
+    }
   }
 
   test("tf-idf ranks are 1..5 per doc and scores non-increasing") {
