@@ -96,6 +96,7 @@ object SparkEntry {
     "q76_asof_forward"     -> ((s, d) => AsofJoin.ordersToNextEvent(s, d)),
     "q77_dedup_survivors"  -> ((s, d) => TextOps.dedupSurvivors(s, d)),
     "q78_corpus_filter"    -> ((s, d) => TextOps.corpusFilter(s, d)),
+    "q79_null_semantics"   -> ((s, d) => RelationalExt.nullSemantics(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -707,6 +708,15 @@ object SparkEntry {
         |SELECT s.doc_id, s.quality, s.lang_pred
         |FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
         |WHERE s.quality >= 0.5 AND s.lang_pred = 'en'""".stripMargin,
+    "q79_null_semantics" ->
+      """SELECT o_orderkey,
+        | nullif(o_orderstatus, 'O') AS status_non_open,
+        | coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+        | CAST(CASE WHEN nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+        |                 nullif(o_orderpriority, o_orderpriority)
+        |           THEN 1 ELSE 0 END AS BIGINT) AS is_open_nullsafe,
+        | CAST(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END AS BIGINT) AS null_flag
+        |FROM orders""".stripMargin,
     "q62_centroids" ->
       """WITH flat AS (
         |  SELECT label,

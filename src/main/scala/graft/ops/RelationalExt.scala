@@ -312,6 +312,20 @@ object RelationalExt {
       .withColumn("rev_7d", round(sum(col("l_extendedprice")).over(w), 2))
   }
 
+  /** Null-semantics function family: nullif to introduce nulls,
+    * coalesce/ifnull to recover them, null-safe equality (<=> here,
+    * IS NOT DISTINCT FROM in SQL), and null-aware counting. */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val statusOrNull = nullif(col("o_orderstatus"), lit("O"))
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      statusOrNull.as("status_non_open"),
+      coalesce(statusOrNull, lit("OPEN")).as("status_filled"),
+      statusOrNull.eqNullSafe(nullif(col("o_orderpriority"), col("o_orderpriority")))
+        .cast("int").cast("bigint").as("is_open_nullsafe"),
+      (when(statusOrNull.isNull, 1).otherwise(0)).cast("bigint").as("null_flag"))
+  }
+
   /** Sliding event-time windows (1 h window, 30 min slide): each event
     * lands in exactly 2 windows, expanded map-side by the window()
     * generator — no self-join, one shuffle on the window start.
