@@ -16,22 +16,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicate pushdown reach the scan for free.
   */
 object Tables {
-  // Memoized per (session, path): a DataFrame is an immutable logical
-  // plan, so re-serving it is safe, and it skips the file listing +
-  // parquet footer schema read that spark.read.parquet repeats on
-  // every call — measurable across a many-query run (the driver bench
-  // loads each table dozens of times). Weak keys let dropped sessions
-  // (tests create and stop their own) release their entries.
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]
+  // Memoized parquet SCHEMA per path (not DataFrame per session): the
+  // expensive, repeated part of spark.read.parquet is schema inference
+  // — a footer-reading Spark job per call — while the StructType it
+  // yields is immutable and session-independent. Caching the schema
+  // and re-applying it via spark.read.schema(...) skips that job on
+  // every later load (any session), and the cache holds only strings
+  // and StructTypes: no DataFrame values, hence no strong
+  // value→SparkSession chain, so dropped test sessions are fully
+  // collectable (the previous WeakHashMap[SparkSession, DataFrame]
+  // design pinned its own weak keys through df.sparkSession and could
+  // never evict). File listing for a single parquet file is a
+  // filesystem stat, not a job, and stays per-read.
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.synchronized {
-      val bySession = cache.computeIfAbsent(
-        spark, _ => scala.collection.mutable.Map.empty[String, DataFrame])
-      bySession.getOrElseUpdate(s"$dir/$name.parquet",
-        spark.read.parquet(s"$dir/$name.parquet"))
-    }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Scoped save-set-restore of the session-wide nanosAsLong conf,
     * shared by every nanos-timestamp read path (batch events load and
@@ -82,4 +86,25 @@ object Tables {
     }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  // Embedding dimension per table path, probed from the first non-null
+  // row ONCE and memoized: the array element count is a property of
+  // the data files (parquet list types carry no length), so keying by
+  // path makes every later withBucket/ANN call on that table a pure
+  // narrow map with no extra probe job — previously each call paid a
+  // one-row Spark job.
+  private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Dimension of the `embedding` column of `dir`'s embeddings table
+    * (cached per path). Fails loudly if every embedding is null —
+    * there is no dimension to bucket against. */
+  def embeddingDim(spark: SparkSession, dir: String): Int =
+    dimCache.getOrElseUpdate(s"$dir/embeddings.parquet", {
+      import org.apache.spark.sql.functions.{col, size}
+      embeddings(spark, dir).where(col("embedding").isNotNull)
+        .select(size(col("embedding"))).take(1)
+        .headOption.map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$dir/embeddings.parquet has no non-null embedding to probe a dimension from"))
+    })
 }

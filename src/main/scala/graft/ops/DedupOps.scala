@@ -210,55 +210,71 @@ object DedupOps {
   // MinHash + LSH near-dup
   // ---------------------------------------------------------------
 
-  /** Universal-hash MinHash signature over md5-hashed shingles:
-    * h_i(s) = (a_i * h(s) + b_i) mod p, deterministic seeds. */
   private val MinHashP = 2147483647L // Mersenne prime 2^31-1
-  private def minHashCoeffs(k: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(k)((1 + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-  }
 
-  /** Banded MinHash LSH candidate pairs + exact Jaccard verification.
-    * numHashes = bands * rowsPerBand; docs colliding in ANY band are
-    * candidates (the classic S-curve: bands=8 × rows=4 targets
-    * J≈0.5+). One explode (docs × bands), one shuffle on the band
-    * bucket, then exact verify per pair. */
-  def nearDupMinHash(spark: SparkSession, dir: String,
-                     threshold: Double = 0.5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+  /** Little-endian uint64 of the 8 md5-digest bytes starting at
+    * 1-based hex char `start`: reversed byte pairs, parsed as unsigned
+    * via conv (exceeds Long for high bytes — go through
+    * decimal(20,0)). start=1 ↔ DuckDB md5_number_upper, start=17 ↔
+    * md5_number_lower — the mapping q75's hash-matching oracle proves
+    * end to end. */
+  private def leU64(hex: Column, start: Int): Column =
+    conv(concat((0 until 8).reverse.map(b =>
+      substring(hex, start + 2 * b, 2)): _*), 16, 10).cast("decimal(20,0)")
+
+  /** Shared banded-LSH tail for the MinHash variants: a
+    * Kirsch-Mitzenmacher double-hashing signature build
+    * h_i = (h1 + i·h2) mod p over two base-hash columns of the
+    * (doc_id, s, h1, h2) shingle rows, band buckets via concat_ws,
+    * one bucket shuffle, exact Jaccard verify.
+    *
+    * Explode-then-aggregate keeps everything codegen'd: one row per
+    * (doc, shingle), k pure-long-arithmetic hashes per row, k
+    * min-aggregates per doc with map-side partial aggregation (array
+    * higher-order lambdas are interpreted in Spark and dominated
+    * runtime at k=32). collect_set(xxhash64(s)) rebuilds the distinct
+    * shingle-hash set in the same pass, so verification needs no
+    * second shuffle. The production xxhash variant and the
+    * oracle-checkable md5 variant share this exact plan — only the
+    * base-hash derivation differs — so their cost profiles are
+    * identical by construction (round 3 measured the old
+    * 32-coefficient universal-hash build 4× slower than the
+    * double-hash form it now shares). */
+  private def minHashLshPairs(tok: DataFrame, bands: Int, rowsPerBand: Int,
+                              threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val coeffs = minHashCoeffs(k)
-    // explode-then-aggregate signature build: one row per (doc,
-    // shingle), k codegen'd scalar hashes per row, k min-aggregates
-    // per doc. Higher-order array lambdas (transform) are interpreted
-    // non-codegen expressions in Spark — at k=32 per doc they
-    // dominated this operator's runtime; the exploded form keeps the
-    // whole hash pipeline inside WholeStageCodegen and gets map-side
-    // partial min-aggregation for free. collect_list(s) rebuilds the
-    // (already-distinct) shingle set in the same pass, avoiding a
-    // second shuffle to re-attach it for verification.
-    val tok = shingleRows(spark, dir)
-      .withColumn("hraw", xxhash64(col("s")))
-      .withColumn("h0", pmod(col("hraw"), lit(MinHashP)))
-    val sig = tok.groupBy(col("doc_id")).agg(
-      collect_set(col("hraw")).as("sh"), // 64-bit shingle hashes for exact-Jaccard verify
-      coeffs.map { case (a, b) =>
-        min(pmod(col("h0") * a + b, lit(MinHashP)))
-      }.zipWithIndex.map { case (c, i) => c.as(s"m$i") }: _*)
-    val banded = sig.select(
+    val keyed = tok.groupBy(col("doc_id")).agg(
+      collect_set(xxhash64(col("s"))).as("sh"), // 64-bit shingle hashes for exact-Jaccard verify
+      (0 until k).map(i =>
+        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(MinHashP))).as(s"m$i")): _*)
+    val banded = keyed.select(
       col("doc_id"), col("sh"),
       posexplode(array((0 until bands).map { bd =>
-        struct(lit(bd).as("band"),
-          xxhash64(concat_ws(",",
-            (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*))
-            .as("bucket"))
+        concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*)
       }: _*)))
-      .select(col("doc_id"), col("sh"), col("col.band"), col("col.bucket"))
+      .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
     // a similar pair can collide in several bands: verify per
     // occurrence (bounded ×bands), dedupe on the scalar result — far
     // cheaper than a distinct that shuffles both shingle arrays
     jaccardVerify(bucketPairs(buckets), threshold).distinct()
+  }
+
+  /** Banded MinHash LSH candidate pairs + exact Jaccard verification.
+    * numHashes = bands * rowsPerBand; docs colliding in ANY band are
+    * candidates (the classic S-curve: bands=8 × rows=4 targets
+    * J≈0.5+). One explode (docs × bands), one shuffle on the band
+    * bucket, then exact verify per pair. Base hashes are two
+    * independent xxhash64 draws (the tuple-hash (s, salt) form), run
+    * through the shared double-hashing signature build. */
+  def nearDupMinHash(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val tok = shingleRows(spark, dir)
+      .withColumn("h1", pmod(xxhash64(col("s")), lit(MinHashP)))
+      .withColumn("h2", pmod(xxhash64(col("s"), lit(0x9e3779b9L)), lit(MinHashP)))
+    minHashLshPairs(tok, bands, rowsPerBand, threshold)
   }
 
   /** Banded MinHash LSH in a fully cross-engine-expressible form. The
@@ -381,7 +397,8 @@ object DedupOps {
     * pairs (raise nPlanes at scale to keep buckets executor-sized). */
   def nearDupEmbeddingLSH(spark: SparkSession, dir: String,
                           threshold: Double = 0.35, nPlanes: Int = 6): DataFrame = {
-    val e = SimilarityOps.withBucket(Tables.embeddings(spark, dir), nPlanes)
+    val e = SimilarityOps.withBucket(Tables.embeddings(spark, dir), nPlanes,
+      dim = Tables.embeddingDim(spark, dir))
     val buckets = e.groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id").as("doc_id"), col("embedding"))).as("members"))
     bucketPairs(buckets)

@@ -49,6 +49,10 @@ object SimilarityOps {
     * hyperplanes, packed into an int. Pure narrow map (after a one-row
     * probe job when `dim` is not supplied).
     *
+    * Graft call sites pass `dim = Tables.embeddingDim(spark, dir)` (a
+    * once-per-path cached probe) so no per-call job runs; the inline
+    * probe below is the fallback for arbitrary DataFrames.
+    *
     * The plane dimension is read from the data rather than assumed:
     * a wrong dim would make zip_with null-pad, every dot product null,
     * and all vectors silently collapse into bucket 0 (LSH degenerates
@@ -108,7 +112,8 @@ object SimilarityOps {
     * partition key. */
   def annTopK(spark: SparkSession, dir: String,
               queryId: Long = 0L, k: Int = 10, nPlanes: Int = 6): DataFrame = {
-    val e = withBucket(Tables.embeddings(spark, dir), nPlanes)
+    val e = withBucket(Tables.embeddings(spark, dir), nPlanes,
+      dim = Tables.embeddingDim(spark, dir))
     val probes = array(
       col("bucket") +: (0 until nPlanes).map(i =>
         col("bucket").bitwiseXOR(shiftleft(lit(1), i))): _*)
