@@ -10,11 +10,29 @@ import org.apache.spark.sql.SparkSession
   * codegen compilation and JIT dominate cold single-query times in a
   * fresh JVM — 4s+ on the first query, irrespective of which query
   * runs first).
+  *
+  * The timed action is a `noop`-datasource write, NOT `.count()`:
+  * count lets Catalyst prune every unreferenced projection, so a
+  * pure-projection query (q14, q64, ...) would measure scan+count
+  * instead of its own expressions. The noop sink consumes every output
+  * column (rows are fully evaluated, then discarded), so the number is
+  * the cost of producing the result. NOTE: this raises projection-
+  * heavy numbers vs rounds ≤4 by design — the r4 floor for those
+  * queries was an artifact of count-pruning, not real speed.
+  *
+  * Env knobs (all optional):
+  *  - SPARK_GRAFT_SF_DIR: table directory (default sf0.1)
+  *  - SPARK_GRAFT_CPUS: local[N] parallelism AND shuffle partitions
+  *  - SPARK_GRAFT_BROADCAST_MB: autoBroadcastJoinThreshold in MB
+  *    (default 64 — A/B'd vs the 10 MB default in BASELINE.md)
+  *  - SPARK_GRAFT_ONLY: comma-separated query-name filter for
+  *    single-query timing / A/B runs
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val broadcastMb = sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "64").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,13 +40,21 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // 64 MB broadcast threshold: the sf0.1 orders/customer sides sit
       // just over the 10 MB default, forcing shuffle joins AQE then
-      // re-plans; measured ~10% faster on the join-heavy queries with
-      // the bigger threshold, and 64 MB remains executor-safe at
-      // cluster scale (multi-GB executors).
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // re-plans; measured vs the default in BASELINE.md §bench-config,
+      // and 64 MB remains executor-safe at cluster scale (multi-GB
+      // executors).
+      .config("spark.sql.autoBroadcastJoinThreshold", (broadcastMb * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries.filter {
+      case (name, _) => only.forall(_.contains(name))
+    }
+    // full evaluation of every output column; result rows discarded
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // warm up on the smallest sibling scale factor of the target dir
     // (falls back to the target itself) so codegen/JIT cost never
     // lands on the first timed query; failures are logged, not
@@ -38,15 +64,15 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, warmupDir).count() catch {
+    queries.foreach { case (name, fn) =>
+      try run(fn(spark, warmupDir)) catch {
         case e: Throwable =>
           System.err.println(s"warmup failed for $name on $warmupDir: ${e.getMessage}")
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

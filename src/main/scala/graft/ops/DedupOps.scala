@@ -176,33 +176,62 @@ object DedupOps {
   /** Connected components over an undirected pair list (`doc_a`,
     * `doc_b` long columns): returns (id, cluster) where cluster is the
     * minimum member id of the component. Iterative min-label
-    * propagation with localCheckpoint lineage cuts; convergence is
-    * detected by the label SUM going stationary — labels only ever
-    * decrease, so an unchanged sum means an unchanged labeling, and
-    * the check costs one tiny aggregate on the already-materialized
-    * round instead of a join against the previous one. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * propagation with localCheckpoint lineage cuts.
+    *
+    * Convergence detection is FUSED into the round's materialization:
+    * the per-round plan carries both the old and new label, and a
+    * narrow count-changed map feeds a LongAccumulator while the eager
+    * localCheckpoint materializes the round — one job per round, no
+    * separate convergence action. The accumulator read is retry-safe
+    * for this use: task retries can only OVER-count changes (labels
+    * only decrease, so a genuinely stationary round adds 0 on every
+    * attempt), hence `changed == 0 ⇒ converged` holds under
+    * at-least-once accumulator semantics; a spurious positive merely
+    * runs one more (stationary) round.
+    *
+    * Rounds = component diameter (near-dup components are tiny chains,
+    * so 2–4 rounds in practice). If the cap is hit without
+    * convergence the method THROWS rather than returning a silently
+    * under-merged labeling — wrong clusters with no error is the
+    * failure mode an oracle on real data can never catch. Deep
+    * components at 100 TB are the large-star/small-star upgrade path,
+    * not a reason to raise the cap. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val p = pairs.localCheckpoint()
     val edges = p.union(
       p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = edges.select(col("doc_a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    def labelSum() = labels.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum()
     var done = false
     var rounds = 0
-    while (!done && rounds < 50) {
+    while (!done && rounds < maxRounds) {
+      val changed = spark.sparkContext.longAccumulator(s"ccChanged_r$rounds")
       val nbMin = edges.join(labels, edges("doc_b") === labels("id"))
         .groupBy(col("doc_a")).agg(min(col("label")).as("nb_label"))
-      labels = labels.join(nbMin, labels("id") === nbMin("doc_a"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nb_label"), col("label"))).as("label"))
+      val joined = labels.join(nbMin, labels("id") === nbMin("doc_a"), "left")
+        .select(labels("id").as("_1"),
+          col("label").as("_2"),
+          least(col("label"), coalesce(col("nb_label"), col("label"))).as("_3"))
+      // narrow map: count label changes into the accumulator during the
+      // SAME job that materializes the round (localCheckpoint is eager)
+      import spark.implicits._
+      labels = joined.as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, old, nw) =>
+            if (nw < old) changed.add(1L)
+            (id, nw)
+          }
+        }
+        .toDF("id", "label")
         .localCheckpoint()
-      val s = labelSum()
-      done = s == prevSum
-      prevSum = s
+      done = changed.value == 0L
       rounds += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds " +
+        "(component diameter exceeds the cap); raise maxRounds or switch " +
+        "to the large-star/small-star variant for deep graphs")
     labels.select(col("id"), col("label").as("cluster"))
   }
 
@@ -234,12 +263,12 @@ object DedupOps {
     * higher-order lambdas are interpreted in Spark and dominated
     * runtime at k=32). collect_set(xxhash64(s)) rebuilds the distinct
     * shingle-hash set in the same pass, so verification needs no
-    * second shuffle. The production xxhash variant and the
-    * oracle-checkable md5 variant share this exact plan — only the
-    * base-hash derivation differs — so their cost profiles are
-    * identical by construction (round 3 measured the old
-    * 32-coefficient universal-hash build 4× slower than the
-    * double-hash form it now shares). */
+    * second shuffle. The production xxhash variant ([[nearDupMinHash]])
+    * and the oracle-checkable md5 variant ([[nearDupMinHashMd5]]) both
+    * call straight into this method — only the (h1, h2) base-hash
+    * derivation differs — so their cost profiles are identical by
+    * construction (round 3 measured the old 32-coefficient
+    * universal-hash build 4× slower than this double-hash form). */
   private def minHashLshPairs(tok: DataFrame, bands: Int, rowsPerBand: Int,
                               threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
@@ -301,32 +330,11 @@ object DedupOps {
     * nearDupNgram) while moving longs instead of ~20-char strings. */
   def nearDupMinHashMd5(spark: SparkSession, dir: String, threshold: Double = 0.5,
                         bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
-    val k = bands * rowsPerBand
-    val tok = shingleRows(spark, dir)
-    // little-endian uint64 of 8 digest bytes starting at 1-based hex
-    // char `start`: reversed byte pairs, parsed as unsigned via conv
-    // (exceeds Long for high bytes — go through decimal(20,0))
-    def leU64(hex: Column, start: Int): Column =
-      conv(concat((0 until 8).reverse.map(b =>
-        substring(hex, start + 2 * b, 2)): _*), 16, 10).cast("decimal(20,0)")
-    val withH = tok
+    val withH = shingleRows(spark, dir)
       .withColumn("mhex", md5(col("s")))
       .withColumn("h1", pmod(leU64(col("mhex"), 17), lit(MinHashP)).cast("long"))
       .withColumn("h2", pmod(leU64(col("mhex"), 1), lit(MinHashP)).cast("long"))
-    val keyed = withH.groupBy(col("doc_id")).agg(
-      collect_set(xxhash64(col("s"))).as("sh"),
-      (0 until k).map(i =>
-        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(MinHashP))).as(s"m$i")): _*)
-    val banded = keyed.select(
-      col("doc_id"), col("sh"),
-      posexplode(array((0 until bands).map { bd =>
-        concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*)
-      }: _*)))
-      .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
-    jaccardVerify(bucketPairs(buckets), threshold).distinct()
+    minHashLshPairs(withH, bands, rowsPerBand, threshold)
   }
 
   // ---------------------------------------------------------------

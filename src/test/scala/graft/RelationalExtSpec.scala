@@ -108,6 +108,25 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components fail loudly when the round cap is hit") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a path graph 0-1-2-...-12 needs 12 propagation rounds for label 0
+    // to reach the far end; a cap of 4 must throw, not return a
+    // silently under-merged labeling
+    val path = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(path, maxRounds = 4).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph converges with room to run (12 rounds + 1 to
+    // detect stationarity) and collapses to a single component
+    val ok = DedupOps.connectedComponents(path, maxRounds = 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(0L), s"expected one component: $ok")
+    assert(ok.keySet == (0L to 12L).toSet)
+  }
+
   test("tf-idf ranks are 1..5 per doc and scores non-increasing") {
     val rows = TextOps.tfidfTop(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
