@@ -298,6 +298,40 @@ object SparkEntry {
         |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
         |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+    // q27: full cross-engine SimHash. The token hash is the signed view
+    // of md5_number_lower (two's-complement wrap), bit votes via
+    // arithmetic shift + mask (sign-extension never reaches the masked
+    // bit), sign packing into two 32-bit halves (DuckDB raises on
+    // BIGINT 1<<63, and UBIGINT<<63 binds to the same checked BIGINT
+    // shift — two half-words need at most 1<<31), Hamming via
+    // xor + bit_count summed over the halves. Banding is omitted on
+    // purpose: by pigeonhole the 4×16-bit banding finds EXACTLY the
+    // pairs at Hamming ≤ 3, so the all-pairs form is semantically
+    // identical and trivial at oracle scale.
+    "q27_neardup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN md5_number_lower(tok) >= 9223372036854775808
+        |         THEN CAST(md5_number_lower(tok) AS HUGEINT) - 18446744073709551616
+        |         ELSE CAST(md5_number_lower(tok) AS HUGEINT) END AS BIGINT) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS b
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i)
+        |  GROUP BY doc_id, i),
+        |sh AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN b > 0 AND i < 32 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS lo,
+        |    bit_or(CASE WHEN b > 0 AND i >= 32 THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INTEGER) ELSE 0 END) AS hi
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
     "q28_neardup_embedding" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
@@ -337,6 +371,21 @@ object SparkEntry {
         | len(range(0, (doc_id % 120) + 1,
         |   CAST(greatest(1, ceil(((doc_id % 120) + 1) / 8.0)) AS BIGINT))) AS frames_sampled
         |FROM documents""".stripMargin,
+    // q32: the stub decoder is a 16-bin byte histogram, so its
+    // integer-exact observables are recomputable from the raw bytes:
+    // hist_sum is 1.0 for any non-empty payload, and bin6_count is the
+    // number of bytes with high nibble 6 — counted here by walking the
+    // hex encoding two chars per byte (DuckDB has no BLOB slicing).
+    "q32_multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(CASE WHEN n = 0 THEN 0.0 ELSE 1.0 END AS DOUBLE) AS hist_sum,
+        | CAST(len(list_filter(range(n),
+        |   i -> substr(hx, CAST(i*2+1 AS INTEGER), 1) = '6')) AS BIGINT) AS bin6_count
+        |FROM b""".stripMargin,
     "q33_sessionize" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
@@ -479,6 +528,18 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_part,
         | count(DISTINCT concat_ws('_', l_orderkey, l_linenumber)) AS n_lines,
         | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q54: DuckDB's HLL produces different estimates, so the raw
+    // sketch values can never hash-match — instead the Spark side
+    // emits exact counts plus in-plan |approx−exact| ≤ 5% flags, and
+    // the oracle asserts those flags are literally TRUE beside its own
+    // exact counts: a drifting sketch becomes a hash mismatch.
+    "q54_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part,
+        | TRUE AS supp_within_5pct,
+        | TRUE AS part_within_5pct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q55_agg_filter" ->
       """SELECT l_returnflag,

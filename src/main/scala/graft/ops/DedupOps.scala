@@ -341,14 +341,33 @@ object DedupOps {
   // SimHash near-dup
   // ---------------------------------------------------------------
 
+  /** Signed-long view of the little-endian uint64 at md5-digest bytes
+    * 8..15 — the exact bit pattern of DuckDB's md5_number_lower cast
+    * to BIGINT with two's-complement wrap-around. Cross-engine: every
+    * downstream bit operation (shift+mask extraction, xor, bit_count)
+    * sees identical bits in both engines, signedness notwithstanding. */
+  private def md5SignedLe64(s: Column): Column = {
+    val ub = leU64(md5(s), 17) // decimal(20,0), unsigned value
+    when(ub >= lit(BigDecimal("9223372036854775808")),
+      ub - lit(BigDecimal("18446744073709551616"))).otherwise(ub).cast("long")
+  }
+
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 across
     * token hashes, pack sign bits. Computed with one explode +
-    * 64 conditional sums (all codegen'd; no UDF). */
+    * 64 conditional sums (all codegen'd; no UDF).
+    *
+    * The token hash is the md5-derived 64-bit value rather than
+    * xxhash64 so the WHOLE pipeline — tokenize, hash, bit votes,
+    * sign packing, band collision, Hamming verify — has an exact
+    * DuckDB twin (md5_number_lower + >>/&/xor/bit_count) and q27 is
+    * hash-checked end to end. Swapping xxhash64 back in is a one-line
+    * production change; the md5 cost lands on the one
+    * explode-side scan and does not change the plan shape. */
   def simHashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", md5SignedLe64(col("tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }

@@ -74,7 +74,9 @@ object MultimodalOps {
   /** Partition-wise batched feature extraction — the `mapInPandas`
     * analog: one decoder per partition, payloads decoded in batches of
     * `batchSize` (the batch boundary is where a vectorized/JNI decoder
-    * would amortize setup). Narrow map, no shuffle. */
+    * would amortize setup). Narrow map, no shuffle. Emits the payload
+    * byte length alongside the features — it is free at decode time
+    * and saves downstream consumers a join back to the payload. */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder = StubDecoder,
                       batchSize: Int = 64): DataFrame = {
     val spark = media.sparkSession
@@ -85,10 +87,10 @@ object MultimodalOps {
     typed.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { case (id, payload, format) =>
-          (id, decoder.decode(payload, format))
+          (id, payload.length.toLong, decoder.decode(payload, format))
         }
       }
-    }.toDF("doc_id", "features")
+    }.toDF("doc_id", "n_bytes", "features")
   }
 
   /** Driver-gate query: metadata + payload size + sampled-frame count
@@ -104,12 +106,26 @@ object MultimodalOps {
       length(col("payload")).cast("bigint").as("n_bytes"),
       size(col("frame_indices")).cast("bigint").as("frames_sampled"))
 
-  /** Driver-gate query: stub decode over every payload; rows-only
-    * check (the histogram is deterministic but not SQL-practical). */
-  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val f = extractFeatures(asMedia(spark, dir))
-    f.select(col("doc_id"),
+  /** Driver-gate query: stub decode over every payload, reduced to
+    * integer-exact observables the DuckDB oracle can recompute from
+    * the raw bytes:
+    *  - hist_sum: the 16 normalized bins summed (≡ 1.0 for any
+    *    non-empty payload — 16 float adds cannot drift past the
+    *    4-decimal rounding);
+    *  - bin6_count: bin 6 (fraction of bytes with high nibble 6 —
+    *    0x60–0x6F, i.e. letters a–o, the bin that actually varies on
+    *    text payloads; bin 0 is constantly zero on this corpus)
+    *    un-normalized back to its byte COUNT. bin6 is k/n in float32;
+    *    multiplying by n and rounding recovers k exactly while
+    *    k·2⁻²⁴ < 0.5 (k < 8M, far above any payload here), so the
+    *    value is integer-exact and immune to float32-vs-double
+    *    rounding divergence. The oracle counts the same bytes
+    *    directly via blob slicing. A float-valued column would risk
+    *    ulp-level hash mismatches; the spec covers the full
+    *    histogram's float properties instead. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(asMedia(spark, dir)).select(col("doc_id"),
       round(aggregate(col("features"), lit(0.0d), (a, v) => a + v), 4).as("hist_sum"),
-      round(element_at(col("features"), 1).cast("double"), 6).as("bin0"))
-  }
+      round(element_at(col("features"), 7).cast("double") * col("n_bytes"), 0)
+        .cast("bigint").as("bin6_count"))
 }

@@ -127,16 +127,30 @@ object RelationalExt {
         count(lit(1)).as("n_rows"))
 
   /** HyperLogLog++ distinct sketches — the 100 TB path for distinct
-    * counting: fixed-size state, associative merge, one shuffle. No
-    * DuckDB oracle (its approx_count_distinct uses a different sketch
-    * with different estimates); the exact twin is [[countDistinctAgg]]
-    * and the spec asserts the estimates land within rsd of it. */
+    * counting: fixed-size state, associative merge, one shuffle.
+    *
+    * DuckDB's approx_count_distinct uses a different sketch, so the
+    * raw estimates can never hash-match an oracle. Instead the gate
+    * output carries the EXACT counts plus in-plan bounds flags
+    * `abs(approx − exact) ≤ 5% · exact` (5× the configured rsd=0.01;
+    * HLL++ is deterministic for a given input, so the flags are
+    * stable): the oracle asserts the flags are literally TRUE next to
+    * its own exact counts, which makes a drifting sketch a hash
+    * MISMATCH rather than an unchecked number — a bounds assertion
+    * the driver's equality compare can express. The raw-estimate form
+    * is one agg away and the spec checks it independently. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supp_approx"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("n_part_approx"))
+        approx_count_distinct(col("l_suppkey"), 0.01).as("a_supp"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_part"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .select(
+        col("l_returnflag"), col("n_supp"), col("n_part"),
+        (abs(col("a_supp") - col("n_supp")) <= col("n_supp") * 0.05).as("supp_within_5pct"),
+        (abs(col("a_part") - col("n_part")) <= col("n_part") * 0.05).as("part_within_5pct"))
 
   /** SQL FILTER-clause aggregation — per-predicate conditional
     * aggregates in one pass (same plan shape as the CASE WHEN form,

