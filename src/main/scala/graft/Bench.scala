@@ -24,7 +24,8 @@ import org.apache.spark.sql.SparkSession
   *  - SPARK_GRAFT_SF_DIR: table directory (default sf0.1)
   *  - SPARK_GRAFT_CPUS: local[N] parallelism AND shuffle partitions
   *  - SPARK_GRAFT_BROADCAST_MB: autoBroadcastJoinThreshold in MB
-  *    (default 64 — A/B'd vs the 10 MB default in BASELINE.md)
+  *    (default 10 = Spark's default; the round-3 64 MB setting was
+  *    A/B'd in round 5 and showed no measurable win — BASELINE.md)
   *  - SPARK_GRAFT_ONLY: comma-separated query-name filter for
   *    single-query timing / A/B runs
   */
@@ -32,17 +33,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val broadcastMb = sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "64").toLong
+    val broadcastMb = sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "10").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // 64 MB broadcast threshold: the sf0.1 orders/customer sides sit
-      // just over the 10 MB default, forcing shuffle joins AQE then
-      // re-plans; measured vs the default in BASELINE.md §bench-config,
-      // and 64 MB remains executor-safe at cluster scale (multi-GB
-      // executors).
+      // threshold A/B'd in BASELINE.md §bench-config: 64 MB vs the
+      // 10 MB default showed no measurable difference at sf0.1 (AQE
+      // re-plans small shuffle joins to broadcast at runtime), so the
+      // Spark default stands.
       .config("spark.sql.autoBroadcastJoinThreshold", (broadcastMb * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

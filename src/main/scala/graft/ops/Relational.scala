@@ -334,7 +334,17 @@ object Relational {
       .agg(count(lit(1)).as("n"))
 
   /** Semi-structured extraction: JSON path over the events.props
-    * payload — get_json_object is codegen'd, no UDF. */
+    * payload — get_json_object is codegen'd, no UDF.
+    *
+    * Predicate pushdown inlines the alias into the filter, so
+    * get_json_object runs twice per row (filter + project). Measured
+    * round 5 at sf0.1: this double codegen'd parse is 0.5 s, while the
+    * single-parse alternative — json_tuple, whose Generate blocks
+    * pushdown — is 0.8–0.9 s: one interpreted GenerateExec pass costs
+    * more than the second codegen'd parse (r4's 3.1 s reading for this
+    * query was bench contamination, not expression cost). At 100 TB
+    * the right fix is upstream anyway: extract hot JSON fields into
+    * columns at ingest, don't re-parse per query. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(
