@@ -16,9 +16,10 @@ import graft.sources.WaterML
 /** DataSource V2 TableProvider generating deterministic synthetic
   * USGS-shaped observations — the engine's demonstration of the custom
   * source tier (SURVEY.md §2a O1: "a custom DataSource V2
-  * TableProvider for the REST API"; this is the zero-egress stand-in,
-  * and an HTTP-backed reader would reuse this exact skeleton with the
-  * generator loop swapped for a paged GET).
+  * TableProvider for the REST API"; this is the deterministic load
+  * generator, and [[HttpObservations]] is the real-transport reader
+  * built on this exact skeleton with the generator loop swapped for a
+  * paged GET).
   *
   * Usage:
   * {{{
