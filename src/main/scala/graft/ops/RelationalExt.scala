@@ -139,18 +139,25 @@ object RelationalExt {
     * MISMATCH rather than an unchecked number — a bounds assertion
     * the driver's equality compare can express. The raw-estimate form
     * is one agg away and the spec checks it independently. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_suppkey"), 0.01).as("a_supp"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("a_part"),
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(col("l_partkey")).as("n_part"))
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // Two aggregations + a 3-row broadcast join, NOT one mixed agg:
+    // combining count(DISTINCT) with HLL sketches in a single
+    // aggregate puts the sketches downstream of the distinct-rewrite's
+    // Expand (x3 rows through every HLL update) — measured 6.5 s vs
+    // 2.2 + 1.7 s for the split form at sf0.1.
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(col("l_partkey")).as("n_part"))
+    val approx = li.groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_suppkey"), 0.01).as("a_supp"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("a_part"))
+    exact.join(broadcast(approx), Seq("l_returnflag"))
       .select(
         col("l_returnflag"), col("n_supp"), col("n_part"),
         (abs(col("a_supp") - col("n_supp")) <= col("n_supp") * 0.05).as("supp_within_5pct"),
         (abs(col("a_part") - col("n_part")) <= col("n_part") * 0.05).as("part_within_5pct"))
+  }
 
   /** SQL FILTER-clause aggregation — per-predicate conditional
     * aggregates in one pass (same plan shape as the CASE WHEN form,

@@ -108,8 +108,19 @@ object HydroPipeline {
     * of the two variable streams (mergeReduce, mapreduce.js:52-99 +
     * the shared `out:{reduce:'joined'}`, mongodb.js:96-115), expressed
     * as ONE conditional aggregation: a single shuffle on siteCode,
-    * partial (map-side) aggregation included. */
-  def mergeSites(features: DataFrame): DataFrame = {
+    * partial (map-side) aggregation included.
+    *
+    * Decomposed as [[sitePartials]] → [[reduceStates]] →
+    * [[finalizeState]]; the middle stage is associative + idempotent,
+    * which is what makes the incremental [[mergeStates]] /
+    * [[upsertMergedState]] re-reduce path possible. */
+  def mergeSites(features: DataFrame): DataFrame =
+    finalizeState(reduceStates(sitePartials(features)))
+
+  /** O11 stage 1: one mergeable state row per input feature — every
+    * aggregate input paired with the ordering key that will pick the
+    * per-site winner. */
+  private def sitePartials(features: DataFrame): DataFrame = {
     val varCode = arrHead(col("properties.variables")).getField("variableCode")
     val var0 = arrHead(col("properties.variables"))
     // min_by on a total ordering key instead of first(ignoreNulls):
@@ -150,19 +161,87 @@ object HydroPipeline {
         when(varCode === StreamFlowCode, ordKey).as("flow_key"),
         when(varCode === GageHeightCode, var0).as("gage_var"),
         when(varCode === GageHeightCode, ordKey).as("gage_key"))
+  }
+
+  /** O11 stage 2: reduce state rows to one per site, KEEPING the
+    * winning ordering keys. Because every value travels with its key,
+    * and raw partials and reduced states share one schema, the
+    * reduction is associative and idempotent: any mix of
+    * already-reduced states and fresh partials reduces to exactly the
+    * one-shot aggregation over all underlying features. (The
+    * reference's re-reduce is neither: re-running it throws,
+    * mapreduce.js:62-63.) One shuffle on siteCode with map-side
+    * partial aggregation. */
+  private def reduceStates(state: DataFrame): DataFrame =
+    state
       .groupBy(col("siteCode"))
       .agg(
         min_by(col("geometry"), col("ord_key")).as("geometry"),
         min_by(col("record"), col("ord_key")).as("record"),
         min_by(col("site"), col("ord_key")).as("site"),
         min_by(col("srs"), col("ord_key")).as("srs"),
-        min_by(col("flow_var"), col("flow_key")).as("streamFlow"),
-        min_by(col("gage_var"), col("gage_key")).as("gageHeight"))
-      .select(
-        col("geometry"),
-        struct(
-          col("record"), col("site"), col("srs"), col("siteCode"),
-          col("streamFlow"), col("gageHeight")).as("properties"))
+        min(col("ord_key")).as("ord_key"),
+        min_by(col("flow_var"), col("flow_key")).as("flow_var"),
+        min(col("flow_key")).as("flow_key"),
+        min_by(col("gage_var"), col("gage_key")).as("gage_var"),
+        min(col("gage_key")).as("gage_key"))
+
+  /** O11 stage 3: project the mergeable state to the published merged
+    * shape (drops the ordering keys). Public because it is the read
+    * side of the incremental API: persist [[mergeSitesState]] output,
+    * re-reduce with [[mergeStates]], finalize for consumers. */
+  def finalizeState(state: DataFrame): DataFrame =
+    state.select(
+      col("geometry"),
+      struct(
+        col("record"), col("site"), col("srs"), col("siteCode"),
+        col("flow_var").as("streamFlow"),
+        col("gage_var").as("gageHeight")).as("properties"))
+
+  /** Mergeable per-site state of a feature batch — persist THIS (not
+    * the finalized shape) to keep the merge continuously updatable. */
+  def mergeSitesState(features: DataFrame): DataFrame =
+    reduceStates(sitePartials(features))
+
+  /** Re-reduce: combine existing per-site state with another state
+    * batch. This is the reference's `out:{reduce:'joined'}` semantic
+    * (mongodb.js:96-115) made associative and idempotent — merging a
+    * batch twice, or in any grouping or order, yields the same state.
+    *
+    * Scale: cost is one shuffle over |state| + |increment| rows (one
+    * row per known site plus the new batch's rows) — NOT a recompute
+    * over every feature ever ingested. */
+  def mergeStates(state: DataFrame, more: DataFrame): DataFrame =
+    reduceStates(state.unionByName(more))
+
+  /** Published (finalized) view of a persisted state table. */
+  def mergedFromState(spark: SparkSession, statePath: String): DataFrame =
+    finalizeState(spark.read.parquet(statePath))
+
+  /** Continuously-updatable merged table on parquet: re-reduce the
+    * persisted state with a fresh feature batch and swap the state
+    * directory (write-to-staging + rename — the plain-filesystem
+    * analog of a table-format MERGE INTO; a transactional format
+    * would slot in here). Safe to re-run with the same batch: the
+    * re-reduce is idempotent. */
+  def upsertMergedState(spark: SparkSession, statePath: String,
+                        freshFeatures: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fresh = mergeSitesState(freshFeatures)
+    val path = new Path(statePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (fs.exists(path)) mergeStates(spark.read.parquet(statePath), fresh)
+      else fresh
+    val staging = new Path(statePath + ".staging")
+    next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val retired = new Path(statePath + ".old")
+    if (fs.exists(retired)) fs.delete(retired, true)
+    if (fs.exists(path) && !fs.rename(path, retired))
+      throw new java.io.IOException(s"could not retire $path")
+    if (!fs.rename(staging, path))
+      throw new java.io.IOException(s"could not publish $staging to $path")
+    fs.delete(retired, true)
   }
 
   /** O13: collapse to a single FeatureCollection-style document
