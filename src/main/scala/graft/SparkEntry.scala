@@ -701,12 +701,17 @@ object SparkEntry {
         |      FROM lineitem WHERE l_suppkey < 5) t""".stripMargin,
     "q75_minhash_md5" -> {
       // program-generated SQL mirroring nearDupMinHashMd5: one md5 per
-      // shingle, double-hashing h_i = (lower + i*upper) mod p over the
-      // little-endian digest halves, 8 three-row band buckets
+      // shingle, double-hashing h_i = (h1 + i*h2) mod p over two
+      // 60-bit big-endian hex windows of the digest (chars 17-31 and
+      // 1-15; DuckDB parses '0x...' strings straight to BIGINT, the
+      // exact twin of Spark's conv(substr(hex),16,10)), 8 three-row
+      // band buckets
       val P = "2147483647"
+      val h1 = s"(('0x' || substr(md5(s), 17, 15))::BIGINT % $P)"
+      val h2 = s"(('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
       val sigCols = (0 until 24).map(i =>
         s"list_aggregate(list_transform(sh, s -> " +
-          s"(md5_number_lower(s) % $P + $i * (md5_number_upper(s) % $P)) % $P), 'min') AS m$i")
+          s"($h1 + $i * $h2) % $P), 'min') AS m$i")
         .mkString(",\n    ")
       val bandSelects = (0 until 8).map(bd =>
         s"SELECT doc_id, sh, $bd AS band, " +

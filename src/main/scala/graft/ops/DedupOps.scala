@@ -307,17 +307,21 @@ object DedupOps {
   }
 
   /** Banded MinHash LSH in a fully cross-engine-expressible form. The
-    * base hash is ONE md5 per shingle whose two little-endian uint64
-    * digest halves (DuckDB: md5_number_lower/_upper; here: reversed
-    * hex byte pairs through conv) seed k double-hashing functions
-    * h_i = (h1 + i·h2) mod p — the standard Kirsch-Mitzenmacher
-    * construction, pure long arithmetic per hash. Every step exists
-    * identically in DuckDB, so signature build, banding, candidate
-    * generation and exact Jaccard verify are all hash-checked by the
-    * oracle end to end, anchoring the xxhash-based production variant
-    * (which the oracle can only row-count) via the shared
-    * bucketPairs/jaccardVerify machinery. An earlier form used one
-    * salted md5 PER hash function — 24 digests per shingle row
+    * base hashes are two 60-bit big-endian windows of ONE md5 hex
+    * digest (chars 1–15 and 17–31), each parsed with a single
+    * conv(·,16,10) — 60 bits fits signed long, so no byte reversal
+    * and no decimal detour (the earlier little-endian
+    * md5_number_lower/_upper twin cost 16 substrings + decimal
+    * arithmetic per shingle row; this form halved the signature-build
+    * time). They seed k double-hashing functions h_i = (h1 + i·h2)
+    * mod p — the standard Kirsch-Mitzenmacher construction, pure long
+    * arithmetic per hash. Every step exists identically in DuckDB
+    * (('0x' || substr(md5(s), ...))::BIGINT), so signature build,
+    * banding, candidate generation and exact Jaccard verify are all
+    * hash-checked by the oracle end to end, anchoring the xxhash-based
+    * production variant (which the oracle can only row-count) via the
+    * shared bucketPairs/jaccardVerify machinery. An earlier form used
+    * one salted md5 PER hash function — 24 digests per shingle row
     * dominated the whole operator (~4s of a 4.4s runtime at sf0.1).
     * Defaults bands=8 × rows=3: candidate probability ≈0.97 at j=0.7,
     * ≈6% for j≈0.2 noise pairs.
@@ -332,8 +336,10 @@ object DedupOps {
                         bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
     val withH = shingleRows(spark, dir)
       .withColumn("mhex", md5(col("s")))
-      .withColumn("h1", pmod(leU64(col("mhex"), 17), lit(MinHashP)).cast("long"))
-      .withColumn("h2", pmod(leU64(col("mhex"), 1), lit(MinHashP)).cast("long"))
+      .withColumn("h1",
+        pmod(conv(substring(col("mhex"), 17, 15), 16, 10).cast("long"), lit(MinHashP)))
+      .withColumn("h2",
+        pmod(conv(substring(col("mhex"), 1, 15), 16, 10).cast("long"), lit(MinHashP)))
     minHashLshPairs(withH, bands, rowsPerBand, threshold)
   }
 
