@@ -97,6 +97,8 @@ object SparkEntry {
     "q77_dedup_survivors"  -> ((s, d) => TextOps.dedupSurvivors(s, d)),
     "q78_corpus_filter"    -> ((s, d) => TextOps.corpusFilter(s, d)),
     "q79_null_semantics"   -> ((s, d) => RelationalExt.nullSemantics(s, d)),
+    "q80_repetition"       -> ((s, d) => TextOps.repetitionStats(s, d)),
+    "q81_quantize_int8"    -> ((s, d) => SimilarityOps.quantizeInt8(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -792,5 +794,45 @@ object SparkEntry {
         |SELECT CAST(label AS INTEGER) AS label, CAST(dim AS BIGINT) AS dim,
         | round(avg(v), 6) AS mean, count(*) AS n
         |FROM flat GROUP BY 1, 2""".stripMargin,
+    // q80: the `repetitive` flag compares the RAW ratio (one IEEE
+    // division, bit-identical cross-engine); top_frac is the
+    // floor-rounded display twin.
+    "q80_repetition" ->
+      s"""WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+        |                          i -> w[i + 1] || ' ' || w[i + 2])) AS bigram
+        |  FROM ws WHERE len(w) >= 2),
+        |bg AS (SELECT doc_id, bigram, count(*) AS n FROM pairs GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |               max(n) AS top_n
+        |        FROM bg GROUP BY 1)
+        |SELECT doc_id, n_bigrams, top_n,
+        | ${TextOps.roundAtSql("CAST(top_n AS DOUBLE) / n_bigrams", 6)} AS top_frac,
+        | CAST(top_n AS DOUBLE) / n_bigrams > 0.18 AS repetitive
+        |FROM agg""".stripMargin,
+    // q81: identical IEEE expression structure on both sides —
+    // floor((x-mn)/((mx-mn)/255.0) + 0.5) — so the integer
+    // observables hash-match exactly.
+    "q81_quantize_int8" ->
+      s"""WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |st AS (SELECT vec_id, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+        |qv AS (
+        |  SELECT e.vec_id, s.mn, s.mx,
+        |    CASE WHEN s.mx > s.mn
+        |         THEN CAST(floor((e.x - s.mn) / ((s.mx - s.mn) / 255.0) + 0.5) AS BIGINT)
+        |         ELSE 0 END AS q
+        |  FROM ex e JOIN st s USING (vec_id))
+        |SELECT vec_id, count(*) AS n_dims,
+        | CAST(sum(q) AS BIGINT) AS q_sum,
+        | min(q) AS q_min, max(q) AS q_max,
+        | ${TextOps.roundAtSql("(max(mx) - max(mn)) / 255.0", 9)} AS scale
+        |FROM qv GROUP BY vec_id""".stripMargin,
   )
 }

@@ -103,6 +103,44 @@ object SimilarityOps {
       .select(col("label").cast("int").as("label"), col("pos").cast("bigint").as("dim"),
         col("mean"), col("n"))
 
+  /** Affine int8 quantization of the embedding column — the standard
+    * 4× compression step before shipping vectors to an ANN index or
+    * training shards: per-vector scale = (max−min)/255, each
+    * component mapped to floor((x−min)/scale + 0.5) ∈ [0,255].
+    *
+    * Exposed observables are integer-exact (quantized-value sum and
+    * extremes) plus the floor-rounded scale, so the DuckDB oracle
+    * replays the identical IEEE arithmetic — every double op here is
+    * a single deterministic expression on both engines. Constant
+    * vectors (max = min) quantize to all-zeros rather than dividing
+    * by zero.
+    *
+    * Scale: posexplode → per-vector min/max → broadcast join back →
+    * narrow quantize map → per-vector sum; both aggregations shuffle
+    * on vec_id, and AQE collapses the tiny stats side to a broadcast.
+    * (A transform() HOF would avoid the explode but runs interpreted;
+    * the exploded form keeps the arithmetic in codegen — cf. the
+    * MinHash signature build.) */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("col").cast("double").as("x"))
+    val stats = exploded.groupBy(col("vec_id"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val q = when(col("mx") > col("mn"),
+      floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / 255.0) + 0.5)
+        .cast("bigint")).otherwise(0L)
+    exploded.join(broadcast(stats), Seq("vec_id"))
+      .select(col("vec_id"), col("mn"), col("mx"), q.as("q"))
+      .groupBy(col("vec_id"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("q")).as("q_sum"),
+        min(col("q")).as("q_min"),
+        max(col("q")).as("q_max"),
+        TextOps.roundAt((max(col("mx")) - max(col("mn"))) / 255.0, 9).as("scale"))
+  }
+
   /** ANN top-k: hyperplane-bucket candidates with multi-probe (the
     * query probes its own bucket plus every bucket at Hamming
     * distance 1 — the standard recall/cost knob), exact cosine rerank

@@ -219,4 +219,37 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
+
+  /** Gopher-style repetition filter: the fraction of a document's
+    * bigrams taken by its single most frequent bigram (Rae et al.
+    * 2021 §A1.1 use "top 2-gram fraction > 0.18" as a removal rule —
+    * boilerplate and templated spam score high, prose low).
+    *
+    * The repetitive flag compares the RAW ratio on both engines (one
+    * IEEE division — bit-identical), so the oracle checks the filter
+    * decision itself, not a rounded proxy; top_frac is floor-rounded
+    * for display parity only.
+    *
+    * Scale: the window's doc_id shuffle is reused by both groupBys
+    * (same key), so this is one exchange + two partial-agg stages on
+    * (doc, bigram) cardinality — no corpus-wide hotspot, no skew
+    * beyond the longest single document. Docs with fewer than two
+    * words have no bigrams and drop out (nothing to score). */
+  def repetitionStats(spark: SparkSession, dir: String,
+                      maxTopFrac: Double = 0.18): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val frac = col("top_n").cast("double") / col("n_bigrams")
+    wordRows(spark, dir)
+      .select(col("doc_id"), col("word").as("w0"),
+        lead(col("word"), 1).over(w).as("w1"))
+      .filter(col("w1").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("w0"), col("w1")).as("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_n"),
+        roundAt(frac, 6).as("top_frac"),
+        (frac > maxTopFrac).as("repetitive"))
+  }
 }
