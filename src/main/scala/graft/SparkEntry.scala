@@ -300,14 +300,13 @@ object SparkEntry {
         |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
         |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
-    // q27: full cross-engine SimHash. The token hash is the signed view
-    // of md5_number_lower (two's-complement wrap), bit votes via
-    // arithmetic shift + mask (sign-extension never reaches the masked
-    // bit), sign packing into two 32-bit halves (DuckDB raises on
-    // BIGINT 1<<63, and UBIGINT<<63 binds to the same checked BIGINT
-    // shift — two half-words need at most 1<<31), Hamming via
-    // xor + bit_count summed over the halves. Banding is omitted on
-    // purpose: by pigeonhole the 4×16-bit banding finds EXACTLY the
+    // q27: full cross-engine SimHash. The 60-bit token hash is one
+    // big-endian hex window of md5 parsed to BIGINT (same
+    // construction as q75's base hashes) — 60 bits keeps the value
+    // and every 1<<i pack inside positive BIGINT range, so the sign
+    // packing is a single bit_or (DuckDB raises on BIGINT 1<<63, the
+    // reason for not using all 64 bits). Banding is omitted on
+    // purpose: by pigeonhole the 4×15-bit banding finds EXACTLY the
     // pairs at Hamming ≤ 3, so the all-pairs form is semantically
     // identical and trivial at oracle scale.
     "q27_neardup_simhash" ->
@@ -316,24 +315,20 @@ object SparkEntry {
         |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
         |  FROM documents),
         |th AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN md5_number_lower(tok) >= 9223372036854775808
-        |         THEN CAST(md5_number_lower(tok) AS HUGEINT) - 18446744073709551616
-        |         ELSE CAST(md5_number_lower(tok) AS HUGEINT) END AS BIGINT) AS h
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 17, 15))::BIGINT AS h
         |  FROM toks),
         |bits AS (
         |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS b
-        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i)
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i)
         |  GROUP BY doc_id, i),
         |sh AS (
         |  SELECT doc_id,
-        |    bit_or(CASE WHEN b > 0 AND i < 32 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS lo,
-        |    bit_or(CASE WHEN b > 0 AND i >= 32 THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INTEGER) ELSE 0 END) AS hi
+        |    bit_or(CASE WHEN b > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS simhash
         |  FROM bits GROUP BY doc_id)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3""".stripMargin,
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q28_neardup_embedding" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -241,16 +241,6 @@ object DedupOps {
 
   private val MinHashP = 2147483647L // Mersenne prime 2^31-1
 
-  /** Little-endian uint64 of the 8 md5-digest bytes starting at
-    * 1-based hex char `start`: reversed byte pairs, parsed as unsigned
-    * via conv (exceeds Long for high bytes — go through
-    * decimal(20,0)). start=1 ↔ DuckDB md5_number_upper, start=17 ↔
-    * md5_number_lower — the mapping q75's hash-matching oracle proves
-    * end to end. */
-  private def leU64(hex: Column, start: Int): Column =
-    conv(concat((0 until 8).reverse.map(b =>
-      substring(hex, start + 2 * b, 2)): _*), 16, 10).cast("decimal(20,0)")
-
   /** Shared banded-LSH tail for the MinHash variants: a
     * Kirsch-Mitzenmacher double-hashing signature build
     * h_i = (h1 + i·h2) mod p over two base-hash columns of the
@@ -347,51 +337,47 @@ object DedupOps {
   // SimHash near-dup
   // ---------------------------------------------------------------
 
-  /** Signed-long view of the little-endian uint64 at md5-digest bytes
-    * 8..15 — the exact bit pattern of DuckDB's md5_number_lower cast
-    * to BIGINT with two's-complement wrap-around. Cross-engine: every
-    * downstream bit operation (shift+mask extraction, xor, bit_count)
-    * sees identical bits in both engines, signedness notwithstanding. */
-  private def md5SignedLe64(s: Column): Column = {
-    val ub = leU64(md5(s), 17) // decimal(20,0), unsigned value
-    when(ub >= lit(BigDecimal("9223372036854775808")),
-      ub - lit(BigDecimal("18446744073709551616"))).otherwise(ub).cast("long")
-  }
-
-  /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 across
+  /** 60-bit SimHash of the token multiset: per bit, sum +1/-1 across
     * token hashes, pack sign bits. Computed with one explode +
-    * 64 conditional sums (all codegen'd; no UDF).
+    * 60 conditional sums (all codegen'd; no UDF).
     *
-    * The token hash is the md5-derived 64-bit value rather than
-    * xxhash64 so the WHOLE pipeline — tokenize, hash, bit votes,
-    * sign packing, band collision, Hamming verify — has an exact
-    * DuckDB twin (md5_number_lower + >>/&/xor/bit_count) and q27 is
-    * hash-checked end to end. Swapping xxhash64 back in is a one-line
-    * production change; the md5 cost lands on the one
-    * explode-side scan and does not change the plan shape. */
+    * The token hash is a 60-bit big-endian window of the md5 hex
+    * digest (chars 17–31 through one conv — the same construction as
+    * the MinHash base hashes) rather than xxhash64, so the WHOLE
+    * pipeline — tokenize, hash, bit votes, sign packing, band
+    * collision, Hamming verify — has an exact DuckDB twin
+    * (('0x'||substr)::BIGINT + >>/&/xor/bit_count) and q27 is
+    * hash-checked end to end. 60 bits keeps every value (and every
+    * 1<<i pack) inside positive BIGINT range on both engines; the
+    * 4-bit width loss is immaterial for Hamming-3 near-dup. Swapping
+    * xxhash64 back in is a one-line production change. */
+  val SimHashBits = 60
+
   def simHashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")).as("tok"))
-      .withColumn("h", md5SignedLe64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("h", conv(substring(md5(col("tok")), 17, 15), 16, 10).cast("long"))
+    val bitSums = (0 until SimHashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map { i =>
+        (0 until SimHashBits).map { i =>
           when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
         }.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
-  /** SimHash near-dup: candidates collide on any of 4 16-bit bands
+  /** SimHash near-dup: candidates collide on any of 4 15-bit bands
     * (finds all pairs within Hamming distance 3 by pigeonhole), then
     * exact Hamming verify via xor + bit_count. */
   def nearDupSimHash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     val sh = simHashes(spark, dir)
+    val bandBits = SimHashBits / 4
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(bd =>
-        shiftright(col("simhash"), bd * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("simhash"), bd * bandBits)
+          .bitwiseAND((1L << bandBits) - 1)): _*)))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
