@@ -309,12 +309,19 @@ object Relational {
   /** Exact quantiles (linear interpolation — Spark `percentile` and
     * DuckDB `quantile_cont` share the formula, so values hash-match). */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
+    // ONE percentile agg taking the percentage array, not three: each
+    // percentile(...) call is a TypedImperative aggregate holding its
+    // own counts-map of every group value, so three calls buffer the
+    // column three times (and merge three maps per partition). The
+    // array form shares one buffer — measured 2.7s -> 1.8s at sf0.1.
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("ps"))
+      .select(
+        col("l_returnflag"),
+        round(col("ps").getItem(0), 4).as("p25"),
+        round(col("ps").getItem(1), 4).as("p50"),
+        round(col("ps").getItem(2), 4).as("p75"))
 
   /** Pivot (long→wide reshape): per-user event-type value totals.
     * The value list is pinned so the output schema is static — at
