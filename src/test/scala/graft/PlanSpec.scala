@@ -66,6 +66,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(RelationalExt.statsAgg(spark, sf)).contains("partial_stddev_samp"))
   }
 
+  test("int8 quantization: per-vector stats join back as a broadcast") {
+    val p = plan(SimilarityOps.quantizeInt8(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "stats side must broadcast, not shuffle the exploded corpus")
+  }
+
+  test("repetition filter: one exchange feeds window and both aggregations") {
+    // wordRows' repartition(doc_id) satisfies the window and the
+    // (doc_id, bigram) and (doc_id) groupBys (subset-clustering), so
+    // the whole operator is a single shuffle
+    val df = TextOps.repetitionStats(spark, sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.linesIterator.count(_.contains("Exchange")) == 1,
+      "repetition stats must shuffle exactly once")
+  }
+
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
     val feats = graft.pipeline.HydroPipeline.toFeatures(
       graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml"))
