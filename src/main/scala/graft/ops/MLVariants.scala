@@ -77,7 +77,7 @@ object MLVariants {
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     assigned
-      .filter(col("cluster").isin(probes.map(Integer.valueOf): _*) &&
+      .filter(col("cluster").isin(probes.toIndexedSeq.map(Integer.valueOf): _*) &&
         col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))

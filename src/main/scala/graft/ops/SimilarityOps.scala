@@ -72,7 +72,7 @@ object SimilarityOps {
       val dot = aggregate(
         zip_with(
           col("embedding"),
-          array(ps(p).map(v => lit(v)): _*),
+          array(ps(p).toIndexedSeq.map(v => lit(v)): _*),
           (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
       when(dot > 0, shiftleft(lit(1), p)).otherwise(0)
