@@ -99,6 +99,9 @@ object SparkEntry {
     "q79_null_semantics"   -> ((s, d) => RelationalExt.nullSemantics(s, d)),
     "q80_repetition"       -> ((s, d) => TextOps.repetitionStats(s, d)),
     "q81_quantize_int8"    -> ((s, d) => SimilarityOps.quantizeInt8(s, d)),
+    "q82_stratified_sample"-> ((s, d) => RelationalExt.stratifiedSample(s, d)),
+    "q83_shard_packing"    -> ((s, d) => TextOps.shardPacking(s, d)),
+    "q84_unigram_logprob"  -> ((s, d) => TextOps.unigramLogProb(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -829,5 +832,40 @@ object SparkEntry {
         | min(q) AS q_min, max(q) AS q_max,
         | ${TextOps.roundAtSql("(max(mx) - max(mn)) / 255.0", 9)} AS scale
         |FROM qv GROUP BY vec_id""".stripMargin,
+    // q82: hash-deterministic stratified sampling — the oracle checks
+    // exact sample membership (seeded-random sampleBy never could).
+    "q82_stratified_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM lineitem
+        |WHERE ('0x' || substr(md5(concat_ws('_', l_orderkey, l_linenumber)), 1, 4))::BIGINT % 1000
+        |      < CASE l_returnflag WHEN 'A' THEN 200 WHEN 'N' THEN 50
+        |                          WHEN 'R' THEN 500 ELSE 0 END""".stripMargin,
+    // q83: shard boundaries are floor((cum-n)/4096) — 4096 is a power
+    // of two, so the double division is exact and the ids hash-match.
+    "q83_shard_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens,
+        | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
+        |FROM c""".stripMargin,
+    "q84_unigram_logprob" ->
+      s"""WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |wf AS (SELECT doc_id, word FROM words WHERE word <> ''),
+        |freq AS (SELECT word, count(*) AS wn FROM wf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(wn) AS BIGINT) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | ${TextOps.roundAtSql("avg(ln(CAST(wn AS DOUBLE) / total))", 6)} AS avg_logprob
+        |FROM wf JOIN freq USING (word) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
   )
 }

@@ -192,6 +192,30 @@ object RelationalExt {
       .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** Deterministic stratified sampling: per-stratum rates over a hash
+    * of the row key — the class-rebalancing step of a training-data
+    * pipeline (downsample the dominant class, keep the rare one)
+    * without `sampleBy`'s seeded randomness, so the sample is stable
+    * across runs, engines, partitionings, AND cluster sizes, and the
+    * oracle checks the exact membership. The hash is a 16-bit md5
+    * window mod 1000 compared against per-mille rates (the q75-style
+    * hex-window parse, one conv). Scale: a pure narrow filter —
+    * rates broadcast as a literal CASE, nothing shuffles. */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       perMille: Map[String, Int] =
+                         Map("A" -> 200, "N" -> 50, "R" -> 500)): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))), 1, 4), 16, 10)
+        .cast("long"),
+      lit(1000L))
+    val rate = perMille.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col("l_returnflag") === k, lit(v)).otherwise(acc)
+    }
+    Tables.lineitem(spark, dir)
+      .filter(bucket < rate)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+  }
+
   /** Array function family over derived word lists: distinct count,
     * sorted slice join, membership, and max element — every step a
     * codegen'd collection expression, flattened to scalars so the

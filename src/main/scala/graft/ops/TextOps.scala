@@ -220,6 +220,56 @@ object TextOps {
       .filter(col("n") >= minCount)
   }
 
+  /** Token-budget shard packing: assign documents to training shards
+    * so each shard holds ~`budget` whitespace tokens, packing in
+    * doc_id order WITHIN each source stream. shard_id =
+    * floor((cum_tokens − n_tokens) / budget): a document starts a new
+    * shard once the tokens before it fill the current one (oversized
+    * documents own their shard and bleed into the next boundary —
+    * the standard streaming-pack approximation, deterministic and
+    * SQL-expressible).
+    *
+    * Scale: packing is per-source (partitionBy(source) window), so
+    * the cumulative sum parallelizes across streams instead of
+    * serializing the corpus through one global ordering — exactly how
+    * a 100 TB corpus shards in practice (each ingest stream packs
+    * independently); one shuffle on source. */
+  def shardPacking(spark: SparkSession, dir: String, budget: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget).cast("bigint"))
+  }
+
+  /** Unigram log-probability scoring — the cheap stand-in for an
+    * n-gram LM perplexity filter: score(doc) = mean over tokens of
+    * ln(count(word) / corpus_tokens). Templated/boilerplate text
+    * scores high (common words), gibberish scores low — the classic
+    * KenLM-style quality signal, here fully relational.
+    *
+    * Scale: corpus frequencies are vocabulary-sized — broadcast onto
+    * the word stream (same justification as tf-idf's df side); the
+    * corpus total rides along inside the broadcast rather than as a
+    * second driver-side scalar. One wide shuffle on word for the
+    * frequency build, one doc_id-partial aggregate for the mean. */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = wordRows(spark, dir)
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .withColumn("total", sum(col("wn")).over(
+        Window.partitionBy()))
+    words.join(broadcast(freq), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        roundAt(avg(log(col("wn").cast("double") / col("total"))), 6).as("avg_logprob"))
+  }
+
   /** Gopher-style repetition filter: the fraction of a document's
     * bigrams taken by its single most frequent bigram (Rae et al.
     * 2021 §A1.1 use "top 2-gram fraction > 0.18" as a removal rule —

@@ -36,6 +36,20 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample hits each stratum near its configured rate") {
+    val base = Tables.lineitem(spark, sf).groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = RelationalExt.stratifiedSample(spark, sf)
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Map("A" -> 0.20, "N" -> 0.05, "R" -> 0.50)
+    want.foreach { case (k, rate) =>
+      val actual = got.getOrElse(k, 0L).toDouble / base(k)
+      assert(math.abs(actual - rate) < 0.03,
+        s"stratum $k sampled at $actual, configured $rate")
+    }
+  }
+
   test("sliding 1h/30m window holds every event exactly twice") {
     val nEvents = Tables.events(spark, sf).count()
     val windowed = RelationalExt.slidingWindow(spark, sf)
