@@ -100,6 +100,7 @@ object SparkEntry {
     "q80_repetition"       -> ((s, d) => TextOps.repetitionStats(s, d)),
     "q81_quantize_int8"    -> ((s, d) => SimilarityOps.quantizeInt8(s, d)),
     "q82_stratified_sample"-> ((s, d) => RelationalExt.stratifiedSample(s, d)),
+    "q85_session_window"   -> ((s, d) => graft.streaming.EventStream.sessionizeNative(s, d)),
     "q83_shard_packing"    -> ((s, d) => TextOps.shardPacking(s, d)),
     "q84_unigram_logprob"  -> ((s, d) => TextOps.unigramLogProb(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
@@ -867,5 +868,25 @@ object SparkEntry {
         | ${TextOps.roundAtSql("avg(ln(CAST(wn AS DOUBLE) / total))", 6)} AS avg_logprob
         |FROM wf JOIN freq USING (word) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    // q85: session_window's end bound is EXCLUSIVE (last event + gap),
+    // so an event landing exactly `gap` after its predecessor starts a
+    // NEW session — hence `>=` in the twin's new-session flag where
+    // q33's gaps-and-islands uses `>`, and session_evict = max(ts) + gap.
+    "q85_session_window" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                        + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id,
+        | min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_evict,
+        | count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
   )
 }

@@ -85,6 +85,25 @@ object EventStream {
         round(sum(col("value")), 4).as("total_value"))
   }
 
+  /** Native session-window sessionization — Spark's built-in
+    * `session_window(ts, gap)` instead of the hand-rolled
+    * gaps-and-islands of [[sessionizeBatch]]: the same dynamic-gap
+    * merge runs as ONE aggregation operator (and, on a stream with a
+    * watermark, under incremental execution with state merging —
+    * the engine-native path where [[sessionize]] is the
+    * custom-state teaching form). `session_window.end` is
+    * last-event + gap (the eviction bound), NOT max(ts) — the DuckDB
+    * twin mirrors it as max(ts) + INTERVAL gap. */
+  def sessionizeNative(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_evict"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup: drops rows whose `event_id` was already
     * seen within the watermark horizon. State is one entry per
     * distinct key and is evicted once the watermark passes its event
