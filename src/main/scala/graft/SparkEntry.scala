@@ -101,6 +101,7 @@ object SparkEntry {
     "q81_quantize_int8"    -> ((s, d) => SimilarityOps.quantizeInt8(s, d)),
     "q82_stratified_sample"-> ((s, d) => RelationalExt.stratifiedSample(s, d)),
     "q85_session_window"   -> ((s, d) => graft.streaming.EventStream.sessionizeNative(s, d)),
+    "q86_unpivot"          -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "q83_shard_packing"    -> ((s, d) => TextOps.shardPacking(s, d)),
     "q84_unigram_logprob"  -> ((s, d) => TextOps.unigramLogProb(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
@@ -888,5 +889,17 @@ object SparkEntry {
         | max(ts) + INTERVAL 30 MINUTE AS session_evict,
         | count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    "q86_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        |FROM lineitem WHERE l_suppkey < 5
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_suppkey < 5
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_suppkey < 5
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
   )
 }

@@ -332,6 +332,19 @@ object Relational {
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(round(sum(col("value")), 2))
 
+  /** Unpivot / melt — the inverse reshape of [[pivotEvents]]: the four
+    * lineitem measures as (keys, measure, value) rows via Spark's
+    * native `unpivot`. Plans as one Expand (4 output rows per input)
+    * fused into the scan stage — no shuffle, no UDF; the oracle twin
+    * is the portable UNION ALL form. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") < 5)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+
   /** Explode / flatten: corpus word frequencies (the unnest twin). */
   def wordCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
