@@ -9,6 +9,53 @@ class SimilarityDedupSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
   import spark.implicits._
 
+  test("int8 quantization round-trips every component within half a step") {
+    // the oracle replays the same formula, so fidelity needs an
+    // independent check: dequantized mn + q*scale must sit within
+    // scale/2 of the original component (the defining property of an
+    // affine 8-bit code)
+    val raw = Tables.embeddings(spark, sf).filter($"vec_id" < 50)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val qmeta = SimilarityOps.quantizeInt8(spark, sf).filter($"vec_id" < 50).collect()
+    assert(qmeta.nonEmpty)
+    qmeta.foreach { r =>
+      val (id, nDims) = (r.getLong(0), r.getLong(1))
+      val emb = raw(id)
+      assert(nDims == emb.length)
+      val mn = emb.min; val mx = emb.max
+      val scale = (mx - mn) / 255.0
+      if (scale > 0) {
+        val qs = emb.map(x => math.floor((x - mn) / scale + 0.5))
+        // recomputed codes must reproduce the gate's integer observables
+        assert(qs.sum.toLong == r.getLong(2), s"vec $id q_sum")
+        assert(qs.min.toLong == r.getLong(3) && qs.max.toLong == r.getLong(4))
+        // and dequantization is faithful to half a step
+        emb.zip(qs).foreach { case (x, q) =>
+          assert(math.abs(mn + q * scale - x) <= scale / 2 + 1e-12,
+            s"vec $id component off by more than scale/2")
+        }
+      }
+    }
+  }
+
+  test("shard packing fills every shard boundary to its token budget") {
+    val rows = TextOps.shardPacking(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val budget = 4096L
+    rows.groupBy(_._1).foreach { case (source, docs) =>
+      val inOrder = docs.sortBy(_._2)
+      // shard ids never decrease along the stream
+      assert(inOrder.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      inOrder.foreach { case (_, _, n, cum, shard) =>
+        val before = cum - n
+        // tokens before a doc bound its shard id exactly
+        assert(before >= shard * budget && before < (shard + 1) * budget,
+          s"$source doc boundary outside its shard window")
+      }
+    }
+  }
+
   test("cosine_similarity: exact values, null and zero-norm handling") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f)),   // identical -> 1
