@@ -254,16 +254,17 @@ object TextOps {
     *
     * Scale: corpus frequencies are vocabulary-sized — broadcast onto
     * the word stream (same justification as tf-idf's df side); the
-    * corpus total rides along inside the broadcast rather than as a
-    * second driver-side scalar. One wide shuffle on word for the
-    * frequency build, one doc_id-partial aggregate for the mean. */
+    * corpus total is a 1-row aggregate attached by broadcast cross
+    * join (NOT a global window over the vocab, which would drag the
+    * whole frequency table through a single partition). One wide
+    * shuffle on word for the frequency build, one doc_id-partial
+    * aggregate for the mean. */
   def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = wordRows(spark, dir)
     val freq = words.groupBy(col("word")).agg(count(lit(1)).as("wn"))
-      .withColumn("total", sum(col("wn")).over(
-        Window.partitionBy()))
+    val total = words.agg(count(lit(1)).as("total"))
     words.join(broadcast(freq), Seq("word"))
+      .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
