@@ -81,6 +81,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window sessionizes incrementally under a watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // the same aggregation shape as EventStream.sessionizeNative, on a
+    // watermarked stream in append mode: sessions emit once the
+    // watermark passes their (exclusive) end bound
+    val sessions = input.toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_evict"), $"n_events")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("native_sess_out").start()
+    try {
+      def ts(ldt: LocalDateTime) = java.sql.Timestamp.valueOf(ldt)
+      val t0 = LocalDateTime.of(2026, 1, 1, 10, 0)
+      input.addData(
+        Event(1, ts(t0), 1L, "view", 1.0),
+        Event(2, ts(t0.plusMinutes(10)), 1L, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("native_sess_out").count() == 0) // watermark hasn't passed evict
+      input.addData(Event(3, ts(t0.plusHours(3)), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("native_sess_out").collect()
+      assert(closed.length == 1)
+      val r = closed.head
+      assert(r.getLong(0) == 1L && r.getLong(3) == 2L)
+      assert(r.getTimestamp(1) == ts(t0))
+      assert(r.getTimestamp(2) == ts(t0.plusMinutes(40))) // last event + gap
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicate event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
