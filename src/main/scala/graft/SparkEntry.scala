@@ -889,6 +889,60 @@ object SparkEntry {
         | max(ts) + INTERVAL 30 MINUTE AS session_evict,
         | count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin,
+    // q30/q40: the Rademacher hyperplane family is md5-derived
+    // (SimilarityOps.planes), so the oracle recomputes the exact same
+    // ±1 matrix and buckets. ±1 weights make each product exact in
+    // IEEE — only summation order matters, and list_sum's sequential
+    // fold already mirrors Spark's aggregate() (proven by q28/q29).
+    "q30_sim_ann_lsh" -> {
+      def sign(p: Int) =
+        s"(CASE WHEN substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)"
+      val bucket = (0 until 6).map { p =>
+        s"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * ${sign(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(label AS INTEGER) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, label, emb,
+        |      $bucket AS bucket FROM e),
+        |q AS (SELECT emb AS q_emb, bucket AS qb FROM b WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT qb AS pb FROM q
+        |  UNION ALL
+        |  SELECT xor(qb, 1 << CAST(j AS INTEGER)) FROM q, (SELECT unnest(range(6)) AS j) r),
+        |cand AS (
+        |  SELECT b.vec_id, b.label, b.emb, q.q_emb FROM b, q
+        |  WHERE b.vec_id <> 0 AND b.bucket IN (SELECT pb FROM probes)),
+        |s AS (
+        |  SELECT vec_id, label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * q_emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] * q_emb[i])))), 4) AS cos
+        |  FROM cand)
+        |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "q40_neardup_emb_lsh" -> {
+      def sign(p: Int) =
+        s"(CASE WHEN substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)"
+      val bucket = (0 until 6).map { p =>
+        s"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * ${sign(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, emb,
+        |      $bucket AS bucket FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b2.emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b2.emb) + 1), i -> b2.emb[i] * b2.emb[i])))), 4) AS cos
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35""".stripMargin
+    },
     "q86_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
         |FROM lineitem WHERE l_suppkey < 5

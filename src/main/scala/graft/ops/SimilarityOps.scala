@@ -22,12 +22,21 @@ import graft.functions.CosineSimilarity.cosineSimilarity
   */
 object SimilarityOps {
 
-  /** Deterministic pseudo-random unit-free hyperplanes (seed 42),
-    * materialized driver-side as literals — tiny (planes × dim
-    * doubles) and identical across runs. */
+  /** Deterministic Rademacher (±1) hyperplanes derived from md5 —
+    * sign(p, i) = +1 iff the first hex nibble of md5("p_i") < 8.
+    * ±1 entries are a standard sign-random-projection family (same
+    * collision-probability guarantee as Gaussian planes, Charikar
+    * 2002), and — unlike a seeded Gaussian RNG — the matrix is
+    * reproducible from ANY engine's md5, so the DuckDB oracle
+    * recomputes the exact buckets and the whole ANN/near-dup LSH
+    * pipeline is hash-checked end to end (q30/q40), not rows-only.
+    * Materialized driver-side as literals — tiny (planes × dim). */
   private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val d = md.digest(s"${p}_$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
   }
 
   /** Exact top-k by cosine against the embedding of `queryId`.
