@@ -102,6 +102,7 @@ object SparkEntry {
     "q82_stratified_sample"-> ((s, d) => RelationalExt.stratifiedSample(s, d)),
     "q85_session_window"   -> ((s, d) => graft.streaming.EventStream.sessionizeNative(s, d)),
     "q86_unpivot"          -> ((s, d) => Relational.unpivotMeasures(s, d)),
+    "q87_ivf_label"        -> ((s, d) => SimilarityOps.ivfLabelTopK(s, d)),
     "q83_shard_packing"    -> ((s, d) => TextOps.shardPacking(s, d)),
     "q84_unigram_logprob"  -> ((s, d) => TextOps.unigramLogProb(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
@@ -955,5 +956,41 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
+    // q87: the IVF mechanism under the oracle — codebook = per-label
+    // centroids (both engines average the same doubles), assignment =
+    // argmin of the sequential (x−c)² fold with (d2, label) tie-break,
+    // probes = the query's 2 nearest centroids, rerank = exact cosine.
+    "q87_ivf_label" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT label AS clabel,
+        |    unnest(range(0, len(emb))) AS pos,
+        |    unnest(emb) AS v
+        |  FROM e),
+        |cm AS (SELECT clabel, pos, avg(v) AS m FROM flat GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(m ORDER BY pos) AS cent FROM cm GROUP BY 1),
+        |ad AS (
+        |  SELECT e.vec_id, e.label, e.emb, c.clabel,
+        |    list_sum(list_transform(range(1, len(e.emb) + 1),
+        |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+        |  FROM e CROSS JOIN cent c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk FROM ad),
+        |probes AS (SELECT clabel FROM rk WHERE vec_id = 0 AND rk <= 2),
+        |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT r.vec_id, CAST(r.label AS INTEGER) AS label, r.emb, q.q_emb
+        |  FROM rk r, q
+        |  WHERE r.rk = 1 AND r.vec_id <> 0
+        |    AND r.clabel IN (SELECT clabel FROM probes)),
+        |s AS (
+        |  SELECT vec_id, label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * q_emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] * q_emb[i])))), 4) AS cos
+        |  FROM cand)
+        |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
   )
 }

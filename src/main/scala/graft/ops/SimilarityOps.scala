@@ -150,6 +150,51 @@ object SimilarityOps {
         TextOps.roundAt((max(col("mx")) - max(col("mn"))) / 255.0, 9).as("scale"))
   }
 
+  /** IVF top-k over a cross-engine-derivable codebook: the coarse
+    * quantizer is the per-label centroid table (the
+    * [[labelCentroids]] construction), so assignment, probe selection
+    * and rerank are all recomputable by the DuckDB oracle — the IVF
+    * MECHANISM (assign → probe nprobe inverted lists → exact rerank)
+    * is hash-verified end to end, anchoring the KMeans-codebook
+    * production variant (MLVariants.ivfTopK) whose centroids are
+    * mllib-private. Assignment distance is a sequential (x−c)² fold
+    * matching list_sum's order; centroid averages can differ from
+    * DuckDB's in the last ulp, which only matters on exact
+    * assignment-distance ties — label centroids are far apart by
+    * construction. In production the codebook and the rk=1
+    * assignment are persisted index state, not recomputed per query;
+    * the per-query work is nprobe lists + a k-row TakeOrdered. */
+  def ivfLabelTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                   k: Int = 10, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val cent = e.select(col("label").as("clabel"), posexplode(col("embedding")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cent"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("cent"),
+        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (a, v) => a + v)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(w))
+    val probes = assigned
+      .filter(col("vec_id") === queryId && col("rk") <= nprobe)
+      .select(col("clabel").as("probe_label"))
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    assigned.filter(col("rk") === 1 && col("vec_id") =!= queryId)
+      .join(broadcast(probes), col("clabel") === col("probe_label"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .select(col("vec_id"), col("label").cast("int").as("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k: hyperplane-bucket candidates with multi-probe (the
     * query probes its own bucket plus every bucket at Hamming
     * distance 1 — the standard recall/cost knob), exact cosine rerank

@@ -9,6 +9,16 @@ class SimilarityDedupSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
   import spark.implicits._
 
+  test("label-codebook IVF agrees with brute force on returned cosines") {
+    val bf = SimilarityOps.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val ivf = SimilarityOps.ivfLabelTopK(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      bf.get(r.getLong(0)).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
   test("int8 quantization round-trips every component within half a step") {
     // the oracle replays the same formula, so fidelity needs an
     // independent check: dequantized mn + q*scale must sit within
