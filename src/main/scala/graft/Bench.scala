@@ -70,15 +70,27 @@ object Bench {
           System.err.println(s"warmup failed for $name on $warmupDir: ${e.getMessage}")
       }
     }
+    // failed queries are recorded as -1 (never a plausible duration)
+    // and listed in the JSON + on stderr: time-to-exception must not
+    // masquerade as a fast success and deflate the gated total
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { run(fn(spark, sfDir)); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"bench query $name FAILED on $sfDir: ${e.getMessage}")
+            failed += name
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

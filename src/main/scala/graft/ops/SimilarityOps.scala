@@ -124,12 +124,15 @@ object SimilarityOps {
     * vectors (max = min) quantize to all-zeros rather than dividing
     * by zero.
     *
-    * Scale: posexplode → per-vector min/max → broadcast join back →
-    * narrow quantize map → per-vector sum; both aggregations shuffle
-    * on vec_id, and AQE collapses the tiny stats side to a broadcast.
-    * (A transform() HOF would avoid the explode but runs interpreted;
-    * the exploded form keeps the arithmetic in codegen — cf. the
-    * MinHash signature build.) */
+    * Scale: posexplode → per-vector min/max → join back on vec_id →
+    * narrow quantize map → per-vector sum. The stats table is one row
+    * PER VECTOR — corpus-sized, so it is NOT broadcast (that would
+    * ship the whole corpus to every executor at 100 TB); both join
+    * sides already hash-partition on vec_id and the exchange is
+    * shared with the aggregations, while AQE still turns the join
+    * into a broadcast at small scale. (A transform() HOF would avoid
+    * the explode but runs interpreted; the exploded form keeps the
+    * arithmetic in codegen — cf. the MinHash signature build.) */
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
     val exploded = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")))
@@ -139,7 +142,7 @@ object SimilarityOps {
     val q = when(col("mx") > col("mn"),
       floor((col("x") - col("mn")) / ((col("mx") - col("mn")) / 255.0) + 0.5)
         .cast("bigint")).otherwise(0L)
-    exploded.join(broadcast(stats), Seq("vec_id"))
+    exploded.join(stats, Seq("vec_id"))
       .select(col("vec_id"), col("mn"), col("mx"), q.as("q"))
       .groupBy(col("vec_id"))
       .agg(

@@ -227,15 +227,27 @@ object HydroPipeline {
   def upsertMergedState(spark: SparkSession, statePath: String,
                         freshFeatures: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path
-    val fresh = mergeSitesState(freshFeatures)
     val path = new Path(statePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(statePath + ".staging")
+    val retired = new Path(statePath + ".old")
+    // crash recovery: a previous run that died between its two renames
+    // leaves the last published state at `.old` and no `path`. Restore
+    // it BEFORE looking at `path`, or this run would see "no existing
+    // state" and silently publish the new batch alone — losing every
+    // previously merged site. The increment that crashed mid-publish
+    // is simply re-delivered by the caller; idempotence makes the redo
+    // safe. (A leftover `.staging` is always discarded — `path` is the
+    // only publication point.)
+    if (!fs.exists(path) && fs.exists(retired)) {
+      if (!fs.rename(retired, path))
+        throw new java.io.IOException(s"could not restore $retired to $path")
+    }
+    val fresh = mergeSitesState(freshFeatures)
     val next =
       if (fs.exists(path)) mergeStates(spark.read.parquet(statePath), fresh)
       else fresh
-    val staging = new Path(statePath + ".staging")
     next.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val retired = new Path(statePath + ".old")
     if (fs.exists(retired)) fs.delete(retired, true)
     if (fs.exists(path) && !fs.rename(path, retired))
       throw new java.io.IOException(s"could not retire $path")

@@ -181,8 +181,22 @@ object HttpObservations {
 
     private def strOrNull(n: JsonNode): String =
       if (n.isMissingNode || n.isNull) null else n.asText()
+    // NOT Jackson's asDouble(): that coerces unparseable text to 0.0
+    // silently — a "n/a" latitude would become a plausible-looking
+    // coordinate. Numeric tokens pass through; string-encoded numbers
+    // parse (as Spark's JSON datasource does for DoubleType); anything
+    // else fails the task loudly.
     private def dblOrNull(n: JsonNode): Any =
-      if (n.isMissingNode || n.isNull) null else n.asDouble()
+      if (n.isMissingNode || n.isNull) null
+      else if (n.isNumber) n.asDouble()
+      else if (n.isTextual)
+        try java.lang.Double.parseDouble(n.asText())
+        catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"non-numeric value '${n.asText()}' in a double field")
+        }
+      else throw new IllegalStateException(
+        s"unexpected ${n.getNodeType} token in a double field")
     private def objOrNull(n: JsonNode)(f: JsonNode => Row): Row =
       if (n.isMissingNode || n.isNull) null else f(n)
     private def arrOrNull(n: JsonNode)(f: JsonNode => Any): Seq[Any] =

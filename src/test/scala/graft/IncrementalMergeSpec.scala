@@ -39,6 +39,20 @@ class IncrementalMergeSpec extends AnyFunSuite {
     assert(rows(again) == rows(full))
   }
 
+  test("upsert recovers state from a crash between the publish renames") {
+    val dir = Files.createTempDirectory("merge-crash").resolve("joined").toString
+    HydroPipeline.upsertMergedState(spark, dir, chunk(0))
+    // simulate a crash that died after retiring the published state
+    // but before publishing the staging dir: the state lives only at
+    // `.old` and the increment (chunk 1) will be re-delivered
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + ".old")))
+    HydroPipeline.upsertMergedState(spark, dir, chunk(1))
+    // chunk(0)'s sites must have been restored, not silently dropped
+    val oneShot = rows(HydroPipeline.mergeSites(features))
+    assert(rows(HydroPipeline.mergedFromState(spark, dir)) == oneShot)
+  }
+
   test("parquet upsert converges to the one-shot merge and survives re-delivery") {
     val dir = Files.createTempDirectory("merge-state").resolve("joined").toString
     HydroPipeline.upsertMergedState(spark, dir, chunk(0))

@@ -66,10 +66,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan(RelationalExt.statsAgg(spark, sf)).contains("partial_stddev_samp"))
   }
 
-  test("int8 quantization: per-vector stats join back as a broadcast") {
-    val p = plan(SimilarityOps.quantizeInt8(spark, sf))
-    assert(p.contains("BroadcastHashJoin"),
-      "stats side must broadcast, not shuffle the exploded corpus")
+  test("int8 quantization: stats join shares the vec_id partitioning, no extra shuffle") {
+    // the per-vector stats table is corpus-sized, so it is NOT
+    // explicitly broadcast; both join inputs hash on vec_id, so the
+    // plan needs exactly the two exchanges that feed the stats agg and
+    // the join/output agg — a third would mean the join re-partitioned
+    val df = SimilarityOps.quantizeInt8(spark, sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"unexpected extra shuffle:\n$simple")
   }
 
   test("repetition filter: one exchange feeds window and both aggregations") {
