@@ -105,6 +105,11 @@ object SparkEntry {
     "q87_ivf_label"        -> ((s, d) => SimilarityOps.ivfLabelTopK(s, d)),
     "q83_shard_packing"    -> ((s, d) => TextOps.shardPacking(s, d)),
     "q84_unigram_logprob"  -> ((s, d) => TextOps.unigramLogProb(s, d)),
+    "q88_decontam"         -> ((s, d) => CurationOps.decontamination(s, d)),
+    "q89_dup_spans"        -> ((s, d) => CurationOps.duplicateSpans(s, d)),
+    "q90_train_order"      -> ((s, d) => CurationOps.trainingOrder(s, d)),
+    "q91_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
+    "q92_incremental_dedup"-> ((s, d) => CurationOps.incrementalDedup(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -956,6 +961,93 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
+    // q88/q89 share the full-k-gram build: range(0, greatest(len-7,0))
+    // emits exactly the len-7 full 8-grams of a >=8-word doc and
+    // nothing for shorter docs — the twin of the Spark side's
+    // lead-window build filtered on the (k-1)-ahead word.
+    "q88_decontam" ->
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 8), ' '))) AS gram
+        |  FROM w),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hits
+        |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 7) t
+        |  LEFT JOIN ev ON t.gram = ev.gram
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        | coalesce(h.n_grams, 0) AS n_grams,
+        | coalesce(h.n_hits, 0) AS n_hits,
+        | ${TextOps.roundAtSql(
+             "CAST(coalesce(h.n_hits, 0) AS DOUBLE) / greatest(coalesce(h.n_grams, 0), 1)", 6)} AS contamination,
+        | coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    "q89_dup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 8), ' '))) AS gram
+        |  FROM w)
+        |SELECT gram AS span,
+        | count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS n_occ,
+        | min(doc_id) AS first_doc
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // q90: 4 hex digits < 2^16 keep the parsed value positive, so
+    // DuckDB's % equals Spark's pmod; lowercase-hex string ordering is
+    // plain ASCII on both engines.
+    "q90_train_order" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5('ord_' || CAST(doc_id AS VARCHAR)) AS hx
+        |  FROM documents)
+        |SELECT doc_id,
+        | ('0x' || substr(hx, 1, 4))::BIGINT % 16 AS shard,
+        | CAST(row_number() OVER (
+        |   PARTITION BY ('0x' || substr(hx, 1, 4))::BIGINT % 16
+        |   ORDER BY hx, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+    "q91_knn_join" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS INTEGER) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.q_id, e.vec_id, e.label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * q.q_emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * e.emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i] * q.q_emb[i])))), 4) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT q_id, vec_id, label, cos, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "q92_incremental_dedup" ->
+      """WITH idx AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |    min(doc_id) AS keeper
+        |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1)
+        |SELECT d.doc_id,
+        | md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        | idx.keeper IS NOT NULL AS is_dup,
+        | idx.keeper
+        |FROM documents d
+        |LEFT JOIN idx ON md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) = idx.fp
+        |WHERE d.doc_id % 5 = 4""".stripMargin,
     // q87: the IVF mechanism under the oracle — codebook = per-label
     // centroids (both engines average the same doubles), assignment =
     // argmin of the sequential (x−c)² fold with (d2, label) tie-break,

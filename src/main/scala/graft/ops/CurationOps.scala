@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators for LLM training-data pipelines
+  * (SURVEY.md §2c): benchmark decontamination, cross-document
+  * duplicate-span detection, deterministic training-order assignment,
+  * and incremental-batch dedup against an existing corpus index.
+  *
+  * These are the steps that sit AROUND the dedup/similarity family in
+  * a production pipeline: after near-dup removal you still have to
+  * (a) strip documents that leak evaluation data, (b) find verbatim
+  * boilerplate spans shared across documents, (c) assign a reproducible
+  * global training order without a global sort, and (d) admit each new
+  * ingest batch against the standing corpus without re-deduplicating
+  * 100 TB from scratch.
+  *
+  * Scale design: every operator is one or two hash-shuffles on a
+  * bounded key (n-gram string, fingerprint, shard id) with map-side
+  * partial aggregation; the only broadcast is the benchmark n-gram set
+  * in decontamination — benchmark suites are MBs against a 100 TB
+  * corpus, the canonical broadcast-dim shape. Nothing is O(n²) and
+  * nothing collects to the driver.
+  */
+object CurationOps {
+
+  /** Word k-gram rows: one row per (doc, full k-gram position). Same
+    * window-lead build as DedupOps.shingleRows (the array-HOF form is
+    * interpreted and was measured 25× slower there) generalized to k,
+    * but emitting FULL k-grams only: documents shorter than k words
+    * contribute nothing (a partial gram can never witness a k-token
+    * overlap). The repartition spreads the ~(words-per-doc)× explode
+    * across the cluster and pre-satisfies the window's distribution,
+    * so no further exchange follows (cf. shingleRows). */
+  private[ops] def kgramRows(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k-gram size must be >= 2, got $k")
+    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until k).map(i => lead(col("col"), i).over(w).as(s"w$i"))
+    Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(words))
+      .select(col("doc_id") +: col("col").as("w0") +: leads: _*)
+      .filter(col(s"w${k - 1}").isNotNull) // full k-grams only
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*).as("gram"))
+  }
+
+  /** Benchmark decontamination: for every training document, how many
+    * of its word k-grams appear verbatim in the held-out evaluation
+    * set (here: the deterministic doc_id % evalMod == evalRem slice of
+    * `documents`, standing in for MMLU/GSM8K/etc). The GPT-3 paper's
+    * 13-gram rule and The Pile's variants are this exact shape; k=8
+    * keeps the test corpora's ~50-word documents in range.
+    *
+    * Emits one row per training doc — including clean and too-short
+    * ones — with gram counts, hit counts, contamination fraction and
+    * the drop flag, so the output IS the admission decision.
+    *
+    * Scale: the eval n-gram set is distinct'd then BROADCAST — a
+    * benchmark suite is a few MB of n-grams against a 100 TB corpus,
+    * so the training side never shuffles for the probe (one narrow
+    * hash-lookup map per gram row); the only exchanges are the gram
+    * build's doc_id repartition (reused by the window and the per-doc
+    * aggregation — zero extra exchanges) and the final left join back
+    * to the doc roster, both on doc_id. */
+  def decontamination(spark: SparkSession, dir: String, k: Int = 8,
+                      evalMod: Int = 10, evalRem: Int = 7): DataFrame = {
+    val grams = kgramRows(spark, dir, k)
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === evalRem
+    val evalGrams = grams.filter(isEval)
+      .select(col("gram")).distinct()
+      .withColumn("contaminated_gram", lit(true))
+    val perDoc = grams.filter(!isEval)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("contaminated_gram")).as("n_hits"))
+    Tables.documents(spark, dir)
+      .filter(!isEval)
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        TextOps.roundAt(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 6).as("contamination"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Cross-document duplicate spans: word k-grams appearing verbatim
+    * in ≥ minDocs distinct documents — the scalable relational stand-in
+    * for suffix-array exact-substring dedup (Lee et al. 2022): a
+    * length-L shared substring is witnessed by L−k+1 shared k-grams,
+    * so span hits localize the verbatim overlap without any
+    * suffix-array construction.
+    *
+    * Scale: one shuffle on the gram string with map-side partial
+    * aggregation; the count-distinct expands per doc_id but grams are
+    * near-unique (the n_docs ≥ 2 tail is tiny), so the exchange
+    * carries ~one row per distinct gram. A degenerate boilerplate gram
+    * (every doc shares it) makes ONE hot key — cap or salt it like any
+    * skewed aggregation; the output stays span-sized, never pair-sized
+    * (contrast: emitting the doc PAIRS sharing a span would be
+    * quadratic in span frequency). */
+  def duplicateSpans(spark: SparkSession, dir: String, k: Int = 8,
+                     minDocs: Long = 2): DataFrame =
+    kgramRows(spark, dir, k)
+      .groupBy(col("gram").as("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Deterministic training-order assignment: shard + in-shard
+    * position from md5(doc_id), reproducible run-to-run and
+    * engine-to-engine — the "global shuffle" a training job needs,
+    * WITHOUT a global sort: hashing assigns the shard, and ordering is
+    * only ever within a shard.
+    *
+    * Scale: one hash-shuffle on shard_id, then per-shard local sorts —
+    * with nShards sized to the cluster (thousands at 100 TB), each
+    * shard's window sorts an executor-sized slice; no stage ever sees
+    * a total order. The md5 sort key decorrelates the training order
+    * from ingest order (the whole point), and the doc_id tiebreak
+    * makes it a total function. */
+  def trainingOrder(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("ord_"), col("doc_id").cast("string")))
+    val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"), shard.as("shard"))
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Incremental-batch dedup: admit a new ingest batch (the
+    * deterministic doc_id % batchMod == batchRem slice, standing in
+    * for "today's crawl") against the standing corpus's fingerprint
+    * index — every batch doc comes back with its dup verdict and the
+    * surviving corpus doc it duplicates, WITHOUT re-deduplicating the
+    * corpus. This is the production shape of dedup at 100 TB: the
+    * full-corpus pass (q24) runs once; every subsequent batch runs
+    * this.
+    *
+    * Scale: the index is corpus-sized, so it is NOT broadcast — the
+    * join hash-partitions both sides on the 128-bit fingerprint
+    * (batch side is small, so AQE turns it into a broadcast of the
+    * BATCH at runtime when that wins; in a real deployment the index
+    * is a bucketed table on fp and the batch probe is shuffle-free).
+    * Map-side partial aggregation collapses within-index dups before
+    * the exchange. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       batchMod: Int = 5, batchRem: Int = 4): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === batchRem
+    val index = Tables.documents(spark, dir)
+      .filter(!isBatch)
+      .groupBy(TextOps.fingerprintCol(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"))
+    Tables.documents(spark, dir)
+      .filter(isBatch)
+      .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+      .join(index, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        col("keeper").isNotNull.as("is_dup"), col("keeper"))
+  }
+}

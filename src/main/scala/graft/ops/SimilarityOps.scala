@@ -198,6 +198,41 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Batch kNN join: exact top-k cosine neighbors for a whole SET of
+    * query vectors at once (here the deterministic vec_id < nQueries
+    * slice) — the curation shape behind "map every new document to its
+    * nearest training examples / cluster exemplars", where one query
+    * at a time ([[bruteForceTopK]]) would mean one corpus pass per
+    * query. One corpus pass scores all queries.
+    *
+    * Scale: the query batch is BROADCAST (queries ≪ corpus — the
+    * defining asymmetry of kNN join), so scoring is a narrow
+    * broadcast-nested-loop map producing nQueries rows per corpus
+    * vector; the only shuffle is the rank window's exchange of
+    * (q_id, cos, vec_id, label) — 4 scalar columns, never the
+    * embeddings. At 100 TB the upgrade is a per-partition top-k
+    * combiner (bounded heap per query inside mapPartitions) feeding
+    * this same window so the exchange carries ≤ partitions × k rows
+    * per query; and for corpus-sized query sets, LSH-bucket both
+    * sides ([[withBucket]]) and kNN-join per bucket. q29's
+    * TakeOrderedAndProject is the nQueries = 1 special case of the
+    * same plan. */
+  def knnJoin(spark: SparkSession, dir: String,
+              nQueries: Long = 20L, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .select(col("q_id"), col("vec_id"), col("label").cast("int").as("label"), col("cos"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
   /** ANN top-k: hyperplane-bucket candidates with multi-probe (the
     * query probes its own bucket plus every bucket at Hamming
     * distance 1 — the standard recall/cost knob), exact cosine rerank

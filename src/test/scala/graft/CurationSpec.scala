@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{CurationOps, SimilarityOps, TextOps}
+
+/** Cross-validation specs for the corpus-curation operators (q88-q92):
+  * each invariant is recomputed independently (driver-side Scala over
+  * collected rows) rather than by replaying the operator's own plan,
+  * so a plan bug can't certify itself. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  private def normWords(text: String): Array[String] =
+    text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ")
+
+  private def grams8(text: String): Set[String] = {
+    val w = normWords(text)
+    if (w.length < 8) Set.empty
+    else w.sliding(8).map(_.mkString(" ")).toSet
+  }
+
+  test("decontamination flags exactly the docs sharing an 8-gram with the eval slice") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val evalGrams = docs.filter(_._1 % 10 == 7).flatMap(d => grams8(d._2)).toSet
+    val expected = docs.filter(_._1 % 10 != 7).map { case (id, text) =>
+      val g = grams8(text)
+      val hits = g.count(evalGrams.contains) // distinct-gram hits; op counts occurrences
+      (id, g, hits)
+    }
+    val got = CurationOps.decontamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got.size == expected.length, "one row per training doc, eval docs excluded")
+    expected.foreach { case (id, g, distinctHits) =>
+      val (nGrams, nHits, flag) = got(id)
+      // occurrence count >= distinct-gram count, and zero iff zero
+      assert(nHits >= distinctHits && (nHits > 0) == (distinctHits > 0), s"doc $id hits")
+      assert(flag == (nHits > 0), s"doc $id flag")
+      assert(nHits <= nGrams, s"doc $id hits bounded by grams")
+    }
+    assert(expected.exists(_._3 > 0), "fixture sanity: some contamination exists")
+  }
+
+  test("duplicate spans occur verbatim in >= 2 distinct normalized docs") {
+    val norm = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> normWords(t).mkString(" ") }
+    val spans = CurationOps.duplicateSpans(spark, sf).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      val (span, nDocs, first) = (r.getString(0), r.getLong(1), r.getLong(3))
+      val containing = norm.filter(_._2.contains(span)).map(_._1)
+      // contains() can over-match across gram boundaries only if the
+      // span reappears mid-word — impossible here since both sides are
+      // space-joined word sequences; >= keeps the check conservative.
+      assert(containing.length >= nDocs, s"span '$span' claimed $nDocs docs")
+      assert(containing.min == first, s"span '$span' first_doc")
+      assert(nDocs >= 2)
+    }
+  }
+
+  test("training order is a deterministic shard-partitioned permutation") {
+    val rows = CurationOps.trainingOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs && rows.map(_._1).distinct.length == nDocs,
+      "a permutation: every doc exactly once")
+    rows.groupBy(_._2).foreach { case (shard, members) =>
+      assert(shard >= 0 && shard < 16)
+      assert(members.map(_._3).sorted.toSeq == (1L to members.length).toSeq,
+        s"shard $shard positions are 1..n")
+    }
+    // reproducible run-to-run (the whole point of hash ordering)
+    val again = CurationOps.trainingOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("incremental dedup verdicts match a recomputed fingerprint index") {
+    val fps = Tables.documents(spark, sf)
+      .select($"doc_id", TextOps.fingerprintCol($"text").as("fp"))
+      .as[(Long, String)].collect()
+    val index = fps.filter(_._1 % 5 != 4).groupBy(_._2)
+      .map { case (fp, ds) => fp -> ds.map(_._1).min }
+    val batch = fps.filter(_._1 % 5 == 4).toMap
+    val got = CurationOps.incrementalDedup(spark, sf).collect()
+    assert(got.length == batch.size, "one verdict per batch doc")
+    got.foreach { r =>
+      val (id, fp, isDup) = (r.getLong(0), r.getString(1), r.getBoolean(2))
+      assert(fp == batch(id), s"doc $id fingerprint")
+      index.get(fp) match {
+        case Some(keeper) => assert(isDup && r.getLong(3) == keeper, s"doc $id dup verdict")
+        case None         => assert(!isDup && r.isNullAt(3), s"doc $id clean verdict")
+      }
+    }
+  }
+
+  test("knn join reproduces single-query brute force for each query") {
+    val knn = SimilarityOps.knnJoin(spark, sf, nQueries = 5L, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(1), r.getDouble(3)))
+    assert(knn.length == 5 * 3)
+    (0L until 5L).foreach { qid =>
+      val expected = SimilarityOps.bruteForceTopK(spark, sf, queryId = qid, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      val mine = knn.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+      // same neighbor set with the same cosines; order can differ only
+      // on exact rounded-cosine ties, which vec_id tie-break removes
+      assert(mine.toSeq == expected.toSeq, s"query $qid top-3")
+    }
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Relational, RelationalExt, SimilarityOps, TextOps}
+import graft.ops.{CurationOps, Relational, RelationalExt, SimilarityOps, TextOps}
 
 /** Physical-plan assertions: the scale properties the engine promises
   * (pushdown, pruning, broadcast of bounded sides, partial top-k) must
@@ -87,6 +87,28 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     assert(simple.linesIterator.count(_.contains("Exchange")) == 1,
       "repetition stats must shuffle exactly once")
+  }
+
+  test("decontamination: the eval n-gram set is broadcast, the corpus side never shuffles for the probe") {
+    // the benchmark-suite side must be the broadcast build side; the
+    // training grams stream through the probe as a narrow map
+    val p = plan(CurationOps.decontamination(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "eval-gram probe must be a broadcast join")
+  }
+
+  test("knn join: the query batch is broadcast, the corpus embeddings never shuffle") {
+    val p = plan(SimilarityOps.knnJoin(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query batch must broadcast")
+    // the rank window's exchange partitions on q_id and carries only
+    // scalar columns — the embedding arrays must be projected away
+    // before any exchange (formatted mode lists partitioning under
+    // Arguments, not on the Exchange operator line)
+    assert(p.contains("hashpartitioning(q_id"),
+      "rank window should hash-partition on q_id")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Arguments: hashpartitioning") && l.contains("emb")),
+      "no exchange may carry embedding arrays")
   }
 
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
