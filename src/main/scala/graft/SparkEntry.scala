@@ -110,6 +110,8 @@ object SparkEntry {
     "q90_train_order"      -> ((s, d) => CurationOps.trainingOrder(s, d)),
     "q91_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
     "q92_incremental_dedup"-> ((s, d) => CurationOps.incrementalDedup(s, d)),
+    "q93_sketch_merge"     -> ((s, d) => RelationalExt.sketchMerge(s, d)),
+    "q94_mixture_sample"   -> ((s, d) => CurationOps.mixtureSample(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1048,6 +1050,35 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN idx ON md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) = idx.fp
         |WHERE d.doc_id % 5 = 4""".stripMargin,
+    // q93: q54's flag pattern — DataSketches HLL estimates can't
+    // hash-match DuckDB's sketch, so the gate carries exact counts +
+    // TRUE bounds flags; the union row is 'ALL'.
+    "q93_sketch_merge" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_5pct
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS n_exact,
+        | TRUE AS within_5pct
+        |FROM events""".stripMargin,
+    // q94: the weight denominator folds in explicit source-sorted
+    // order (list_sum of an ORDER BY list ≡ Spark's aggregate over
+    // array_sort) so the one order-sensitive double sum is identical;
+    // everything else is single IEEE ops.
+    "q94_mixture_sample" ->
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |denom AS (
+        |  SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)) AS denom
+        |  FROM counts),
+        |th AS (
+        |  SELECT source,
+        |    CAST(floor(least(1.0,
+        |      100.0 * sqrt(CAST(n AS DOUBLE)) / denom / n) * 65536) AS BIGINT) AS thresh
+        |  FROM counts, denom)
+        |SELECT d.doc_id, d.source, th.thresh
+        |FROM documents d JOIN th ON d.source = th.source
+        |WHERE ('0x' || substr(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      < th.thresh""".stripMargin,
     // q87: the IVF mechanism under the oracle — codebook = per-label
     // centroids (both engines average the same doubles), assignment =
     // argmin of the sequential (x−c)² fold with (d2, label) tie-break,

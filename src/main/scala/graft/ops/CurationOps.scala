@@ -138,6 +138,50 @@ object CurationOps {
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
+  /** Temperature-scaled source mixture sampling: draw a ~targetDocs
+    * sample whose SOURCE distribution follows n_s^alpha (alpha < 1
+    * up-weights small sources — the standard multilingual/multi-domain
+    * rebalancing rule, cf. the alpha=0.3 sampling in multilingual LM
+    * training), with hash-deterministic membership: doc d of source s
+    * is kept iff md5_16(d) < floor(65536 · min(1, T·n_s^alpha / (Σ_t
+    * n_t^alpha) / n_s)). Every keep decision is reproducible (and
+    * oracle-checkable) — no RNG, no seed drift across retries.
+    *
+    * Cross-engine determinism of the doubles: sqrt/mul/div/floor are
+    * single IEEE ops, and the one order-sensitive reduction — the
+    * weight denominator — is folded in explicit source-sorted order on
+    * both engines (array_sort + aggregate here, list(… ORDER BY) +
+    * list_sum in the oracle), the same device q87 uses for centroids.
+    *
+    * Scale: per-source counts are one shuffle with map-side combine;
+    * the counts table is sources-sized (tiny) so the threshold join
+    * broadcasts; membership is then a narrow filter on the corpus —
+    * no corpus shuffle at any point. alpha is fixed at 0.5 so the
+    * power is a single exact sqrt on both engines. */
+  def mixtureSample(spark: SparkSession, dir: String,
+                    targetDocs: Double = 100.0): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val denom = counts.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"),
+          sqrt(col("n").cast("double")).as("w")))),
+        lit(0.0), (acc, s) => acc + s.getField("w")).as("denom"))
+    val thresholds = counts.crossJoin(broadcast(denom))
+      .select(col("source"),
+        floor(least(lit(1.0),
+          lit(targetDocs) * sqrt(col("n").cast("double")) / col("denom") / col("n"))
+          * 65536).cast("bigint").as("thresh"))
+    val h16 = conv(substring(
+      md5(concat(lit("mix_"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), h16.as("h"))
+      .join(broadcast(thresholds), Seq("source"))
+      .filter(col("h") < col("thresh"))
+      .select(col("doc_id"), col("source"), col("thresh"))
+  }
+
   /** Incremental-batch dedup: admit a new ingest batch (the
     * deterministic doc_id % batchMod == batchRem slice, standing in
     * for "today's crawl") against the standing corpus's fingerprint

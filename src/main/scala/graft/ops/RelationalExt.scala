@@ -159,6 +159,44 @@ object RelationalExt {
         (abs(col("a_part") - col("n_part")) <= col("n_part") * 0.05).as("part_within_5pct"))
   }
 
+  /** Mergeable distinct sketches — Apache DataSketches HLL via
+    * hll_sketch_agg / hll_union_agg: build one sketch PER SOURCE
+    * PARTITION (here per event_type), then merge the fixed-size
+    * sketch states into the global count without rescanning — the
+    * exact shape of "each day's ingest keeps its own sketch; the
+    * dashboard unions 365 of them" at 100 TB, where re-counting
+    * distinct users over the raw corpus is the thing you can never
+    * afford. (approx_count_distinct in [[approxDistinct]] also merges
+    * internally, but the sketch there is plan-private; here the sketch
+    * is a first-class VALUE that survives between jobs.)
+    *
+    * Oracle strategy is the q54 pattern: exact counts + in-plan
+    * |est − exact| ≤ 5%·exact flags (DataSketches HLL is deterministic
+    * for a given input), so a drifting sketch turns into a hash
+    * mismatch. The union row carries event_type 'ALL'; the spec
+    * additionally proves register-level mergeability — union of the
+    * per-type sketches estimates EXACTLY what one global sketch
+    * estimates. */
+  def sketchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    // exact and sketch sides split like approxDistinct (the
+    // distinct-rewrite's Expand must not feed the sketch updates)
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val sk = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val perType = exact.join(broadcast(
+        sk.select(col("event_type"), hll_sketch_estimate(col("sk")).as("est"))),
+        Seq("event_type"))
+    val allExact = e.agg(countDistinct(col("user_id")).as("n_exact"))
+    val allEst = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val all = allExact.crossJoin(broadcast(allEst))
+      .select(lit("ALL").as("event_type"), col("n_exact"), col("est"))
+    perType.unionByName(all)
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05).as("within_5pct"))
+  }
+
   /** SQL FILTER-clause aggregation — per-predicate conditional
     * aggregates in one pass (same plan shape as the CASE WHEN form,
     * exercised through the SQL surface). */

@@ -97,6 +97,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sample membership matches a driver-side recomputation of the exact rule") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val counts = docs.groupBy(_._2).map { case (s, d) => s -> d.length.toLong }
+    // the denominator folds in source-sorted order, exactly as the op does
+    val denom = counts.toSeq.sortBy(_._1).map { case (_, n) => math.sqrt(n.toDouble) }
+      .foldLeft(0.0)(_ + _)
+    val thresh = counts.map { case (s, n) =>
+      s -> math.floor(math.min(1.0,
+        100.0 * math.sqrt(n.toDouble) / denom / n) * 65536).toLong
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h16(id: Long): Long = {
+      val d = md.digest(s"mix_$id".getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 8) | (d(1) & 0xFFL)
+    }
+    val expected = docs.filter { case (id, s) => h16(id) < thresh(s) }
+      .map(_._1).sorted.toSeq
+    val got = CurationOps.mixtureSample(spark, sf).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == expected, "hash-deterministic membership")
+    assert(got.nonEmpty && got.size < docs.length, "a strict non-empty subsample")
+    // small sources are up-weighted: every source's keep RATE is within
+    // one hash-granule of its n^alpha allocation
+    val bySrc = CurationOps.mixtureSample(spark, sf).collect()
+      .groupBy(_.getString(1)).map { case (s, rs) => s -> rs.length.toLong }
+    counts.foreach { case (s, n) =>
+      val p = thresh(s).toDouble / 65536.0
+      val kept = bySrc.getOrElse(s, 0L).toDouble
+      // binomial-ish slack on tiny strata; determinism already proven above
+      assert(math.abs(kept - p * n) <= math.max(5.0, 0.5 * p * n), s"source $s allocation")
+    }
+  }
+
   test("knn join reproduces single-query brute force for each query") {
     val knn = SimilarityOps.knnJoin(spark, sf, nQueries = 5L, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(4), r.getLong(1), r.getDouble(3)))

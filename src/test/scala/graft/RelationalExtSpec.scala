@@ -10,6 +10,26 @@ import graft.ops.{DedupOps, RelationalExt, SimilarityOps, TextOps}
 class RelationalExtSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("hll sketch union is register-exact: merged per-type sketches estimate what one global sketch does") {
+    // mergeability is the whole point of carrying sketch VALUES: the
+    // union of per-partition sketches must estimate exactly what a
+    // single pass over the union of inputs estimates (register-wise
+    // max is deterministic), otherwise "merge yesterday's sketch" is
+    // an approximation of an approximation
+    val e = Tables.events(spark, sf)
+    val merged = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val direct = e.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect()(0).getLong(0)
+    assert(merged == direct, s"union-of-sketches $merged != one-pass sketch $direct")
+    // and the gate's flags are genuinely computed, not constant-folded
+    val rows = RelationalExt.sketchMerge(spark, sf).collect()
+    assert(rows.length >= 2 && rows.exists(_.getString(0) == "ALL"))
+    rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)} estimate out of bounds"))
+  }
+
   test("approx_count_distinct lands within rsd of the exact counts") {
     // independent raw-estimate check (the gate form folds the bound
     // into boolean flags; this recomputes the estimates from scratch
