@@ -205,11 +205,24 @@ object CurationOps {
       .filter(!isBatch)
       .groupBy(TextOps.fingerprintCol(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper"))
-    Tables.documents(spark, dir)
-      .filter(isBatch)
+    admissionVerdicts(Tables.documents(spark, dir).filter(isBatch), index)
+  }
+
+  /** The admission probe shared by [[incrementalDedup]] and the
+    * streaming ingest path: fingerprint (doc_id, text) rows and
+    * left-join them against the corpus index (fp → keeper).
+    *
+    * `newDocs` may be a STREAMING DataFrame: a stream-static left
+    * join is STATELESS in Structured Streaming — each micro-batch
+    * probes the static side directly, no state store, no watermark
+    * required — which is exactly the production ingest-admission
+    * shape (the index refreshes on its own cadence; the stream never
+    * buffers). The spec proves stream/batch verdict parity and the
+    * zero-state property. */
+  def admissionVerdicts(newDocs: DataFrame, index: DataFrame): DataFrame =
+    newDocs
       .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
       .join(index, Seq("fp"), "left")
       .select(col("doc_id"), col("fp"),
         col("keeper").isNotNull.as("is_dup"), col("keeper"))
-  }
 }

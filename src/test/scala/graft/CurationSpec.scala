@@ -131,6 +131,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming admission: stream-static join gives batch-identical verdicts with zero state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val batchDocs = Tables.documents(spark, sf).filter($"doc_id" % 5 === 4)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val index = Tables.documents(spark, sf).filter($"doc_id" % 5 =!= 4)
+      .groupBy(TextOps.fingerprintCol($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper"))
+    val input = MemoryStream[(Long, String)]
+    val stream = CurationOps.admissionVerdicts(
+      input.toDF().toDF("doc_id", "text"), index)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("admit_out").start()
+    try {
+      // two micro-batches: admission is per-batch, verdicts must not
+      // depend on batch boundaries
+      val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val streamed = spark.table("admit_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      val batch = CurationOps.incrementalDedup(spark, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      assert(streamed == batch, "stream and batch admission verdicts diverge")
+      // stateless: a stream-static join must run with no state store
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static admission join must hold zero state")
+    } finally q.stop()
+  }
+
   test("knn join reproduces single-query brute force for each query") {
     val knn = SimilarityOps.knnJoin(spark, sf, nQueries = 5L, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(4), r.getLong(1), r.getDouble(3)))
