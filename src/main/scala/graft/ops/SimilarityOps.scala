@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.CosineSimilarity.cosineSimilarity
@@ -166,10 +166,21 @@ object SimilarityOps {
     * assignment-distance ties — label centroids are far apart by
     * construction. In production the codebook and the rk=1
     * assignment are persisted index state, not recomputed per query;
-    * the per-query work is nprobe lists + a k-row TakeOrdered. */
+    * the per-query work is nprobe lists + a k-row TakeOrdered.
+    *
+    * Scale: the whole codebook (labels × dim doubles — KBs) collapses
+    * to ONE broadcast row holding a clabel-sorted array of centroids,
+    * and assignment is a narrow per-row argmin over that array
+    * (array_sort of (d2, clabel) structs — ascending struct order IS
+    * the (distance, label) tie-break). No corpus row is ever
+    * replicated ×labels through an exchange and no exchange carries
+    * the embedding column (PlanSpec asserts this): the only shuffles
+    * in the plan build the centroid table itself, on exploded scalar
+    * (label, dim) rows. The earlier form computed the same argmin as
+    * crossJoin(centroids) + row_number window — corpus × labels rows,
+    * each carrying the full embedding, shuffled just to pick a min. */
   def ivfLabelTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
                    k: Int = 10, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
     val cent = e.select(col("label").as("clabel"), posexplode(col("embedding")))
       .groupBy(col("clabel"), col("pos"))
@@ -177,19 +188,24 @@ object SimilarityOps {
       .groupBy(col("clabel"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("cent"))
-    val d2 = aggregate(
-      zip_with(col("embedding"), col("cent"),
-        (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+    // one-row codebook: clabel-sorted array of (clabel, cent) structs
+    val codebook = cent.agg(
+      array_sort(collect_list(struct(col("clabel"), col("cent")))).as("cents"))
+    def d2(c: Column): Column = aggregate(
+      zip_with(col("embedding"), c.getField("cent"),
+        (x, cc) => (x.cast("double") - cc) * (x.cast("double") - cc)),
       lit(0.0), (a, v) => a + v)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(w))
-    val probes = assigned
-      .filter(col("vec_id") === queryId && col("rk") <= nprobe)
-      .select(col("clabel").as("probe_label"))
+    // narrow argmin: distances to every centroid, sorted (d2, clabel)
+    val dists = array_sort(transform(col("cents"),
+      c => struct(d2(c).as("d2"), c.getField("clabel").as("clabel"))))
+    val assigned = e.crossJoin(broadcast(codebook))
+      .withColumn("clabel", dists.getItem(0).getField("clabel"))
+    val probes = e.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(codebook))
+      .select(explode(slice(dists, 1, nprobe)).as("p"))
+      .select(col("p.clabel").as("probe_label"))
     val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
-    assigned.filter(col("rk") === 1 && col("vec_id") =!= queryId)
+    assigned.filter(col("vec_id") =!= queryId)
       .join(broadcast(probes), col("clabel") === col("probe_label"))
       .crossJoin(broadcast(q))
       .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))

@@ -91,9 +91,32 @@ class PlanSpec extends AnyFunSuite {
 
   test("decontamination: the eval n-gram set is broadcast, the corpus side never shuffles for the probe") {
     // the benchmark-suite side must be the broadcast build side; the
-    // training grams stream through the probe as a narrow map
+    // training grams stream through the probe as a narrow map. The
+    // doc-roster left join could ALSO plan as broadcast, so asserting
+    // "some BroadcastHashJoin exists" is not enough: the probe join's
+    // KEYS must be the gram column, and no exchange may repartition
+    // on gram (a gram-keyed exchange = the probe regressed to shuffle)
     val p = plan(CurationOps.decontamination(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "eval-gram probe must be a broadcast join")
+    assert(p.linesIterator.exists(l => l.contains("keys") && l.contains("gram")),
+      "a broadcast join must be keyed on the gram column")
+    // exactly ONE gram-keyed exchange exists: the eval set's distinct
+    // (MB-scale by assumption). A second would mean the corpus-side
+    // probe regressed from broadcast to a shuffle join.
+    assert(p.linesIterator.count(l =>
+      l.contains("Arguments: hashpartitioning") && l.contains("gram")) == 1,
+      "only the eval-side distinct may repartition on the gram key")
+  }
+
+  test("ivf: assignment is a narrow broadcast argmin — no window, no exchange carries embeddings") {
+    // the codebook is one broadcast row; per-vector centroid argmin is
+    // an array_sort over that row's array — the corpus must NOT be
+    // replicated ×labels through a row_number window exchange
+    val p = plan(SimilarityOps.ivfLabelTopK(spark, sf))
+    assert(!p.contains("Window"), "argmin must not be a row_number window")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Arguments: hashpartitioning") && l.contains("embedding")),
+      "no exchange may carry the embedding column")
   }
 
   test("knn join: the query batch is broadcast, the corpus embeddings never shuffle") {

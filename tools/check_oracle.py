@@ -30,15 +30,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: str = "") -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
+    keep = {n.strip() for n in only.split(",") if n.strip()}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if keep and name not in keep:
+            continue
         try:
             exp = con.sql(sql).df()
             got = con.sql(
@@ -77,4 +80,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else ""))
