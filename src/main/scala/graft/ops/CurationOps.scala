@@ -26,7 +26,9 @@ import graft.Tables
   */
 object CurationOps {
 
-  /** Word k-gram rows: one row per (doc, full k-gram position). Same
+  /** Word k-gram rows: one row per (doc, full k-gram position), with
+    * the 0-based word position of the gram's first word (`pos`) — the
+    * span-merge operators need it; pure-set consumers ignore it. Same
     * window-lead build as DedupOps.shingleRows (the array-HOF form is
     * interpreted and was measured 25× slower there) generalized to k,
     * but emitting FULL k-grams only: documents shorter than k words
@@ -43,9 +45,9 @@ object CurationOps {
     Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(words))
-      .select(col("doc_id") +: col("col").as("w0") +: leads: _*)
+      .select(col("doc_id") +: col("pos") +: col("col").as("w0") +: leads: _*)
       .filter(col(s"w${k - 1}").isNotNull) // full k-grams only
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pos"),
         concat_ws(" ", (0 until k).map(i => col(s"w$i")): _*).as("gram"))
   }
 
@@ -98,20 +100,25 @@ object CurationOps {
     * so span hits localize the verbatim overlap without any
     * suffix-array construction.
     *
-    * Scale: one shuffle on the gram string with map-side partial
-    * aggregation; the count-distinct expands per doc_id but grams are
-    * near-unique (the n_docs ≥ 2 tail is tiny), so the exchange
-    * carries ~one row per distinct gram. A degenerate boilerplate gram
-    * (every doc shares it) makes ONE hot key — cap or salt it like any
-    * skewed aggregation; the output stays span-sized, never pair-sized
-    * (contrast: emitting the doc PAIRS sharing a span would be
-    * quadratic in span frequency). */
+    * Scale: exactly ONE shuffle on the gram string (PlanSpec-asserted).
+    * A direct countDistinct would plan as the Expand-based two-phase
+    * distinct with an extra (gram, doc_id) exchange; instead the
+    * per-(doc, gram) pre-aggregation rides the gram build's existing
+    * doc_id partitioning (subset clustering — zero exchange), so the
+    * gram shuffle moves one pre-combined row per (doc, gram) and
+    * count(*) over it IS the distinct doc count. A degenerate
+    * boilerplate gram (every doc shares it) makes ONE hot key — cap or
+    * salt it like any skewed aggregation; the output stays span-sized,
+    * never pair-sized (contrast: emitting the doc PAIRS sharing a span
+    * would be quadratic in span frequency). */
   def duplicateSpans(spark: SparkSession, dir: String, k: Int = 8,
                      minDocs: Long = 2): DataFrame =
     kgramRows(spark, dir, k)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("occ"))
       .groupBy(col("gram").as("span"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"),
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("occ")).as("n_occ"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
 
