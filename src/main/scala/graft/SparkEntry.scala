@@ -107,7 +107,9 @@ object SparkEntry {
     "q84_unigram_logprob"  -> ((s, d) => TextOps.unigramLogProb(s, d)),
     "q88_decontam"         -> ((s, d) => CurationOps.decontamination(s, d)),
     "q89_dup_spans"        -> ((s, d) => CurationOps.duplicateSpans(s, d)),
-    "q90_train_order"      -> ((s, d) => CurationOps.trainingOrder(s, d)),
+    // nShards pinned: the oracle SQL hardcodes % 16, and shard
+    // assignment must not drift with the session's core count
+    "q90_train_order"      -> ((s, d) => CurationOps.trainingOrder(s, d, nShards = 16)),
     "q91_knn_join"         -> ((s, d) => SimilarityOps.knnJoin(s, d)),
     "q92_incremental_dedup"-> ((s, d) => CurationOps.incrementalDedup(s, d)),
     "q93_sketch_merge"     -> ((s, d) => RelationalExt.sketchMerge(s, d)),

@@ -19,9 +19,19 @@ object Verify {
     // single-query oracle checks (same contract as Bench); the driver
     // sets nothing and always dumps the full set
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // an empty or typo'd filter matching nothing would dump zero
+    // parquet results and a local oracle run would pass vacuously —
+    // warn and exit nonzero instead of silently verifying nothing
+    if (selected.isEmpty) {
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY=" +
+        s"${sys.env.getOrElse("SPARK_GRAFT_ONLY", "")} matched none of " +
+        s"${SparkEntry.queries.size} registered queries")
+      spark.stop()
+      sys.exit(2)
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -133,11 +133,21 @@ object CurationOps {
     * shard's window sorts an executor-sized slice; no stage ever sees
     * a total order. The md5 sort key decorrelates the training order
     * from ingest order (the whole point), and the doc_id tiebreak
-    * makes it a total function. */
-  def trainingOrder(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    * makes it a total function.
+    *
+    * nShards <= 0 (the default) sizes the shard count to the session's
+    * defaultParallelism — one window partition per core/executor slot,
+    * so the per-shard sorts saturate the cluster instead of a fixed
+    * 16. Callers that need a REPRODUCIBLE assignment across cluster
+    * sizes (the oracle-gated q90, any persisted training order) must
+    * pass nShards explicitly: the shard of a doc is a function of
+    * nShards, so a parallelism-derived default is deliberately not
+    * part of the persisted contract. */
+  def trainingOrder(spark: SparkSession, dir: String, nShards: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val n = if (nShards > 0) nShards else spark.sparkContext.defaultParallelism
     val h = md5(concat(lit("ord_"), col("doc_id").cast("string")))
-    val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(nShards.toLong))
+    val shard = pmod(conv(substring(h, 1, 4), 16, 10).cast("long"), lit(n.toLong))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), h.as("h"), shard.as("shard"))

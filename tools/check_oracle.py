@@ -38,6 +38,14 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     keep = {n.strip() for n in only.split(",") if n.strip()}
+    unknown = keep - set(oracle)
+    if keep and unknown:
+        # a typo'd filter must not print "0 pass / 0 fail" and exit 0
+        print(f"WARNING: filter names not in oracle_sql.json: {sorted(unknown)}",
+              file=sys.stderr)
+    if keep and not (keep & set(oracle)):
+        print("ERROR: query filter matched nothing; no checks ran", file=sys.stderr)
+        return 2
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if keep and name not in keep:
