@@ -163,6 +163,30 @@ class CurationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bucketed admission: the index side probes shuffle-free and verdicts match incrementalDedup") {
+    CurationOps.writeFingerprintIndex(spark, sf, "fp_idx", buckets = 8)
+    val probe = CurationOps.bucketedAdmission(spark, sf, "fp_idx")
+    val plan = probe.queryExecution.executedPlan.toString
+    // the 100 TB claim, as a plan fact: the index reads pre-partitioned
+    // from its buckets (bucketed scan, no exchange above it); the ONLY
+    // exchange in the whole plan is the small batch side shuffling to
+    // the index's bucket layout — and nothing sorts the index either
+    assert(plan.contains("SelectedBucketsCount"),
+      s"index scan is not bucketed:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected exactly one exchange (the batch side):\n$plan")
+    val sortLines = plan.linesIterator.filter(_.trim.startsWith("+- Sort")).toSeq
+    assert(!sortLines.exists(_.contains("keeper")),
+      s"the bucketed index side must read pre-sorted:\n$plan")
+    // identical verdicts to the shuffle-join form
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(probe.collect().map(key).toMap ==
+      CurationOps.incrementalDedup(spark, sf).collect().map(key).toMap,
+      "bucketed probe and shuffle-join admission verdicts diverge")
+  }
+
   test("knn join reproduces single-query brute force for each query") {
     val knn = SimilarityOps.knnJoin(spark, sf, nQueries = 5L, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(4), r.getLong(1), r.getDouble(3)))
