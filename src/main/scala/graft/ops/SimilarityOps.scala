@@ -224,29 +224,75 @@ object SimilarityOps {
     * Scale: the query batch is BROADCAST (queries ≪ corpus — the
     * defining asymmetry of kNN join), so scoring is a narrow
     * broadcast-nested-loop map producing nQueries rows per corpus
-    * vector; the only shuffle is the rank window's exchange of
-    * (q_id, cos, vec_id, label) — 4 scalar columns, never the
-    * embeddings. At 100 TB the upgrade is a per-partition top-k
-    * combiner (bounded heap per query inside mapPartitions) feeding
-    * this same window so the exchange carries ≤ partitions × k rows
-    * per query; and for corpus-sized query sets, LSH-bucket both
-    * sides ([[withBucket]]) and kNN-join per bucket. q29's
-    * TakeOrderedAndProject is the nQueries = 1 special case of the
-    * same plan. */
+    * vector; a per-partition bounded-heap combiner ([[partialTopK]])
+    * then cuts each partition's contribution to ≤ k rows per query
+    * BEFORE the rank window's exchange, so the shuffle carries
+    * ≤ partitions × k scalar rows per query instead of one row per
+    * (corpus vector, query) — the map-side-combine of top-k. The
+    * combiner is EXACT: a row outside its partition's top-k is outside
+    * the global top-k under the same (cos desc, vec_id asc) order, so
+    * the window over the survivors returns the identical result
+    * (brute-force parity + q91's oracle hash pin this). The exchange
+    * still moves only (q_id, vec_id, label, cos) — never embeddings.
+    * For corpus-sized query sets, LSH-bucket both sides
+    * ([[withBucket]]) and kNN-join per bucket. q29's
+    * TakeOrderedAndProject is the nQueries = 1 special case —
+    * partial top-k, k-row merge. */
   def knnJoin(spark: SparkSession, dir: String,
               nQueries: Long = 20L, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    knnPartialTopK(spark, dir, nQueries, k)
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The pre-exchange stage of [[knnJoin]]: broadcast-score, then the
+    * per-partition bounded-heap combiner. Package-private so the spec
+    * can assert the exchange-input row bound (≤ partitions × queries
+    * × k) directly. */
+  private[graft] def knnPartialTopK(spark: SparkSession, dir: String,
+                                  nQueries: Long, k: Int): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
       .select(col("q_id"), col("vec_id"), col("label").cast("int").as("label"), col("cos"))
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= k)
+      .as[(Long, Long, Int, Double)]
+      .mapPartitions(partialTopK(_, k))
+      .toDF("q_id", "vec_id", "label", "cos")
+  }
+
+  /** Exact per-partition top-k: one bounded min-heap per query id,
+    * retaining the k best rows under (cos desc, vec_id asc) — the same
+    * total order the downstream rank window uses, which is what makes
+    * the combiner lossless. Memory is O(queries-in-partition × k)
+    * regardless of corpus size (the kNN-join asymmetry again: the
+    * query batch is broadcast-sized by contract). Package-private for
+    * direct spec coverage. */
+  private[graft] def partialTopK(it: Iterator[(Long, Long, Int, Double)],
+                               k: Int): Iterator[(Long, Long, Int, Double)] = {
+    // "worst-first": the heap's head is the row that falls out next —
+    // lower cos is worse; on ties the HIGHER vec_id is worse
+    val worstFirst = new Ordering[(Long, Long, Int, Double)] {
+      def compare(a: (Long, Long, Int, Double), b: (Long, Long, Int, Double)): Int = {
+        val c = java.lang.Double.compare(b._4, a._4)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val heaps = scala.collection.mutable.LinkedHashMap
+      .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Int, Double)]]
+    it.foreach { row =>
+      val h = heaps.getOrElseUpdate(row._1,
+        scala.collection.mutable.PriorityQueue.empty(worstFirst))
+      if (h.size < k) h.enqueue(row)
+      else if (worstFirst.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row) }
+    }
+    heaps.valuesIterator.flatMap(_.iterator)
   }
 
   /** ANN top-k: hyperplane-bucket candidates with multi-probe (the

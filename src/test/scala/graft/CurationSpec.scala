@@ -187,6 +187,24 @@ class CurationSpec extends AnyFunSuite {
       "bucketed probe and shuffle-join admission verdicts diverge")
   }
 
+  test("knn partial top-k combiner is exact and bounds the exchange input") {
+    // unit: the heap retains exactly the sort-based top-k, ties and all
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (i % 5L, i.toLong, i % 3, math.floor(rng.nextDouble() * 10) / 10) // coarse cos -> many ties
+    }
+    val got = SimilarityOps.partialTopK(rows.iterator, 3).toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._4, r._2))).toMap
+    val want = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(r => (-r._4, r._2)).take(3)).toMap
+    assert(got == want, "per-query top-3 under (cos desc, vec_id asc)")
+    // end to end: the window's input carries at most partitions*q*k rows
+    val partial = SimilarityOps.knnPartialTopK(spark, sf, nQueries = 5L, k = 3)
+    val nParts = partial.rdd.getNumPartitions
+    assert(partial.count() <= nParts.toLong * 5 * 3,
+      s"combiner must cap the exchange input at partitions*queries*k")
+  }
+
   test("knn join reproduces single-query brute force for each query") {
     val knn = SimilarityOps.knnJoin(spark, sf, nQueries = 5L, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(4), r.getLong(1), r.getDouble(3)))
