@@ -264,17 +264,33 @@ object CurationOps {
     * bucketed index: same verdicts as [[incrementalDedup]], but the
     * corpus-sized index side reads pre-partitioned and pre-sorted from
     * its buckets — NO exchange, NO sort on the index, ever. Only the
-    * (small) batch side shuffles, to the index's bucket layout.
+    * (small) batch side shuffles and sorts, to the index's bucket
+    * layout.
     *
     * The merge hint is a deliberate production declaration, not a test
     * crutch: for a LEFT join the build side is the right (index) side,
     * so letting the planner pick broadcast would ship the 100 TB index
     * to every executor; hinting merge pins the join family whose cost
-    * is one batch-side exchange. CurationSpec asserts the resulting
-    * plan (exactly one exchange, bucketed index scan) AND verdict
-    * parity with [[incrementalDedup]]. */
+    * is one batch-side exchange.
+    *
+    * Sort elimination needs an explicit opt-in: since Spark 3.0 a
+    * bucketed scan does NOT advertise its sortBy order (SPARK-28595 —
+    * with several files per bucket the rows interleave and the old
+    * blanket assumption was simply wrong), so the planner would
+    * re-Sort the 100 TB index under the merge join on every probe.
+    * This method sets `spark.sql.legacy.bucketedTableScan
+    * .outputOrdering` on the session (sticky — the conf is read at
+    * plan time, after this method returns, so it cannot be scoped),
+    * which is sound here and only here because [[Formats
+    * .writeBucketed]] guarantees ONE file per bucket by pre-shuffling
+    * to the bucket hash — the exact condition under which the scan's
+    * declared order is real. CurationSpec asserts the resulting plan
+    * (exactly one exchange AND one sort, both on the batch side,
+    * bucketed index scan) with a falsifiability control against an
+    * unbucketed table, plus verdict parity with [[incrementalDedup]]. */
   def bucketedAdmission(spark: SparkSession, dir: String, indexTable: String,
                         batchMod: Int = 5, batchRem: Int = 4): DataFrame = {
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === batchRem
     admissionVerdicts(
       Tables.documents(spark, dir).filter(isBatch),

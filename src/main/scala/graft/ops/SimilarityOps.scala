@@ -241,6 +241,17 @@ object SimilarityOps {
   def knnJoin(spark: SparkSession, dir: String,
               nQueries: Long = 20L, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // fail-loud contract guard: the whole design rests on queries ≪
+    // corpus (the batch is broadcast AND each scoring partition holds
+    // a heap per query). A corpus-sized nQueries would OOM the
+    // executors long after the plan looked fine — reject it at plan
+    // time instead. Corpus-scale query sets are the LSH-bucketed
+    // per-bucket kNN path ([[withBucket]]), not this operator.
+    require(nQueries <= 65536,
+      s"knnJoin broadcasts the query batch and keeps k rows per query " +
+        s"per partition; nQueries=$nQueries exceeds the broadcast-sized " +
+        "contract (<= 65536). Bucket both sides (withBucket) and kNN-join " +
+        "per bucket for corpus-sized query sets.")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     knnPartialTopK(spark, dir, nQueries, k)
@@ -261,8 +272,16 @@ object SimilarityOps {
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      // null tolerance ahead of the typed combiner: a null embedding
+      // (hence null cos) can never rank — the window's default
+      // NULLS LAST on `cos DESC` would exclude it anyway, so dropping
+      // it here preserves the untyped plan's semantics while keeping
+      // the (Long, Long, Option[Int], Double) encoder total. A null
+      // LABEL, by contrast, is a rankable neighbor — Option[Int]
+      // carries it through the heap instead of throwing.
+      .filter(col("cos").isNotNull)
       .select(col("q_id"), col("vec_id"), col("label").cast("int").as("label"), col("cos"))
-      .as[(Long, Long, Int, Double)]
+      .as[(Long, Long, Option[Int], Double)]
       .mapPartitions(partialTopK(_, k))
       .toDF("q_id", "vec_id", "label", "cos")
   }
@@ -274,18 +293,18 @@ object SimilarityOps {
     * regardless of corpus size (the kNN-join asymmetry again: the
     * query batch is broadcast-sized by contract). Package-private for
     * direct spec coverage. */
-  private[graft] def partialTopK(it: Iterator[(Long, Long, Int, Double)],
-                               k: Int): Iterator[(Long, Long, Int, Double)] = {
+  private[graft] def partialTopK[L](it: Iterator[(Long, Long, L, Double)],
+                               k: Int): Iterator[(Long, Long, L, Double)] = {
     // "worst-first": the heap's head is the row that falls out next —
     // lower cos is worse; on ties the HIGHER vec_id is worse
-    val worstFirst = new Ordering[(Long, Long, Int, Double)] {
-      def compare(a: (Long, Long, Int, Double), b: (Long, Long, Int, Double)): Int = {
+    val worstFirst = new Ordering[(Long, Long, L, Double)] {
+      def compare(a: (Long, Long, L, Double), b: (Long, Long, L, Double)): Int = {
         val c = java.lang.Double.compare(b._4, a._4)
         if (c != 0) c else java.lang.Long.compare(a._2, b._2)
       }
     }
     val heaps = scala.collection.mutable.LinkedHashMap
-      .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Int, Double)]]
+      .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, L, Double)]]
     it.foreach { row =>
       val h = heaps.getOrElseUpdate(row._1,
         scala.collection.mutable.PriorityQueue.empty(worstFirst))

@@ -41,8 +41,20 @@ object Formats {
     * join for free forever" pattern that matters most at 100 TB, where
     * the shuffle would otherwise move the whole table per query.
     * Bucket count is fixed at write time: pick it for target-cluster
-    * parallelism (it caps join parallelism until AQE splits). */
+    * parallelism (it caps join parallelism until AQE splits).
+    *
+    * The pre-write `repartition(buckets, key)` is load-bearing, not
+    * cosmetic: Spark only trusts a bucketed table's `sortBy` order
+    * when each bucket holds EXACTLY ONE file (SPARK-24528 — with
+    * several files per bucket the rows interleave, so the reader
+    * silently re-inserts a per-bucket Sort, costing the sort half of
+    * the shuffle-free promise with no error). A bucketed write emits
+    * one file per (task, bucket) pair; repartitioning on the bucket
+    * key with the bucket count uses the same Murmur3 `pmod` hash the
+    * bucket assignment uses, so every task owns exactly one bucket
+    * and writes exactly one file. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite).format("parquet")
+    df.repartition(buckets, df.col(key))
+      .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }

