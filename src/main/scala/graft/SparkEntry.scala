@@ -114,6 +114,14 @@ object SparkEntry {
     "q92_incremental_dedup"-> ((s, d) => CurationOps.incrementalDedup(s, d)),
     "q93_sketch_merge"     -> ((s, d) => RelationalExt.sketchMerge(s, d)),
     "q94_mixture_sample"   -> ((s, d) => CurationOps.mixtureSample(s, d)),
+    // the production admission path: the same verdicts as q92, but
+    // probing a bucketed fingerprint index (built here per run — the
+    // write is part of what this query certifies)
+    "q95_bucketed_admission" -> ((s, d) => {
+      CurationOps.writeFingerprintIndex(s, d, "graft_fp_index", buckets = 8)
+      CurationOps.bucketedAdmission(s, d, "graft_fp_index")
+    }),
+    "q96_max_spans"        -> ((s, d) => CurationOps.maximalSpans(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1052,6 +1060,46 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN idx ON md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) = idx.fp
         |WHERE d.doc_id % 5 = 4""".stripMargin,
+    // q95: identical SQL to q92 — the bucketed probe must produce the
+    // same verdicts as the shuffle-join form; what differs (and what
+    // the spec asserts) is the physical plan, which the oracle cannot
+    // see. Registering it puts the production path under the hash gate.
+    "q95_bucketed_admission" ->
+      """WITH idx AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |    min(doc_id) AS keeper
+        |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1)
+        |SELECT d.doc_id,
+        | md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        | idx.keeper IS NOT NULL AS is_dup,
+        | idx.keeper
+        |FROM documents d
+        |LEFT JOIN idx ON md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) = idx.fp
+        |WHERE d.doc_id % 5 = 4""".stripMargin,
+    // q96: islands-and-gaps span merge — pos and gram unnest in
+    // lockstep (DuckDB zips same-level unnests), shared grams by
+    // distinct-doc count, pos − row_number() as the island key.
+    "q96_max_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(words) - 7, 0))) AS pos,
+        |    unnest(list_transform(range(0, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 8), ' '))) AS gram
+        |  FROM w),
+        |shared AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM hits)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        | CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
+        | CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     // q93: q54's flag pattern — DataSketches HLL estimates can't
     // hash-match DuckDB's sketch, so the gate carries exact counts +
     // TRUE bounds flags; the union row is 'ALL'.

@@ -100,7 +100,9 @@ object CurationOps {
     * so span hits localize the verbatim overlap without any
     * suffix-array construction.
     *
-    * Scale: exactly ONE shuffle on the gram string (PlanSpec-asserted).
+    * Scale: exactly ONE shuffle on the gram string (PlanSpec asserts
+    * two exchanges total: the gram build's doc_id repartition and one
+    * hashpartitioning on gram).
     * A direct countDistinct would plan as the Expand-based two-phase
     * distinct with an extra (gram, doc_id) exchange; instead the
     * per-(doc, gram) pre-aggregation rides the gram build's existing
@@ -121,6 +123,54 @@ object CurationOps {
         sum(col("occ")).as("n_occ"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Maximal duplicate spans: the islands-and-gaps merge of
+    * [[duplicateSpans]]' gram-level hits back into per-document
+    * maximal verbatim regions — the output a curation pipeline
+    * actually ACTS on (trim the span, drop the doc), where gram-level
+    * hits only witness it. Lee et al. 2022's exact-substring semantics
+    * without the suffix array: a length-L substring shared by ≥
+    * minDocs docs is witnessed by L−k+1 CONSECUTIVE shared k-grams,
+    * so chaining adjacent shared gram positions recovers the maximal
+    * span: for each doc, `pos − row_number()` over the shared-gram
+    * positions is constant exactly on a consecutive run (the classic
+    * islands trick), and per-island min/max rebuild (start, length).
+    *
+    * Emits (doc_id, span_start, span_len, n_grams): span_start is the
+    * 0-based word offset, span_len the span's WORD length
+    * (max_pos − min_pos + k), n_grams the witnessing gram count —
+    * always span_len − k + 1 by construction, kept as a redundant
+    * invariant the oracle hash locks.
+    *
+    * Scale: the gram-level plan is [[duplicateSpans]]' (one doc_id
+    * exchange in the gram build, one gram exchange for the shared-set
+    * aggregation); the merge adds one semi-join of the gram rows
+    * against the shared-gram set — hash-partitioned on gram, where
+    * the shared set already sits, NOT broadcast (on a boilerplate-
+    * heavy corpus the shared-gram set is corpus-scaled; a broadcast
+    * would be a 100 TB footgun) — and one shuffle back to doc_id for
+    * the island window, whose per-doc groupBy rides the same
+    * partitioning exchange-free. Everything between exchanges is
+    * codegen'd; output is span-sized, never pair-sized. */
+  def maximalSpans(spark: SparkSession, dir: String, k: Int = 8,
+                   minDocs: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = kgramRows(spark, dir, k)
+    val sharedGrams = grams
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams
+      .join(sharedGrams, Seq("gram"), "left_semi")
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("bigint").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).cast("bigint").as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("n_grams"))
+  }
 
   /** Deterministic training-order assignment: shard + in-shard
     * position from md5(doc_id), reproducible run-to-run and
