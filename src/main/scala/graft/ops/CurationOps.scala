@@ -145,13 +145,20 @@ object CurationOps {
     * Scale: the gram-level plan is [[duplicateSpans]]' (one doc_id
     * exchange in the gram build, one gram exchange for the shared-set
     * aggregation); the merge adds one semi-join of the gram rows
-    * against the shared-gram set — hash-partitioned on gram, where
-    * the shared set already sits, NOT broadcast (on a boilerplate-
-    * heavy corpus the shared-gram set is corpus-scaled; a broadcast
-    * would be a 100 TB footgun) — and one shuffle back to doc_id for
-    * the island window, whose per-doc groupBy rides the same
-    * partitioning exchange-free. Everything between exchanges is
-    * codegen'd; output is span-sized, never pair-sized. */
+    * against the shared-gram set, whose strategy is left to
+    * Catalyst/AQE: size estimates scale with the input, so at test
+    * scale it plans as a broadcast semi-join and at 100 TB (where a
+    * boilerplate-heavy corpus makes the shared-gram set corpus-scaled)
+    * the estimate forces a shuffle join on gram — the right choice at
+    * each scale without a hint pinning either. Under the broadcast
+    * form the probe side KEEPS the gram build's (doc_id) partitioning
+    * and (doc_id, pos) sort order, so the island window and the
+    * per-(doc, island) groupBy both ride it with zero further
+    * exchange and zero Sort (PlanSpec-asserted: exactly one
+    * hashpartitioning(gram) exchange in the whole plan, and no Sort
+    * or doc_id exchange outside the two kgram builds). Everything
+    * between exchanges is codegen'd; output is span-sized, never
+    * pair-sized. */
   def maximalSpans(spark: SparkSession, dir: String, k: Int = 8,
                    minDocs: Long = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window

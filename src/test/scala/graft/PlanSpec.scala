@@ -134,6 +134,38 @@ class PlanSpec extends AnyFunSuite {
       "no exchange may carry embedding arrays")
   }
 
+  test("duplicate spans: two exchanges total, exactly one on the gram key") {
+    // the (doc_id, gram) pre-aggregation must ride the gram build's
+    // doc_id repartition (subset clustering); a third exchange — or a
+    // second gram exchange — means the distinct-doc count regressed to
+    // the Expand-based two-phase countDistinct
+    val simple = CurationOps.duplicateSpans(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.linesIterator.count(_.contains("Exchange")) == 2,
+      s"duplicateSpans must shuffle exactly twice:\n$simple")
+    assert(simple.linesIterator.count(_.contains("hashpartitioning(gram")) == 1,
+      s"exactly one exchange may move gram rows:\n$simple")
+  }
+
+  test("maximal spans: island window rides the kgram build — no sort, no doc_id exchange beyond the gram builds") {
+    // the probe side of the shared-gram semi-join keeps kgramRows'
+    // (doc_id) partitioning and (doc_id, pos) order, so the island
+    // row_number window and the per-(doc, island) aggregation must add
+    // ZERO exchanges and ZERO sorts: the only hash exchanges are the
+    // two kgram doc_id repartitions (grams + shared-set branches) and
+    // the shared-set aggregation's single gram exchange, and the only
+    // sorts are the two inside the kgram window builds
+    val simple = CurationOps.maximalSpans(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.linesIterator.count(_.contains("hashpartitioning(gram")) == 1,
+      s"exactly one gram exchange (the shared-set aggregation):\n$simple")
+    assert(simple.linesIterator.count(_.contains("hashpartitioning(doc_id")) == 2,
+      s"only the two kgram builds may repartition on doc_id:\n$simple")
+    assert(simple.linesIterator.count(_.contains(" Sort [")) == 2,
+      s"only the two kgram window builds may sort — the island window " +
+        s"must reuse the (doc_id, pos) order:\n$simple")
+  }
+
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
     val feats = graft.pipeline.HydroPipeline.toFeatures(
       graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml"))
