@@ -122,6 +122,14 @@ object SparkEntry {
       CurationOps.bucketedAdmission(s, d, "graft_fp_index")
     }),
     "q96_max_spans"        -> ((s, d) => CurationOps.maximalSpans(s, d)),
+    // q61's pipeline with the large-star/small-star merge: identical
+    // labels by contract (both = component min), so the deep-graph
+    // path sits under the same hash gate as the min-label one
+    "q97_clusters_star"    -> ((s, d) => DedupOps.dedupClustersStar(s, d)),
+    // media near-dup through the decode kernel: quantized-histogram
+    // signature, banded exact-match candidates, L1 verify — all
+    // integer observables, so the oracle recomputes from raw bytes
+    "q98_neardup_media"    -> ((s, d) => MultimodalOps.nearDupMedia(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1100,6 +1108,63 @@ object SparkEntry {
         | CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_len,
         | CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // q97: q61's SQL verbatim — star and min-label merges both label
+    // components by their minimum member, so the oracle cannot (and
+    // must not) tell them apart; what differs is round complexity,
+    // which the 200-node-path spec pins
+    "q97_clusters_star" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |dup AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        |          UNION SELECT doc_b, doc_a FROM dup),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |FROM reach GROUP BY a""".stripMargin,
+    // q98: the oracle recomputes the 16 quantized histogram levels
+    // from the payload bytes (the q32 hex-walk generalized: one
+    // unnest over byte positions, grouped by high nibble) and
+    // brute-forces all pairs at L1 <= 2 — candidate generation is
+    // engine-private, the SEMANTIC contract is the full pair set,
+    // which the banding reaches exactly by pigeonhole
+    "q98_neardup_media" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, unnest(range(n)) AS i, hx FROM b),
+        |counts AS (
+        |  SELECT doc_id, any_value(n) AS n,
+        |    strpos('0123456789abcdef', substr(hx, CAST(i*2+1 AS INT), 1)) - 1 AS nib,
+        |    count(*) AS c
+        |  FROM g GROUP BY doc_id, nib),
+        |lv AS (SELECT doc_id, nib, least(255, (c * 256) // n) AS q FROM counts),
+        |fl AS (
+        |  SELECT d.doc_id, h.h, coalesce(lv.q, 0) AS q
+        |  FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(16)) AS h) h
+        |  LEFT JOIN lv ON lv.doc_id = d.doc_id AND lv.nib = h.h)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(sum(abs(a.q - b.q)) AS BIGINT) AS dist
+        |FROM fl a JOIN fl b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING sum(abs(a.q - b.q)) <= 2""".stripMargin,
     // q93: q54's flag pattern — DataSketches HLL estimates can't
     // hash-match DuckDB's sketch, so the gate carries exact counts +
     // TRUE bounds flags; the union row is 'ALL'.

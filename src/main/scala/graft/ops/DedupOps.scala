@@ -104,7 +104,7 @@ object DedupOps {
     * key's selectivity; at 100 TB a degenerate stop-key bucket gets
     * capped/salted before this step. `input` must have a `members`
     * column of struct(doc_id, sh). */
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+  private[ops] def bucketPairs(buckets: DataFrame): DataFrame =
     buckets
       .filter(size(col("members")) > 1)
       .select(explode(col("members")).as("x"), col("members"))
@@ -166,10 +166,22 @@ object DedupOps {
     * the convergence counter. Lineage is cut with localCheckpoint so
     * the loop cannot build an unbounded plan. At 100 TB the same loop
     * holds (edges ≪ corpus after blocking); the classic
-    * large-star/small-star variant is the upgrade path if components
-    * ever get deep. */
+    * [[connectedComponentsStar]] variant is the swap-in upgrade if
+    * components ever get deep. */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     connectedComponents(
+      nearDupNgram(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("cluster"))
+
+  /** [[dedupClusters]] with [[connectedComponentsStar]] as the merge:
+    * identical output (both label by component min — the q97 oracle is
+    * q61's SQL verbatim), different depth budget. The pair graph is
+    * the same, so at 100 TB choosing between them is purely a
+    * component-shape question: min-label when near-dup components are
+    * the usual shallow chains, star when a boilerplate-heavy corpus
+    * produces deep ones. */
+  def dedupClustersStar(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    connectedComponentsStar(
       nearDupNgram(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("cluster"))
 
@@ -194,8 +206,9 @@ object DedupOps {
     * convergence the method THROWS rather than returning a silently
     * under-merged labeling — wrong clusters with no error is the
     * failure mode an oracle on real data can never catch. Deep
-    * components at 100 TB are the large-star/small-star upgrade path,
-    * not a reason to raise the cap. */
+    * components at 100 TB are what [[connectedComponentsStar]] is for
+    * — same contract, O(log² n) rounds — not a reason to raise the
+    * cap. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     val p = pairs.localCheckpoint()
@@ -231,8 +244,95 @@ object DedupOps {
     if (!done) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxRounds rounds " +
         "(component diameter exceeds the cap); raise maxRounds or switch " +
-        "to the large-star/small-star variant for deep graphs")
+        "to connectedComponentsStar, which converges in O(log^2 n) rounds " +
+        "on deep graphs")
     labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** Large-star/small-star connected components — the deep-graph
+    * variant [[connectedComponents]]' cap error points at. Same
+    * contract: (id, cluster = minimum member id of the component) for
+    * every node in `pairs`; different round complexity — O(log² n)
+    * alternating-star rounds (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond") instead of O(diameter)
+    * min-label rounds, so a 10⁶-node chain that min-label could never
+    * finish converges in a few dozen rounds.
+    *
+    * Each round rewrites the canonical hi→lo edge list (u > v) twice:
+    *  - large-star: per node u over the SYMMETRIC neighborhood, hook
+    *    every strictly-larger neighbor v onto m = min(N(u) ∪ {u}) —
+    *    emits (v, m), halving tall chains while never creating a
+    *    self-loop (v > u ≥ m);
+    *  - small-star: per node u over its smaller neighbors, re-point
+    *    all of them plus u itself at m = min(N⁻(u)).
+    * Both are one windowed min + a projection — no join in the round
+    * body (min-label's per-round join is replaced by the window), and
+    * the per-round distinct keeps the edge multiset at most |E|.
+    *
+    * Convergence = the round was a no-op: the (count, xor-of-xxhash64)
+    * fingerprint of the edge set is unchanged (xor, not sum — the
+    * commutative combine that cannot overflow under ANSI arithmetic;
+    * edges are distinct so pairwise cancellation needs a hash
+    * collision). A fixed point of the
+    * alternation is exactly a star forest centered at component
+    * minima, so stationarity IS the answer; the fingerprint compare is
+    * one tiny aggregation action per round on the already-checkpointed
+    * edges (hash-collision false-convergence is ~2⁻⁶⁴ per round —
+    * negligible against any infrastructure failure rate). Like
+    * min-label, hitting the cap THROWS rather than returning an
+    * under-merged labeling, and localCheckpoint cuts lineage so the
+    * loop cannot build an unbounded plan.
+    *
+    * Scale: each round shuffles edge-sized rows only (two window
+    * partitions on node id + one distinct); labels never materialize
+    * until the final star edges ARE the labels. Skew: a giant star's
+    * center is one hot window partition — the documented mitigation is
+    * the paper's per-round high-degree sampling, not needed until a
+    * single component approaches executor memory. */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .union(pairs.select(col("doc_b").as("id"))).distinct().localCheckpoint()
+    var edges = pairs
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct().localCheckpoint()
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val wU = Window.partitionBy(col("u"))
+      val large = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v"))) // symmetric view
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val withMin = large.withColumn("m", min(col("v")).over(wU))
+      val small = withMin
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val nfp = fingerprint(small)
+      converged = nfp == fp
+      fp = nfp
+      edges = small
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within $maxRounds rounds; " +
+        "this exceeds the O(log^2 n) bound for any realistic graph — " +
+        "inspect the edge list for pathological structure before raising " +
+        "the cap")
+    nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(nodes("id"), coalesce(edges("v"), nodes("id")).as("cluster"))
   }
 
   // ---------------------------------------------------------------

@@ -106,6 +106,85 @@ object MultimodalOps {
       length(col("payload")).cast("bigint").as("n_bytes"),
       size(col("frame_indices")).cast("bigint").as("frames_sampled"))
 
+  /** Perceptual signature over the decoded feature histogram: each of
+    * the 16 bins quantized to an integer level at 1/256 granularity
+    * (`q_h = min(255, floor(count_h * 256 / n_bytes))`), emitted as 16
+    * integer columns. The integer bin count is recovered from the
+    * float32-normalized histogram by the same multiply-and-round
+    * identity as [[mediaFeatures]]' bin6_count (exact while a payload
+    * stays under 8M bytes — k·2⁻²⁴ < 0.5), and the level division is
+    * exact integer floor in both engines (the double quotient of
+    * longs < 2⁴⁷ cannot round across an integer), so every level — and
+    * hence every downstream distance — is integer-reproducible by the
+    * DuckDB oracle from the raw payload bytes.
+    *
+    * This is the aHash/pHash family move re-expressed for a histogram
+    * kernel: quantize the decoded feature vector to a compact integer
+    * signature whose elementwise L1 distance is the near-dup metric.
+    * (A bit-packed signature was rejected: 16 bins × 8-bit levels
+    * overflow a signed long's 63 usable bits, and thermometer packing
+    * triples the width — 16 narrow integer columns stay codegen'd
+    * end-to-end with zero packing arithmetic.) */
+  def mediaSignatures(spark: SparkSession, dir: String,
+                      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val feats = extractFeatures(asMedia(spark, dir), decoder)
+    val levels = (0 until 16).map { h =>
+      when(col("n_bytes") === 0, lit(0L)).otherwise(
+        least(lit(255L), floor(
+          round(element_at(col("features"), h + 1).cast("double") * col("n_bytes"), 0)
+            * 256 / col("n_bytes")).cast("long"))).as(s"q$h")
+    }
+    feats.select(col("doc_id") +: levels: _*)
+  }
+
+  /** Multimodal near-dup: pairs of media payloads whose decoded
+    * feature histograms agree within an L1 distance of `maxL1`
+    * quantization granules — the dedup signal OVER the media column
+    * that the text near-dup family (MinHash/SimHash) cannot see.
+    *
+    * Candidate generation is the banded-LSH shape shared with
+    * [[DedupOps]] (same `bucketPairs` explode-then-filter, one bucket
+    * shuffle, no self-join), with exact-match bands by pigeonhole:
+    * L1 ≤ 2 implies at most 2 of the 16 levels differ, so of 3 bands
+    * at least one is level-identical — full recall, no probabilistic
+    * miss. Bands take every 3rd bin (`h mod 3`, not contiguous
+    * ranges): adjacent histogram bins are correlated and real-world
+    * histograms are sparse, so contiguous bands concentrate all
+    * entropy in a few bands and leave the rest as degenerate
+    * full-corpus buckets; interleaving spreads the informative bins
+    * across every band. Verification is the exact 16-term L1 sum —
+    * all codegen'd column arithmetic on the struct fields, no UDF, no
+    * array lambda.
+    *
+    * Scale: one shuffle on (band, bucket-key), pair output bounded by
+    * bucket sizes; a degenerate bucket (a histogram level-tuple shared
+    * by a large doc fraction) is the standard LSH stop-key — cap or
+    * salt it like the text near-dups document. At 100 TB the decode
+    * stays a narrow partition-wise map and only (doc_id, 16 longs)
+    * rows ever shuffle — payloads never leave their scan partition. */
+  def nearDupMedia(spark: SparkSession, dir: String, maxL1: Int = 2,
+                   decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val sigs = mediaSignatures(spark, dir, decoder)
+    val nBands = 3
+    val bandKeys = (0 until nBands).map { b =>
+      concat_ws(",", (0 until 16).filter(_ % nBands == b).map(h => col(s"q$h")): _*)
+    }
+    val banded = sigs.select(
+      col("doc_id") +: (0 until 16).map(h => col(s"q$h")) :+
+        posexplode(array(bandKeys: _*)): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(
+        col("doc_id") +: (0 until 16).map(h => col(s"q$h")): _*)).as("members"))
+    val l1 = (0 until 16).map(h => abs(col(s"x.q$h") - col(s"y.q$h")))
+      .reduce(_ + _)
+    DedupOps.bucketPairs(buckets)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        l1.cast("bigint").as("dist"))
+      .filter(col("dist") <= maxL1)
+      .distinct()
+  }
+
   /** Driver-gate query: stub decode over every payload, reduced to
     * integer-exact observables the DuckDB oracle can recompute from
     * the raw bytes:

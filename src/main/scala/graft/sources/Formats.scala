@@ -52,9 +52,24 @@ object Formats {
     * one file per (task, bucket) pair; repartitioning on the bucket
     * key with the bucket count uses the same Murmur3 `pmod` hash the
     * bucket assignment uses, so every task owns exactly one bucket
-    * and writes exactly one file. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * and writes exactly one file.
+    *
+    * Re-run safety: `SaveMode.Overwrite` alone only overwrites a table
+    * the CATALOG knows about. A stale warehouse directory from an
+    * earlier session (in-memory catalog, nothing registered) fails the
+    * write with LOCATION_ALREADY_EXISTS — so drop any catalog entry
+    * and delete a leftover default-location directory first. The
+    * default managed-table location for the default database is
+    * `<spark.sql.warehouse.dir>/<lowercased table name>`. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(buckets, df.col(key))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 }

@@ -174,6 +174,44 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(ok.keySet == (0L to 12L).toSet)
   }
 
+  test("star components collapse a 200-node path that blows the min-label cap") {
+    val spark2 = spark
+    import spark2.implicits._
+    // diameter 200: min-label needs ~200 rounds so its default cap of
+    // 50 correctly throws — this is exactly the deep-graph case the
+    // star variant exists for
+    val path = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(path).collect()
+    }
+    // large-star/small-star converges in O(log^2 n) rounds: a tight
+    // cap of 12 is ample for n=201 and would catch any regression to
+    // diameter-bound behavior
+    val got = DedupOps.connectedComponentsStar(path, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (0L to 200L).toSet)
+    assert(got.values.toSet == Set(0L), "one component labeled by its min")
+  }
+
+  test("property: star components agree with min-label and union-find on random graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { trial =>
+      val n = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val df = edges.toDF("doc_a", "doc_b")
+      val minLabel = DedupOps.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = DedupOps.connectedComponentsStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == minLabel, s"trial $trial: star and min-label labelings diverge")
+    }
+  }
+
   test("tf-idf ranks are 1..5 per doc and scores non-increasing") {
     val rows = TextOps.tfidfTop(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))

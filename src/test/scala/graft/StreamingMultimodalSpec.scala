@@ -220,4 +220,31 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val sizes = planned.select(size($"frame_indices")).collect().map(_.getInt(0))
     assert(sizes.forall(s => s >= 1 && s <= 8))
   }
+
+  test("media near-dup equals a driver-side brute force — banding loses no pair (pigeonhole recall)") {
+    // independent recomputation: decode every payload with the stub
+    // kernel directly, quantize to levels, brute-force ALL pairs at
+    // L1 <= 2 — then exact set equality against the banded operator
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def levels(text: String): Array[Long] = {
+      val payload = text.getBytes("UTF-8")
+      val f = MultimodalOps.StubDecoder.decode(payload, "png")
+      f.map { frac =>
+        if (payload.isEmpty) 0L
+        else math.min(255L,
+          (math.round(frac.toDouble * payload.length) * 256L) / payload.length)
+      }
+    }
+    val sigs = docs.map { case (id, t) => id -> levels(t) }
+    val expected = (for {
+      (a, qa) <- sigs; (b, qb) <- sigs if a < b
+      d = qa.zip(qb).map { case (x, y) => math.abs(x - y) }.sum
+      if d <= 2
+    } yield (a, b, d)).toSet
+    val got = MultimodalOps.nearDupMedia(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "banded media near-dup diverges from brute force")
+    assert(got.nonEmpty, "fixture sanity: near-dup media pairs exist")
+  }
 }
