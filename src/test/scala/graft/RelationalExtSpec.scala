@@ -212,6 +212,30 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("star components are insensitive to edge orientation, duplicates, and self-loops") {
+    val spark2 = spark
+    import spark2.implicits._
+    val clean = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    // the same graph stated messily: reversed orientations, repeated
+    // edges, self-loops — canonicalization must absorb all of it
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (2L, 3L), (2L, 3L),
+      (10L, 11L), (7L, 7L), (1L, 1L)).toDF("doc_a", "doc_b")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.connectedComponentsStar(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(messy)
+    // self-loop-only node 7 is isolated: labeled by itself
+    assert(got == run(clean) + (7L -> 7L))
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(10L) == 10L && got(11L) == 10L)
+    // degenerate graphs: self-loops only, and a pre-converged star
+    assert(run(Seq((5L, 5L)).toDF("doc_a", "doc_b")) == Map(5L -> 5L))
+    val star = (1L to 100L).map(i => (0L, i)).toDF("doc_a", "doc_b")
+    val labels = run(star)
+    assert(labels.size == 101 && labels.values.toSet == Set(0L),
+      "a 100-leaf star is already a fixed point labeled by its center")
+  }
+
   test("tf-idf ranks are 1..5 per doc and scores non-increasing") {
     val rows = TextOps.tfidfTop(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
