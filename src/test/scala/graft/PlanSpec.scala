@@ -166,6 +166,27 @@ class PlanSpec extends AnyFunSuite {
         s"must reuse the (doc_id, pos) order:\n$simple")
   }
 
+  test("media near-dup: decode is a narrow map on the scan, payloads never travel past it, two exchanges total") {
+    val simple = graft.ops.MultimodalOps.nearDupMedia(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val lines = simple.linesIterator.toVector
+    // two hash exchanges: the (band, bucket) shuffle feeding the
+    // member aggregation and the final pair distinct — a third would
+    // mean the signature build stopped riding the scan
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected exactly two exchanges:\n$simple")
+    // the decode MapPartitions must sit on the scan with NO exchange
+    // below it (narrow map), and the payload column must never appear
+    // above it — lines print root-first, so "below the decode" is
+    // every line after the MapPartitions line
+    val decodeAt = lines.indexWhere(_.contains("MapPartitions"))
+    assert(decodeAt >= 0, s"decode map missing from plan:\n$simple")
+    assert(!lines.drop(decodeAt + 1).exists(_.contains("Exchange")),
+      s"nothing below the decode may shuffle:\n$simple")
+    assert(!lines.take(decodeAt).exists(_.contains("payload")),
+      s"payload bytes must not travel past the decode:\n$simple")
+  }
+
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
     val feats = graft.pipeline.HydroPipeline.toFeatures(
       graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml"))
