@@ -300,7 +300,7 @@ object DedupOps {
       .distinct().localCheckpoint()
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var fp = fingerprint(edges)
