@@ -278,7 +278,14 @@ object DedupOps {
     * minima, so stationarity IS the answer; the fingerprint compare is
     * one tiny aggregation action per round on the already-checkpointed
     * edges (hash-collision false-convergence is ~2⁻⁶⁴ per round —
-    * negligible against any infrastructure failure rate). Like
+    * negligible against any infrastructure failure rate). Fusing the
+    * fingerprint into the checkpoint job via an accumulator — the
+    * min-label trick — was considered and REJECTED: xor under
+    * at-least-once accumulator semantics is retry-UNSAFE (a retried
+    * task xors its partition twice and self-cancels, silently faking
+    * convergence), where min-label's changed-counter was safe because
+    * retries can only over-count. Two small jobs per round is the
+    * honest price. Like
     * min-label, hitting the cap THROWS rather than returning an
     * under-merged labeling, and localCheckpoint cuts lineage so the
     * loop cannot build an unbounded plan.
