@@ -221,6 +221,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(sizes.forall(s => s >= 1 && s <= 8))
   }
 
+  test("streaming media decode: the feature map runs on a stream with zero state, batch parity across micro-batches") {
+    // the decode is a stateless narrow map, so the SAME extractFeatures
+    // body must run under readStream with no state store and produce
+    // verdicts independent of micro-batch boundaries — the ingest-time
+    // shape (decode features as media arrives, no reprocessing job)
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def asMediaShape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"text".cast("binary").as("payload"),
+        struct(lit("png").as("format")).as("meta"))
+    val input = MemoryStream[(Long, String)]
+    val feats = MultimodalOps.extractFeatures(
+      asMediaShape(input.toDF().toDF("doc_id", "text")), batchSize = 16)
+    val q = feats.writeStream.outputMode("append")
+      .format("memory").queryName("media_feat_out").start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Float](2).toVector))).toMap
+      val streamed = keyed(spark.table("media_feat_out"))
+      val batch = keyed(MultimodalOps.extractFeatures(
+        asMediaShape(Tables.documents(spark, sf).select($"doc_id", $"text"))))
+      assert(streamed == batch, "streamed and batch decode features diverge")
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "a stateless decode map must hold zero streaming state")
+    } finally q.stop()
+  }
+
   test("media near-dup equals a driver-side brute force — banding loses no pair (pigeonhole recall)") {
     // independent recomputation: decode every payload with the stub
     // kernel directly, quantize to levels, brute-force ALL pairs at
