@@ -130,6 +130,9 @@ object SparkEntry {
     // signature, banded exact-match candidates, L1 verify — all
     // integer observables, so the oracle recomputes from raw bytes
     "q98_neardup_media"    -> ((s, d) => MultimodalOps.nearDupMedia(s, d)),
+    // the span family's dedup ACTION: documents rebuilt with every
+    // maximal duplicate span removed (Lee et al. remove-all semantics)
+    "q99_span_trim"        -> ((s, d) => CurationOps.trimSpans(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1165,6 +1168,49 @@ object SparkEntry {
         |FROM fl a JOIN fl b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |HAVING sum(abs(a.q - b.q)) <= 2""".stripMargin,
+    // q99: q96's span CTEs extended to the trim action — covered
+    // positions unnested from each span's range, anti-joined against
+    // the word rows (same-level unnests zip in DuckDB), remaining
+    // words string_agg'd in position order; the doc roster left join
+    // keeps untouched and fully-covered docs in the output
+    "q99_span_trim" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |wr AS (
+        |  SELECT doc_id, unnest(range(len(words))) AS pos, unnest(words) AS word
+        |  FROM w),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(words) - 7, 0))) AS pos,
+        |    unnest(list_transform(range(0, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 8), ' '))) AS gram
+        |  FROM w),
+        |shared AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM hits),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + 8 AS l
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + l)) AS pos FROM spans),
+        |kept AS (
+        |  SELECT wr.doc_id, wr.pos, wr.word
+        |  FROM wr LEFT JOIN cov ON wr.doc_id = cov.doc_id AND wr.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_words FROM wr GROUP BY doc_id)
+        |SELECT t.doc_id,
+        | coalesce(a.clean_text, '') AS clean_text,
+        | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+        | CAST(t.n_words - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // q93: q54's flag pattern — DataSketches HLL estimates can't
     // hash-match DuckDB's sketch, so the gate carries exact counts +
     // TRUE bounds flags; the union row is 'ALL'.

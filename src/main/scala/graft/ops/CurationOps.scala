@@ -179,6 +179,51 @@ object CurationOps {
       .select(col("doc_id"), col("span_start"), col("span_len"), col("n_grams"))
   }
 
+  /** The exact-substring dedup ACTION: rebuild every document with its
+    * [[maximalSpans]] regions removed. Lee et al. 2022's released
+    * exact-substring implementation removes EVERY occurrence of a
+    * duplicated span (not keep-one — the span text survives only where
+    * it is not part of a cross-document duplicate), and that is the
+    * semantic here: covered word positions are anti-joined away and
+    * the remaining words reassemble in position order.
+    *
+    * Emits one row per document — including untouched and fully-
+    * covered ones — with (clean_text, n_kept, n_removed), so the
+    * output IS the post-dedup corpus plus its audit trail.
+    *
+    * Scale: everything after the span build keys on doc_id — the word
+    * rows, the exploded cover positions (span-sized, never pair-
+    * sized), the anti join, and both per-doc aggregations all ride the
+    * same doc_id partitioning. The final reassembly uses an array_sort
+    * + transform over ONE per-doc array (interpreted, not codegen'd —
+    * fine here because it runs once per output row on output-sized
+    * data; the per-candidate hot paths stay codegen'd). */
+  def trimSpans(spark: SparkSession, dir: String, k: Int = 8,
+                minDocs: Long = 2): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // spread the explode (cf. kgramRows)
+      .select(col("doc_id"), posexplode(
+        split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+        col("col").as("word"))
+    val covered = maximalSpans(spark, dir, k, minDocs)
+      .select(col("doc_id"), explode(
+        sequence(col("span_start"), col("span_start") + col("span_len") - 1)).as("pos"))
+    val cleaned = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Deterministic training-order assignment: shard + in-shard
     * position from md5(doc_id), reproducible run-to-run and
     * engine-to-engine — the "global shuffle" a training job needs,

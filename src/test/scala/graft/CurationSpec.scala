@@ -103,6 +103,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("span trim removes exactly the maximal-span words and reassembles the rest in order") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val spans = CurationOps.maximalSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = CurationOps.trimSpans(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == docs.length, "one row per document, untouched docs included")
+    docs.foreach { case (id, text) =>
+      val w = normWords(text)
+      val cov = spans.getOrElse(id, Array.empty)
+        .flatMap { case (_, s, l) => s until (s + l) }.toSet
+      val expectKept = w.zipWithIndex.collect { case (word, p) if !cov(p.toLong) => word }
+      val (clean, nKept, nRemoved) = got(id)
+      assert(clean == expectKept.mkString(" "), s"doc $id clean text")
+      assert(nKept == expectKept.length.toLong, s"doc $id n_kept")
+      assert(nRemoved == w.length - expectKept.length, s"doc $id n_removed")
+    }
+    // the operator actually removed something on this fixture, and did
+    // not touch documents without spans
+    assert(got.values.exists(_._3 > 0), "fixture sanity: some spans trimmed")
+    val untouched = docs.filter(d => !spans.contains(d._1))
+    assert(untouched.nonEmpty && untouched.forall { case (id, text) =>
+      got(id)._1 == normWords(text).mkString(" ") && got(id)._3 == 0L
+    }, "span-free docs pass through verbatim (normalized)")
+  }
+
   test("training order is a deterministic shard-partitioned permutation") {
     val rows = CurationOps.trainingOrder(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
