@@ -166,6 +166,21 @@ class PlanSpec extends AnyFunSuite {
         s"must reuse the (doc_id, pos) order:\n$simple")
   }
 
+  test("span trim: no operator forces a doc_id re-shuffle — only the explicit build repartitions move doc-keyed rows") {
+    // the word builds and kgram builds repartition on doc_id
+    // explicitly (REPARTITION_BY_COL); every downstream join and
+    // aggregation must ride those (or a broadcast) — an
+    // ENSURE_REQUIREMENTS exchange on doc_id would mean the anti join
+    // or a per-doc aggregation regressed to its own shuffle
+    val simple = CurationOps.trimSpans(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!simple.linesIterator.exists(l =>
+      l.contains("ENSURE_REQUIREMENTS") && l.contains("doc_id")),
+      s"a doc_id exchange beyond the explicit builds appeared:\n$simple")
+    assert(simple.linesIterator.count(_.contains("hashpartitioning(gram")) == 1,
+      s"exactly one gram exchange (the shared-set aggregation):\n$simple")
+  }
+
   test("media near-dup: decode is a narrow map on the scan, payloads never travel past it, two exchanges total") {
     val simple = graft.ops.MultimodalOps.nearDupMedia(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
