@@ -133,6 +133,9 @@ object SparkEntry {
     // the span family's dedup ACTION: documents rebuilt with every
     // maximal duplicate span removed (Lee et al. remove-all semantics)
     "q99_span_trim"        -> ((s, d) => CurationOps.trimSpans(s, d)),
+    // q42's scale twin: bounded-memory mergeable quantile sketch,
+    // gated on exact quantiles + rank-error-envelope flags (q54 shape)
+    "q100_approx_quantiles"-> ((s, d) => RelationalExt.approxQuantiles(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1211,6 +1214,19 @@ object SparkEntry {
         | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
         | CAST(t.n_words - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // q100: q54's flag pattern again — the sketch's merge order (and
+    // hence its exact value) follows partitioning, so the gate carries
+    // the exact quantiles plus TRUE envelope flags; a sketch drifting
+    // past its rank-error bound turns into a hash mismatch
+    "q100_approx_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | TRUE AS p25_in_bound,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | TRUE AS p50_in_bound,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | TRUE AS p75_in_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // q93: q54's flag pattern — DataSketches HLL estimates can't
     // hash-match DuckDB's sketch, so the gate carries exact counts +
     // TRUE bounds flags; the union row is 'ALL'.

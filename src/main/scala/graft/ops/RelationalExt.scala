@@ -197,6 +197,44 @@ object RelationalExt {
         (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05).as("within_5pct"))
   }
 
+  /** [[Relational.quantiles]]' 100 TB twin: approx_percentile with a
+    * bounded-memory sketch instead of the exact percentile's full
+    * per-group counts map — at scale the exact form's buffer grows
+    * with group cardinality while the sketch stays fixed-size and
+    * mergeable across partitions.
+    *
+    * Oracle strategy is the q54/q93 flag pattern: the gated columns
+    * are the EXACT quantiles plus in-plan booleans asserting each
+    * approx value lands inside the exact quantile envelope at
+    * p ± 2/accuracy — the Greenwald-Khanna RANK-error guarantee
+    * (≤ 1/accuracy) widened one extra granule so continuous-vs-rank
+    * interpolation at the envelope edges cannot flap the flag. The
+    * approx VALUES themselves are deliberately not emitted: sketch
+    * merge order follows partitioning, so the value is not a
+    * cross-engine constant — the bound is. */
+  def approxQuantiles(spark: SparkSession, dir: String, accuracy: Int = 1000): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val eps = 2.0 / accuracy
+    val ps = Seq(0.25, 0.5, 0.75)
+    val pctArray = ps.flatMap(p => Seq(p - eps, p, p + eps))
+      .map(p => s"${p}D").mkString("array(", ", ", ")")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_extendedprice, $pctArray)").as("ex"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), $accuracy)").as("ap"))
+    exact.join(broadcast(approx), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag") +:
+          ps.zipWithIndex.flatMap { case (p, i) =>
+            val name = s"p${(p * 100).toInt}"
+            Seq(
+              round(col("ex").getItem(i * 3 + 1), 4).as(name),
+              (col("ap").getItem(i) >= col("ex").getItem(i * 3) &&
+                col("ap").getItem(i) <= col("ex").getItem(i * 3 + 2))
+                .as(s"${name}_in_bound"))
+          }: _*)
+  }
+
   /** SQL FILTER-clause aggregation — per-predicate conditional
     * aggregates in one pass (same plan shape as the CASE WHEN form,
     * exercised through the SQL surface). */
