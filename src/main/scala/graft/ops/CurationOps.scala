@@ -193,8 +193,12 @@ object CurationOps {
     *
     * Scale: everything after the span build keys on doc_id — the word
     * rows, the exploded cover positions (span-sized, never pair-
-    * sized), the anti join, and both per-doc aggregations all ride the
-    * same doc_id partitioning. The final reassembly uses an array_sort
+    * sized), the anti join, and both per-doc aggregations — and none
+    * of it may force its own doc_id exchange (PlanSpec-asserted: no
+    * ENSURE_REQUIREMENTS exchange on doc_id exists): each step either
+    * rides the explicit build repartitions or, at small scale where
+    * AQE prefers it, broadcasts the span-sized side. The final
+    * reassembly uses an array_sort
     * + transform over ONE per-doc array (interpreted, not codegen'd —
     * fine here because it runs once per output row on output-sized
     * data; the per-candidate hot paths stay codegen'd). */
