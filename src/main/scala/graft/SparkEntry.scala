@@ -136,6 +136,13 @@ object SparkEntry {
     // q42's scale twin: bounded-memory mergeable quantile sketch,
     // gated on exact quantiles + rank-error-envelope flags (q54 shape)
     "q100_approx_quantiles"-> ((s, d) => RelationalExt.approxQuantiles(s, d)),
+    // the persisted-index IVF probe: same verdicts as q87 (its oracle
+    // SQL verbatim), but reading a clabel-bucketed index with bucket
+    // pruning — the write is part of what this query certifies
+    "q101_ivf_bucketed"    -> ((s, d) => {
+      SimilarityOps.writeIvfIndex(s, d, "graft_ivf_index", buckets = 8)
+      SimilarityOps.ivfBucketedTopK(s, d, "graft_ivf_index")
+    }),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1261,6 +1268,41 @@ object SparkEntry {
     // argmin of the sequential (x−c)² fold with (d2, label) tie-break,
     // probes = the query's 2 nearest centroids, rerank = exact cosine.
     "q87_ivf_label" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT label AS clabel,
+        |    unnest(range(0, len(emb))) AS pos,
+        |    unnest(emb) AS v
+        |  FROM e),
+        |cm AS (SELECT clabel, pos, avg(v) AS m FROM flat GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(m ORDER BY pos) AS cent FROM cm GROUP BY 1),
+        |ad AS (
+        |  SELECT e.vec_id, e.label, e.emb, c.clabel,
+        |    list_sum(list_transform(range(1, len(e.emb) + 1),
+        |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+        |  FROM e CROSS JOIN cent c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk FROM ad),
+        |probes AS (SELECT clabel FROM rk WHERE vec_id = 0 AND rk <= 2),
+        |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT r.vec_id, CAST(r.label AS INTEGER) AS label, r.emb, q.q_emb
+        |  FROM rk r, q
+        |  WHERE r.rk = 1 AND r.vec_id <> 0
+        |    AND r.clabel IN (SELECT clabel FROM probes)),
+        |s AS (
+        |  SELECT vec_id, label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * q_emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] * q_emb[i])))), 4) AS cos
+        |  FROM cand)
+        |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // q101: q87's SQL verbatim — the bucketed-index probe must return
+    // the same top-k; what differs (bucket pruning, persisted
+    // assignment) is physical and spec-asserted, invisible to SQL
+    "q101_ivf_bucketed" ->
       """WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |  FROM embeddings),

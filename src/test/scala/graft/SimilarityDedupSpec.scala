@@ -19,6 +19,28 @@ class SimilarityDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed IVF probe prunes buckets and matches the recompute-everything form") {
+    SimilarityOps.writeIvfIndex(spark, sf, "ivf_idx_spec", buckets = 8)
+    val probe = SimilarityOps.ivfBucketedTopK(spark, sf, "ivf_idx_spec")
+    // the 100 TB claim as a plan fact: the index scan reads ONLY the
+    // buckets the nprobe labels hash to — SelectedBucketsCount must be
+    // present AND strictly below the bucket count (nprobe=2 labels can
+    // hash to at most 2 of 8 buckets)
+    val plan = probe.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, s"index scan did not bucket-prune:\n$plan")
+    assert(sel.get.group(1).toInt <= 2 && sel.get.group(2).toInt == 8,
+      s"expected <=2 of 8 buckets read, got ${sel.get.matched}")
+    // identical top-k to the in-plan assignment path (q101's oracle
+    // carries q87's SQL; this is the same parity, engine-side)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getDouble(2))
+    assert(probe.collect().map(key).toSeq ==
+      SimilarityOps.ivfLabelTopK(spark, sf).collect().map(key).toSeq,
+      "bucketed and recomputed IVF top-k diverge")
+  }
+
   test("int8 quantization round-trips every component within half a step") {
     // the oracle replays the same formula, so fidelity needs an
     // independent check: dequantized mn + q*scale must sit within
