@@ -101,15 +101,27 @@ object DedupOps {
     * self-join attribute dedup silently collapsed both legs' array
     * columns to one lineage in cached/aliased form — a correctness
     * trap, not just a perf one. Buckets are bounded by the blocking
-    * key's selectivity; at 100 TB a degenerate stop-key bucket gets
-    * capped/salted before this step. `input` must have a `members`
-    * column of struct(doc_id, sh). */
-  private[ops] def bucketPairs(buckets: DataFrame): DataFrame =
-    buckets
-      .filter(size(col("members")) > 1)
+    * key's selectivity; a degenerate stop-key bucket (a blocking value
+    * shared by a large doc fraction — the LSH analog of a stopword)
+    * would emit O(bucket²) pairs, so `maxBucket` EXCLUDES buckets past
+    * the cap — the standard production tradeoff: a stop-key bucket's
+    * pairs are overwhelmingly false positives (the key carries no
+    * discriminating information precisely because everyone shares it),
+    * so skipping it trades bounded recall loss for a hard quadratic
+    * bound. The default (None) keeps candidate generation exact —
+    * every oracle-gated query runs uncapped, so the hash gate stays an
+    * exact-recall check; the cap is the knob a 100 TB deployment sets.
+    * `input` must have a `members` column of struct(doc_id, sh). */
+  private[graft] def bucketPairs(buckets: DataFrame,
+                                 maxBucket: Option[Int] = None): DataFrame = {
+    val sized = buckets.filter(size(col("members")) > 1)
+    val admitted = maxBucket.fold(sized)(cap =>
+      sized.filter(size(col("members")) <= cap))
+    admitted
       .select(explode(col("members")).as("x"), col("members"))
       .select(col("x"), explode(
         filter(col("members"), y => y.getField("doc_id") > col("x.doc_id"))).as("y"))
+  }
 
   /** Exact Jaccard verification over generated pairs; single
     * array_intersect (|A∪B| = |A|+|B|−|A∩B| on the distinct shingle

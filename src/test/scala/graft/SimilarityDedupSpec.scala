@@ -41,6 +41,23 @@ class SimilarityDedupSpec extends AnyFunSuite {
       "bucketed and recomputed IVF top-k diverge")
   }
 
+  test("stop-bucket cap excludes degenerate buckets and leaves the rest exact") {
+    // one degenerate 50-member bucket (the LSH stopword analog) and
+    // one genuine 2-member bucket
+    val docs = ((1 to 50).map(i => (i.toLong, "giant")) ++
+      Seq((100L, "small"), (101L, "small"))).toDF("doc_id", "key")
+    val buckets = docs.groupBy($"key")
+      .agg(collect_list(struct($"doc_id")).as("members"))
+    def pairs(cap: Option[Int]) = DedupOps.bucketPairs(buckets, cap)
+      .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // uncapped stays exact: all 50*49/2 degenerate pairs + the real one
+    assert(pairs(None).length == 50 * 49 / 2 + 1)
+    // capped: the quadratic bucket is excluded wholesale, the real
+    // pair survives untouched
+    assert(pairs(Some(10)).toSeq == Seq((100L, 101L)))
+  }
+
   test("int8 quantization round-trips every component within half a step") {
     // the oracle replays the same formula, so fidelity needs an
     // independent check: dequantized mn + q*scale must sit within
