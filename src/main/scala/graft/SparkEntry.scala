@@ -143,6 +143,9 @@ object SparkEntry {
       SimilarityOps.writeIvfIndex(s, d, "graft_ivf_index", buckets = 8)
       SimilarityOps.ivfBucketedTopK(s, d, "graft_ivf_index")
     }),
+    // media admission: arriving payloads vs the standing corpus's
+    // signatures — the multimodal analog of q92, batch bands broadcast
+    "q102_media_admission" -> ((s, d) => MultimodalOps.mediaAdmission(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1234,6 +1237,43 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         | TRUE AS p75_in_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q102: q98's level recompute split into batch/index slices, all
+    // pairs brute-forced, per-batch-doc verdict aggregates (keeper and
+    // best_dist are independent minima by contract)
+    "q102_media_admission" ->
+      """WITH b0 AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, unnest(range(n)) AS i, hx FROM b0),
+        |counts AS (
+        |  SELECT doc_id, any_value(n) AS n,
+        |    strpos('0123456789abcdef', substr(hx, CAST(i*2+1 AS INT), 1)) - 1 AS nib,
+        |    count(*) AS c
+        |  FROM g GROUP BY doc_id, nib),
+        |lv AS (SELECT doc_id, nib, least(255, (c * 256) // n) AS q FROM counts),
+        |fl AS (
+        |  SELECT d.doc_id, h.h, coalesce(lv.q, 0) AS q
+        |  FROM (SELECT doc_id FROM documents) d
+        |  CROSS JOIN (SELECT unnest(range(16)) AS h) h
+        |  LEFT JOIN lv ON lv.doc_id = d.doc_id AND lv.nib = h.h),
+        |bb AS (SELECT * FROM fl WHERE doc_id % 5 = 4),
+        |ii AS (SELECT * FROM fl WHERE doc_id % 5 <> 4),
+        |hits AS (
+        |  SELECT bb.doc_id, ii.doc_id AS idx_id,
+        |    sum(abs(bb.q - ii.q)) AS dist
+        |  FROM bb JOIN ii ON bb.h = ii.h
+        |  GROUP BY bb.doc_id, ii.doc_id
+        |  HAVING sum(abs(bb.q - ii.q)) <= 2),
+        |v AS (
+        |  SELECT doc_id, count(*) AS n_hits, min(idx_id) AS keeper,
+        |    min(dist) AS best_dist
+        |  FROM hits GROUP BY doc_id)
+        |SELECT d.doc_id, v.n_hits IS NOT NULL AS is_dup,
+        | CAST(coalesce(v.n_hits, 0) AS BIGINT) AS n_hits,
+        | v.keeper, CAST(v.best_dist AS BIGINT) AS best_dist
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+        |LEFT JOIN v USING (doc_id)""".stripMargin,
     // q93: q54's flag pattern — DataSketches HLL estimates can't
     // hash-match DuckDB's sketch, so the gate carries exact counts +
     // TRUE bounds flags; the union row is 'ALL'.

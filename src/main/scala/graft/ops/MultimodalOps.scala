@@ -185,6 +185,58 @@ object MultimodalOps {
       .distinct()
   }
 
+  /** Incremental media admission — the multimodal analog of
+    * CurationOps.incrementalDedup: each arriving payload (the
+    * deterministic doc_id % batchMod == batchRem slice) is checked
+    * against the STANDING corpus's signatures, and the verdict row
+    * carries everything the ingest decision needs: is_dup, the number
+    * of near-dup index hits, the lowest-id near-dup (`keeper`) and
+    * the closest distance (`best_dist` — keeper and best_dist are
+    * independently aggregated minima, documented as such).
+    *
+    * Candidate generation is [[nearDupMedia]]'s interleaved
+    * exact-match bands turned into a PROBE: the batch's band keys are
+    * BROADCAST (an ingest batch is bounded — the decontamination
+    * broadcast direction), so the corpus side streams through a
+    * narrow hash-lookup and only batch-doc-sized aggregates ever
+    * shuffle — the index never repartitions, at any corpus size. The
+    * 3-band pigeonhole keeps recall exact for L1 ≤ maxL1 = 2. In
+    * production the index side reads persisted signatures (the
+    * [[mediaSignatures]] output is 17 scalar columns — a natural
+    * bucketed table) instead of re-decoding; the decode here keeps
+    * the query self-contained for the oracle. */
+  def mediaAdmission(spark: SparkSession, dir: String, batchMod: Int = 5,
+                     batchRem: Int = 4, maxL1: Int = 2): DataFrame = {
+    val sigs = mediaSignatures(spark, dir)
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === batchRem
+    val nBands = 3
+    val bandKeys = (0 until nBands).map { b =>
+      concat_ws(",", (0 until 16).filter(_ % nBands == b).map(h => col(s"q$h")): _*)
+    }
+    def banded(df: DataFrame, p: String) = df.select(
+      col("doc_id").as(s"${p}_id") +:
+        (0 until 16).map(h => col(s"q$h").as(s"${p}_q$h")) :+
+        posexplode(array(bandKeys: _*)): _*)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l1 = (0 until 16).map(h => abs(col(s"b_q$h") - col(s"i_q$h")))
+      .reduce(_ + _)
+    val hits = banded(sigs.filter(!isBatch), "i")
+      .join(broadcast(banded(sigs.filter(isBatch), "b")), Seq("band", "bucket"))
+      .withColumn("dist", l1.cast("bigint"))
+      .filter(col("dist") <= maxL1)
+      .select(col("b_id").as("doc_id"), col("i_id"), col("dist"))
+      .distinct() // a pair may collide in several bands
+    val verdicts = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("i_id")).as("keeper"),
+        min(col("dist")).as("best_dist"))
+    sigs.filter(isBatch).select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_hits").isNotNull.as("is_dup"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("keeper"), col("best_dist"))
+  }
+
   /** Driver-gate query: stub decode over every payload, reduced to
     * integer-exact observables the DuckDB oracle can recompute from
     * the raw bytes:

@@ -202,6 +202,21 @@ class PlanSpec extends AnyFunSuite {
       s"payload bytes must not travel past the decode:\n$simple")
   }
 
+  test("media admission: the batch bands broadcast, the corpus index never repartitions on a band key") {
+    // the probe must be a broadcast join on the band keys (an ingest
+    // batch is bounded; the corpus is not) — a hashpartitioning
+    // exchange on band would mean the index regressed to shuffling
+    // corpus-sized band rows. The only hash exchanges allowed are the
+    // post-filter hit/verdict aggregations, which are batch-sized.
+    val simple = graft.ops.MultimodalOps.mediaAdmission(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(simple.contains("BroadcastHashJoin [band"),
+      s"band probe must be a broadcast join:\n$simple")
+    assert(!simple.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(band")),
+      s"no exchange may repartition on the band key:\n$simple")
+  }
+
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
     val feats = graft.pipeline.HydroPipeline.toFeatures(
       graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml"))
