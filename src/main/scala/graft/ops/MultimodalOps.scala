@@ -126,8 +126,15 @@ object MultimodalOps {
     * triples the width — 16 narrow integer columns stay codegen'd
     * end-to-end with zero packing arithmetic.) */
   def mediaSignatures(spark: SparkSession, dir: String,
-                      decoder: MediaDecoder = StubDecoder): DataFrame = {
-    val feats = extractFeatures(asMedia(spark, dir), decoder)
+                      decoder: MediaDecoder = StubDecoder): DataFrame =
+    signaturesOf(asMedia(spark, dir), decoder)
+
+  /** [[mediaSignatures]] over any media frame (doc_id, payload,
+    * meta.format) — batch or streaming; the decode map and the level
+    * arithmetic are both stateless. */
+  def signaturesOf(media: DataFrame,
+                   decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val feats = extractFeatures(media, decoder)
     val levels = (0 until 16).map { h =>
       when(col("n_bytes") === 0, lit(0L)).otherwise(
         least(lit(255L), floor(
@@ -209,6 +216,19 @@ object MultimodalOps {
                      batchRem: Int = 4, maxL1: Int = 2): DataFrame = {
     val sigs = mediaSignatures(spark, dir)
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === batchRem
+    mediaAdmissionVerdicts(sigs.filter(isBatch), sigs.filter(!isBatch), maxL1)
+  }
+
+  /** The verdict core of [[mediaAdmission]], over ANY pair of
+    * signature frames (doc_id + q0..q15 — [[mediaSignatures]] shape).
+    * Verdicts are a pure function of (batch row, index) — no
+    * cross-batch state — so a streaming ingest runs this per
+    * micro-batch via foreachBatch against the persisted index and
+    * gets batch-identical admission (spec-proven), the same
+    * batch-boundary independence contract as the text admission's
+    * stream-static form. */
+  def mediaAdmissionVerdicts(batchSigs: DataFrame, indexSigs: DataFrame,
+                             maxL1: Int = 2): DataFrame = {
     val nBands = 3
     val bandKeys = (0 until nBands).map { b =>
       concat_ws(",", (0 until 16).filter(_ % nBands == b).map(h => col(s"q$h")): _*)
@@ -220,8 +240,8 @@ object MultimodalOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val l1 = (0 until 16).map(h => abs(col(s"b_q$h") - col(s"i_q$h")))
       .reduce(_ + _)
-    val hits = banded(sigs.filter(!isBatch), "i")
-      .join(broadcast(banded(sigs.filter(isBatch), "b")), Seq("band", "bucket"))
+    val hits = banded(indexSigs, "i")
+      .join(broadcast(banded(batchSigs, "b")), Seq("band", "bucket"))
       .withColumn("dist", l1.cast("bigint"))
       .filter(col("dist") <= maxL1)
       .select(col("b_id").as("doc_id"), col("i_id"), col("dist"))
@@ -229,7 +249,7 @@ object MultimodalOps {
     val verdicts = hits.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("i_id")).as("keeper"),
         min(col("dist")).as("best_dist"))
-    sigs.filter(isBatch).select(col("doc_id"))
+    batchSigs.select(col("doc_id"))
       .join(verdicts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("n_hits").isNotNull.as("is_dup"),

@@ -252,6 +252,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming media admission via foreachBatch: verdicts are batch-identical and boundary-independent") {
+    // admission verdicts are a pure function of (arriving doc, standing
+    // index), so the streaming ingest form is foreachBatch running the
+    // SAME verdict core per micro-batch — verdicts must not depend on
+    // how the stream was chopped, and must equal the one-shot batch run
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).filter($"doc_id" % 5 === 4)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def asMediaShape(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"text".cast("binary").as("payload"),
+        struct(lit("png").as("format")).as("meta"))
+    val indexSigs = MultimodalOps.signaturesOf(asMediaShape(
+      Tables.documents(spark, sf).filter($"doc_id" % 5 =!= 4)
+        .select($"doc_id", $"text"))).cache()
+    val collected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= MultimodalOps.mediaAdmissionVerdicts(
+            MultimodalOps.signaturesOf(asMediaShape(batch)), indexSigs).collect()
+        }
+        ()
+      }.start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 3)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))
+      val streamed = collected.synchronized(collected.map(key).toMap)
+      val batchRun = MultimodalOps.mediaAdmission(spark, sf).collect().map(key).toMap
+      assert(streamed == batchRun, "streamed and batch media admission verdicts diverge")
+      assert(streamed.nonEmpty && streamed.values.exists(_._1),
+        "fixture sanity: some arriving media are near-dups of the corpus")
+    } finally q.stop()
+  }
+
   test("media near-dup equals a driver-side brute force — banding loses no pair (pigeonhole recall)") {
     // independent recomputation: decode every payload with the stub
     // kernel directly, quantize to levels, brute-force ALL pairs at
