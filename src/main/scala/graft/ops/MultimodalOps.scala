@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -144,6 +144,34 @@ object MultimodalOps {
     feats.select(col("doc_id") +: levels: _*)
   }
 
+  /** The pigeonhole coupling shared by the media near-dup family:
+    * recall is complete only when the band count EXCEEDS the L1
+    * threshold (L1 ≤ maxL1 means at most maxL1 levels differ, so at
+    * least one of maxL1 + 1 bands is level-identical), so the band
+    * count is DERIVED from the threshold, never fixed — a hardcoded
+    * band count would silently drop true pairs the moment a caller
+    * raised maxL1 past it. */
+  private def bandCount(maxL1: Int): Int = {
+    require(maxL1 >= 0 && maxL1 < 16,
+      s"maxL1 must be in [0, 15] (the signature has 16 bins), got $maxL1")
+    maxL1 + 1
+  }
+
+  /** Interleaved exact-match band keys: band b holds every
+    * nBands-th bin (`h mod nBands`), not a contiguous range —
+    * adjacent histogram bins are correlated and real-world histograms
+    * are sparse, so contiguous bands concentrate all entropy in a few
+    * bands and leave the rest as degenerate full-corpus buckets. */
+  private def bandKeyCols(nBands: Int): Seq[Column] =
+    (0 until nBands).map { b =>
+      concat_ws(",", (0 until 16).filter(_ % nBands == b).map(h => col(s"q$h")): _*)
+    }
+
+  /** The exact 16-term L1 sum over two level columns families — all
+    * codegen'd column arithmetic, no UDF, no array lambda. */
+  private def l1Dist(a: Int => Column, b: Int => Column): Column =
+    (0 until 16).map(h => abs(a(h) - b(h))).reduce(_ + _)
+
   /** Multimodal near-dup: pairs of media payloads whose decoded
     * feature histograms agree within an L1 distance of `maxL1`
     * quantization granules — the dedup signal OVER the media column
@@ -151,43 +179,31 @@ object MultimodalOps {
     *
     * Candidate generation is the banded-LSH shape shared with
     * [[DedupOps]] (same `bucketPairs` explode-then-filter, one bucket
-    * shuffle, no self-join), with exact-match bands by pigeonhole:
-    * L1 ≤ 2 implies at most 2 of the 16 levels differ, so of 3 bands
-    * at least one is level-identical — full recall, no probabilistic
-    * miss. Bands take every 3rd bin (`h mod 3`, not contiguous
-    * ranges): adjacent histogram bins are correlated and real-world
-    * histograms are sparse, so contiguous bands concentrate all
-    * entropy in a few bands and leave the rest as degenerate
-    * full-corpus buckets; interleaving spreads the informative bins
-    * across every band. Verification is the exact 16-term L1 sum —
-    * all codegen'd column arithmetic on the struct fields, no UDF, no
-    * array lambda.
+    * shuffle, no self-join) with [[bandCount]]'s derived maxL1 + 1
+    * exact-match bands — full recall by construction for ANY maxL1,
+    * no probabilistic miss (spec-proven against brute force at both
+    * the default and a raised threshold).
     *
     * Scale: one shuffle on (band, bucket-key), pair output bounded by
     * bucket sizes; a degenerate bucket (a histogram level-tuple shared
-    * by a large doc fraction) is the standard LSH stop-key — cap or
-    * salt it like the text near-dups document. At 100 TB the decode
-    * stays a narrow partition-wise map and only (doc_id, 16 longs)
-    * rows ever shuffle — payloads never leave their scan partition. */
+    * by a large doc fraction) is the standard LSH stop-key —
+    * [[DedupOps.bucketPairs]]' maxBucket cap is the production knob.
+    * At 100 TB the decode stays a narrow partition-wise map and only
+    * (doc_id, 16 longs) rows ever shuffle — payloads never leave
+    * their scan partition. */
   def nearDupMedia(spark: SparkSession, dir: String, maxL1: Int = 2,
                    decoder: MediaDecoder = StubDecoder): DataFrame = {
     val sigs = mediaSignatures(spark, dir, decoder)
-    val nBands = 3
-    val bandKeys = (0 until nBands).map { b =>
-      concat_ws(",", (0 until 16).filter(_ % nBands == b).map(h => col(s"q$h")): _*)
-    }
     val banded = sigs.select(
       col("doc_id") +: (0 until 16).map(h => col(s"q$h")) :+
-        posexplode(array(bandKeys: _*)): _*)
+        posexplode(array(bandKeyCols(bandCount(maxL1)): _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(
         col("doc_id") +: (0 until 16).map(h => col(s"q$h")): _*)).as("members"))
-    val l1 = (0 until 16).map(h => abs(col(s"x.q$h") - col(s"y.q$h")))
-      .reduce(_ + _)
     DedupOps.bucketPairs(buckets)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        l1.cast("bigint").as("dist"))
+        l1Dist(h => col(s"x.q$h"), h => col(s"y.q$h")).cast("bigint").as("dist"))
       .filter(col("dist") <= maxL1)
       .distinct()
   }
@@ -206,17 +222,26 @@ object MultimodalOps {
     * BROADCAST (an ingest batch is bounded — the decontamination
     * broadcast direction), so the corpus side streams through a
     * narrow hash-lookup and only batch-doc-sized aggregates ever
-    * shuffle — the index never repartitions, at any corpus size. The
-    * 3-band pigeonhole keeps recall exact for L1 ≤ maxL1 = 2. In
-    * production the index side reads persisted signatures (the
-    * [[mediaSignatures]] output is 17 scalar columns — a natural
+    * shuffle — the index never repartitions, at any corpus size.
+    * [[bandCount]]'s derived banding keeps recall exact for any
+    * maxL1. In production the index side reads persisted signatures
+    * (the [[mediaSignatures]] output is 17 scalar columns — a natural
     * bucketed table) instead of re-decoding; the decode here keeps
-    * the query self-contained for the oracle. */
+    * the query self-contained for the oracle.
+    *
+    * The batch/index split happens on the media frame BEFORE the
+    * decode, not on the signature output: a filter above
+    * extractFeatures' typed mapPartitions cannot push below it, so a
+    * post-decode split would decode the whole corpus once per side —
+    * 2× the most expensive narrow stage. Split first and the batch
+    * side decodes only its 1/batchMod slice. */
   def mediaAdmission(spark: SparkSession, dir: String, batchMod: Int = 5,
                      batchRem: Int = 4, maxL1: Int = 2): DataFrame = {
-    val sigs = mediaSignatures(spark, dir)
+    val media = asMedia(spark, dir)
     val isBatch = pmod(col("doc_id"), lit(batchMod)) === batchRem
-    mediaAdmissionVerdicts(sigs.filter(isBatch), sigs.filter(!isBatch), maxL1)
+    mediaAdmissionVerdicts(
+      signaturesOf(media.filter(isBatch)),
+      signaturesOf(media.filter(!isBatch)), maxL1)
   }
 
   /** The verdict core of [[mediaAdmission]], over ANY pair of
@@ -229,20 +254,16 @@ object MultimodalOps {
     * stream-static form. */
   def mediaAdmissionVerdicts(batchSigs: DataFrame, indexSigs: DataFrame,
                              maxL1: Int = 2): DataFrame = {
-    val nBands = 3
-    val bandKeys = (0 until nBands).map { b =>
-      concat_ws(",", (0 until 16).filter(_ % nBands == b).map(h => col(s"q$h")): _*)
-    }
+    val keys = bandKeyCols(bandCount(maxL1))
     def banded(df: DataFrame, p: String) = df.select(
       col("doc_id").as(s"${p}_id") +:
         (0 until 16).map(h => col(s"q$h").as(s"${p}_q$h")) :+
-        posexplode(array(bandKeys: _*)): _*)
+        posexplode(array(keys: _*)): _*)
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l1 = (0 until 16).map(h => abs(col(s"b_q$h") - col(s"i_q$h")))
-      .reduce(_ + _)
     val hits = banded(indexSigs, "i")
       .join(broadcast(banded(batchSigs, "b")), Seq("band", "bucket"))
-      .withColumn("dist", l1.cast("bigint"))
+      .withColumn("dist",
+        l1Dist(h => col(s"b_q$h"), h => col(s"i_q$h")).cast("bigint"))
       .filter(col("dist") <= maxL1)
       .select(col("b_id").as("doc_id"), col("i_id"), col("dist"))
       .distinct() // a pair may collide in several bands

@@ -218,11 +218,14 @@ object RelationalExt {
     val ps = Seq(0.25, 0.5, 0.75)
     val pctArray = ps.flatMap(p => Seq(p - eps, p, p + eps))
       .map(p => s"${p}D").mkString("array(", ", ", ")")
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(expr(s"percentile(l_extendedprice, $pctArray)").as("ex"))
-    val approx = li.groupBy(col("l_returnflag"))
-      .agg(expr(s"approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), $accuracy)").as("ap"))
-    exact.join(broadcast(approx), Seq("l_returnflag"))
+    // ONE pass: exact and approx aggregate together. q54's split-form
+    // precedent does NOT apply here — that split dodges the
+    // count(DISTINCT) rewrite's Expand multiplying rows through the
+    // sketch updates; percentile triggers no such rewrite, so a second
+    // scan plus a join would be pure waste.
+    li.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_extendedprice, $pctArray)").as("ex"),
+        expr(s"approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), $accuracy)").as("ap"))
       .select(
         col("l_returnflag") +:
           ps.zipWithIndex.flatMap { case (p, i) =>

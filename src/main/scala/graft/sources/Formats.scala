@@ -62,6 +62,13 @@ object Formats {
     * default managed-table location for the default database is
     * `<spark.sql.warehouse.dir>/<lowercased table name>`. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // the cleanup below derives the location as <warehouse>/<name> and
+    // backtick-quotes the name — both wrong for qualified db.table
+    // names (location would be <warehouse>/<db>.db/<name>, and the
+    // quoted dotted string drops nothing) — so fail loud rather than
+    // leave a stale directory the write then trips over
+    require(!table.contains('.'),
+      s"writeBucketed supports simple default-database table names only, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(

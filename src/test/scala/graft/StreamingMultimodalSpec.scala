@@ -309,14 +309,20 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       }
     }
     val sigs = docs.map { case (id, t) => id -> levels(t) }
-    val expected = (for {
+    def expected(maxL1: Long) = (for {
       (a, qa) <- sigs; (b, qb) <- sigs if a < b
       d = qa.zip(qb).map { case (x, y) => math.abs(x - y) }.sum
-      if d <= 2
+      if d <= maxL1
     } yield (a, b, d)).toSet
-    val got = MultimodalOps.nearDupMedia(spark, sf).collect()
+    def got(maxL1: Int) = MultimodalOps.nearDupMedia(spark, sf, maxL1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == expected, "banded media near-dup diverges from brute force")
-    assert(got.nonEmpty, "fixture sanity: near-dup media pairs exist")
+    assert(got(2) == expected(2), "banded media near-dup diverges from brute force")
+    assert(got(2).nonEmpty, "fixture sanity: near-dup media pairs exist")
+    // a RAISED threshold must keep full recall too: the band count is
+    // derived (maxL1 + 1), so pairs differing in exactly maxL1 bands
+    // still collide somewhere — a hardcoded band count fails this
+    assert(got(3) == expected(3), "recall lost at maxL1 = 3 — band count not derived?")
+    assert(expected(3).size > expected(2).size,
+      "fixture sanity: the raised threshold admits strictly more pairs")
   }
 }
