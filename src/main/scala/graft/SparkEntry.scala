@@ -146,6 +146,22 @@ object SparkEntry {
     // media admission: arriving payloads vs the standing corpus's
     // signatures — the multimodal analog of q92, batch bands broadcast
     "q102_media_admission" -> ((s, d) => MultimodalOps.mediaAdmission(s, d)),
+    // partition-pruned layout: documents re-persisted partitioned by
+    // source, read back through a partition filter — the write AND the
+    // pruned scan are both what this query certifies (PlanSpec asserts
+    // the PartitionFilters; the oracle only sees the numbers)
+    "q103_partition_pruned" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val path = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/graft_docs_by_source"
+      graft.sources.Formats.writePartitioned(
+        Tables.documents(s, d), path, Seq("source"))
+      s.read.parquet(path)
+        .filter(col("source") === "src7")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("bigint").as("total_chars"))
+    }),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1274,6 +1290,13 @@ object SparkEntry {
         | v.keeper, CAST(v.best_dist AS BIGINT) AS best_dist
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
         |LEFT JOIN v USING (doc_id)""".stripMargin,
+    // q103: the oracle only sees the aggregates — the layout (one
+    // directory per source) and the pruned scan are plan facts the
+    // PlanSpec carries
+    "q103_partition_pruned" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents WHERE source = 'src7' GROUP BY lang""".stripMargin,
     // q93: q54's flag pattern — DataSketches HLL estimates can't
     // hash-match DuckDB's sketch, so the gate carries exact counts +
     // TRUE bounds flags; the union row is 'ALL'.

@@ -34,6 +34,27 @@ object Formats {
     (if (format == "csv") r2.option("header", "true") else r2).load(path)
   }
 
+  /** Persist with Hive-style directory partitioning: one directory
+    * per distinct value tuple of `cols`, so a reader filtering on a
+    * partition column never OPENS the other directories — partition
+    * PRUNING, visible as `PartitionFilters` on the scan
+    * (PlanSpec-asserted via q103). The layout complement of
+    * [[writeBucketed]]: partitioning prunes coarse, low-cardinality
+    * dimensions (source, date, language) at file-listing time;
+    * bucketing co-locates high-cardinality join/probe keys within
+    * what survives the pruning. At 100 TB the partition columns are
+    * the difference between listing a handful of directories and
+    * listing the corpus. Cardinality is the caveat: a high-cardinality
+    * partition column explodes the directory count (and small-files
+    * the table) — that key belongs in bucketing instead. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
+                       format: String = "parquet"): Unit = {
+    require(Supported.contains(format), s"unsupported format: $format")
+    require(cols.nonEmpty, "writePartitioned needs at least one partition column")
+    df.write.mode(SaveMode.Overwrite).format(format)
+      .partitionBy(cols: _*).save(path)
+  }
+
   /** Persist as a bucketed + sorted catalog table: both sides of a
     * recurring equi-join bucketed on the join key read back
     * pre-partitioned and pre-sorted, so the join plans with NO shuffle

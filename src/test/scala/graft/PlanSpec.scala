@@ -217,6 +217,27 @@ class PlanSpec extends AnyFunSuite {
       s"no exchange may repartition on the band key:\n$simple")
   }
 
+  test("partitioned layout: a partition-column filter prunes at the scan, never reaches the data") {
+    import org.apache.spark.sql.functions.col
+    val path = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + "/plan_docs_by_source"
+    graft.sources.Formats.writePartitioned(
+      Tables.documents(spark, sf), path, Seq("source"))
+    val p = plan(spark.read.parquet(path)
+      .filter(col("source") === "src7").select(col("doc_id")))
+    // the predicate must resolve at directory-listing time: a
+    // PartitionFilters entry carrying it, and NOT a data filter (the
+    // partition column is not even in the data files)
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("src7")),
+      s"source filter did not prune partitions:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("src7")),
+      s"partition predicate leaked into the data scan:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("source"), "partition column must not be read from data files")
+  }
+
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
     val feats = graft.pipeline.HydroPipeline.toFeatures(
       graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml"))
