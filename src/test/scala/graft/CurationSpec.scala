@@ -61,44 +61,48 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
-  test("maximal spans equal a driver-side islands recomputation, and witness counts are consistent") {
-    // independent recomputation: shared 8-grams by distinct-doc count,
+  test("maximal spans equal a driver-side islands recomputation at several gram sizes") {
+    // independent recomputation: shared k-grams by distinct-doc count,
     // per-doc hit positions, consecutive-run merge — then exact set
-    // equality against the operator
+    // equality against the operator. Runs at k=8 (the q96 contract)
+    // AND a different k, so a hardcoded gram size in the operator (or
+    // this recomputation) cannot hide.
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
-    val posGrams = docs.map { case (id, t) =>
-      val w = normWords(t)
-      id -> (if (w.length < 8) Array.empty[(Int, String)]
-             else w.sliding(8).map(_.mkString(" ")).toArray.zipWithIndex.map(_.swap))
-    }
-    val sharedSet = posGrams.flatMap { case (id, gs) => gs.map(g => (g._2, id)) }
-      .groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2).keySet
-    val expected = posGrams.flatMap { case (id, gs) =>
-      val hits = gs.filter(g => sharedSet(g._2)).map(_._1).sorted
-      // islands: maximal runs of consecutive positions
-      val runs = hits.foldLeft(List.empty[List[Int]]) {
-        case (acc @ (run @ (last :: _)) :: rest, p) if p == last + 1 => (p :: run) :: rest
-        case (acc, p) => List(p) :: acc
+    for (k <- Seq(5, 8)) {
+      val posGrams = docs.map { case (id, t) =>
+        val w = normWords(t)
+        id -> (if (w.length < k) Array.empty[(Int, String)]
+               else w.sliding(k).map(_.mkString(" ")).toArray.zipWithIndex.map(_.swap))
       }
-      runs.map { run =>
-        (id, run.min.toLong, (run.max - run.min + 8).toLong, run.length.toLong)
+      val sharedSet = posGrams.flatMap { case (id, gs) => gs.map(g => (g._2, id)) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2).keySet
+      val expected = posGrams.flatMap { case (id, gs) =>
+        val hits = gs.filter(g => sharedSet(g._2)).map(_._1).sorted
+        // islands: maximal runs of consecutive positions
+        val runs = hits.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (run @ (last :: _)) :: rest, p) if p == last + 1 => (p :: run) :: rest
+          case (acc, p) => List(p) :: acc
+        }
+        runs.map { run =>
+          (id, run.min.toLong, (run.max - run.min + k).toLong, run.length.toLong)
+        }
+      }.toSet
+      val got = CurationOps.maximalSpans(spark, sf, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, s"k=$k: maximal spans diverge from the islands recomputation")
+      assert(got.nonEmpty, s"k=$k: fixture sanity: shared spans exist")
+      // the redundant witness-count invariant the oracle hash locks
+      got.foreach { case (id, start, len, nGrams) =>
+        assert(nGrams == len - k + 1, s"k=$k doc $id span at $start: n_grams vs span_len")
       }
-    }.toSet
-    val got = CurationOps.maximalSpans(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
-    assert(got == expected, "maximal spans diverge from the islands recomputation")
-    assert(got.nonEmpty, "fixture sanity: shared spans exist")
-    // the redundant witness-count invariant the oracle hash locks
-    got.foreach { case (id, start, len, nGrams) =>
-      assert(nGrams == len - 8 + 1, s"doc $id span at $start: n_grams vs span_len")
-    }
-    // spans within a doc never touch or overlap (else they'd be one
-    // maximal span)
-    got.groupBy(_._1).foreach { case (id, spans) =>
-      val sorted = spans.toSeq.sortBy(_._2)
-      sorted.zip(sorted.drop(1)).foreach { case ((_, s1, l1, _), (_, s2, _, _)) =>
-        assert(s1 + l1 - 8 + 1 < s2, s"doc $id spans not maximal")
+      // spans within a doc never touch or overlap (else they'd be one
+      // maximal span)
+      got.groupBy(_._1).foreach { case (id, spans) =>
+        val sorted = spans.toSeq.sortBy(_._2)
+        sorted.zip(sorted.drop(1)).foreach { case ((_, s1, l1, _), (_, s2, _, _)) =>
+          assert(s1 + l1 - k + 1 < s2, s"k=$k doc $id spans not maximal")
+        }
       }
     }
   }
