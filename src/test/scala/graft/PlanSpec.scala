@@ -236,6 +236,17 @@ class PlanSpec extends AnyFunSuite {
       s"partition predicate leaked into the data scan:\n$p")
     val read = p.linesIterator.find(_.contains("ReadSchema")).get
     assert(!read.contains("source"), "partition column must not be read from data files")
+    // negative control: the SAME filter over the unpartitioned source
+    // table lands in PushedFilters (a data-file predicate), proving
+    // the assertions above can fail when the layout is absent
+    val flat = plan(Tables.documents(spark, sf)
+      .filter(col("source") === "src7").select(col("doc_id")))
+    assert(flat.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("src7")),
+      s"control: unpartitioned scan should carry a data filter:\n$flat")
+    assert(!flat.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("src7")),
+      s"control: unpartitioned scan cannot partition-prune:\n$flat")
   }
 
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
