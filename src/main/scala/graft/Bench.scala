@@ -42,6 +42,35 @@ import org.apache.spark.sql.SparkSession
   *    while the median shows how noisy the box actually was.
   */
 object Bench {
+
+  /** Task-level I/O accumulator: shuffle bytes written/read and disk
+    * spill, summed across completed stages. Timing noise (box
+    * contention — see the reps saga above) hides shuffle regressions;
+    * BYTES do not: the same plan moves the same bytes whatever the
+    * host is doing, so round-over-round byte deltas are the honest
+    * shuffle-regression signal. Events for one listener are delivered
+    * sequentially by the bus, so the unsynchronized `+=` is safe;
+    * @volatile gives the bench thread visibility after the flush
+    * barrier. */
+  private class IoListener extends org.apache.spark.scheduler.SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    @volatile var spill = 0L
+    @volatile var jobsEnded = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        spill += m.diskBytesSpilled
+      }
+    }
+    override def onJobEnd(
+        e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      jobsEnded += 1
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,18 +120,36 @@ object Bench {
           System.err.println(s"warmup failed for $name on $warmupDir: ${e.getMessage}")
       }
     }
+    // per-query I/O attribution: snapshot the listener around each
+    // query's reps. The bus has no public flush, so a marker job
+    // provides the barrier — events process FIFO, hence once OUR
+    // listener has seen the marker job end, every earlier stage event
+    // has been folded in. Timeout degrades to under-attribution, never
+    // a hang.
+    val io = new IoListener
+    spark.sparkContext.addSparkListener(io)
+    def ioBarrier(): Unit = {
+      val before = io.jobsEnded
+      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (io.jobsEnded == before && System.nanoTime() < deadline)
+        Thread.sleep(5)
+    }
     // failed queries are recorded as -1 (never a plausible duration)
     // and listed in the JSON + on stderr: time-to-exception must not
     // masquerade as a fast success and deflate the gated total
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // per query: (min, median) across reps, or (-1, -1) on failure.
-    // The rep loop short-circuits on the first exception — re-running
-    // a known-failing plan reps-1 more times would only inflate wall
-    // time and spam duplicate FAILED lines before the -1 sentinel.
+    // per query: (min, median, per-rep shuffle write/read and spill
+    // MB) across reps, or all -1 on failure. The rep loop
+    // short-circuits on the first exception — re-running a known-
+    // failing plan reps-1 more times would only inflate wall time and
+    // spam duplicate FAILED lines before the -1 sentinel.
     val results = queries.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var broken = false
       var rep = 0
+      ioBarrier()
+      val (w0, r0, s0) = (io.shuffleWrite, io.shuffleRead, io.spill)
       while (rep < reps && !broken) {
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
@@ -113,19 +160,32 @@ object Bench {
         }
         rep += 1
       }
-      if (broken) { failed += name; name -> ((-1.0, -1.0)) }
+      ioBarrier()
+      // bytes are deterministic per run, so delta / successful reps =
+      // one run's volume (the marker jobs move zero bytes)
+      def mb(delta: Long): Double =
+        if (times.isEmpty) -1.0
+        else math.round(delta.toDouble / times.length / 1e4) / 100.0
+      val ioMb = (mb(io.shuffleWrite - w0), mb(io.shuffleRead - r0), mb(io.spill - s0))
+      if (broken) { failed += name; name -> ((-1.0, -1.0, ioMb)) }
       else {
         val sorted = times.sorted
-        name -> ((sorted.head, sorted(sorted.length / 2)))
+        name -> ((sorted.head, sorted(sorted.length / 2), ioMb))
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val med = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
+    val shw = results.map { case (k, v) => s"\"" + k + "\":" + v._3._1 }
+      .mkString("{", ",", "}")
+    val shr = results.map { case (k, v) => s"\"" + k + "\":" + v._3._2 }
+      .mkString("{", ",", "}")
+    val spl = results.map { case (k, v) => s"\"" + k + "\":" + v._3._3 }
+      .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$med,"estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
