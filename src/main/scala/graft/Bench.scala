@@ -56,7 +56,16 @@ object Bench {
     @volatile var shuffleWrite = 0L
     @volatile var shuffleRead = 0L
     @volatile var spill = 0L
-    @volatile var jobsEnded = 0L
+    // barrier bookkeeping: the flush must wait for the MARKER job's
+    // end event specifically — waiting for "any job end" would let a
+    // queued event from the measured query's own reps release the
+    // barrier while later stage events (and their bytes) are still
+    // unprocessed, misattributing them to the next query exactly when
+    // the bus is backlogged (i.e. under the contention these metrics
+    // exist to be robust against). Marker jobs are identified by
+    // their job-description property at start and counted at end.
+    @volatile var barriersSeen = 0L
+    private val markerIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
@@ -66,9 +75,14 @@ object Bench {
         spill += m.diskBytesSpilled
       }
     }
+    override def onJobStart(
+        e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      if (e.properties != null &&
+        "graft-io-barrier" == e.properties.getProperty("spark.job.description"))
+        markerIds.add(e.jobId)
     override def onJobEnd(
         e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
-      jobsEnded += 1
+      if (markerIds.remove(e.jobId)) barriersSeen += 1
   }
 
   def main(args: Array[String]): Unit = {
@@ -120,19 +134,22 @@ object Bench {
           System.err.println(s"warmup failed for $name on $warmupDir: ${e.getMessage}")
       }
     }
-    // per-query I/O attribution: snapshot the listener around each
-    // query's reps. The bus has no public flush, so a marker job
-    // provides the barrier — events process FIFO, hence once OUR
-    // listener has seen the marker job end, every earlier stage event
-    // has been folded in. Timeout degrades to under-attribution, never
-    // a hang.
+    // per-query I/O attribution: snapshot the listener between
+    // queries. The bus has no public flush, so a description-tagged
+    // marker job provides the barrier — events process FIFO per
+    // listener, hence once OUR listener has seen the MARKER's end
+    // event, every earlier stage event has been folded in. Timeout
+    // degrades to under-attribution, never a hang. One barrier serves
+    // both as query N's closing flush and query N+1's baseline.
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
     def ioBarrier(): Unit = {
-      val before = io.jobsEnded
-      spark.sparkContext.parallelize(Seq(1), 1).count()
+      val before = io.barriersSeen
+      spark.sparkContext.setJobDescription("graft-io-barrier")
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.setJobDescription(null)
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      while (io.jobsEnded == before && System.nanoTime() < deadline)
+      while (io.barriersSeen == before && System.nanoTime() < deadline)
         Thread.sleep(5)
     }
     // failed queries are recorded as -1 (never a plausible duration)
@@ -144,12 +161,12 @@ object Bench {
     // short-circuits on the first exception — re-running a known-
     // failing plan reps-1 more times would only inflate wall time and
     // spam duplicate FAILED lines before the -1 sentinel.
+    ioBarrier()
+    var (wPrev, rPrev, sPrev) = (io.shuffleWrite, io.shuffleRead, io.spill)
     val results = queries.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var broken = false
       var rep = 0
-      ioBarrier()
-      val (w0, r0, s0) = (io.shuffleWrite, io.shuffleRead, io.spill)
       while (rep < reps && !broken) {
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); times += (System.nanoTime() - t0) / 1e9 }
@@ -162,11 +179,16 @@ object Bench {
       }
       ioBarrier()
       // bytes are deterministic per run, so delta / successful reps =
-      // one run's volume (the marker jobs move zero bytes)
+      // one run's volume (the marker jobs move zero bytes). A query
+      // with ANY failed rep reports -1: a partially-failed attempt's
+      // completed stages fold bytes into the delta that no successful
+      // run divisor can honestly attribute.
       def mb(delta: Long): Double =
-        if (times.isEmpty) -1.0
+        if (broken || times.isEmpty) -1.0
         else math.round(delta.toDouble / times.length / 1e4) / 100.0
-      val ioMb = (mb(io.shuffleWrite - w0), mb(io.shuffleRead - r0), mb(io.spill - s0))
+      val ioMb = (mb(io.shuffleWrite - wPrev), mb(io.shuffleRead - rPrev),
+        mb(io.spill - sPrev))
+      wPrev = io.shuffleWrite; rPrev = io.shuffleRead; sPrev = io.spill
       if (broken) { failed += name; name -> ((-1.0, -1.0, ioMb)) }
       else {
         val sorted = times.sorted

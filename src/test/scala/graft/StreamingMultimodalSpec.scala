@@ -316,13 +316,15 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } yield (a, b, d)).toSet
     def got(maxL1: Int) = MultimodalOps.nearDupMedia(spark, sf, maxL1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got(2) == expected(2), "banded media near-dup diverges from brute force")
-    assert(got(2).nonEmpty, "fixture sanity: near-dup media pairs exist")
+    val (got2, exp2) = (got(2), expected(2))
+    assert(got2 == exp2, "banded media near-dup diverges from brute force")
+    assert(got2.nonEmpty, "fixture sanity: near-dup media pairs exist")
     // a RAISED threshold must keep full recall too: the band count is
     // derived (maxL1 + 1), so pairs differing in exactly maxL1 bands
     // still collide somewhere — a hardcoded band count fails this
-    assert(got(3) == expected(3), "recall lost at maxL1 = 3 — band count not derived?")
-    assert(expected(3).size > expected(2).size,
+    val exp3 = expected(3)
+    assert(got(3) == exp3, "recall lost at maxL1 = 3 — band count not derived?")
+    assert(exp3.size > exp2.size,
       "fixture sanity: the raised threshold admits strictly more pairs")
   }
 }
