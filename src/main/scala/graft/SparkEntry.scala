@@ -183,8 +183,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
         | round(avg(l_quantity), 2) AS avg_qty,
         | round(avg(l_extendedprice), 2) AS avg_price,
         | round(avg(l_discount), 4) AS avg_disc,
@@ -197,13 +197,13 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q03_agg_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS total_revenue
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS total_revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q04_join_topk" ->
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
         | o_orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -216,7 +216,7 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "q05_join_multiway" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey

@@ -36,7 +36,19 @@ object Relational {
 
   /** Aggregation with multiple measures over a filtered scan — TPC-H
     * Q1 shape. Predicate and the 7 referenced columns push into the
-    * parquet scan. */
+    * parquet scan.
+    *
+    * Rounding precision is TERMINATION-SAFE, not cosmetic: prices and
+    * rates are 2-decimal, so disc_price terminates at 4 decimals and
+    * charge at 6 — rounding AT the termination point is a no-op on
+    * the exact value, and the engines' order-dependent double sums
+    * (ulps apart) still round identically because the nearest grid
+    * point is ~1e-4 away, not ~1e-9. Rounding such a sum at 2 instead
+    * puts ~1% of groups EXACTLY on the half-boundary, where which
+    * side each engine's sum lands on is a summation-order coin flip —
+    * a latent cross-engine hash flake. Averages divide by count and
+    * leave the grid, making boundary hits measure-zero, so they may
+    * round anywhere. */
   def aggPricing(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= ts("1998-09-02"))
@@ -44,16 +56,17 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
         round(avg(col("l_extendedprice")), 2).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** Pure filter + narrow projection: the pushdown / pruning
-    * benchmark. The scan must read only 5 of 11 lineitem columns and
-    * carry PushedFilters for shipdate/discount/quantity. */
+    * benchmark. The scan must read only the 6 referenced lineitem
+    * columns (of 11) and carry PushedFilters for
+    * shipdate/discount/quantity. */
   def filterProject(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(
@@ -68,7 +81,7 @@ object Relational {
   /** Single-row global aggregate (TPC-H Q6 shape). */
   def aggRevenue(spark: SparkSession, dir: String): DataFrame =
     filterProject(spark, dir)
-      .agg(round(sum(col("revenue")), 2).as("total_revenue"))
+      .agg(round(sum(col("revenue")), 4).as("total_revenue"))
 
   /** 3-way join + agg + deterministic top-k (TPC-H Q3 shape).
     * customer is the small side at any SF ratio (1 customer : ~10
@@ -81,7 +94,7 @@ object Relational {
     c.join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -104,7 +117,7 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
   }
 
   /** Ranking window function: top-3 orders per customer. One shuffle
@@ -299,12 +312,19 @@ object Relational {
     * spark.sql(...) entry path (temp views + subquery rewrite into a
     * join by Catalyst). */
   def sqlSubquery(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    // unique per-call view name: a fixed name is session-global
+    // mutable state — two callers interleaving with different dirs
+    // would silently resolve each other's data. Every other operator
+    // is a pure plan builder; the SQL entry path must be no less safe.
+    val v = s"customer_v_${Relational.viewSeq.incrementAndGet()}"
+    Tables.customer(spark, dir).createOrReplaceTempView(v)
     spark.sql(
-      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer_v c
-        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
-        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+      s"""SELECT c_custkey, c_nationkey, c_acctbal FROM $v c
+         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM $v c2
+         |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
   }
+
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Exact quantiles (linear interpolation — Spark `percentile` and
     * DuckDB `quantile_cont` share the formula, so values hash-match). */

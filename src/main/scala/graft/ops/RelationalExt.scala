@@ -213,6 +213,12 @@ object RelationalExt {
     * merge order follows partitioning, so the value is not a
     * cross-engine constant — the bound is. */
   def approxQuantiles(spark: SparkSession, dir: String, accuracy: Int = 1000): DataFrame = {
+    // accuracy < 8 pushes p ± eps outside [0, 1] and fails deep inside
+    // percentile's analysis with an error far from the caller's
+    // mistake; the q100 oracle also pins accuracy = 1000, so other
+    // values are spec-territory, not gate-territory
+    require(accuracy >= 8, s"accuracy must be >= 8 (eps = 2/accuracy must keep " +
+      s"p +/- eps inside [0, 1] for p = 0.25), got $accuracy")
     val li = Tables.lineitem(spark, dir)
     val eps = 2.0 / accuracy
     val ps = Seq(0.25, 0.5, 0.75)
@@ -242,15 +248,20 @@ object RelationalExt {
     * aggregates in one pass (same plan shape as the CASE WHEN form,
     * exercised through the SQL surface). */
   def aggFilterClause(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    // unique per-call view name — fixed names are session-global
+    // state (see Relational.sqlSubquery)
+    val v = s"lineitem_v_${viewSeq.incrementAndGet()}"
+    Tables.lineitem(spark, dir).createOrReplaceTempView(v)
     spark.sql(
-      """SELECT l_returnflag,
-        | count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-        | count(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
-        | round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS rev_bulk,
-        | count(*) AS n
-        |FROM lineitem_v GROUP BY l_returnflag""".stripMargin)
+      s"""SELECT l_returnflag,
+         | count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+         | count(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
+         | round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS rev_bulk,
+         | count(*) AS n
+         |FROM $v GROUP BY l_returnflag""".stripMargin)
   }
+
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Arithmetic histogram: fixed-width price bins entirely in integer
     * arithmetic — a narrow map plus one aggregation, the
@@ -369,14 +380,17 @@ object RelationalExt {
     * the per-group-top-k shape through the lateral join front-end
     * (planned as a rewritten window/join, not a per-row re-execution). */
   def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
-    Tables.nation(spark, dir).createOrReplaceTempView("nation_v")
-    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_v")
+    val seq = viewSeq.incrementAndGet()
+    val nv = s"nation_v_$seq"
+    val sv = s"supplier_v_$seq"
+    Tables.nation(spark, dir).createOrReplaceTempView(nv)
+    Tables.supplier(spark, dir).createOrReplaceTempView(sv)
     spark.sql(
-      """SELECT n_name, t.s_name, t.s_acctbal
-        |FROM nation_v n,
-        |LATERAL (SELECT s_name, s_acctbal FROM supplier_v s
-        |         WHERE s.s_nationkey = n.n_nationkey
-        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin)
+      s"""SELECT n_name, t.s_name, t.s_acctbal
+         |FROM $nv n,
+         |LATERAL (SELECT s_name, s_acctbal FROM $sv s
+         |         WHERE s.s_nationkey = n.n_nationkey
+         |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin)
   }
 
   /** Outer joins: left join keeps customers with no orders (null
@@ -421,9 +435,12 @@ object RelationalExt {
         col("o_orderstatus").isin("F", "P"))
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
 
-  /** RANGE window frame (value-based, not row-based): trailing-7-day
-    * revenue per supplier, ordered by day number so the frame bound is
-    * a plain numeric offset — identical semantics in every engine (vs
+  /** RANGE window frame (value-based, not row-based): trailing
+    * revenue per supplier over the current day AND the 7 preceding
+    * days — rangeBetween(-7, current) spans 8 distinct day values
+    * inclusive, so the `rev_7d` column name counts the LOOKBACK, not
+    * the window width. Ordered by day number so the frame bound is a
+    * plain numeric offset — identical semantics in every engine (vs
     * interval bounds, whose support differs). */
   def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val dayNum = datediff(col("l_shipdate"), to_date(lit("1995-01-01"))).cast("bigint")

@@ -86,7 +86,12 @@ object TextOps {
   }
 
   /** Language ID by stopword/CJK hit counts with a fixed, documented
-    * tie-break order (zh > de > es > fr > en). */
+    * tie-break: the strict `>` comparisons mean an EXACT count tie
+    * falls through to the later branch, so ties resolve
+    * en > fr > es > de > zh (e.g. de == es picks 'es'). Deterministic
+    * and mirrored verbatim in the oracle SQL — anyone retuning the
+    * heuristic should read the chain, not assume branch order equals
+    * priority. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val t = lower(col("text"))
     val zh = nMatches(col("text"), CjkPattern)
@@ -185,19 +190,24 @@ object TextOps {
     *
     * Scale: two aggregations (by (doc,word), then by word) and one
     * window — each a single shuffle; df is a small broadcastable side
-    * (vocabulary-sized) joined back onto term rows. The doc count N is
-    * a scalar literal at plan time via a one-row subquery. */
+    * (vocabulary-sized) joined back onto term rows. The doc count N
+    * rides IN the plan as a broadcast one-row cross join (the
+    * unigramLogProb form) — an eager `.count()` here would run a full
+    * extra corpus job at every plan BUILD, before the query even
+    * executes. */
   def tfidfTop(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = wordRows(spark, dir)
     val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = words.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
-    val n = Tables.documents(spark, dir).count()
+    val n = Tables.documents(spark, dir)
+      .agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_raw").desc, col("word"))
     tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
       .withColumn("score_raw",
-        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("word"), col("tf"),

@@ -139,9 +139,27 @@ object HydroPipeline {
     val ordKey = concat_ws("\u0001",
       col("properties.id"),
       coalesce(var0.getField("value"), lit("")),
-      coalesce(var0.getField("timeStamp"), lit("")))
+      coalesce(var0.getField("timeStamp"), lit("")),
+      // metadata-hash tail: makes the key total over the WHOLE row. A
+      // feed can redeliver a series id with identical (value,
+      // timeStamp) but revised sourceInfo (a geolocation correction
+      // between fetches); without the tail those rows tie and min_by
+      // picks by partition encounter order — silently breaking the
+      // order-independence this key exists to provide. Any
+      // deterministic total order suffices; the hash is stable, not
+      // meaningful.
+      xxhash64(col("geometry"), col("properties.record"),
+        col("properties.site"), col("properties.srs")).cast("string"))
     features
-      .filter(varCode.isNotNull) // O7: guard-empty features join neither branch
+      // the reference merges ONLY the 00060/00065 branch outputs
+      // (mapreduce.js:40-50 filters before each mapReduce): a series
+      // with any other USGS parameter code contributes nothing there,
+      // so admitting every non-null code here would emit all-null
+      // merged rows for sites the reference never emits — and let
+      // them compete for a site's metadata. isin doubles as the O7
+      // guard: empty-obs features carry a null code, and null
+      // isin(...) is filtered.
+      .filter(varCode.isin(StreamFlowCode, GageHeightCode))
       // Pre-project every aggregate input to a plain attribute before
       // the groupBy: min_by over when()-derived keys sharing
       // subexpressions trips a janino scope bug in HashAggregate
@@ -229,8 +247,13 @@ object HydroPipeline {
     import org.apache.hadoop.fs.Path
     val path = new Path(statePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(statePath + ".staging")
-    val retired = new Path(statePath + ".old")
+    // derive siblings from the NORMALIZED Path, not by string concat:
+    // a trailing slash in statePath would make "statePath + .staging"
+    // a CHILD of the state directory, so the retire rename drags the
+    // staging dir along and the publish rename then fails — wedging
+    // the state machine until manual cleanup
+    val staging = path.suffix(".staging")
+    val retired = path.suffix(".old")
     // crash recovery: a previous run that died between its two renames
     // leaves the last published state at `.old` and no `path`. Restore
     // it BEFORE looking at `path`, or this run would see "no existing
