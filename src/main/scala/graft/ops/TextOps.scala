@@ -67,6 +67,22 @@ object TextOps {
       roundAt(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
         nMatches(col("text"), BpeTokenPattern), 4).as("avg_token_len"))
 
+  /** The blended 0..1 quality score over the `text` column, as ONE
+    * shared Column definition: [[qualityScore]] reports it and
+    * [[corpusFilter]] gates on it — a second copy of the weights
+    * would let a retune silently desynchronize the composed gate from
+    * its component query while both still pass their own oracles. */
+  private def qualityCol: Column = {
+    val t = lower(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(col("text"), "\\s+")).cast("double")
+    val punct = nMatches(col("text"), PunctPattern).cast("double")
+    val stops = nMatches(t, EnStops).cast("double")
+    roundAt(least(nChars / lit(500.0), lit(1.0)) * 0.5 +
+      least(stops / nTokens * 5.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6)
+  }
+
   /** Quality scoring: length, punctuation density, stopword density,
     * and a blended 0..1 score — the standard cheap pre-filter before
     * expensive dedup/training steps. */
@@ -80,9 +96,7 @@ object TextOps {
       col("doc_id"),
       roundAt(punct / nChars, 6).as("punct_ratio"),
       roundAt(stops / nTokens, 6).as("stopword_ratio"),
-      roundAt(least(nChars / lit(500.0), lit(1.0)) * 0.5 +
-        least(stops / nTokens * 5.0, lit(1.0)) * 0.3 +
-        (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6).as("quality"))
+      qualityCol.as("quality"))
   }
 
   /** Language ID by stopword/CJK hit counts with a fixed, documented
@@ -92,20 +106,24 @@ object TextOps {
     * and mirrored verbatim in the oracle SQL — anyone retuning the
     * heuristic should read the chain, not assume branch order equals
     * priority. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), langPredCol.as("lang_pred"))
+
+  /** The language prediction over the `text` column, as the one
+    * shared Column definition (see [[qualityCol]]'s rationale). */
+  private def langPredCol: Column = {
     val t = lower(col("text"))
     val zh = nMatches(col("text"), CjkPattern)
     val en = nMatches(t, EnStops)
     val es = nMatches(t, EsStops)
     val de = nMatches(t, DeStops)
     val fr = nMatches(t, FrStops)
-    Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"),
-      when(zh > 0, "zh")
-        .when(de > en && de > es && de > fr, "de")
-        .when(es > en && es > fr, "es")
-        .when(fr > en, "fr")
-        .otherwise("en").as("lang_pred"))
+    when(zh > 0, "zh")
+      .when(de > en && de > es && de > fr, "de")
+      .when(es > en && es > fr, "es")
+      .when(fr > en, "fr")
+      .otherwise("en")
   }
 
   /** Normalized-content fingerprint: lowercase, strip non-alnum to
@@ -125,16 +143,20 @@ object TextOps {
     * group report. One aggregation + one semi join, both on doc_id /
     * fingerprint; at 100 TB the semi join broadcasts nothing and
     * shuffles only (fp, keeper) pairs. */
-  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val keepers = Tables.documents(spark, dir)
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .join(exactKeepers(spark, dir), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("bigint").as("n_chars_calc"))
+
+  /** The min-doc_id-per-fingerprint survivor set, shared by
+    * [[dedupSurvivors]] and [[corpusFilter]] (one definition of the
+    * keeper rule, like [[qualityCol]]). */
+  private def exactKeepers(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .groupBy(fingerprintCol(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    Tables.documents(spark, dir)
-      .join(keepers, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("lang"), col("source"),
-        length(col("text")).cast("bigint").as("n_chars_calc"))
-  }
 
   /** The composed training-data gate: quality score, predicted
     * language, and exact-dup survivorship evaluated together — keep
@@ -144,34 +166,11 @@ object TextOps {
     * fingerprint semi join as [[dedupSurvivors]]. This is the shape a
     * 100 TB corpus-prep job takes: narrow scoring map + one keyed
     * semi join, no wide shuffles of the text itself. */
-  def corpusFilter(spark: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame = {
-    val t = lower(col("text"))
-    val nChars = length(col("text")).cast("double")
-    val nTokens = size(split(col("text"), "\\s+")).cast("double")
-    val punct = nMatches(col("text"), PunctPattern).cast("double")
-    val stops = nMatches(t, EnStops).cast("double")
-    val quality = roundAt(least(nChars / lit(500.0), lit(1.0)) * 0.5 +
-      least(stops / nTokens * 5.0, lit(1.0)) * 0.3 +
-      (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6)
-    val zh = nMatches(col("text"), CjkPattern)
-    val en = nMatches(t, EnStops)
-    val es = nMatches(t, EsStops)
-    val de = nMatches(t, DeStops)
-    val fr = nMatches(t, FrStops)
-    val langPred = when(zh > 0, "zh")
-      .when(de > en && de > es && de > fr, "de")
-      .when(es > en && es > fr, "es")
-      .when(fr > en, "fr")
-      .otherwise("en")
-    val keepers = Tables.documents(spark, dir)
-      .groupBy(fingerprintCol(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+  def corpusFilter(spark: SparkSession, dir: String, minQuality: Double = 0.5): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), quality.as("quality"), langPred.as("lang_pred"))
+      .select(col("doc_id"), qualityCol.as("quality"), langPredCol.as("lang_pred"))
       .filter(col("quality") >= minQuality && col("lang_pred") === "en")
-      .join(keepers, Seq("doc_id"), "left_semi")
-  }
+      .join(exactKeepers(spark, dir), Seq("doc_id"), "left_semi")
 
   /** Normalized word rows: one row per (doc, word occurrence), empty
     * docs dropped. Shared by tf-idf and bigram stats. */
