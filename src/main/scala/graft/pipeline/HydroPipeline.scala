@@ -143,13 +143,18 @@ object HydroPipeline {
       // metadata-hash tail: makes the key total over the WHOLE row. A
       // feed can redeliver a series id with identical (value,
       // timeStamp) but revised sourceInfo (a geolocation correction
-      // between fetches); without the tail those rows tie and min_by
-      // picks by partition encounter order — silently breaking the
-      // order-independence this key exists to provide. Any
-      // deterministic total order suffices; the hash is stable, not
-      // meaningful.
+      // between fetches) or a revised variable unit/noData sentinel;
+      // without the tail those rows tie and min_by picks by partition
+      // encounter order — silently breaking the order-independence
+      // this key exists to provide. The hash covers every surviving
+      // column NOT already in the key head: the four metadata fields
+      // plus var0's remaining attributes (unit, noDataValue — value
+      // and timeStamp are the key head). Any deterministic total
+      // order suffices; the hash is stable, not meaningful.
       xxhash64(col("geometry"), col("properties.record"),
-        col("properties.site"), col("properties.srs")).cast("string"))
+        col("properties.site"), col("properties.srs"),
+        var0.getField("variableUnit"), var0.getField("noDataValue"))
+        .cast("string"))
     features
       // the reference merges ONLY the 00060/00065 branch outputs
       // (mapreduce.js:40-50 filters before each mapReduce): a series
