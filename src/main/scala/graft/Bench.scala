@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at the target
-  * scale factor and prints ONE JSON line (driver contract).
+  * scale factor and prints the results as JSON on stdout: one ~13 KB
+  * detail line (all per-query maps, "queries" last) followed by one
+  * compact headline line (total/failed/reps/sf) as the FINAL line, so
+  * a bounded tail capture of stdout always contains the headline and
+  * as many per-query times as fit.
   *
   * A warmup pass at sf0.001 runs each query once before timing so the
   * measured numbers reflect steady-state execution (whole-stage
@@ -87,7 +91,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val broadcastMb = sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "10").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -207,7 +211,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    // Two lines, both valid JSON. The driver captures a bounded stdout
+    // TAIL, so ordering matters: the detail line puts the per-query
+    // minimums ("queries") LAST so they sit nearest the tail window,
+    // and a compact headline line comes after it as the FINAL line —
+    // small enough to always survive the tail capture whole, so the
+    // total/failed/reps are parseable even when the ~13 KB detail line
+    // is truncated. (Rounds 1-11 printed the headline fields at the
+    // START of the one big line; every driver artifact recorded
+    // `parsed: null` and, once per-query byte maps landed, the tail
+    // showed only the all-zero spill map.)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir","medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"reps":$reps,"estimator":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -318,10 +318,15 @@ object Relational {
     // is a pure plan builder; the SQL entry path must be no less safe.
     val v = s"customer_v_${Relational.viewSeq.incrementAndGet()}"
     Tables.customer(spark, dir).createOrReplaceTempView(v)
-    spark.sql(
+    // spark.sql analysis is EAGER: the returned DataFrame's plan has
+    // already resolved the view to its underlying relation, so the view
+    // can be dropped immediately — leaving it would grow the session
+    // catalog by one entry per call (bench: reps × warmup × queries).
+    try spark.sql(
       s"""SELECT c_custkey, c_nationkey, c_acctbal FROM $v c
          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM $v c2
          |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+    finally spark.catalog.dropTempView(v)
   }
 
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong()

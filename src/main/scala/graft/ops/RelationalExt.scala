@@ -252,13 +252,17 @@ object RelationalExt {
     // state (see Relational.sqlSubquery)
     val v = s"lineitem_v_${viewSeq.incrementAndGet()}"
     Tables.lineitem(spark, dir).createOrReplaceTempView(v)
-    spark.sql(
+    // analysis is eager — the resolved plan no longer needs the view
+    // (see Relational.sqlSubquery); drop it so repeated calls don't
+    // grow the session catalog without bound.
+    try spark.sql(
       s"""SELECT l_returnflag,
          | count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
          | count(*) FILTER (WHERE l_tax = 0) AS n_taxfree,
          | round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS rev_bulk,
          | count(*) AS n
          |FROM $v GROUP BY l_returnflag""".stripMargin)
+    finally spark.catalog.dropTempView(v)
   }
 
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -385,12 +389,18 @@ object RelationalExt {
     val sv = s"supplier_v_$seq"
     Tables.nation(spark, dir).createOrReplaceTempView(nv)
     Tables.supplier(spark, dir).createOrReplaceTempView(sv)
-    spark.sql(
+    // analysis is eager — drop both views once the plan is resolved
+    // (see Relational.sqlSubquery).
+    try spark.sql(
       s"""SELECT n_name, t.s_name, t.s_acctbal
          |FROM $nv n,
          |LATERAL (SELECT s_name, s_acctbal FROM $sv s
          |         WHERE s.s_nationkey = n.n_nationkey
          |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(nv)
+      spark.catalog.dropTempView(sv)
+    }
   }
 
   /** Outer joins: left join keeps customers with no orders (null

@@ -150,10 +150,19 @@ object HydroPipeline {
       // column NOT already in the key head: the four metadata fields
       // plus var0's remaining attributes (unit, noDataValue — value
       // and timeStamp are the key head). Any deterministic total
-      // order suffices; the hash is stable, not meaningful.
+      // order suffices; the hash is stable, not meaningful. The var0
+      // fields are null-coalesced INSIDE the key: xxhash64 skips null
+      // children, so without it (unit=null, noData=X) and (unit=X,
+      // noData=null) would hash identically — an invariant that
+      // otherwise held only because toFeatures coalesces both to
+      // 'undefined', which callers feeding their own features into
+      // mergeSitesState/sitePartials could silently violate. NUL
+      // cannot appear in either field's domain, so the sentinel
+      // collides with no real value.
       xxhash64(col("geometry"), col("properties.record"),
         col("properties.site"), col("properties.srs"),
-        var0.getField("variableUnit"), var0.getField("noDataValue"))
+        coalesce(var0.getField("variableUnit"), lit("\u0000")),
+        coalesce(var0.getField("noDataValue"), lit("\u0000")))
         .cast("string"))
     features
       // the reference merges ONLY the 00060/00065 branch outputs
@@ -246,7 +255,20 @@ object HydroPipeline {
     * directory (write-to-staging + rename — the plain-filesystem
     * analog of a table-format MERGE INTO; a transactional format
     * would slot in here). Safe to re-run with the same batch: the
-    * re-reduce is idempotent. */
+    * re-reduce is idempotent.
+    *
+    * STATE KEY FORMAT: persisted state stores `ord_key` strings, and
+    * the key format is part of the state contract — a persisted key
+    * is only comparable against keys produced by the SAME format.
+    * The format has changed twice (round 11 added var0's unit/
+    * noDataValue to the xxhash64 tail; round 12 null-coalesced those
+    * two hash inputs), so state directories written by an older build
+    * mix old- and new-format keys on re-reduce: winner selection
+    * stays deterministic (any total order on strings is), but the
+    * "equals the one-shot aggregation over all features" invariant
+    * only holds within one format generation. After upgrading,
+    * rebuild the state once from the underlying features (or accept
+    * that pre-upgrade winners were chosen under the old order). */
   def upsertMergedState(spark: SparkSession, statePath: String,
                         freshFeatures: DataFrame): Unit = {
     import org.apache.hadoop.fs.Path

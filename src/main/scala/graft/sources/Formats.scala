@@ -55,6 +55,27 @@ object Formats {
       .partitionBy(cols: _*).save(path)
   }
 
+  /** Re-land ONLY the partitions present in `df`, leaving every other
+    * partition of an existing [[writePartitioned]] layout untouched —
+    * dynamic partition overwrite. This is the routine incremental
+    * operation at 100 TB (one source re-crawled, one day re-processed):
+    * static `SaveMode.Overwrite` deletes the whole root first, so
+    * re-landing ONE partition would destroy the others. The
+    * `partitionOverwriteMode=dynamic` WRITE OPTION (not session conf —
+    * no cross-query planning state to leak, cf. the autoBucketedScan
+    * save/restore in SimilarityOps) makes the committer replace exactly
+    * the partition directories the incoming rows hash to. Same
+    * committer atomicity per partition; a failed job leaves the old
+    * partitions in place. */
+  def overwritePartitions(df: DataFrame, path: String, cols: Seq[String],
+                          format: String = "parquet"): Unit = {
+    require(Supported.contains(format), s"unsupported format: $format")
+    require(cols.nonEmpty, "overwritePartitions needs at least one partition column")
+    df.write.mode(SaveMode.Overwrite).format(format)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cols: _*).save(path)
+  }
+
   /** Persist as a bucketed + sorted catalog table: both sides of a
     * recurring equi-join bucketed on the join key read back
     * pre-partitioned and pre-sorted, so the join plans with NO shuffle

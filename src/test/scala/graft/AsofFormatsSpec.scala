@@ -86,6 +86,38 @@ class AsofFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("dynamic partition overwrite re-lands one partition and leaves siblings untouched") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-dpo").toString + "/docs"
+    graft.sources.Formats.writePartitioned(docs, base, Seq("source"))
+    val sources = docs.select($"source").distinct().collect().map(_.getString(0)).sorted
+    assert(sources.length >= 2, "fixture needs at least two partitions")
+    val target = sources.head
+    val sibling = sources.last
+    // record a sibling partition's files AND a content checksum before
+    def files(src: String) = {
+      val d = new java.io.File(s"$base/source=$src")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val siblingFilesBefore = files(sibling)
+    val totalBefore = spark.read.parquet(base).count()
+    // re-land ONLY the target partition, with a marker modification
+    val relanded = docs.filter($"source" === target)
+      .withColumn("text", org.apache.spark.sql.functions.lit("relanded"))
+    graft.sources.Formats.overwritePartitions(relanded, base, Seq("source"))
+    // static overwrite would have destroyed source=<sibling>; dynamic
+    // must leave its files byte-identical (same names, still readable)
+    assert(files(sibling) == siblingFilesBefore,
+      s"sibling partition $sibling was rewritten")
+    val after = spark.read.parquet(base)
+    assert(after.count() == totalBefore, "row count changed by partition re-land")
+    assert(after.filter(col("source") === target && col("text") =!= "relanded").count() == 0,
+      "target partition does not carry the re-landed content")
+    assert(after.filter(col("source") === sibling && col("text") === "relanded").count() == 0,
+      "sibling partition content was clobbered")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
     val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")

@@ -84,6 +84,29 @@ class HydroPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("regression: redelivered series with revised metadata merges order-independently") {
+    // the round-11 ordKey fix, pinned: a feed redelivers a series with
+    // IDENTICAL (id, value, timeStamp) — the whole key head — and only
+    // a revised variableUnit (resp. noDataValue). Those fields live in
+    // the xxhash64 metadata tail; remove them from the tail and the
+    // two rows tie on ord_key, min_by degrades to encounter order, and
+    // reversing the delivery flips the winner — failing this test.
+    def ts(unit: String, noData: Double) = TsE(
+      name = "USGS:00000001:00060:00000",
+      sourceInfo = SourceInfoE("SITE 1", Seq(SiteCodeE("00000001")),
+        GeoLocationE(GeogLocationE("EPSG:4326", 40.0, -100.0))),
+      variable = VariableE(Seq(VarCodeE("00060")), UnitE(unit), noData),
+      values = Seq(ValuesE(Seq(ObsE("42", "2026-01-01T00:00:00Z")))))
+    Seq(
+      ("revised unit", ts("ft3/s", -999999.0), ts("m3/s", -999999.0)),
+      ("revised noDataValue", ts("ft3/s", -999999.0), ts("ft3/s", -888888.0))
+    ).foreach { case (label, a, b) =>
+      val fwd = run(Seq(a, b)).select(to_json($"properties")).head().getString(0)
+      val rev = run(Seq(b, a)).select(to_json($"properties")).head().getString(0)
+      assert(fwd == rev, s"$label: winner depends on delivery order")
+    }
+  }
+
   test("golden: fixture corpus end-to-end matches the checked-in FeatureCollection") {
     val got = HydroPipeline.run(spark, "src/test/resources/waterml")
       .select(to_json(struct(lit("FeatureCollection").as("type"), col("data"))))

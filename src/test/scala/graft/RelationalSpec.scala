@@ -58,6 +58,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("SQL-surface ops leave no temp views behind and stay executable after the drop") {
+    // the three spark.sql entry paths create per-call temp views;
+    // analysis is eager so they must drop them before returning —
+    // otherwise bench (reps × warmup × queries) grows the session
+    // catalog without bound.
+    val dfs = Seq(
+      graft.ops.Relational.sqlSubquery(spark, sf),
+      graft.ops.RelationalExt.aggFilterClause(spark, sf),
+      graft.ops.RelationalExt.lateralTopN(spark, sf))
+    val leaked = spark.catalog.listTables().collect().map(_.name).filter(n =>
+      n.startsWith("customer_v_") || n.startsWith("lineitem_v_") ||
+        n.startsWith("nation_v_") || n.startsWith("supplier_v_"))
+    assert(leaked.isEmpty, s"leaked temp views: ${leaked.mkString(", ")}")
+    // the resolved plans must not need the views at execution time
+    dfs.foreach(df => assert(df.count() > 0))
+  }
+
   test("q06 window rank: at most 3 rows per customer, rnk in 1..3") {
     val df = SparkEntry.queries("q06_window_rank")(spark, sf)
     import spark.implicits._

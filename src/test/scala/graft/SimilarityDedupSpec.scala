@@ -21,7 +21,14 @@ class SimilarityDedupSpec extends AnyFunSuite {
 
   test("bucketed IVF probe prunes buckets and matches the recompute-everything form") {
     SimilarityOps.writeIvfIndex(spark, sf, "ivf_idx_spec", buckets = 8)
+    val bucketedScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val confBefore = spark.conf.getOption(bucketedScanKey)
     val probe = SimilarityOps.ivfBucketedTopK(spark, sf, "ivf_idx_spec")
+    // the probe pins autoBucketedScan=false for its OWN planning only;
+    // leaking the pin would silently change every later bucketed
+    // scan's planning in the session (q95 runs after q101 in bench)
+    assert(spark.conf.getOption(bucketedScanKey) == confBefore,
+      s"ivfBucketedTopK leaked $bucketedScanKey into the session")
     // the 100 TB claim as a plan fact: the index scan reads ONLY the
     // buckets the nprobe labels hash to — SelectedBucketsCount must be
     // present AND strictly below the bucket count (nprobe=2 labels can
