@@ -193,6 +193,27 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(0L), "one component labeled by its min")
   }
 
+  test("star components: a 10^4-degree hub labels correctly through the salted round body") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the giant-star skew case (Kiveris et al. §4): one node carries
+    // the whole component's degree. The round body must bound every
+    // task's share of that neighborhood (partial-agg min + salted
+    // min-attach join) — a windowed min would put all 10^4 rows of the
+    // hub's partition key into one task. Covered both ways round: hub
+    // as the component minimum and hub as the largest node (so both
+    // the large-star and small-star sides see the high-degree center).
+    val n = 10000
+    val hubMin = (1 to n).map(i => (0L, i.toLong)).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponentsStar(hubMin, maxRounds = 12)
+    assert(got.count() == n + 1)
+    assert(got.filter($"cluster" =!= 0L).count() == 0, "hub-as-min star mislabeled")
+    val hubTop = (1 to n).map(i => (20000L, i.toLong)).toDF("doc_a", "doc_b")
+    val got2 = DedupOps.connectedComponentsStar(hubTop, maxRounds = 12)
+    assert(got2.count() == n + 1)
+    assert(got2.filter($"cluster" =!= 1L).count() == 0, "hub-as-max star mislabeled")
+  }
+
   test("property: star components agree with min-label and union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
