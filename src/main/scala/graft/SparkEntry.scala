@@ -162,6 +162,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("bigint").as("total_chars"))
     }),
+    // the dedup-actually-deduplicated gate: q99's trimmed corpus fed
+    // back through the q96 detector — residual cross-document spans
+    // plus the trim totals, as one oracle-hashed summary row
+    "q104_trim_round_trip" -> ((s, d) => CurationOps.trimRoundTrip(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1240,6 +1244,71 @@ object SparkEntry {
         | CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
         | CAST(t.n_words - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // q104: q99's whole CTE chain, then the q96 detector re-run over
+    // the trimmed text (same normalize — identity on already-clean
+    // words) — residual span count + trim totals in one summary row.
+    // The interesting value is residual_spans = 0: remove-every-
+    // occurrence trimming leaves no original-consecutive shared gram,
+    // and this corpus produces no colliding junction grams either.
+    "q104_trim_round_trip" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |wr AS (
+        |  SELECT doc_id, unnest(range(len(words))) AS pos, unnest(words) AS word
+        |  FROM w),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(words) - 7, 0))) AS pos,
+        |    unnest(list_transform(range(0, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 8), ' '))) AS gram
+        |  FROM w),
+        |shared AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM hits),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + 8 AS l
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + l)) AS pos FROM spans),
+        |kept AS (
+        |  SELECT wr.doc_id, wr.pos, wr.word
+        |  FROM wr LEFT JOIN cov ON wr.doc_id = cov.doc_id AND wr.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_words FROM wr GROUP BY doc_id),
+        |trimmed AS (
+        |  SELECT t.doc_id, coalesce(a.clean_text, '') AS text,
+        |    coalesce(a.n_kept, 0) AS n_kept,
+        |    t.n_words - coalesce(a.n_kept, 0) AS n_removed
+        |  FROM tot t LEFT JOIN agg a USING (doc_id)),
+        |w2 AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM trimmed),
+        |g2 AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(len(words) - 7, 0))) AS pos,
+        |    unnest(list_transform(range(0, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 8), ' '))) AS gram
+        |  FROM w2),
+        |shared2 AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hits2 AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN shared2 USING (gram)),
+        |isl2 AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM hits2),
+        |spans2 AS (SELECT doc_id, island FROM isl2 GROUP BY doc_id, island)
+        |SELECT CAST((SELECT count(*) FROM trimmed) AS BIGINT) AS n_docs,
+        | CAST((SELECT sum(n_kept) FROM trimmed) AS BIGINT) AS n_kept_total,
+        | CAST((SELECT sum(n_removed) FROM trimmed) AS BIGINT) AS n_removed_total,
+        | CAST((SELECT count(*) FROM spans2) AS BIGINT) AS residual_spans""".stripMargin,
     // q100: q54's flag pattern again — the sketch's merge order (and
     // hence its exact value) follows partitioning, so the gate carries
     // the exact quantiles plus TRUE envelope flags; a sketch drifting

@@ -36,13 +36,19 @@ object CurationOps {
     * overlap). The repartition spreads the ~(words-per-doc)× explode
     * across the cluster and pre-satisfies the window's distribution,
     * so no further exchange follows (cf. shingleRows). */
-  private[ops] def kgramRows(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  private[ops] def kgramRows(spark: SparkSession, dir: String, k: Int): DataFrame =
+    kgramRowsOf(Tables.documents(spark, dir), k)
+
+  /** [[kgramRows]] over an arbitrary (doc_id, text) frame — the
+    * span machinery is reusable over DERIVED corpora (e.g. the
+    * round-trip gate runs it over [[trimSpans]]' own output). */
+  private[ops] def kgramRowsOf(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k-gram size must be >= 2, got $k")
     val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until k).map(i => lead(col("col"), i).over(w).as(s"w$i"))
-    Tables.documents(spark, dir)
+    docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), posexplode(words))
       .select(col("doc_id") +: col("pos") +: col("col").as("w0") +: leads: _*)
@@ -160,9 +166,13 @@ object CurationOps {
     * between exchanges is codegen'd; output is span-sized, never
     * pair-sized. */
   def maximalSpans(spark: SparkSession, dir: String, k: Int = 8,
-                   minDocs: Long = 2): DataFrame = {
+                   minDocs: Long = 2): DataFrame =
+    maximalSpansOf(kgramRows(spark, dir, k), k, minDocs)
+
+  /** [[maximalSpans]] over pre-built gram rows (see [[kgramRowsOf]]). */
+  private[ops] def maximalSpansOf(grams: DataFrame, k: Int,
+                                  minDocs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = kgramRows(spark, dir, k)
     val sharedGrams = grams
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("occ"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
@@ -226,6 +236,40 @@ object CurationOps {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** The end-to-end "dedup actually deduplicated" gate: run the
+    * [[maximalSpans]] detector over [[trimSpans]]' OWN output and
+    * report the residual cross-document span count next to the trim
+    * totals — one summary row
+    * (n_docs, n_kept_total, n_removed_total, residual_spans).
+    *
+    * residual_spans = 0 is a THEOREM for original-consecutive grams
+    * (every position of every shared gram is covered, so a surviving
+    * consecutive k-gram was unshared, and trimming never increases a
+    * gram's distinct-doc count) but NOT for junction grams — the new
+    * k-grams formed where a removed span's flanks meet could
+    * coincidentally collide across documents. The oracle hash pins
+    * the observed value (0 on this corpus at both tested scale
+    * factors), so a regression in cover construction (off-by-one span
+    * ranges, keep-one-occurrence semantics creeping in) surfaces as a
+    * nonzero count and a hash mismatch — the property an oracle on
+    * the trim output alone cannot express.
+    *
+    * Scale: two passes of the span machinery (detector + trim +
+    * re-detector) — each individually bounded by the [[trimSpans]]
+    * scale argument; the summary aggregations are single-row. */
+  def trimRoundTrip(spark: SparkSession, dir: String, k: Int = 8,
+                    minDocs: Long = 2): DataFrame = {
+    val trimmed = trimSpans(spark, dir, k, minDocs)
+    val residual = maximalSpansOf(
+      kgramRowsOf(trimmed.select(col("doc_id"), col("clean_text").as("text")), k),
+      k, minDocs)
+    trimmed.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_kept")).as("n_kept_total"),
+        sum(col("n_removed")).as("n_removed_total"))
+      .crossJoin(residual.agg(count(lit(1)).as("residual_spans")))
   }
 
   /** Deterministic training-order assignment: shard + in-shard
