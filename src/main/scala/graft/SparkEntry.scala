@@ -166,6 +166,31 @@ object SparkEntry {
     // back through the q96 detector — residual cross-document spans
     // plus the trim totals, as one oracle-hashed summary row
     "q104_trim_round_trip" -> ((s, d) => CurationOps.trimRoundTrip(s, d)),
+    // q103's layout under the routine incremental operation: one
+    // source partition re-landed (filtered to doc_id % 40 = 3 — half
+    // of src3, whose ids are ≡ 3 mod 20; an even/odd filter would
+    // empty the partition and dynamic overwrite would write nothing)
+    // via DYNAMIC partition overwrite — the aggregate over the whole
+    // layout proves the re-land replaced exactly src3 and left every
+    // sibling byte-intact (a static overwrite would empty them)
+    // the corpus-scale kNN join: both sides LSH-bucketed, multi-probe,
+    // per-bucket exact scoring — q91's semantics when the query set
+    // itself is too big to broadcast
+    "q106_knn_bucketed"    -> ((s, d) => SimilarityOps.knnJoinBucketed(s, d)),
+    "q105_dynamic_overwrite" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val path = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/graft_docs_dyn"
+      val docs = Tables.documents(s, d)
+      graft.sources.Formats.writePartitioned(docs, path, Seq("source"))
+      graft.sources.Formats.overwritePartitions(
+        docs.filter(col("source") === "src3" && pmod(col("doc_id"), lit(40)) === 3),
+        path, Seq("source"))
+      s.read.parquet(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("bigint").as("total_chars"))
+    }),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1309,6 +1334,53 @@ object SparkEntry {
         | CAST((SELECT sum(n_kept) FROM trimmed) AS BIGINT) AS n_kept_total,
         | CAST((SELECT sum(n_removed) FROM trimmed) AS BIGINT) AS n_removed_total,
         | CAST((SELECT count(*) FROM spans2) AS BIGINT) AS residual_spans""".stripMargin,
+    // q106: q91's kNN-join semantics through the bucketed (corpus-
+    // scale) path — q30's md5-plane bucket recompute, the same
+    // Hamming-1 multi-probe, then q91's rank shape restricted to the
+    // probed buckets. The approximate result is DETERMINISTIC, so it
+    // hash-gates like an exact one.
+    "q106_knn_bucketed" -> {
+      def sign(p: Int) =
+        s"(CASE WHEN substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)"
+      val bucket = (0 until 6).map { p =>
+        s"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * ${sign(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n      + ")
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(label AS INTEGER) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, label, emb,
+        |      $bucket AS bucket FROM e),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS qb FROM b WHERE vec_id < 20),
+        |probes AS (
+        |  SELECT q_id, q_emb, qb AS pb FROM q
+        |  UNION ALL
+        |  SELECT q_id, q_emb, xor(qb, 1 << CAST(j AS INTEGER))
+        |  FROM q, (SELECT unnest(range(6)) AS j) r),
+        |s AS (
+        |  SELECT p.q_id, b.vec_id, b.label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * p.q_emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * b.emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(p.q_emb) + 1), i -> p.q_emb[i] * p.q_emb[i])))), 4) AS cos
+        |  FROM b JOIN probes p ON b.bucket = p.pb AND b.vec_id <> p.q_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM s)
+        |SELECT q_id, vec_id, label, cos, rnk FROM r WHERE rnk <= 3""".stripMargin
+    },
+    // q105: the post-re-land layout state, computed relationally —
+    // src3 keeps only the doc_id % 40 = 3 half (the re-landed
+    // content), every other source keeps its full original partition
+    "q105_dynamic_overwrite" ->
+      """WITH eff AS (
+        |  SELECT source, text FROM documents WHERE source <> 'src3'
+        |  UNION ALL
+        |  SELECT source, text FROM documents WHERE source = 'src3' AND doc_id % 40 = 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM eff GROUP BY source""".stripMargin,
     // q100: q54's flag pattern again — the sketch's merge order (and
     // hence its exact value) follows partitioning, so the gate carries
     // the exact quantiles plus TRUE envelope flags; a sketch drifting

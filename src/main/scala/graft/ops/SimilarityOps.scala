@@ -412,4 +412,52 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Corpus-scale kNN join: the path [[knnJoin]]'s fail-loud guard
+    * points at when the query set is itself corpus-sized and cannot
+    * broadcast. Both sides LSH-bucket ([[withBucket]] — md5-derived
+    * planes, so the DuckDB oracle recomputes the exact buckets and the
+    * whole approximate join is hash-gated, not rows-only); queries
+    * multi-probe their own bucket plus every Hamming-1 neighbor (the
+    * [[annTopK]] recall knob); candidates score exactly within the
+    * probed buckets; per-query top-k of the candidates is the answer.
+    * Approximate BY CONTRACT: a neighbor whose bucket is ≥ 2 plane
+    * flips away is unseen — raise nPlanes' probe radius or the plane
+    * count to trade cost for recall.
+    *
+    * Scale: the candidate join's key is the BUCKET id — both sides
+    * hash-partition on it, nothing broadcasts, and a query meets only
+    * its probed buckets' corpus slice instead of the whole corpus
+    * (bucket-linear, the 2^nPlanes-way blocked nested loop). A corpus
+    * vector pairs with at most one probe row per query (one bucket per
+    * vector), so candidate volume is bounded by occupancy × queries-
+    * per-bucket. The same bounded-heap combiner as [[knnJoin]]
+    * ([[partialTopK]]) cuts each partition's contribution to ≤ k rows
+    * per query before the rank window's q_id exchange. */
+  def knnJoinBucketed(spark: SparkSession, dir: String,
+                      nQueries: Long = 20L, k: Int = 3,
+                      nPlanes: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = withBucket(Tables.embeddings(spark, dir), nPlanes,
+      dim = Tables.embeddingDim(spark, dir))
+    val probes = array(
+      col("bucket") +: (0 until nPlanes).map(i =>
+        col("bucket").bitwiseXOR(shiftleft(lit(1), i))): _*)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(probes).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .filter(col("cos").isNotNull)
+      .select(col("q_id"), col("vec_id"), col("label").cast("int").as("label"), col("cos"))
+      .as[(Long, Long, Option[Int], Double)]
+      .mapPartitions(partialTopK(_, k))
+      .toDF("q_id", "vec_id", "label", "cos")
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -48,6 +48,51 @@ class SimilarityDedupSpec extends AnyFunSuite {
       "bucketed and recomputed IVF top-k diverge")
   }
 
+  test("bucketed kNN join: ranked per-query hits, exact cosines, probed-bucket consistency") {
+    val got = SimilarityOps.knnJoinBucketed(spark, sf, nQueries = 20L, k = 3)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // per-query rank sanity: <= k hits, ranks are exactly 1..n
+    rows.toSeq.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.length <= 3)
+      assert(g.map(_.getLong(4)).sorted == (1L to g.length.toLong).toList)
+    }
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val pairs = got.select($"q_id", $"vec_id", $"cos")
+    // approximate candidate set, EXACT scores: every reported cosine
+    // must equal the direct computation on the raw embeddings
+    val wrongCos = pairs
+      .join(e.select($"vec_id".as("q_id"), $"embedding".as("q_emb")), Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos2", round(cosineSimilarity($"embedding", $"q_emb"), 4))
+      .filter($"cos" =!= $"cos2").count()
+    assert(wrongCos == 0, "bucketed kNN reported a cosine that direct scoring disagrees with")
+    // every hit must come from a probed bucket: the corpus vector's
+    // bucket is within Hamming distance 1 of its query's bucket
+    val b = SimilarityOps.withBucket(e, nPlanes = 6).select($"vec_id", $"bucket")
+    val outOfProbe = pairs
+      .join(b.select($"vec_id".as("q_id"), $"bucket".as("qb")), Seq("q_id"))
+      .join(b, Seq("vec_id"))
+      .filter(bit_count($"bucket".bitwiseXOR($"qb")) > 1).count()
+    assert(outOfProbe == 0, "bucketed kNN returned a hit outside the probed buckets")
+  }
+
+  test("bucketed kNN join plans as a bucket-keyed join when broadcast is unavailable") {
+    // the 100 TB shape: with neither side broadcast-eligible the
+    // candidate join must key on the bucket id — an equi-join both
+    // sides hash-partition into, never a nested-loop over the corpus
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = SimilarityOps.knnJoinBucketed(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange hashpartitioning(bucket"),
+        s"candidate join is not bucket-keyed:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"bucketed kNN degenerated to an all-pairs join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("stop-bucket cap excludes degenerate buckets and leaves the rest exact") {
     // one degenerate 50-member bucket (the LSH stopword analog) and
     // one genuine 2-member bucket
