@@ -177,6 +177,16 @@ object SparkEntry {
     // per-bucket exact scoring — q91's semantics when the query set
     // itself is too big to broadcast
     "q106_knn_bucketed"    -> ((s, d) => SimilarityOps.knnJoinBucketed(s, d)),
+    // embedding-batch admission: arriving vectors probed against the
+    // persisted IVF index of the standing corpus (index written here —
+    // the build is part of what this query certifies)
+    "q107_embedding_admission" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      SimilarityOps.writeIvfIndexOf(
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(5)) =!= 4),
+        "graft_ivf_adm", buckets = 8)
+      SimilarityOps.embeddingAdmission(s, d, "graft_ivf_adm")
+    }),
     "q105_dynamic_overwrite" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val path = s.conf.get("spark.sql.warehouse.dir")
@@ -1370,6 +1380,54 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, vec_id, label, cos, rnk FROM r WHERE rnk <= 3""".stripMargin
     },
+    // q107: the IVF admission chain recomputed relationally — q87's
+    // centroid/assignment CTEs restricted to the index slice, batch
+    // vectors assigned to their 2 nearest centroids, exact cosine over
+    // the probed lists, per-vector best-match verdict at 0.35
+    "q107_embedding_admission" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |idx AS (SELECT * FROM e WHERE vec_id % 5 <> 4),
+        |bat AS (SELECT * FROM e WHERE vec_id % 5 = 4),
+        |flat AS (
+        |  SELECT label AS clabel,
+        |    unnest(range(0, len(emb))) AS pos,
+        |    unnest(emb) AS v
+        |  FROM idx),
+        |cm AS (SELECT clabel, pos, avg(v) AS m FROM flat GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(m ORDER BY pos) AS cent FROM cm GROUP BY 1),
+        |adI AS (
+        |  SELECT i.vec_id, i.emb, c.clabel,
+        |    list_sum(list_transform(range(1, len(i.emb) + 1),
+        |      k -> (i.emb[k] - c.cent[k]) * (i.emb[k] - c.cent[k]))) AS d2
+        |  FROM idx i CROSS JOIN cent c),
+        |rkI AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk FROM adI),
+        |asg AS (SELECT vec_id, emb, clabel FROM rkI WHERE rk = 1),
+        |adB AS (
+        |  SELECT b.vec_id AS b_id, b.emb AS b_emb, c.clabel,
+        |    list_sum(list_transform(range(1, len(b.emb) + 1),
+        |      k -> (b.emb[k] - c.cent[k]) * (b.emb[k] - c.cent[k]))) AS d2
+        |  FROM bat b CROSS JOIN cent c),
+        |rkB AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY d2, clabel) AS rk FROM adB),
+        |probes AS (SELECT b_id, b_emb, clabel FROM rkB WHERE rk <= 2),
+        |cand AS (
+        |  SELECT p.b_id, a.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.emb) + 1), k -> a.emb[k] * p.b_emb[k])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), k -> a.emb[k] * a.emb[k]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(p.b_emb) + 1), k -> p.b_emb[k] * p.b_emb[k])))), 4) AS cos
+        |  FROM asg a JOIN probes p USING (clabel)),
+        |best AS (
+        |  SELECT b_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, vec_id) AS rnk
+        |  FROM cand)
+        |SELECT b.vec_id,
+        | coalesce(bs.cos >= 0.35, FALSE) AS is_dup,
+        | bs.vec_id AS best_match,
+        | bs.cos AS best_cos
+        |FROM bat b LEFT JOIN (SELECT * FROM best WHERE rnk = 1) bs
+        |ON b.vec_id = bs.b_id""".stripMargin,
     // q105: the post-re-land layout state, computed relationally —
     // src3 keeps only the doc_id % 40 = 3 half (the re-landed
     // content), every other source keeps its full original partition

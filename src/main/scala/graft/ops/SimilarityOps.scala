@@ -231,8 +231,14 @@ object SimilarityOps {
     * promises. Bucketing on the assignment label is what makes the
     * probe cheap: an inverted list IS a bucket. */
   def writeIvfIndex(spark: SparkSession, dir: String, table: String,
-                    buckets: Int = 8): Unit = {
-    val e = Tables.embeddings(spark, dir)
+                    buckets: Int = 8): Unit =
+    writeIvfIndexOf(Tables.embeddings(spark, dir), table, buckets)
+
+  /** [[writeIvfIndex]] over an arbitrary (vec_id, label, embedding)
+    * frame — the admission path indexes only the standing-corpus
+    * slice, so the codebook and assignments must derive from that
+    * slice alone. */
+  def writeIvfIndexOf(e: DataFrame, table: String, buckets: Int = 8): Unit = {
     val assigned = e.crossJoin(broadcast(ivfCodebook(e)))
       .withColumn("clabel", ivfDists.getItem(0).getField("clabel"))
       .select(col("vec_id"), col("label"), col("embedding"), col("clabel"))
@@ -287,6 +293,57 @@ object SimilarityOps {
       case Some(v) => spark.conf.set(bucketedScanKey, v)
       case None    => spark.conf.unset(bucketedScanKey)
     }
+  }
+
+  /** Incremental embedding-batch admission against a persisted
+    * [[writeIvfIndexOf]] index — the embedding member of the admission
+    * family (text q92/q95, media q102): each arriving vector is
+    * assigned to its nprobe nearest coarse centroids, scored exactly
+    * against ONLY those inverted lists, and admitted or flagged dup by
+    * its best cosine against the standing corpus. Approximate by the
+    * same contract as every IVF probe: a near-dup whose index
+    * assignment is outside the batch vector's nprobe lists is unseen —
+    * raise nprobe to trade cost for recall. The codebook comes from
+    * the INDEX side alone (an arriving batch must not move the
+    * centroids it is judged against).
+    *
+    * Scale: the codebook is one broadcast row (KBs); the batch's
+    * distinct probe labels are collected driver-side (≤ nlist rows —
+    * index STATE, not corpus data; the literal IN-list must exist at
+    * plan time for the bucketed scan to prune); the probe join keys on
+    * clabel, the index table's bucket column, so the corpus side reads
+    * pre-partitioned and never re-shuffles; per-vector verdicts are a
+    * batch-sized rank window. At 100 TB the index scan reads the
+    * probed lists' buckets, not the corpus. */
+  def embeddingAdmission(spark: SparkSession, dir: String,
+                         table: String = "graft_ivf_adm",
+                         simThreshold: Double = 0.35,
+                         nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val isBatch = pmod(col("vec_id"), lit(5)) === 4
+    val codebook = ivfCodebook(e.filter(!isBatch))
+    val batchProbes = e.filter(isBatch)
+      .crossJoin(broadcast(codebook))
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        explode(slice(ivfDists, 1, nprobe)).as("p"))
+      .select(col("b_id"), col("b_emb"), col("p.clabel").as("clabel"))
+    val probeLabels = batchProbes.select(col("clabel")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val w = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val best = spark.table(table)
+      .filter(col("clabel").isin(probeLabels: _*))
+      .join(batchProbes, Seq("clabel"))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("b_emb")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("b_id"), col("vec_id").as("best_match"), col("cos").as("best_cos"))
+    e.filter(isBatch).select(col("vec_id"))
+      .join(best, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("best_cos") >= simThreshold, lit(false)).as("is_dup"),
+        col("best_match"), col("best_cos"))
   }
 
   /** Batch kNN join: exact top-k cosine neighbors for a whole SET of

@@ -77,6 +77,42 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(outOfProbe == 0, "bucketed kNN returned a hit outside the probed buckets")
   }
 
+  test("embedding admission: mixed verdicts, batch-only rows, bucket-riding index scan") {
+    SimilarityOps.writeIvfIndexOf(
+      graft.Tables.embeddings(spark, sf).filter(pmod($"vec_id", lit(5)) =!= 4),
+      "ivf_adm_spec", buckets = 8)
+    // force the shuffle-family join (the 100 TB shape — the batch side
+    // cannot always broadcast) to prove the index side rides its
+    // clabel bucketing instead of re-shuffling
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val got = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SimilarityOps.embeddingAdmission(spark, sf, "ivf_adm_spec")
+      val plan = df.queryExecution.executedPlan.toString
+      // the probe join's LEFT (index) subtree prints between the join
+      // line and the bucketed scan line — no Exchange may appear in
+      // it (the 2 clabel exchanges elsewhere in the plan are the
+      // codebook build's own aggregations, not an index re-shuffle;
+      // an unbucketed index would add one right here)
+      val lines = plan.linesIterator.toVector
+      val join = lines.indexWhere(_.contains("SortMergeJoin [clabel"))
+      val scan = lines.indexWhere(_.contains("SelectedBucketsCount"))
+      assert(join >= 0 && scan > join,
+        s"expected a merge probe join over a bucketed index scan:\n$plan")
+      assert(!lines.slice(join + 1, scan).exists(_.contains("Exchange")),
+        s"the index side re-shuffled between the join and its scan:\n$plan")
+      df.collect()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // verdicts must discriminate on this corpus (38/100 dup at sf0.01,
+    // 32/100 at sf0.001) — an all-true or all-false outcome means the
+    // threshold or the probe went degenerate
+    val dups = got.count(_.getBoolean(1))
+    assert(dups > 0 && dups < got.length, s"degenerate verdict: $dups/${got.length}")
+    // rows are exactly the batch slice; matches come from the index slice
+    assert(got.forall(_.getLong(0) % 5 == 4))
+    assert(got.forall(r => r.isNullAt(2) || r.getLong(2) % 5 != 4))
+  }
+
   test("bucketed kNN join plans as a bucket-keyed join when broadcast is unavailable") {
     // the 100 TB shape: with neither side broadcast-eligible the
     // candidate join must key on the bucket id — an equi-join both
