@@ -202,7 +202,7 @@ object SimilarityOps {
   /** One-row codebook: clabel-sorted array of (clabel, cent) structs —
     * the [[ivfLabelTopK]] coarse quantizer, shared with the persisted-
     * index pair below. */
-  private def ivfCodebook(e: DataFrame): DataFrame =
+  private[graft] def ivfCodebook(e: DataFrame): DataFrame =
     e.select(col("label").as("clabel"), posexplode(col("embedding")))
       .groupBy(col("clabel"), col("pos"))
       .agg(avg(col("col").cast("double")).as("m"))
@@ -319,11 +319,28 @@ object SimilarityOps {
                          table: String = "graft_ivf_adm",
                          simThreshold: Double = 0.35,
                          nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(spark, dir)
     val isBatch = pmod(col("vec_id"), lit(5)) === 4
-    val codebook = ivfCodebook(e.filter(!isBatch))
-    val batchProbes = e.filter(isBatch)
+    embeddingAdmissionOf(
+      e.filter(isBatch).select(col("vec_id"), col("embedding")),
+      ivfCodebook(e.filter(!isBatch)), spark.table(table),
+      simThreshold, nprobe)
+  }
+
+  /** The verdict core of [[embeddingAdmission]], over ANY
+    * (vec_id, embedding) batch frame against a standing codebook +
+    * index. Verdicts are a pure function of (arriving vector,
+    * codebook, index) — no cross-batch state — so a streaming ingest
+    * runs this per micro-batch via foreachBatch against the persisted
+    * index and gets batch-identical admission (spec-proven), the same
+    * batch-boundary independence contract as the text and media
+    * admission forms. */
+  def embeddingAdmissionOf(batch: DataFrame, codebook: DataFrame,
+                           index: DataFrame,
+                           simThreshold: Double = 0.35,
+                           nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batchProbes = batch
       .crossJoin(broadcast(codebook))
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
         explode(slice(ivfDists, 1, nprobe)).as("p"))
@@ -332,14 +349,14 @@ object SimilarityOps {
       .collect().map(_.get(0)).toSeq
     val w = Window.partitionBy(col("b_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    val best = spark.table(table)
+    val best = index
       .filter(col("clabel").isin(probeLabels: _*))
       .join(batchProbes, Seq("clabel"))
       .withColumn("cos", round(cosineSimilarity(col("embedding"), col("b_emb")), 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("b_id"), col("vec_id").as("best_match"), col("cos").as("best_cos"))
-    e.filter(isBatch).select(col("vec_id"))
+    batch.select(col("vec_id"))
       .join(best, col("vec_id") === col("b_id"), "left")
       .select(col("vec_id"),
         coalesce(col("best_cos") >= simThreshold, lit(false)).as("is_dup"),

@@ -293,6 +293,47 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding admission via foreachBatch: verdicts are batch-identical and boundary-independent") {
+    // same contract as the media form above, for the embedding member
+    // of the admission family: verdicts are a pure function of
+    // (arriving vector, standing codebook + index), so chopping the
+    // stream differently cannot change them
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val e = Tables.embeddings(spark, sf)
+    val isBatch = pmod($"vec_id", lit(5)) === 4
+    SimilarityOps.writeIvfIndexOf(e.filter(!isBatch), "ivf_adm_stream", buckets = 8)
+    val codebook = SimilarityOps.ivfCodebook(e.filter(!isBatch)).cache()
+    val arriving = e.filter(isBatch)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val collected = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        collected.synchronized {
+          collected ++= SimilarityOps.embeddingAdmissionOf(
+            batch, codebook, spark.table("ivf_adm_stream")).collect()
+        }
+        ()
+      }.start()
+    try {
+      val (b1, b2) = arriving.splitAt(arriving.length / 3)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        ((r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      val streamed = collected.synchronized(collected.map(key).toMap)
+      val batchRun = SimilarityOps.embeddingAdmission(spark, sf, "ivf_adm_stream")
+        .collect().map(key).toMap
+      assert(streamed == batchRun, "streamed and batch embedding admission verdicts diverge")
+      assert(streamed.nonEmpty && streamed.values.exists(_._1) &&
+        streamed.values.exists(!_._1), "fixture sanity: verdicts must be mixed")
+    } finally q.stop()
+  }
+
   test("media near-dup equals a driver-side brute force — banding loses no pair (pigeonhole recall)") {
     // independent recomputation: decode every payload with the stub
     // kernel directly, quantize to levels, brute-force ALL pairs at
