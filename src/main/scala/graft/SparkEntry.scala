@@ -177,6 +177,10 @@ object SparkEntry {
     // per-bucket exact scoring — q91's semantics when the query set
     // itself is too big to broadcast
     "q106_knn_bucketed"    -> ((s, d) => SimilarityOps.knnJoinBucketed(s, d)),
+    // heavy-hitter words: bounded-memory Misra-Gries sketch gated on
+    // the exact top-k (the q100 sketch-twin pattern) — presence and
+    // rank-error-envelope guarantees as hashed TRUE flags
+    "q108_heavy_hitters"   -> ((s, d) => TextOps.heavyHitterWords(s, d)),
     // embedding-batch admission: arriving vectors probed against the
     // persisted IVF index of the standing corpus (index written here —
     // the build is part of what this query certifies)
@@ -1380,6 +1384,18 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, vec_id, label, cos, rnk FROM r WHERE rnk <= 3""".stripMargin
     },
+    // q108: the exact top-k words (q44's tokenization) with TRUE
+    // flags — the Misra-Gries guarantees (presence above N/(m+1),
+    // estimate within the envelope) hold by theorem, so a sketch
+    // regression flips a flag and the hash
+    "q108_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n_exact
+        |      FROM w WHERE word <> '' GROUP BY word)
+        |SELECT word, n_exact, TRUE AS in_sketch, TRUE AS within_bound
+        |FROM c ORDER BY n_exact DESC, word LIMIT 10""".stripMargin,
     // q107: the IVF admission chain recomputed relationally — q87's
     // centroid/assignment CTEs restricted to the index slice, batch
     // vectors assigned to their 2 nearest centroids, exact cosine over

@@ -312,4 +312,38 @@ object TextOps {
         roundAt(frac, 6).as("top_frac"),
         (frac > maxTopFrac).as("repetitive"))
   }
+
+  /** Heavy-hitter words via the bounded-memory [[graft.functions
+    * .HeavyHitters]] Misra–Gries sketch, gated on the exact counts
+    * (the q100/q54 sketch-twin pattern): the output rows are the
+    * EXACT top-k words — oracle-recomputable — plus TRUE flags
+    * asserting the sketch (a) contains each of them and (b) estimates
+    * each within the N/(capacity+1) rank-error envelope. The raw
+    * sketch estimates are partitioning-dependent (which counters
+    * survive a decrement depends on arrival order), so they are
+    * exposed only through the flags, never as hashed values.
+    *
+    * Scale: the sketch pass is one global aggregation whose state is
+    * `capacity` counters per partition — no word-cardinality shuffle;
+    * the exact side (needed only by the GATE — at 100 TB you run the
+    * sketch alone) is q44's one-shuffle word count. */
+  def heavyHitterWords(spark: SparkSession, dir: String, k: Int = 10,
+                       capacity: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(col("word") =!= "")
+    val hh = udaf(new graft.functions.HeavyHitters(capacity), Encoders.STRING)
+    val sketch = words.agg(hh(col("word")).as("sketch"))
+    val exact = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+    val tot = exact.agg(sum(col("n_exact")).as("n_total"))
+    val est = coalesce(try_element_at(col("sketch"), col("word")), lit(0L))
+    exact.orderBy(col("n_exact").desc, col("word")).limit(k)
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(sketch))
+      .select(col("word"), col("n_exact"),
+        map_contains_key(col("sketch"), col("word")).as("in_sketch"),
+        (est >= col("n_exact") - col("n_total").cast("double") / (capacity + 1) &&
+          est <= col("n_exact")).as("within_bound"))
+  }
 }

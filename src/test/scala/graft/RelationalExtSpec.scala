@@ -273,6 +273,36 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries guarantees hold under arbitrary input splits and merge orders") {
+    // 10 heavy words (300 each) over 400 light words (5 each):
+    // N = 5000, m = 64, error bound N/(m+1) ~ 76.9 — every heavy word
+    // is far above it, so presence AND the estimate envelope must
+    // survive any chunking of the input and any merge order (the
+    // mergeable-summaries contract the Scaladoc claims)
+    val hh = new graft.functions.HeavyHitters(64)
+    val heavy = (0 until 10).map(i => s"heavy$i")
+    val light = (0 until 400).map(i => s"light$i")
+    val input = heavy.flatMap(Seq.fill(300)(_)) ++ light.flatMap(Seq.fill(5)(_))
+    val exact = input.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = input.size.toDouble / 65
+    def sketchOf(ws: Seq[String]) = ws.foldLeft(hh.zero)(hh.reduce)
+    Seq(1, 5, 9).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val chunkSize = 101 + rnd.nextInt(900)
+      val parts = rnd.shuffle(rnd.shuffle(input).grouped(chunkSize).map(sketchOf).toSeq)
+      val merged = parts.reduce(hh.merge)
+      assert(merged.size <= 64, "sketch exceeded its capacity")
+      heavy.foreach { w =>
+        assert(merged.contains(w), s"seed $seed: heavy word $w evicted")
+      }
+      merged.foreach { case (w, est) =>
+        assert(est <= exact(w), s"seed $seed: $w overestimated ($est > ${exact(w)})")
+        assert(est >= exact(w) - bound,
+          s"seed $seed: $w below the error envelope ($est < ${exact(w)} - $bound)")
+      }
+    }
+  }
+
   test("label centroids have one row per (label, dim) and count = label size") {
     val e = Tables.embeddings(spark, sf)
     val labelSizes = e.groupBy(col("label")).count().collect()
