@@ -76,6 +76,31 @@ object Formats {
       .partitionBy(cols: _*).save(path)
   }
 
+  /** Compact ONE partition of a [[writePartitioned]] layout: read only
+    * that partition's directory (partition-pruned scan), coalesce it
+    * to a single file, and re-land it via [[overwritePartitions]] —
+    * siblings untouched. This is the routine small-files maintenance
+    * op at 100 TB (a partition accumulates one file per micro-batch /
+    * re-land until listing and open costs dominate scans); the unit of
+    * work is deliberately ONE partition — the natural compaction
+    * granularity — so the eager localCheckpoint that makes the
+    * self-overwrite safe (the write must not stream from the very
+    * files it replaces) holds one partition's rows, never the corpus.
+    * Compacting a whole layout is a loop over its partitions, each
+    * step independently atomic. */
+  def compactPartition(spark: SparkSession, path: String,
+                       partition: Seq[(String, String)],
+                       format: String = "parquet"): Unit = {
+    require(partition.nonEmpty, "compactPartition needs the partition value(s)")
+    val pred = partition.map { case (c, v) => org.apache.spark.sql.functions.col(c) === v }
+      .reduce(_ && _)
+    val one = spark.read.format(format).load(path)
+      .filter(pred)
+      .repartition(1)
+      .localCheckpoint()
+    overwritePartitions(one, path, partition.map(_._1), format)
+  }
+
   /** Persist as a bucketed + sorted catalog table: both sides of a
     * recurring equi-join bucketed on the join key read back
     * pre-partitioned and pre-sorted, so the join plans with NO shuffle

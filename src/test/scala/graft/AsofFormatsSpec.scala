@@ -118,6 +118,32 @@ class AsofFormatsSpec extends AnyFunSuite {
       "sibling partition content was clobbered")
   }
 
+  test("partition compaction collapses one partition to a single file, siblings untouched") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-cmp").toString + "/docs"
+    // force many small files per partition dir — the state compaction exists to fix
+    graft.sources.Formats.writePartitioned(docs.repartition(8), base, Seq("source"))
+    def files(src: String) = {
+      val d = new java.io.File(s"$base/source=$src")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val sources = docs.select($"source").distinct().collect().map(_.getString(0)).sorted
+    val target = sources.head
+    val sibling = sources.last
+    assert(files(target).size > 1, "fixture must start with multiple files per partition")
+    val siblingBefore = files(sibling)
+    // bit_xor, not sum: ANSI sum over 64-bit hashes overflows
+    def checksum() = spark.read.parquet(base)
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(xxhash64(doc_id, text))"))
+      .head().getLong(0)
+    val checksumBefore = checksum()
+    graft.sources.Formats.compactPartition(spark, base, Seq("source" -> target))
+    assert(files(target).size == 1, "target partition not compacted to one file")
+    assert(files(sibling) == siblingBefore, "compaction touched a sibling partition")
+    assert(checksum() == checksumBefore, "compaction changed the data")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
     val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
