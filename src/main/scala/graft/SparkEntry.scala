@@ -181,6 +181,9 @@ object SparkEntry {
     // the exact top-k (the q100 sketch-twin pattern) — presence and
     // rank-error-envelope guarantees as hashed TRUE flags
     "q108_heavy_hitters"   -> ((s, d) => TextOps.heavyHitterWords(s, d)),
+    // C4-style pattern scrub: in-place PII redaction + banned-phrase
+    // doc flags, all codegen'd narrow maps on the scan
+    "q109_scrub"           -> ((s, d) => CurationOps.scrub(s, d)),
     // embedding-batch admission: arriving vectors probed against the
     // persisted IVF index of the standing corpus (index written here —
     // the build is part of what this query certifies)
@@ -1396,6 +1399,24 @@ object SparkEntry {
         |      FROM w WHERE word <> '' GROUP BY word)
         |SELECT word, n_exact, TRUE AS in_sketch, TRUE AS within_bound
         |FROM c ORDER BY n_exact DESC, word LIMIT 10""".stripMargin,
+    // q109: the scrub recomputed with DuckDB's regex engine — counts
+    // on the original text, replacements chained in the same order;
+    // the PII patterns legitimately count 0 on this corpus (the
+    // machinery is proven on synthetic rows in CurationSpec), the
+    // blocklist phrases hit 68 docs so keep/n_banned are live
+    "q109_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipv4 = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+      val banned = "\\b(customer query|big table|slow scan)\\b"
+      s"""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '$ipv4')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '$banned')) AS BIGINT) AS n_banned,
+        |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+        |                 '$ipv4', '<IP>', 'g') AS clean_text,
+        |  (len(regexp_extract_all(text, '$banned')) = 0) AS keep
+        |FROM documents""".stripMargin
+    },
     // q107: the IVF admission chain recomputed relationally — q87's
     // centroid/assignment CTEs restricted to the index slice, batch
     // vectors assigned to their 2 nearest centroids, exact cosine over

@@ -453,4 +453,50 @@ object CurationOps {
       Tables.documents(spark, dir).filter(isBatch),
       spark.table(indexTable).hint("merge"))
   }
+
+  /** Default redaction patterns for [[scrub]]: PII-shaped tokens
+    * replaced in place (the C4/RefinedWeb scrub step). The corpus
+    * vocabulary contains neither — their counts oracle-check at zero
+    * here — but the machinery is live and CurationSpec proves it fires
+    * on synthetic PII rows; the blocklist phrases below are drawn from
+    * the corpus so the banned-phrase path is exercised non-vacuously. */
+  val DefaultRedact: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>"))
+
+  /** Banned-phrase blocklist for [[scrub]] (C4's bad-words document
+    * filter, phrase-shaped): a doc containing any of these is flagged
+    * `keep = false`; occurrences are counted, not redacted. */
+  val BannedPhrases: String = "\\b(customer query|big table|slow scan)\\b"
+
+  /** Pattern scrub: redact PII-shaped substrings in place and flag
+    * documents containing blocklisted phrases — the C4-style cleanup
+    * pass that runs before dedup in a production pipeline. Counts are
+    * computed on the ORIGINAL text (a redaction must not hide a
+    * second pattern's count), replacements applied left-to-right in
+    * `redact` order; `keep` is the blocklist verdict (banned docs are
+    * flagged, not destroyed — the drop is the caller's filter).
+    *
+    * Scale: a pure narrow map — every regexp_count/regexp_replace is
+    * a codegen'd scalar on the scan projection, zero exchanges, and
+    * Parquet prunes to (doc_id, text). At 100 TB this runs at scan
+    * speed; there is nothing to shuffle. */
+  def scrubPatterns(docs: DataFrame,
+                    redact: Seq[(String, String, String)] = DefaultRedact,
+                    banned: String = BannedPhrases): DataFrame = {
+    val counts = redact.map { case (name, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name") }
+    val cleaned = redact.foldLeft(col("text")) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl) }
+    docs.select(
+      col("doc_id") +: counts ++: Seq(
+        regexp_count(col("text"), lit(banned)).cast("long").as("n_banned"),
+        cleaned.as("clean_text"),
+        (regexp_count(col("text"), lit(banned)) === 0).as("keep")): _*)
+  }
+
+  /** q109: [[scrubPatterns]] with the default PII + blocklist config
+    * over the documents table. */
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubPatterns(Tables.documents(spark, dir))
 }

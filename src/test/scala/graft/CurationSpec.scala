@@ -326,4 +326,32 @@ class CurationSpec extends AnyFunSuite {
       assert(mine.toSeq == expected.toSeq, s"query $qid top-3")
     }
   }
+
+  test("scrub redacts synthetic PII and flags banned phrases; corpus PII counts are honestly zero") {
+    // the corpus has no PII-shaped tokens (q109's email/ipv4 counts
+    // oracle-check at 0) — so prove the redaction machinery on rows
+    // where it MUST fire, or a broken regex could pass the oracle gate
+    val synth = Seq(
+      (1L, "mail bob.smith+x@example.org or ping 10.0.0.1 today"),
+      (2L, "a big table and a customer query walk into 192.168.1.1"),
+      (3L, "nothing to see here")).toDF("doc_id", "text")
+    val out = CurationOps.scrubPatterns(synth).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == "mail <EMAIL> or ping <IP> today")
+    assert(out(1L).getAs[Long]("n_email") == 1 && out(1L).getAs[Long]("n_ipv4") == 1)
+    assert(out(1L).getAs[Boolean]("keep"), "PII alone must not blocklist a doc")
+    assert(out(2L).getAs[Long]("n_banned") == 2 && !out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[String]("clean_text").contains("customer query"),
+      "banned phrases are flagged, not redacted")
+    assert(out(2L).getAs[String]("clean_text").contains("<IP>"))
+    assert(out(3L).getAs[Boolean]("keep") && out(3L).getAs[Long]("n_banned") == 0)
+    // and the corpus-side zeros are real zeros, not a dead pattern:
+    // the same patterns over documents count 68 blocklisted docs
+    val corpus = CurationOps.scrub(spark, sf)
+      .agg(sum($"n_email" + $"n_ipv4").as("pii"),
+        sum(when(!$"keep", 1L).otherwise(0L)).as("banned_docs"))
+      .head()
+    assert(corpus.getLong(0) == 0L)
+    assert(corpus.getLong(1) > 0L, "blocklist must hit real corpus docs")
+  }
 }
