@@ -184,6 +184,10 @@ object SparkEntry {
     // C4-style pattern scrub: in-place PII redaction + banned-phrase
     // doc flags, all codegen'd narrow maps on the scan
     "q109_scrub"           -> ((s, d) => CurationOps.scrub(s, d)),
+    // near-dup admission: the arriving batch probed against the
+    // corpus MinHash band index (batch bands broadcast — the index
+    // never repartitions), exact-Jaccard verify, per-doc verdicts
+    "q110_neardup_admission" -> ((s, d) => DedupOps.nearDupAdmissionMd5(s, d)),
     // embedding-batch admission: arriving vectors probed against the
     // persisted IVF index of the standing corpus (index written here —
     // the build is part of what this query certifies)
@@ -1416,6 +1420,56 @@ object SparkEntry {
         |                 '$ipv4', '<IP>', 'g') AS clean_text,
         |  (len(regexp_extract_all(text, '$banned')) = 0) AS keep
         |FROM documents""".stripMargin
+    },
+    // q110: q75's program-generated signature/banding SQL with the
+    // batch/corpus split — candidates are cross-slice band collisions,
+    // verified by exact string-set Jaccard (Spark verifies on xxhash64
+    // shingle hashes; Jaccard over distinct sets is invariant under an
+    // injective per-element hash), verdicts re-aggregated per batch
+    // doc with the max-jaccard-then-min-id keeper rule
+    "q110_neardup_admission" -> {
+      val P = "2147483647"
+      val h1 = s"(('0x' || substr(md5(s), 17, 15))::BIGINT % $P)"
+      val h2 = s"(('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
+      val sigCols = (0 until 24).map(i =>
+        s"list_aggregate(list_transform(sh, s -> " +
+          s"($h1 + $i * $h2) % $P), 'min') AS m$i")
+        .mkString(",\n    ")
+      val bandSelects = (0 until 8).map(bd =>
+        s"SELECT doc_id, sh, $bd AS band, " +
+          s"concat(m${3 * bd}, ',', m${3 * bd + 1}, ',', m${3 * bd + 2}) AS bucket FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |sig AS (
+        |  SELECT doc_id, sh,
+        |    $sigCols
+        |  FROM docs),
+        |banded AS (
+        |  $bandSelects),
+        |hits AS (
+        |  SELECT DISTINCT b.doc_id AS b_id, i.doc_id AS i_id,
+        |    round(CAST(len(list_intersect(b.sh, i.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(b.sh, i.sh))), 4) AS j
+        |  FROM banded i JOIN banded b
+        |    ON i.band = b.band AND i.bucket = b.bucket
+        |   AND i.doc_id % 5 <> 4 AND b.doc_id % 5 = 4),
+        |good AS (SELECT * FROM hits WHERE j >= 0.5),
+        |v AS (SELECT b_id, CAST(count(*) AS BIGINT) AS n_matches, max(j) AS best_jaccard
+        |      FROM good GROUP BY 1),
+        |k AS (SELECT g.b_id, min(g.i_id) AS keeper
+        |      FROM good g JOIN v ON g.b_id = v.b_id AND g.j = v.best_jaccard GROUP BY 1)
+        |SELECT d.doc_id, v.n_matches IS NOT NULL AS is_neardup,
+        |  coalesce(v.n_matches, 0) AS n_matches, k.keeper, v.best_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+        |LEFT JOIN v ON d.doc_id = v.b_id
+        |LEFT JOIN k ON d.doc_id = k.b_id""".stripMargin
     },
     // q107: the IVF admission chain recomputed relationally — q87's
     // centroid/assignment CTEs restricted to the index slice, batch

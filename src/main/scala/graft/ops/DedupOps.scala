@@ -61,11 +61,14 @@ object DedupOps {
     * interpreted and dominated near-dup runtime (~1ms/doc). The
     * window's doc_id shuffle is reused verbatim by the downstream
     * per-doc aggregation, so this costs no extra exchange. */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(Tables.documents(spark, dir))
+
+  private def shingleRowsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    Tables.documents(spark, dir)
+    docs
       // spread BEFORE the 50x explode: a small documents file is one
       // input split, so without this the entire shingle stage runs in
       // a single task; hashing by doc_id also pre-satisfies the
@@ -401,20 +404,29 @@ object DedupOps {
     * derivation differs — so their cost profiles are identical by
     * construction (round 3 measured the old 32-coefficient
     * universal-hash build 4× slower than this double-hash form). */
-  private def minHashLshPairs(tok: DataFrame, bands: Int, rowsPerBand: Int,
-                              threshold: Double): DataFrame = {
+  /** Banded signature rows — one row per (doc, band) with the doc's
+    * xxhash64'd shingle set and the band's bucket string — the shared
+    * signature build behind [[minHashLshPairs]] (within-corpus pairs)
+    * and [[nearDupAdmissionVerdicts]] (batch-vs-corpus probe). `tok`
+    * must carry (doc_id, s, h1, h2). */
+  private def bandedRows(tok: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val keyed = tok.groupBy(col("doc_id")).agg(
       collect_set(xxhash64(col("s"))).as("sh"), // 64-bit shingle hashes for exact-Jaccard verify
       (0 until k).map(i =>
         min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(MinHashP))).as(s"m$i")): _*)
-    val banded = keyed.select(
+    keyed.select(
       col("doc_id"), col("sh"),
       posexplode(array((0 until bands).map { bd =>
         concat_ws(",",
           (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*)
       }: _*)))
       .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  private def minHashLshPairs(tok: DataFrame, bands: Int, rowsPerBand: Int,
+                              threshold: Double): DataFrame = {
+    val banded = bandedRows(tok, bands, rowsPerBand)
     val buckets = banded.groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
     // a similar pair can collide in several bands: verify per
@@ -465,14 +477,89 @@ object DedupOps {
     * the oracle's string-list Jaccard exactly (same argument as
     * nearDupNgram) while moving longs instead of ~20-char strings. */
   def nearDupMinHashMd5(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                        bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
-    val withH = shingleRows(spark, dir)
-      .withColumn("mhex", md5(col("s")))
-      .withColumn("h1",
-        pmod(conv(substring(col("mhex"), 17, 15), 16, 10).cast("long"), lit(MinHashP)))
-      .withColumn("h2",
-        pmod(conv(substring(col("mhex"), 1, 15), 16, 10).cast("long"), lit(MinHashP)))
-    minHashLshPairs(withH, bands, rowsPerBand, threshold)
+                        bands: Int = 8, rowsPerBand: Int = 3): DataFrame =
+    minHashLshPairs(md5BaseHashes(shingleRows(spark, dir)), bands, rowsPerBand, threshold)
+
+  /** The md5 double-hashing seeds (h1, h2) on shingle rows — shared by
+    * [[nearDupMinHashMd5]] and [[nearDupAdmissionMd5]] so their
+    * S-curves are identical by construction. */
+  private def md5BaseHashes(tok: DataFrame): DataFrame = tok
+    .withColumn("mhex", md5(col("s")))
+    .withColumn("h1",
+      pmod(conv(substring(col("mhex"), 17, 15), 16, 10).cast("long"), lit(MinHashP)))
+    .withColumn("h2",
+      pmod(conv(substring(col("mhex"), 1, 15), 16, 10).cast("long"), lit(MinHashP)))
+
+  /** Near-dup ADMISSION: probe an arriving batch against the standing
+    * corpus's MinHash band index and give each batch doc a verdict —
+    * the near-duplicate member of the admission family (exact
+    * fingerprints q92/q95, media signatures q102, embeddings q107).
+    * At 100 TB you cannot re-run within-corpus near-dup per ingest
+    * batch; the production shape is this probe: does the new doc
+    * near-duplicate ANYTHING already admitted?
+    *
+    * Mechanism: both slices get the [[nearDupMinHashMd5]] signature
+    * build (split BEFORE shingling, so each side shingles only its
+    * slice); batch band rows are BROADCAST against the corpus band
+    * rows — the corpus index never repartitions, the same
+    * index-stays-put contract as q102 — candidates sharing any band
+    * bucket are verified by exact Jaccard, and verdicts aggregate
+    * per batch doc (matches per doc are band-bounded, so the verdict
+    * shuffle is batch-sized). In production the corpus band rows are
+    * a persisted table keyed on (band, bucket) — rebuilt here only to
+    * keep the query oracle-self-contained.
+    *
+    * Keeper = the corpus match with the highest verified Jaccard,
+    * ties to the smallest doc_id — deterministic, so the whole
+    * verdict frame is hash-gated (q110). */
+  def nearDupAdmissionMd5(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                          bands: Int = 8, rowsPerBand: Int = 3,
+                          batchMod: Int = 5, batchRem: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === batchRem
+    def bandedOf(side: DataFrame) =
+      bandedRows(md5BaseHashes(shingleRowsOf(side)), bands, rowsPerBand)
+    nearDupAdmissionVerdicts(
+      docs.filter(isBatch).select(col("doc_id")),
+      bandedOf(docs.filter(isBatch)),
+      bandedOf(docs.filter(!isBatch)), threshold)
+  }
+
+  /** The verdict core of [[nearDupAdmissionMd5]] over any pair of
+    * [[bandedRows]]-shaped frames (doc_id, sh, band, bucket). Pure
+    * function of (batch rows, index) — no cross-batch state — so the
+    * stream-ingest form runs it per micro-batch against the persisted
+    * index, the same batch-boundary independence as the exact and
+    * media admissions. `batchIds` lists every batch doc so no-match
+    * docs still get a (false, 0, null, null) verdict row. */
+  def nearDupAdmissionVerdicts(batchIds: DataFrame, batchBanded: DataFrame,
+                               corpusBanded: DataFrame,
+                               threshold: Double): DataFrame = {
+    def pfx(df: DataFrame, p: String) = df.select(
+      col("doc_id").as(s"${p}_id"), col("sh").as(s"${p}_sh"),
+      col("band"), col("bucket"))
+    val sa = size(col("b_sh"))
+    val sb = size(col("i_sh"))
+    val inter = size(array_intersect(col("b_sh"), col("i_sh")))
+    // same size-ratio prefilter + single-intersect Jaccard as
+    // jaccardVerify; candidates colliding in several bands dedupe on
+    // the scalar verdict, never on the shingle arrays
+    val hits = pfx(corpusBanded, "i")
+      .join(broadcast(pfx(batchBanded, "b")), Seq("band", "bucket"))
+      .filter(least(sa, sb).cast("double") >= greatest(sa, sb) * threshold)
+      .select(col("b_id"), col("i_id"),
+        round(inter.cast("double") / (sa + sb - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+    val verdicts = hits.groupBy(col("b_id")).agg(
+      count(lit(1)).as("n_matches"),
+      max(col("jaccard")).as("best_jaccard"),
+      max_by(col("i_id"), struct(col("jaccard"), -col("i_id"))).as("keeper"))
+    batchIds.join(verdicts, col("doc_id") === col("b_id"), "left")
+      .select(col("doc_id"),
+        col("n_matches").isNotNull.as("is_neardup"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("keeper"), col("best_jaccard"))
   }
 
   // ---------------------------------------------------------------

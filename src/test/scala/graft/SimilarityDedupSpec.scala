@@ -303,4 +303,42 @@ class SimilarityDedupSpec extends AnyFunSuite {
     }
     assert(ann.nonEmpty, "multi-probe ANN returned no candidates")
   }
+
+  test("near-dup admission verdicts equal q75's pairs restricted to the batch boundary") {
+    // signatures are per-doc functions, so the admission's cross-slice
+    // band collisions must be EXACTLY the within-corpus q75 pairs with
+    // one member in each slice — recompute every verdict column from
+    // those pairs and require frame equality
+    val cross = DedupOps.nearDupMinHashMd5(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) => (a % 5 == 4, b % 5 == 4) match {
+        case (true, false) => Some((a, b, j))   // (batch, corpus, jaccard)
+        case (false, true) => Some((b, a, j))
+        case _             => None              // same-slice pair: invisible to admission
+      } }
+    val expected = cross.groupBy(_._1).map { case (id, ms) =>
+      val bestJ = ms.map(_._3).max
+      val keeper = ms.filter(_._3 == bestJ).map(_._2).min
+      id -> (ms.length.toLong, keeper, bestJ)
+    }
+    val verdicts = DedupOps.nearDupAdmissionMd5(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(verdicts.size == Tables.documents(spark, sf)
+      .filter(pmod($"doc_id", lit(5)) === 4).count().toInt,
+      "every batch doc needs a verdict row")
+    verdicts.foreach { case (id, (isDup, n, keeper, bestJ)) =>
+      expected.get(id) match {
+        case Some((en, ek, ej)) =>
+          assert(isDup && n == en && keeper.contains(ek) && bestJ.contains(ej),
+            s"doc $id: got ($isDup,$n,$keeper,$bestJ) want (true,$en,$ek,$ej)")
+        case None =>
+          assert(!isDup && n == 0 && keeper.isEmpty && bestJ.isEmpty,
+            s"doc $id flagged with no cross-boundary pair")
+      }
+    }
+    assert(expected.nonEmpty, "fixture must produce at least one cross-boundary near-dup")
+  }
 }
