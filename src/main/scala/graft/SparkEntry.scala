@@ -188,6 +188,10 @@ object SparkEntry {
     // corpus MinHash band index (batch bands broadcast — the index
     // never repartitions), exact-Jaccard verify, per-doc verdicts
     "q110_neardup_admission" -> ((s, d) => DedupOps.nearDupAdmissionMd5(s, d)),
+    // snapshot diff: CDC between two corpus versions by content
+    // fingerprint — only 32-char md5s ever shuffle, and bucketed
+    // snapshots diff with zero exchanges (spec-asserted)
+    "q111_snapshot_diff"   -> ((s, d) => CurationOps.corpusDiff(s, d)),
     // embedding-batch admission: arriving vectors probed against the
     // persisted IVF index of the standing corpus (index written here —
     // the build is part of what this query certifies)
@@ -1421,6 +1425,24 @@ object SparkEntry {
         |  (len(regexp_extract_all(text, '$banned')) = 0) AS keep
         |FROM documents""".stripMargin
     },
+    // q111: the same simulated v2 (delete ids ≡3 mod 17, edit ≡5,
+    // re-ingest ≡7 under id+1e6) rebuilt in SQL, statuses from the
+    // same full-outer fingerprint join
+    "q111_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 5 THEN text || ' v2 edit' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp
+        |  FROM documents WHERE doc_id % 17 = 7)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v1.fp <> v2.fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
     // q110: q75's program-generated signature/banding SQL with the
     // batch/corpus split — candidates are cross-slice band collisions,
     // verified by exact string-set Jaccard (Spark verifies on xxhash64

@@ -499,4 +499,46 @@ object CurationOps {
     * over the documents table. */
   def scrub(spark: SparkSession, dir: String): DataFrame =
     scrubPatterns(Tables.documents(spark, dir))
+
+  /** Snapshot diff (change data capture between two corpus versions):
+    * full-outer join the two snapshots' (doc_id, content-fingerprint)
+    * frames and classify every id as added / removed / changed /
+    * unchanged — the audit step between any two publishes of a
+    * curated corpus ("what did this re-crawl actually change?").
+    *
+    * Scale: fingerprints are codegen'd md5 on the scans (text never
+    * crosses an exchange — only 32-char fingerprints shuffle), then
+    * ONE doc_id join. When both snapshots are persisted bucketed on
+    * doc_id — the natural layout for a corpus keyed by id, exactly
+    * what [[graft.sources.Formats.writeBucketed]] produces — the join
+    * plans with ZERO exchanges (spec-asserted in AsofFormatsSpec), so
+    * diffing two 100 TB snapshots is a co-partitioned merge, not a
+    * corpus-sized shuffle. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def fp(df: DataFrame, p: String) = df.select(
+      col("doc_id").as(s"${p}_id"), md5(col("text")).as(s"${p}_fp"))
+    fp(v1, "a").join(fp(v2, "b"), col("a_id") === col("b_id"), "full_outer")
+      .select(coalesce(col("a_id"), col("b_id")).as("doc_id"),
+        when(col("b_id").isNull, "removed")
+          .when(col("a_id").isNull, "added")
+          .when(col("a_fp") =!= col("b_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** q111: [[snapshotDiff]] between the documents table (v1) and a
+    * deterministically simulated next version (v2): ids ≡3 (mod 17)
+    * deleted, ids ≡5 edited, ids ≡7 re-ingested under a new id —
+    * every status class exercised (29 added / 30 changed / 30 removed
+    * at sf0.01), all derivable by the oracle from the same table. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val m = pmod(col("doc_id"), lit(17))
+    val v2 = docs.filter(m =!= 3)
+      .select(col("doc_id"),
+        when(m === 5, concat(col("text"), lit(" v2 edit")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(m === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    snapshotDiff(docs, v2)
+  }
 }

@@ -144,6 +144,39 @@ class AsofFormatsSpec extends AnyFunSuite {
     assert(checksum() == checksumBefore, "compaction changed the data")
   }
 
+  test("snapshot diff over bucketed snapshots plans with zero exchanges") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    // v2: drop ids ≡3 (mod 17), edit ≡5 — same shape as corpusDiff
+    val m = pmod($"doc_id", lit(17))
+    val v2 = docs.filter(m =!= 3).select($"doc_id",
+      when(m === 5, concat($"text", lit(" v2 edit"))).otherwise($"text").as("text"))
+    graft.sources.Formats.writeBucketed(docs, "snap_v1", "doc_id", 8)
+    graft.sources.Formats.writeBucketed(v2, "snap_v2", "doc_id", 8)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val diff = graft.ops.CurationOps.snapshotDiff(
+        spark.table("snap_v1"), spark.table("snap_v2"))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed snapshot diff still shuffles:\n$plan")
+      // negative control: the path-based (unbucketed) form MUST shuffle,
+      // or the assertion above is vacuous
+      val unbucketed = graft.ops.CurationOps.snapshotDiff(docs, v2)
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "control: unbucketed diff should shuffle")
+      // and the bucketed plan computes the same statuses
+      val got = diff.groupBy($"status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = unbucketed.groupBy($"status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want, s"bucketed vs unbucketed diff disagree: $got vs $want")
+      assert(Set("removed", "changed", "unchanged").subsetOf(got.keySet),
+        "fixture must exercise removed/changed/unchanged")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_quantity")
     val o = Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
