@@ -192,6 +192,11 @@ object SparkEntry {
     // fingerprint — only 32-char md5s ever shuffle, and bucketed
     // snapshots diff with zero exchanges (spec-asserted)
     "q111_snapshot_diff"   -> ((s, d) => CurationOps.corpusDiff(s, d)),
+    // q92's verdicts through an explicit runtime-filter gate: a bloom
+    // of the batch keys (built distributed, shipped as a scalar
+    // subquery) prunes the index SCAN before the join — semantically
+    // invisible (no false negatives), so the oracle is q92's verbatim
+    "q112_bloom_admission" -> ((s, d) => CurationOps.bloomGatedAdmission(s, d)),
     // embedding-batch admission: arriving vectors probed against the
     // persisted IVF index of the standing corpus (index written here —
     // the build is part of what this query certifies)
@@ -1143,6 +1148,21 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, vec_id, label, cos, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "q92_incremental_dedup" ->
+      """WITH idx AS (
+        |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |    min(doc_id) AS keeper
+        |  FROM documents WHERE doc_id % 5 <> 4 GROUP BY 1)
+        |SELECT d.doc_id,
+        | md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        | idx.keeper IS NOT NULL AS is_dup,
+        | idx.keeper
+        |FROM documents d
+        |LEFT JOIN idx ON md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) = idx.fp
+        |WHERE d.doc_id % 5 = 4""".stripMargin,
+    // q112: identical SQL to q92 — the bloom gate on the index scan
+    // is physically visible (spec counts the surviving rows) but
+    // semantically invisible (bloom filters have no false negatives)
+    "q112_bloom_admission" ->
       """WITH idx AS (
         |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
         |    min(doc_id) AS keeper

@@ -500,6 +500,68 @@ object CurationOps {
   def scrub(spark: SparkSession, dir: String): DataFrame =
     scrubPatterns(Tables.documents(spark, dir))
 
+  /** Semi-join reduction for the admission probe: gate the CORPUS
+    * INDEX scan with a bloom filter built over the (small) batch's
+    * fingerprint keys, so index rows that cannot match any batch key
+    * are dropped at the scan — the explicit form of Spark's
+    * InjectRuntimeFilter, applied where the optimizer won't (the
+    * injected rule targets selective shuffle joins; an admission
+    * probe's index side is the thing we must never shuffle at all).
+    *
+    * The bloom is built DISTRIBUTED as an aggregate over the batch
+    * keys and reaches the filter as a scalar subquery — no driver
+    * collect, the engine broadcasts the one-row binary result. Bloom
+    * filters have no false negatives, so every index row whose key a
+    * batch doc carries survives the gate and the downstream verdicts
+    * are EXACTLY the ungated ones (spec-proven parity + superset
+    * property); false positives only cost bytes, never answers.
+    *
+    * At 100 TB: the gate turns "join the whole index against the
+    * batch" into "scan the index, keep ~|batch| rows, join those" —
+    * the join's index-side input shrinks from corpus-sized to
+    * batch-sized before any exchange. numBits=2²³ (1 MiB) holds fpp
+    * ≪ 1% to ~10⁶ batch keys; size it to the ingest batch, not the
+    * corpus. */
+  def bloomGatedIndex(batchKeys: DataFrame, index: DataFrame,
+                      numBits: Long = 1L << 23): DataFrame = {
+    val spark = index.sparkSession
+    graft.GraftExtensions.registerBloomFunctions(spark)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+    val bv = s"bloom_batch_$sfx"
+    val iv = s"bloom_index_$sfx"
+    batchKeys.createOrReplaceTempView(bv)
+    index.createOrReplaceTempView(iv)
+    // analysis is eager in spark.sql; the resolved plan no longer
+    // needs the views, so drop them before returning (catalog hygiene)
+    try spark.sql(
+      s"""SELECT * FROM $iv
+         |WHERE might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64(fp), CAST(${1L << 20} AS BIGINT),
+         |                           CAST($numBits AS BIGINT)) FROM $bv),
+         |  xxhash64(fp))""".stripMargin)
+    finally {
+      spark.catalog.dropTempView(bv)
+      spark.catalog.dropTempView(iv)
+    }
+  }
+
+  /** q112: [[incrementalDedup]]'s verdicts through the bloom-gated
+    * index — same oracle SQL as q92 by construction (the gate is
+    * physically visible, semantically invisible). */
+  def bloomGatedAdmission(spark: SparkSession, dir: String,
+                          batchMod: Int = 5, batchRem: Int = 4): DataFrame = {
+    val isBatch = pmod(col("doc_id"), lit(batchMod)) === batchRem
+    val docs = Tables.documents(spark, dir)
+    val index = docs.filter(!isBatch)
+      .groupBy(TextOps.fingerprintCol(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val batch = docs.filter(isBatch)
+      .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+    admissionVerdicts(
+      docs.filter(isBatch),
+      bloomGatedIndex(batch.select(col("fp")), index))
+  }
+
   /** Snapshot diff (change data capture between two corpus versions):
     * full-outer join the two snapshots' (doc_id, content-fingerprint)
     * frames and classify every id as added / removed / changed /

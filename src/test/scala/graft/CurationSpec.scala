@@ -354,4 +354,50 @@ class CurationSpec extends AnyFunSuite {
     assert(corpus.getLong(0) == 0L)
     assert(corpus.getLong(1) > 0L, "blocklist must hit real corpus docs")
   }
+
+  test("bloom-gated admission: verdict parity, no false negatives, real index pruning") {
+    // parity: the gate must be semantically invisible
+    val exact = CurationOps.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val gated = CurationOps.bloomGatedAdmission(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(gated == exact, "bloom gate changed the admission verdicts")
+    // sf0.001 carries no cross-boundary exact dup, so prove the
+    // true-positive path on synthetic frames: a batch key present in
+    // the index MUST survive the gate and flag as dup
+    val synthIdx = Seq(("fpA", 1L), ("fpB", 2L), ("fpC", 3L))
+      .toDF("fp", "keeper")
+    val synthBatch = Seq((10L, "fpB"), (11L, "fpZ")).toDF("doc_id", "fp")
+    val synthGated = CurationOps.bloomGatedIndex(
+      synthBatch.select($"fp"), synthIdx)
+    val synthVerdicts = synthBatch
+      .join(synthGated, Seq("fp"), "left")
+      .select($"doc_id", $"keeper".isNotNull.as("is_dup"), $"keeper")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(synthVerdicts(10L) == ((true, 2L)), "true dup lost through the bloom gate")
+    assert(synthVerdicts(11L) == ((false, -1L)), "clean doc flagged")
+    // the gate itself: count what survives the bloom
+    val docs = Tables.documents(spark, sf)
+    val isBatch = pmod($"doc_id", lit(5)) === 4
+    val index = docs.filter(!isBatch)
+      .groupBy(graft.ops.TextOps.fingerprintCol($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper"))
+    val batchKeys = docs.filter(isBatch)
+      .select(graft.ops.TextOps.fingerprintCol($"text").as("fp"))
+    val survivors = CurationOps.bloomGatedIndex(batchKeys, index)
+      .select($"fp").collect().map(_.getString(0)).toSet
+    val mustSurvive = index.join(batchKeys, Seq("fp"), "left_semi")
+      .select($"fp").collect().map(_.getString(0)).toSet
+    val indexSize = index.count()
+    assert(mustSurvive.subsetOf(survivors),
+      "bloom dropped a key a batch doc carries — false negative, verdicts would be wrong")
+    assert(survivors.size < indexSize / 2,
+      s"gate prunes nothing: ${survivors.size} of $indexSize index rows survive")
+    // catalog hygiene: the scalar-subquery build must not leak views
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("bloom_")), "bloomGatedIndex leaked temp views")
+  }
 }
