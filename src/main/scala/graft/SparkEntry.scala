@@ -197,6 +197,10 @@ object SparkEntry {
     // subquery) prunes the index SCAN before the join — semantically
     // invisible (no false negatives), so the oracle is q92's verbatim
     "q112_bloom_admission" -> ((s, d) => CurationOps.bloomGatedAdmission(s, d)),
+    // token-budget selection: best-quality docs until the budget is
+    // spent, via the two-phase distributed prefix sum (no global
+    // single-partition window)
+    "q113_budget_select"   -> ((s, d) => CurationOps.budgetSelect(s, d)),
     // embedding-batch admission: arriving vectors probed against the
     // persisted IVF index of the standing corpus (index written here —
     // the build is part of what this query certifies)
@@ -1159,6 +1163,30 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN idx ON md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) = idx.fp
         |WHERE d.doc_id % 5 = 4""".stripMargin,
+    // q113: the selection recomputed with DuckDB's (single-threaded)
+    // global window — the distributed prefix sum must be row-identical
+    // to the naive ordered cumsum; quality is q21's shared formula
+    "q113_budget_select" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id,
+        |    ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS quality,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        |   FROM documents) t),
+        |cum AS (
+        |  SELECT doc_id, quality, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |SELECT doc_id, quality, n_tokens, cum_tokens
+        |FROM cum WHERE cum_tokens <= 20000""".stripMargin,
     // q112: identical SQL to q92 — the bloom gate on the index scan
     // is physically visible (spec counts the surviving rows) but
     // semantically invisible (bloom filters have no false negatives)

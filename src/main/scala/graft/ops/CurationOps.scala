@@ -562,6 +562,34 @@ object CurationOps {
       bloomGatedIndex(batch.select(col("fp")), index))
   }
 
+  /** Token-budget corpus selection: take documents in quality-
+    * descending order until a token budget is exhausted — "fill a
+    * 10B-token training budget with the best docs first", the
+    * selection step after scoring and before packing. A doc is kept
+    * iff the running token total through it (ordered by quality desc,
+    * doc_id — a total order, so the answer is unique) stays within
+    * the budget.
+    *
+    * Scale: the running total comes from
+    * [[RelationalExt.globalRunningSum]] — a two-phase distributed
+    * prefix sum (range partition → parallel per-partition windows →
+    * cluster-width offset frame → broadcast add), NOT a global
+    * single-partition window: the naive form funnels 100 TB of rows
+    * through one task; this form's only serial step is O(partitions).
+    * Quality and token counts are the shared [[TextOps]] definitions
+    * (same columns q21/q20 certify). */
+  def budgetSelect(spark: SparkSession, dir: String, budget: Long = 20000L,
+                   nPartitions: Int = 0): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), TextOps.qualityCol.as("quality"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    RelationalExt.globalRunningSum(scored,
+        Seq(col("quality").desc, col("doc_id").asc),
+        col("n_tokens"), "cum_tokens", nPartitions)
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Snapshot diff (change data capture between two corpus versions):
     * full-outer join the two snapshots' (doc_id, content-fingerprint)
     * frames and classify every id as added / removed / changed /

@@ -487,4 +487,45 @@ object RelationalExt {
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("win_start"), col("n"), col("total"))
+
+  /** Globally-ordered running sum WITHOUT a single-partition window —
+    * the classic two-phase distributed prefix sum. A plain
+    * `Window.orderBy(...)` with no partition key funnels the entire
+    * dataset through ONE task (Spark even warns); this instead:
+    *
+    *  1. range-partitions on the sort key — partition i's keys all
+    *     precede partition j's for i < j, so a per-partition running
+    *     sum is globally correct up to a constant;
+    *  2. computes that per-partition running sum with an ordinary
+    *     partitioned window (parallel, spill-safe);
+    *  3. aggregates ONE total per partition — a cluster-width frame
+    *     (≤ nPartitions rows), on which the single-partition window
+    *     is O(partitions), not O(rows) — into per-partition offsets;
+    *  4. broadcast-joins the offsets back and adds.
+    *
+    * The result is row-identical to the naive global window
+    * (spec-proven) at any scale: partition boundaries come from
+    * RangePartitioner sampling, but the sum is invariant to where
+    * the cuts fall. The value column must be numeric; rows where it
+    * is null count as 0. */
+  def globalRunningSum(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+                       value: org.apache.spark.sql.Column, outName: String,
+                       nPartitions: Int = 0): DataFrame = {
+    val parts = if (nPartitions > 0) nPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__val", coalesce(value, lit(0L)))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val local = ranged.withColumn("__local", sum(col("__val")).over(wLocal))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__val")).as("__ptotal"))
+      .withColumn("__offset", coalesce(sum(col("__ptotal")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(outName, col("__local") + col("__offset"))
+      .drop("__pid", "__val", "__local")
+  }
 }

@@ -72,7 +72,7 @@ object TextOps {
     * [[corpusFilter]] gates on it — a second copy of the weights
     * would let a retune silently desynchronize the composed gate from
     * its component query while both still pass their own oracles. */
-  private def qualityCol: Column = {
+  private[ops] def qualityCol: Column = {
     val t = lower(col("text"))
     val nChars = length(col("text")).cast("double")
     val nTokens = size(split(col("text"), "\\s+")).cast("double")

@@ -314,4 +314,28 @@ class RelationalExtSpec extends AnyFunSuite {
       assert(r.getLong(3) == labelSizes(r.getInt(0)), "centroid n != label size")
     }
   }
+
+  test("distributed prefix sum is row-identical to the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // synthetic frame with duplicate keys (tie-break must matter) and
+    // a null value (counts as 0), spread over genuinely many range
+    // partitions so the offset phase is exercised, not vacuous
+    val rows = (1 to 1000).map { i =>
+      (i.toLong, (i * 7919 % 97).toLong,
+        if (i % 53 == 0) None else Some((i * 31 % 11 + 1).toLong))
+    }
+    val df = rows.toDF("id", "key", "v")
+    val order = Seq($"key".desc, $"id".asc)
+    assert(df.repartitionByRange(8, order: _*).rdd.getNumPartitions == 8,
+      "fixture must spread over >1 range partition or the offsets are untested")
+    val got = RelationalExt.globalRunningSum(df, order, $"v", "cum", nPartitions = 8)
+      .select($"id", $"cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df
+      .withColumn("cum", sum(coalesce($"v", lit(0L)))
+        .over(Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"id", $"cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1000 && got == want,
+      "two-phase prefix sum diverged from the single-partition window")
+  }
 }
