@@ -225,6 +225,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("bigint").as("total_chars"))
     }),
+    // partition-scoped MERGE: a keyed change batch (delete / replace /
+    // insert, including into a brand-new partition) applied to q103's
+    // layout by rewriting ONLY the touched partitions — dynamic
+    // partition pruning on the read (spec-asserted), dynamic overwrite
+    // on the write; the whole-layout aggregate proves delete/replace/
+    // insert semantics AND sibling survival in one oracle row set
+    "q114_merge_partitioned" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val path = s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/graft_docs_merge"
+      val docs = Tables.documents(s, d)
+      graft.sources.Formats.writePartitioned(docs, path, Seq("source"))
+      val base = docs.filter(col("source").isin("src2", "src5"))
+      val m = pmod(col("doc_id"), lit(23))
+      val changes = base.filter(m === 4).withColumn("op", lit("delete"))
+        .unionByName(base.filter(m === 6)
+          .withColumn("text", concat(col("text"), lit(" merged-edit")))
+          .withColumn("op", lit("upsert")))
+        .unionByName(base.filter(m === 9)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("source", lit("src_new"))
+          .withColumn("op", lit("upsert")))
+      graft.sources.Formats.mergeIntoPartitioned(s, path, changes, "doc_id", "source")
+      s.read.parquet(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("bigint").as("sum_ids"),
+          sum(length(col("text"))).cast("bigint").as("total_chars"))
+    }),
+    // per-source percentile quality gate: two-pass threshold compute +
+    // broadcast-join filter — no per-source corpus sort (cf. the
+    // percent_rank window it replaces)
+    "q115_percentile_gate" -> ((s, d) => CurationOps.percentileGate(s, d)),
+    // inverted index: token → ordered doc:tf postings for the
+    // bounded-df band; df/total_tf from the full aggregation
+    "q116_inverted_index"  -> ((s, d) => TextOps.invertedIndex(s, d)),
+    // ordered funnel: users completing view → click → purchase in
+    // strict time order — chained min-over-filter stages, no sort
+    "q117_funnel"          -> ((s, d) => RelationalExt.funnel(s, d)),
+    // weekly cohort retention triangle: distinct activity collapse →
+    // cohort via window min → triangle count (no join, no distinct)
+    "q118_cohort_retention" -> ((s, d) => RelationalExt.cohortRetention(s, d)),
+    // PageRank over the near-dup pair graph: 5 power iterations, one
+    // edge join + one dst aggregation per round, lineage cut per round
+    "q119_pagerank_dups"   -> ((s, d) => DedupOps.pageRankDupGraph(s, d)),
+    // weighted sampling without replacement (Efraimidis-Spirakis
+    // A-Res): hash-derived u, key u^(1/quality), partial top-k
+    "q120_weighted_sample" -> ((s, d) => CurationOps.weightedSample(s, d)),
+    // incremental rollup: mergeable (count,sum) state bootstrapped
+    // from history, refreshed by the batch's partials — must equal
+    // the from-scratch aggregation (the oracle recomputes everything)
+    "q121_incremental_rollup" -> ((s, d) => RelationalExt.incrementalRollup(s, d)),
+    // Deequ-style constraint audit: fused per-table conditional sums
+    // + one anti-join referential check, unpivoted in the plan
+    "q122_quality_audit"   -> ((s, d) => RelationalExt.qualityAudit(s, d)),
+    // ANALYZE-style column stats: one pass, stack-unpivoted
+    "q123_column_stats"    -> ((s, d) => RelationalExt.columnStats(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1187,6 +1244,204 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, quality, n_tokens, cum_tokens
         |FROM cum WHERE cum_tokens <= 20000""".stripMargin,
+    // q114: the merged layout state computed relationally — survivors
+    // of the delete/replace filter, plus the edits, plus the re-keyed
+    // inserts landing in a partition that didn't exist before the merge
+    "q114_merge_partitioned" ->
+      """WITH merged AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  WHERE NOT (source IN ('src2','src5') AND doc_id % 23 IN (4, 6))
+        |  UNION ALL
+        |  SELECT doc_id, text || ' merged-edit', source FROM documents
+        |  WHERE source IN ('src2','src5') AND doc_id % 23 = 6
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, 'src_new' FROM documents
+        |  WHERE source IN ('src2','src5') AND doc_id % 23 = 9)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        | CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM merged GROUP BY source""".stripMargin,
+    // q115: per-source p75 threshold via quantile_cont (the exact
+    // interpolated percentile Spark's `percentile` computes), then the
+    // gate; quality is q21's shared formula
+    "q115_percentile_gate" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, source,
+        |    ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS quality
+        |  FROM (SELECT doc_id, source,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        |   FROM documents) t),
+        |th AS (
+        |  SELECT source, quantile_cont(quality, 0.75) AS threshold
+        |  FROM scored GROUP BY source)
+        |SELECT s.doc_id, s.source, s.quality, round(th.threshold, 6) AS threshold
+        |FROM scored s JOIN th USING (source)
+        |WHERE s.quality >= th.threshold""".stripMargin,
+    // q116: same word normalization as q44; postings ordered by doc_id
+    // (unique per group — total order), df band 2..50
+    "q116_inverted_index" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT word, doc_id, count(*) AS tf FROM words
+        |  WHERE word <> '' GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50)
+        |SELECT t.word, s.df, s.total_tf,
+        | string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id) AS postings
+        |FROM tf t JOIN stats s USING (word)
+        |GROUP BY t.word, s.df, s.total_tf""".stripMargin,
+    // q117: the same chained min-over-filter stages; the scalar
+    // subqueries are the one-row stage counts
+    "q117_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        | (SELECT count(*) FROM c) AS n_click,
+        | (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    // q118: same collapse → cohort-min → triangle count; week offsets
+    // are exact multiples of 7 days (both sides week-truncate first)
+    "q118_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events),
+        |coh AS (
+        |  SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM act)
+        |SELECT cohort_week,
+        | CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        | count(*) AS n_active
+        |FROM coh GROUP BY 1, 2""".stripMargin,
+    // q119: q25's pair CTEs verbatim (the same verified dup graph),
+    // then 5 unrolled power iterations — both engines run EXACTLY the
+    // same round count, so the float drift is sub-rounding
+    "q119_pagerank_dups" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM p),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |r0 AS (SELECT src AS id, 1.0 AS pr FROM deg),
+        |r1 AS (SELECT e.dst AS id, 0.15 + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.id GROUP BY 1),
+        |r2 AS (SELECT e.dst AS id, 0.15 + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r1 r ON e.src = r.id GROUP BY 1),
+        |r3 AS (SELECT e.dst AS id, 0.15 + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r2 r ON e.src = r.id GROUP BY 1),
+        |r4 AS (SELECT e.dst AS id, 0.15 + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r3 r ON e.src = r.id GROUP BY 1),
+        |r5 AS (SELECT e.dst AS id, 0.15 + 0.85 * sum(r.pr / d.deg) AS pr
+        |       FROM edges e JOIN deg d ON e.src = d.src JOIN r4 r ON e.src = r.id GROUP BY 1)
+        |SELECT id AS doc_id, round(pr, 6) AS pr FROM r5""".stripMargin,
+    // q120: same hash-derived u and A-Res key; the ORDER BY defines
+    // top-k membership only (the compare sorts rows itself)
+    "q120_weighted_sample" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, source,
+        |    ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS quality,
+        |    (('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT + 0.5) / 65536.0 AS u
+        |  FROM (SELECT doc_id, source,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        |   FROM documents) t)
+        |SELECT doc_id, source, quality,
+        | round(power(u, 1.0 / greatest(quality, 0.001)), 6) AS samp_key
+        |FROM scored
+        |ORDER BY power(u, 1.0 / greatest(quality, 0.001)) DESC, doc_id
+        |LIMIT 200""".stripMargin,
+    // q121: the from-scratch aggregation over ALL events — the
+    // incremental state merge must be indistinguishable from it
+    "q121_incremental_rollup" ->
+      """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        | count(*) AS n, round(sum(value), 2) AS total,
+        | round(sum(value), 2) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // q122: the same six constraints as scalar aggregates
+    "q122_quality_audit" ->
+      """WITH li AS (
+        |  SELECT
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 60 THEN 1 ELSE 0 END) AS qty_range,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS ship_null,
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_pos
+        |  FROM lineitem),
+        |ord AS (
+        |  SELECT count(*) - count(DISTINCT o_orderkey) AS okey_dup,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS tprice_pos
+        |  FROM orders),
+        |fk AS (
+        |  SELECT count(*) AS cust_fk FROM orders o
+        |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT 'lineitem_quantity_in_1_60' AS check_name, CAST(qty_range AS BIGINT) AS n_violations FROM li
+        |UNION ALL SELECT 'lineitem_shipdate_not_null', CAST(ship_null AS BIGINT) FROM li
+        |UNION ALL SELECT 'lineitem_price_positive', CAST(price_pos AS BIGINT) FROM li
+        |UNION ALL SELECT 'orders_orderkey_unique', CAST(okey_dup AS BIGINT) FROM ord
+        |UNION ALL SELECT 'orders_totalprice_positive', CAST(tprice_pos AS BIGINT) FROM ord
+        |UNION ALL SELECT 'orders_custkey_references_customer', cust_fk FROM fk""".stripMargin,
+    // q123: the same one-pass stats, unpivoted by UNION ALL
+    "q123_column_stats" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n_rows,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+        |    count(DISTINCT l_quantity) AS qty_ndv,
+        |    CAST(min(l_quantity) AS DOUBLE) AS qty_min,
+        |    CAST(max(l_quantity) AS DOUBLE) AS qty_max,
+        |    sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS price_nulls,
+        |    count(DISTINCT l_extendedprice) AS price_ndv,
+        |    CAST(min(l_extendedprice) AS DOUBLE) AS price_min,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS price_max,
+        |    sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS disc_nulls,
+        |    count(DISTINCT l_discount) AS disc_ndv,
+        |    CAST(min(l_discount) AS DOUBLE) AS disc_min,
+        |    CAST(max(l_discount) AS DOUBLE) AS disc_max
+        |  FROM lineitem)
+        |SELECT n_rows, 'l_quantity' AS column_name, CAST(qty_nulls AS BIGINT) AS n_nulls,
+        | qty_ndv AS ndv, qty_min AS min_d, qty_max AS max_d FROM w
+        |UNION ALL SELECT n_rows, 'l_extendedprice', CAST(price_nulls AS BIGINT),
+        | price_ndv, price_min, price_max FROM w
+        |UNION ALL SELECT n_rows, 'l_discount', CAST(disc_nulls AS BIGINT),
+        | disc_ndv, disc_min, disc_max FROM w""".stripMargin,
     // q112: identical SQL to q92 — the bloom gate on the index scan
     // is physically visible (spec counts the surviving rows) but
     // semantically invisible (bloom filters have no false negatives)

@@ -356,6 +356,35 @@ object CurationOps {
       .select(col("doc_id"), col("source"), col("thresh"))
   }
 
+  /** Quality-weighted sampling WITHOUT replacement via deterministic
+    * sort keys (Efraimidis & Spirakis 2006, A-Res): each document
+    * draws u ∈ (0,1) from an md5 hash of its id and competes with key
+    * u^(1/w) — the top-k keys are a weighted sample where inclusion
+    * probability scales with w (here the shared [[TextOps]] quality
+    * score, floored at 0.001 so a zero-quality doc gets a finite
+    * exponent instead of key 0^∞).
+    *
+    * Scale: one narrow pass computes the keys (u is hash-derived —
+    * reproducible across engines and reruns, no RNG state), and the
+    * top-k is `orderBy(...).limit(k)` — Spark plans
+    * TakeOrderedAndProject (per-partition bounded heaps, merge of
+    * k-sized results on the driver), never a global sort. The +0.5
+    * offset keeps u strictly inside (0,1): u=0 would be ln-singular
+    * in the exponent form and collapse every weight to key 0. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    val u = (conv(substring(
+      md5(concat(lit("ws_"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+      .cast("double") + 0.5) / 65536.0
+    val w = greatest(TextOps.qualityCol, lit(0.001))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.qualityCol.as("quality"),
+        pow(u, lit(1.0) / w).as("samp_key"))
+      .orderBy(col("samp_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(col("samp_key"), 6).as("samp_key"))
+  }
+
   /** Incremental-batch dedup: admit a new ingest batch (the
     * deterministic doc_id % batchMod == batchRem slice, standing in
     * for "today's crawl") against the standing corpus's fingerprint
@@ -588,6 +617,34 @@ object CurationOps {
         col("n_tokens"), "cum_tokens", nPartitions)
       .filter(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Per-group percentile quality gate ("keep the top quartile of
+    * every source"): pass 1 aggregates each source's exact
+    * interpolated quality percentile (a partial-aggregated groupBy —
+    * the thresholds frame is one row per source), pass 2 broadcast-
+    * joins the thresholds back and filters.
+    *
+    * The point of the two-pass shape is what it AVOIDS: the obvious
+    * `percent_rank() OVER (PARTITION BY source ORDER BY quality)`
+    * sorts every source's full slice of the corpus inside one window
+    * task per source — at 100 TB with a handful of sources that is a
+    * terabyte-scale sort per task. Here nothing is ever sorted: the
+    * percentile aggregate buffers per-group values only in pass 1's
+    * final merge (swap in approx_percentile — q100's sketch — for
+    * bounded memory when groups are corpus-sized), and pass 2 is a
+    * codegen'd scan + broadcast hash join. Quality is the shared
+    * [[TextOps.qualityCol]] definition q21 certifies. */
+  def percentileGate(spark: SparkSession, dir: String,
+                     pct: Double = 0.75): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), TextOps.qualityCol.as("quality"))
+    val thresholds = scored.groupBy(col("source"))
+      .agg(expr(s"percentile(quality, ${pct}D)").as("threshold"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .filter(col("quality") >= col("threshold"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(col("threshold"), 6).as("threshold"))
   }
 
   /** Snapshot diff (change data capture between two corpus versions):

@@ -200,6 +200,47 @@ object DedupOps {
       nearDupNgram(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("cluster"))
 
+  /** PageRank over the near-dup pair graph (Brin & Page 1998,
+    * unnormalized per-node form r' = (1−d) + d·Σ r(u)/deg(u)), a
+    * fixed number of power iterations — ranking the "duplication
+    * hubs": documents whose boilerplate is shared with many other
+    * documents score high, the long tail of one-off pairs stays near
+    * (1−d). The graph is [[nearDupNgram]]'s verified pair list,
+    * symmetrized; every node has deg ≥ 1 by construction, so there is
+    * no dangling-mass term.
+    *
+    * Scale shape — the same contract as the CC family: each round is
+    * ONE edge-sized join + ONE aggregation keyed on the destination,
+    * with an eager localCheckpoint cutting lineage so `iters` rounds
+    * cannot stack into one unbounded plan. The degree-annotated
+    * adjacency is checkpointed ONCE and reused every round (it never
+    * changes — re-deriving it would re-run candidate generation per
+    * round). A fixed iteration count, not a convergence test: rank
+    * deltas are floats, and a cross-engine oracle needs both sides to
+    * run EXACTLY the same number of rounds. At 100 TB the per-round
+    * shuffle is edges × (8-byte rank) — bucketing the adjacency on
+    * src removes even that (the ranks side is the only mover). */
+  def pageRankDupGraph(spark: SparkSession, dir: String, iters: Int = 5,
+                       damping: Double = 0.85,
+                       threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupNgram(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(1.0).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = adj.join(ranks, col("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg((lit(1.0 - damping) +
+          lit(damping) * sum(col("pr") / col("deg"))).as("pr"))
+        .select(col("dst").as("id"), col("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id").as("doc_id"), round(col("pr"), 6).as("pr"))
+  }
+
   /** Connected components over an undirected pair list (`doc_a`,
     * `doc_b` long columns): returns (id, cluster) where cluster is the
     * minimum member id of the component. Iterative min-label

@@ -508,6 +508,173 @@ object RelationalExt {
     * RangePartitioner sampling, but the sum is invariant to where
     * the cuts fall. The value column must be numeric; rows where it
     * is null count as 0. */
+  /** Ordered-funnel analysis (view → click → purchase, strictly in
+    * time order) over the events stream: per stage, the count of users
+    * whose FIRST qualifying event follows their entry into the
+    * previous stage — the standard product-analytics funnel, fully
+    * relational.
+    *
+    * Shape per stage: join events to the previous stage's per-user
+    * entry time, filter to later events of the stage type, take
+    * min(ts) per user. Every join and aggregate keys on user_id, so
+    * after the first exchange the whole chain CAN reuse one
+    * partitioning; the three event scans are the cost of the lazy
+    * form — at 100 TB you persist events bucketed by user_id
+    * ([[graft.sources.Formats.writeBucketed]]) and every stage's join
+    * and aggregate plans with zero exchanges on the events side.
+    * Nothing here sorts: a per-user sessionize-and-scan (the
+    * mapGroups form) would sort every user's history; min-over-filter
+    * needs only partial aggregation. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val click = ev.join(view, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchase = ev.join(click, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    view.agg(count(lit(1)).as("n_view"))
+      .crossJoin(click.agg(count(lit(1)).as("n_click")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their
+    * first event (the cohort), counted in each later week they were
+    * active — the retention triangle.
+    *
+    * Scale: raw events collapse to distinct (user, week) activity
+    * FIRST (one exchange, partial-aggregated — the only corpus-sized
+    * shuffle), the cohort week comes from a min-over-window on the
+    * collapsed rows (one exchange on user_id), and the final count
+    * groups the triangle (cohort-weeks × offsets rows). No join: the
+    * window carries the cohort onto every activity row in place. The
+    * final count is a plain count, not count(DISTINCT): (user, week)
+    * is unique after the collapse and week ↔ offset is bijective per
+    * user, so a user can appear at most once per (cohort, offset) —
+    * the distinct-expand would be pure overhead. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .groupBy(col("user_id"), col("week")).agg(lit(1).as("__one")).drop("__one")
+    val w = Window.partitionBy(col("user_id"))
+    act.withColumn("cohort_week", min(col("week")).over(w))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("bigint").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** Incremental rollup maintenance (the materialized-view pattern):
+    * a daily per-type aggregate kept as a PARTIAL-AGGREGATE STATE
+    * table (count + sum — the mergeable pair), bootstrapped once from
+    * history and refreshed by merging only the new batch's partials —
+    * the history is never rescanned.
+    *
+    * The split here is deterministic (event_id mod — the q92 batch
+    * convention): "history" bootstraps the state, the "arriving"
+    * slice refreshes it, and the reported rollup must equal a from-
+    * scratch aggregation over everything (the oracle). The refresh
+    * aggregation's input is state rows + batch partials — days × types
+    * rows, not events — so at 100 TB refreshing a year-long rollup
+    * costs the new day's scan plus a state-sized merge. Averages are
+    * DERIVED from the merged pair at read time; storing avg itself
+    * would make the state non-mergeable (the mean of means bug). */
+  def incrementalRollup(spark: SparkSession, dir: String,
+                        batchMod: Int = 10, batchRem: Int = 7): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val statePath = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + "/graft_rollup_state"
+    partials(ev.filter(pmod(col("event_id"), lit(batchMod)) =!= batchRem))
+      .write.mode("overwrite").parquet(statePath)
+    val merged = spark.read.parquet(statePath)
+      .unionByName(partials(ev.filter(pmod(col("event_id"), lit(batchMod)) === batchRem)))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+    // avg derives from the ROUNDED total, not the raw sum (the raw
+    // merged sum differs from a single-pass sum by summation order),
+    // and is NOT itself rounded: IEEE division of bit-identical
+    // inputs is bit-identical, whereas a decimal round of a double
+    // sitting exactly on a .00005 boundary is engine-dependent
+    // (BigDecimal-of-binary rounds 2.34565→2.3456, shortest-decimal
+    // implementations round →2.3457)
+    merged.select(col("event_type"), col("day"), col("n"),
+      round(col("sv"), 2).as("total"),
+      (round(col("sv"), 2) / col("n")).as("avg_value"))
+  }
+
+  /** Declarative data-quality audit (the Deequ-style constraint
+    * suite): each check is a named violation count — referential
+    * integrity, ranges, nullability, uniqueness — reported as one
+    * small frame a pipeline gates on before publishing.
+    *
+    * Scale: per-table checks FUSE into one pass per table (a single
+    * conditional-sum aggregate — adding a check to a table adds a
+    * column, not a scan); the referential check is the one join, an
+    * anti join on the key. Nothing here is sampled: at 100 TB these
+    * exact counts are one scheduled scan per table per publish, and
+    * "violations = 0" is the gate the downstream MERGE trusts. */
+  def qualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 60, 1L).otherwise(0L)).as("qty_range"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("ship_null"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("price_pos"))
+    val ord = Tables.orders(spark, dir).agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("okey_dup"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("tprice_pos"))
+    val orphans = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("cust_fk"))
+    val wide = li.crossJoin(ord).crossJoin(orphans)
+    wide.select(expr(
+      """stack(6,
+        | 'lineitem_quantity_in_1_60', qty_range,
+        | 'lineitem_shipdate_not_null', ship_null,
+        | 'lineitem_price_positive', price_pos,
+        | 'orders_orderkey_unique', okey_dup,
+        | 'orders_totalprice_positive', tprice_pos,
+        | 'orders_custkey_references_customer', cust_fk)
+        | AS (check_name, n_violations)""".stripMargin))
+  }
+
+  /** ANALYZE-style column statistics in ONE table pass: per column,
+    * row/null counts, exact NDV, and min/max — the stats a
+    * cost-based optimizer (or a data catalog) wants, computed as a
+    * single wide aggregate and unpivoted IN THE PLAN (`stack`), so
+    * adding a column adds expressions, never a scan. The multi-column
+    * exact count(DISTINCT) plans as Spark's expand (k× the rows map-
+    * side, still one shuffle); swap approx_count_distinct per column
+    * for the sketch path when NDV precision can relax (q54's
+    * trade-off, documented there). */
+  def columnStats(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_nulls"),
+      countDistinct(col("l_quantity")).as("qty_ndv"),
+      min(col("l_quantity")).cast("double").as("qty_min"),
+      max(col("l_quantity")).cast("double").as("qty_max"),
+      sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L)).as("price_nulls"),
+      countDistinct(col("l_extendedprice")).as("price_ndv"),
+      min(col("l_extendedprice")).cast("double").as("price_min"),
+      max(col("l_extendedprice")).cast("double").as("price_max"),
+      sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("disc_nulls"),
+      countDistinct(col("l_discount")).as("disc_ndv"),
+      min(col("l_discount")).cast("double").as("disc_min"),
+      max(col("l_discount")).cast("double").as("disc_max"))
+    wide.select(col("n_rows"), expr(
+      """stack(3,
+        | 'l_quantity', qty_nulls, qty_ndv, qty_min, qty_max,
+        | 'l_extendedprice', price_nulls, price_ndv, price_min, price_max,
+        | 'l_discount', disc_nulls, disc_ndv, disc_min, disc_max)
+        | AS (column_name, n_nulls, ndv, min_d, max_d)""".stripMargin))
+  }
+
   def globalRunningSum(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
                        value: org.apache.spark.sql.Column, outName: String,
                        nPartitions: Int = 0): DataFrame = {

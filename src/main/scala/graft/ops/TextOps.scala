@@ -229,6 +229,42 @@ object TextOps {
       .filter(col("n") >= minCount)
   }
 
+  /** Inverted index build (token → ordered postings with term
+    * frequencies) — the classic large-corpus map-reduce, fully
+    * relational: tf per (word, doc) in one partial-aggregated
+    * shuffle, df/total_tf per word in a second, then the postings
+    * list materialized ONLY for the df-band that can afford one.
+    *
+    * The df band is the scale design, not a convenience filter:
+    * `collect_list` memory is bounded by `maxDf` BY CONSTRUCTION, so
+    * no stopword-tier token can ever accumulate a corpus-sized
+    * postings array in one aggregation buffer — at 100 TB the
+    * high-df tail that a real search system stores as block-
+    * compressed skip lists is excluded here by predicate, and the
+    * band's df/total_tf stats still come from the full unbounded
+    * aggregation. The vocabulary-sized stats frame broadcasts back
+    * onto the tf rows (no second corpus shuffle). The per-row
+    * `transform` reassembly is interpreted but runs once per VOCAB
+    * row, not per posting (cf. the q99 reassembly note); postings
+    * order is total — struct sort on (doc_id, tf) with doc_id unique
+    * per group. */
+  def invertedIndex(spark: SparkSession, dir: String,
+                    minDf: Long = 2, maxDf: Long = 50): DataFrame = {
+    val tf = wordRows(spark, dir)
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .filter(col("df").between(minDf, maxDf))
+    tf.join(broadcast(stats), Seq("word"))
+      .groupBy(col("word"), col("df"), col("total_tf"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+          x => concat_ws(":", x.getField("doc_id"), x.getField("tf"))),
+        ",").as("postings"))
+      .select(col("word"), col("df"), col("total_tf").cast("bigint").as("total_tf"),
+        col("postings"))
+  }
+
   /** Token-budget shard packing: assign documents to training shards
     * so each shard holds ~`budget` whitespace tokens, packing in
     * doc_id order WITHIN each source stream. shard_id =

@@ -101,6 +101,60 @@ object Formats {
     overwritePartitions(one, path, partition.map(_._1), format)
   }
 
+  /** The layout side of a MERGE: scan ONLY the partitions of a
+    * [[writePartitioned]] layout that the change batch touches. The
+    * partition list is NOT collected to the driver — the semi join on
+    * the partition column against the (broadcast) distinct partition
+    * values of `changes` lets Catalyst insert a DYNAMIC PARTITION
+    * PRUNING subquery on the scan (`dynamicpruning` in
+    * `PartitionFilters`, spec-asserted), so at 100 TB the merge reads
+    * the handful of re-crawled partitions, never the corpus, and the
+    * pruning still works when the change batch is itself a computed
+    * frame whose partition set is unknowable at plan time. */
+  def affectedPartitionScan(layout: DataFrame, changes: DataFrame,
+                            partCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    layout.join(broadcast(changes.select(partCol).distinct()),
+      Seq(partCol), "left_semi")
+  }
+
+  /** Partition-scoped MERGE (upsert + delete) into a
+    * [[writePartitioned]] layout — the missing verb between
+    * [[overwritePartitions]] (replace a whole partition's rows) and a
+    * table format's row-level MERGE INTO: apply a keyed change batch
+    * by rewriting ONLY the partitions it touches.
+    *
+    * `changes` carries the layout's data columns plus an `op` column
+    * (`"upsert"` / `"delete"`); semantics per key within the affected
+    * partitions: delete → row removed, upsert of an existing key →
+    * row replaced, upsert of a new key → row inserted (including into
+    * a partition that does not exist yet — dynamic overwrite creates
+    * its directory). Untouched sibling partitions are never read
+    * (dynamic partition pruning via [[affectedPartitionScan]]) and
+    * never written (dynamic overwrite re-lands only the partitions
+    * present in the merged frame) — at 100 TB the cost is proportional
+    * to the re-crawled slice, not the corpus, and each partition's
+    * replacement is independently atomic under the normal committer.
+    *
+    * The eager localCheckpoint is load-bearing, not belt-and-braces
+    * (same invariant as [[compactPartition]]): the merged frame
+    * streams from the very files the write replaces, and Spark
+    * refuses an overwrite whose lineage reads the output path; the
+    * checkpoint holds only the affected partitions' rows. */
+  def mergeIntoPartitioned(spark: SparkSession, root: String,
+                           changes: DataFrame, key: String, partCol: String,
+                           format: String = "parquet"): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(changes.columns.contains("op"),
+      "changes needs an 'op' column ('upsert' | 'delete')")
+    val layout = read(spark, root, format)
+    val kept = affectedPartitionScan(layout, changes, partCol)
+      .join(changes.select(col(key)), Seq(key), "left_anti")
+    val merged = kept.unionByName(
+      changes.filter(col("op") === "upsert").drop("op"))
+    overwritePartitions(merged.localCheckpoint(), root, Seq(partCol), format)
+  }
+
   /** Persist as a bucketed + sorted catalog table: both sides of a
     * recurring equi-join bucketed on the join key read back
     * pre-partitioned and pre-sorted, so the join plans with NO shuffle

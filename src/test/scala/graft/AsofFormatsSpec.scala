@@ -118,6 +118,52 @@ class AsofFormatsSpec extends AnyFunSuite {
       "sibling partition content was clobbered")
   }
 
+  test("partition-scoped merge: delete/replace/insert land, untouched partitions' files survive") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-mrg").toString + "/docs"
+    Formats.writePartitioned(docs, base, Seq("source"))
+    val sources = docs.select($"source").distinct().collect().map(_.getString(0)).sorted
+    assert(sources.length >= 2, "fixture needs at least two partitions")
+    val target = sources.head
+    val sibling = sources.last
+    def files(src: String) = {
+      val d = new java.io.File(s"$base/source=$src")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val siblingBefore = files(sibling)
+    val tp = docs.filter($"source" === target)
+    val m = pmod(col("doc_id"), lit(3))
+    val nDel = tp.filter(m === 0).count()
+    val nEdit = tp.filter(m === 1).count()
+    val nKeep = tp.filter(m === 2).count()
+    val nIns = tp.filter(m === 2).count()
+    assert(nDel > 0 && nEdit > 0 && nKeep > 0, "fixture must exercise every op")
+    val changes = tp.filter(m === 0).withColumn("op", lit("delete"))
+      .unionByName(tp.filter(m === 1)
+        .withColumn("text", lit("edited")).withColumn("op", lit("upsert")))
+      .unionByName(tp.filter(m === 2)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("source", lit("src_fresh")).withColumn("op", lit("upsert")))
+    Formats.mergeIntoPartitioned(spark, base, changes, "doc_id", "source")
+    // a static overwrite (or a whole-partition re-land) would have
+    // rewritten source=<sibling>; the merge must not even list it
+    assert(files(sibling) == siblingBefore, s"sibling partition $sibling was rewritten")
+    val after = spark.read.parquet(base)
+    val t = after.filter(col("source") === target)
+    assert(t.filter(pmod(col("doc_id"), lit(3)) === 0).count() == 0, "deletes survived")
+    assert(t.filter(pmod(col("doc_id"), lit(3)) === 1 && col("text") =!= "edited").count() == 0,
+      "an upsert of an existing key did not replace its row")
+    assert(t.filter(pmod(col("doc_id"), lit(3)) === 2).count() == nKeep,
+      "rows the batch never touched were lost")
+    assert(t.count() == nEdit + nKeep, "target partition row count")
+    // inserts created a partition that did not exist before the merge
+    assert(after.filter(col("source") === "src_fresh").count() == nIns,
+      "inserted keys did not land in the new partition")
+    assert(after.filter(col("source") === sibling).count() ==
+      docs.filter($"source" === sibling).count(), "sibling row count changed")
+  }
+
   test("partition compaction collapses one partition to a single file, siblings untouched") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)

@@ -400,4 +400,26 @@ class CurationSpec extends AnyFunSuite {
     assert(!spark.catalog.listTables().collect()
       .exists(_.name.startsWith("bloom_")), "bloomGatedIndex leaked temp views")
   }
+
+  test("weighted sample: top-k by key, weight-biased, and planned as a partial top-k") {
+    import org.apache.spark.sql.functions._
+    val k = 50
+    val sample = CurationOps.weightedSample(spark, sf, k).cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(sample.count() == math.min(k, docs), "sample size != min(k, corpus)")
+    // keys live in (0, 1]: u ∈ (0,1) and a positive exponent
+    assert(sample.filter(col("samp_key") <= 0 || col("samp_key") > 1).count() == 0)
+    // the weighting must actually bias: mean quality of the sample
+    // strictly above the corpus mean (deterministic fixture, huge gap)
+    val corpusMean = graft.ops.TextOps.qualityScore(spark, sf)
+      .agg(avg(col("quality"))).head().getDouble(0)
+    val sampleMean = sample.agg(avg(col("quality"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean — weights inert")
+    // scale shape: orderBy+limit must plan as TakeOrderedAndProject
+    // (bounded per-partition heaps), never a global Sort
+    val p = CurationOps.weightedSample(spark, sf, k).queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is not partial:\n$p")
+    sample.unpersist()
+  }
 }

@@ -249,6 +249,33 @@ class PlanSpec extends AnyFunSuite {
       s"control: unpartitioned scan cannot partition-prune:\n$flat")
   }
 
+  test("merge: the affected-partition scan is dynamically pruned, no driver collect") {
+    import org.apache.spark.sql.functions.col
+    val path = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + "/plan_docs_merge_dpp"
+    graft.sources.Formats.writePartitioned(
+      Tables.documents(spark, sf), path, Seq("source"))
+    // a COMPUTED change batch — its partition set is unknowable at
+    // plan time, so an IN-list (the collect-based alternative) could
+    // not even be built; the pruning must come from the join
+    val changes = Tables.documents(spark, sf)
+      .filter(col("source").isin("src2", "src5"))
+      .select(col("doc_id"), col("source"))
+    val p = plan(graft.sources.Formats.affectedPartitionScan(
+      spark.read.parquet(path), changes, "source"))
+    // dynamic partition pruning: the scan's PartitionFilters carries a
+    // dynamicpruning subquery fed by the (broadcast) changes side —
+    // the layout lists only the touched directories at runtime
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"affected-partition scan is not dynamically pruned:\n$p")
+    // negative control: the same semi join against the UNPARTITIONED
+    // table has nothing to prune — no dynamicpruning anywhere
+    val flatScan = plan(graft.sources.Formats.affectedPartitionScan(
+      Tables.documents(spark, sf), changes, "source"))
+    assert(!flatScan.toLowerCase.contains("dynamicpruning"),
+      s"control: unpartitioned scan cannot partition-prune:\n$flatScan")
+  }
+
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
     val feats = graft.pipeline.HydroPipeline.toFeatures(
       graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml"))

@@ -315,6 +315,47 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: stage counts are monotone and every conversion is witnessed by an ordered event pair") {
+    import spark.implicits._
+    val r = RelationalExt.funnel(spark, sf).collect()(0)
+    val (nView, nClick, nPurchase) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // a funnel can only narrow
+    assert(nView >= nClick && nClick >= nPurchase, s"funnel widened: $nView/$nClick/$nPurchase")
+    assert(nView > 0, "fixture exercises no funnel entry")
+    // independent witness for the click stage: users with a view event
+    // and a strictly later click event, computed via a self-join (a
+    // different plan shape than the chained min-over-filter)
+    val ev = Tables.events(spark, sf).select($"user_id", $"event_type", $"ts")
+    val witness = ev.filter($"event_type" === "view").select($"user_id", $"ts".as("tv"))
+      .join(ev.filter($"event_type" === "click").select($"user_id", $"ts".as("tc")),
+        "user_id")
+      .filter($"tc" > $"tv")
+      .select($"user_id").distinct().count()
+    assert(witness == nClick,
+      s"click stage ($nClick) disagrees with the self-join witness ($witness)")
+  }
+
+  test("cohort retention: offset 0 holds every cohort member and no activity precedes its cohort") {
+    import spark.implicits._
+    val ret = RelationalExt.cohortRetention(spark, sf)
+    assert(ret.filter($"week_offset" < 0).count() == 0,
+      "activity before the user's first week is a contradiction")
+    // at offset 0 every user of the cohort is active (their first week
+    // IS the cohort week), so the diagonal must equal the cohort sizes
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", date_trunc("week", $"ts").as("week"))
+    val cohortSizes = ev.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      .groupBy($"cohort_week").agg(count(lit(1)).as("n_users"))
+    val diag = ret.filter($"week_offset" === 0)
+      .join(cohortSizes, "cohort_week")
+      .filter($"n_active" =!= $"n_users").count()
+    assert(diag == 0, "offset-0 retention differs from cohort size")
+    // retention never exceeds the cohort size at any offset
+    val over = ret.join(cohortSizes, "cohort_week")
+      .filter($"n_active" > $"n_users").count()
+    assert(over == 0, "an offset retains more users than the cohort holds")
+  }
+
   test("distributed prefix sum is row-identical to the naive global window") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

@@ -129,6 +129,25 @@ class SimilarityDedupSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("pagerank: rank mass is conserved every run and hubs outrank leaves") {
+    import org.apache.spark.sql.functions._
+    val pr = graft.ops.DedupOps.pageRankDupGraph(spark, sf).cache()
+    val n = pr.count()
+    assert(n > 0, "fixture has no dup pairs to rank")
+    // the unnormalized form is mass-conserving: sum r_{k+1} =
+    // (1-d)·N + d·sum r_k and sum r_0 = N, so sum r_k = N for all k —
+    // a wrong degree join or a dropped node breaks this immediately
+    val mass = pr.agg(sum(col("pr"))).head().getDouble(0)
+    assert(math.abs(mass - n) < 1e-3, s"rank mass $mass != node count $n")
+    // every rank is at least the teleport floor
+    assert(pr.filter(col("pr") < 0.15 - 1e-9).count() == 0, "rank below (1-d)")
+    // determinism: a rebuilt plan yields byte-identical rounded ranks
+    val again = graft.ops.DedupOps.pageRankDupGraph(spark, sf)
+    assert(pr.except(again).count() == 0 && again.except(pr).count() == 0,
+      "pagerank is not deterministic across plan rebuilds")
+    pr.unpersist()
+  }
+
   test("stop-bucket cap excludes degenerate buckets and leaves the rest exact") {
     // one degenerate 50-member bucket (the LSH stopword analog) and
     // one genuine 2-member bucket
