@@ -282,6 +282,19 @@ object SparkEntry {
     "q122_quality_audit"   -> ((s, d) => RelationalExt.qualityAudit(s, d)),
     // ANALYZE-style column stats: one pass, stack-unpivoted
     "q123_column_stats"    -> ((s, d) => RelationalExt.columnStats(s, d)),
+    // q123's sketch twin: HLL NDV per column gated on the exact value
+    // via an in-plan envelope flag (the q100/q54 pattern)
+    "q124_column_stats_sketch" -> ((s, d) => RelationalExt.columnStatsSketch(s, d)),
+    // decontamination vs TWO eval suites in one corpus pass: the
+    // suite-tagged gram dim broadcasts once, per-suite hits pivot as
+    // conditional counts (another suite = a column, not a scan)
+    "q125_multi_decontam"  -> ((s, d) => CurationOps.multiDecontamination(s, d)),
+    // survivorship: per dedup cluster keep the best-quality member
+    // (exact packed-integer key — no float tie-break at the boundary)
+    "q126_cluster_survivors" -> ((s, d) => DedupOps.clusterSurvivors(s, d)),
+    // the composed curation pipeline (gate -> decontaminate -> budget
+    // select) as ONE lazy plan, hash-gated end to end
+    "q127_curation_pipeline" -> ((s, d) => CurationOps.curationPipeline(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1419,6 +1432,150 @@ object SparkEntry {
         |UNION ALL SELECT 'orders_orderkey_unique', CAST(okey_dup AS BIGINT) FROM ord
         |UNION ALL SELECT 'orders_totalprice_positive', CAST(tprice_pos AS BIGINT) FROM ord
         |UNION ALL SELECT 'orders_custkey_references_customer', cust_fk FROM fk""".stripMargin,
+    // q125: same gram build as q88 with positions; n_grams counts
+    // DISTINCT positions (a gram in both suites joins twice)
+    "q125_multi_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(words, i + 1, i + 8), ' ') AS gram
+        |  FROM w, unnest(range(0, greatest(len(words) - 7, 0))) AS t(i)),
+        |ev AS (
+        |  SELECT DISTINCT gram, 'a' AS suite FROM g WHERE doc_id % 10 = 7
+        |  UNION SELECT DISTINCT gram, 'b' FROM g WHERE doc_id % 10 = 3),
+        |hits AS (
+        |  SELECT t.doc_id, count(DISTINCT t.pos) AS n_grams,
+        |    CAST(sum(CASE WHEN ev.suite = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS hits_a,
+        |    CAST(sum(CASE WHEN ev.suite = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS hits_b
+        |  FROM (SELECT doc_id, pos, gram FROM g WHERE doc_id % 10 NOT IN (7, 3)) t
+        |  LEFT JOIN ev ON t.gram = ev.gram
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        | coalesce(h.n_grams, 0) AS n_grams,
+        | coalesce(h.hits_a, 0) AS hits_a,
+        | coalesce(h.hits_b, 0) AS hits_b,
+        | coalesce(h.hits_a, 0) + coalesce(h.hits_b, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 NOT IN (7, 3)) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    // q126: q61's cluster CTEs + the same packed-integer arg_max
+    "q126_cluster_survivors" ->
+      s"""WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |dup AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        |          UNION SELECT doc_b, doc_a FROM dup),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clusters AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |  FROM reach GROUP BY a),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS quality
+        |  FROM (SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        |   FROM documents) t)
+        |SELECT c.cluster, count(*) AS n_members,
+        | arg_max(c.doc_id,
+        |   CAST(round(s.quality * 1000000) AS BIGINT) * 1000000000 - c.doc_id) AS survivor_id,
+        | max(s.quality) AS survivor_quality
+        |FROM clusters c JOIN scored s ON c.doc_id = s.doc_id
+        |GROUP BY c.cluster""".stripMargin,
+    // q127: q78's gate CTEs + q88's contamination CTEs + q113's
+    // cumsum, composed — each piece verbatim from its own oracle
+    "q127_curation_pipeline" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id,
+        |    ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS quality,
+        |    CASE WHEN zh > 0 THEN 'zh'
+        |         WHEN de > en AND de > es AND de > fr THEN 'de'
+        |         WHEN es > en AND es > fr THEN 'es'
+        |         WHEN fr > en THEN 'fr'
+        |         ELSE 'en' END AS lang_pred,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops,
+        |    len(regexp_extract_all(text, '${TextOps.CjkPattern}')) AS zh,
+        |    len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS en,
+        |    len(regexp_extract_all(lower(text), '${TextOps.EsStops}')) AS es,
+        |    len(regexp_extract_all(lower(text), '${TextOps.DeStops}')) AS de,
+        |    len(regexp_extract_all(lower(text), '${TextOps.FrStops}')) AS fr
+        |   FROM documents) t),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))),
+        |w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 8), ' '))) AS gram
+        |  FROM w),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+        |hits AS (
+        |  SELECT t.doc_id, count(ev.gram) AS n_hits
+        |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 7) t
+        |  LEFT JOIN ev ON t.gram = ev.gram
+        |  GROUP BY t.doc_id),
+        |clean AS (
+        |  SELECT d.doc_id
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
+        |  LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |  WHERE coalesce(h.n_hits, 0) = 0),
+        |base AS (
+        |  SELECT s.doc_id, s.quality, s.lang_pred, s.n_tokens
+        |  FROM scored s
+        |  JOIN keepers k ON s.doc_id = k.doc_id
+        |  JOIN clean c ON s.doc_id = c.doc_id
+        |  WHERE s.quality >= 0.5 AND s.lang_pred = 'en'),
+        |cum AS (
+        |  SELECT doc_id, quality, lang_pred, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM base)
+        |SELECT doc_id, quality, lang_pred, n_tokens, cum_tokens
+        |FROM cum WHERE cum_tokens <= 10000""".stripMargin,
+    // q124: exact NDV + literal TRUE — the sketch side never reaches
+    // the oracle, only its envelope verdict does
+    "q124_column_stats_sketch" ->
+      """SELECT 'l_quantity' AS column_name,
+        | count(DISTINCT l_quantity) AS ndv, TRUE AS in_envelope FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice',
+        | count(DISTINCT l_extendedprice), TRUE FROM lineitem
+        |UNION ALL SELECT 'l_discount',
+        | count(DISTINCT l_discount), TRUE FROM lineitem""".stripMargin,
     // q123: the same one-pass stats, unpivoted by UNION ALL
     "q123_column_stats" ->
       """WITH w AS (

@@ -99,6 +99,40 @@ object CurationOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[decontamination]] against SEVERAL eval suites in ONE corpus
+    * pass: the suite-tagged union of eval gram sets broadcasts as one
+    * dimension, each corpus gram position left-joins it once, and the
+    * per-doc aggregation pivots per-suite hit counts with conditional
+    * sums — adding an eval suite adds dimension rows and a column,
+    * never a second corpus scan (the naive per-suite loop at 100 TB
+    * re-reads the corpus per benchmark). `n_grams` counts DISTINCT
+    * positions because a gram shared by both suites joins twice —
+    * counting rows would silently inflate the denominator. */
+  def multiDecontamination(spark: SparkSession, dir: String,
+                           k: Int = 8): DataFrame = {
+    val grams = kgramRows(spark, dir, k)
+    val m = pmod(col("doc_id"), lit(10))
+    val evalGrams = grams.filter(m === 7).select(col("gram"), lit("a").as("suite"))
+      .unionByName(grams.filter(m === 3).select(col("gram"), lit("b").as("suite")))
+      .distinct()
+    val perDoc = grams.filter(m =!= 7 && m =!= 3)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).as("n_grams"),
+        count(when(col("suite") === "a", 1)).as("hits_a"),
+        count(when(col("suite") === "b", 1)).as("hits_b"))
+    Tables.documents(spark, dir)
+      .filter(m =!= 7 && m =!= 3)
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("hits_a"), lit(0L)).as("hits_a"),
+        coalesce(col("hits_b"), lit(0L)).as("hits_b"),
+        (coalesce(col("hits_a"), lit(0L)) + coalesce(col("hits_b"), lit(0L)) > 0)
+          .as("contaminated"))
+  }
+
   /** Cross-document duplicate spans: word k-grams appearing verbatim
     * in ≥ minDocs distinct documents — the scalable relational stand-in
     * for suffix-array exact-substring dedup (Lee et al. 2022): a
@@ -645,6 +679,41 @@ object CurationOps {
       .filter(col("quality") >= col("threshold"))
       .select(col("doc_id"), col("source"), col("quality"),
         round(col("threshold"), 6).as("threshold"))
+  }
+
+  /** The composed curation pipeline, end to end, as ONE lazy plan —
+    * the capstone a user of this library actually runs: language/
+    * quality/exact-dedup gating ([[TextOps.corpusFilter]], q78's
+    * certified stages) → benchmark decontamination
+    * ([[decontamination]], keep only uncontaminated docs — which also
+    * drops the eval slice itself) → token-budget selection
+    * ([[RelationalExt.globalRunningSum]], q113's distributed prefix
+    * sum) — every stage the exact shared definition its own oracle
+    * query certifies, so the composition is hash-gated as a whole
+    * (q127) on top of each part being gated alone.
+    *
+    * Scale: the stages compose as plan nodes, not materializations —
+    * Catalyst sees one DAG (the semi joins all key on doc_id). At
+    * 100 TB you'd localCheckpoint/persist between stages to avoid
+    * re-deriving shared scans per branch — a deployment knob, not a
+    * semantic one (the lazy ≡ checkpointed equivalence is the same
+    * contract HydroPipeline proves for the reference dataflow). */
+  def curationPipeline(spark: SparkSession, dir: String,
+                       budget: Long = 10000L,
+                       nPartitions: Int = 0): DataFrame = {
+    val kept = TextOps.corpusFilter(spark, dir)
+    val cleanIds = decontamination(spark, dir)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val tokens = Tables.documents(spark, dir).select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    val scored = kept.join(cleanIds, Seq("doc_id"), "left_semi")
+      .join(tokens, "doc_id")
+    RelationalExt.globalRunningSum(scored,
+        Seq(col("quality").desc, col("doc_id").asc),
+        col("n_tokens"), "cum_tokens", nPartitions)
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("lang_pred"),
+        col("n_tokens"), col("cum_tokens"))
   }
 
   /** Snapshot diff (change data capture between two corpus versions):

@@ -200,6 +200,33 @@ object DedupOps {
       nearDupNgram(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("cluster"))
 
+  /** Survivorship policy over the dedup clusters: per cluster keep the
+    * BEST-quality member (tie → lowest doc_id), not the minimum id —
+    * the policy a production pipeline actually wants from its dedup
+    * pass ([[dedupClusters]] names clusters; this decides who lives).
+    *
+    * The selection key is an exact packed integer — quality in
+    * micro-units (the shared score is rounded to 6 decimals, so
+    * `round(quality·10⁶)` is lossless) times 10⁹ minus doc_id — so
+    * `max_by` needs no struct comparator and the DuckDB oracle's
+    * scalar `arg_max` computes the identical winner with no float
+    * comparison at the boundary. Documented bound: doc_id < 10⁹
+    * (packing headroom — widen the multiplier for larger id spaces).
+    * One aggregation on cluster — partial max_by merges
+    * associatively, no window, no per-cluster sort. */
+  def clusterSurvivors(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.qualityCol.as("quality"))
+    val skey = round(col("quality") * 1e6).cast("long") * 1000000000L - col("doc_id")
+    dedupClusters(spark, dir, threshold)
+      .join(quality, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("doc_id"), skey).as("survivor_id"),
+        max(col("quality")).as("survivor_quality"))
+  }
+
   /** PageRank over the near-dup pair graph (Brin & Page 1998,
     * unnormalized per-node form r' = (1−d) + d·Σ r(u)/deg(u)), a
     * fixed number of power iterations — ranking the "duplication

@@ -581,21 +581,33 @@ object RelationalExt {
     * costs the new day's scan plus a state-sized merge. Averages are
     * DERIVED from the merged pair at read time; storing avg itself
     * would make the state non-mergeable (the mean of means bug). */
+  /** The mergeable partial-aggregate pair per (event_type, day) —
+    * the state [[incrementalRollup]] persists and the unit every
+    * refresh (batch or per-micro-batch via foreachBatch) re-derives
+    * from its slice of events. */
+  def rollupPartials(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+
+  /** Merge a state table with a refresh's partials: union + re-sum —
+    * associative and commutative, so any chopping of the input into
+    * refreshes yields the same state (the streaming twin's contract,
+    * spec-proven boundary-independent). Input is state-sized. */
+  def rollupMerge(state: DataFrame, refresh: DataFrame): DataFrame =
+    state.unionByName(refresh)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+
   def incrementalRollup(spark: SparkSession, dir: String,
                         batchMod: Int = 10, batchRem: Int = 7): DataFrame = {
     val ev = Tables.events(spark, dir).select(
       col("event_id"), col("event_type"), to_date(col("ts")).as("day"), col("value"))
-    def partials(df: DataFrame): DataFrame =
-      df.groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
     val statePath = spark.conf.get("spark.sql.warehouse.dir")
       .stripSuffix("/") + "/graft_rollup_state"
-    partials(ev.filter(pmod(col("event_id"), lit(batchMod)) =!= batchRem))
+    rollupPartials(ev.filter(pmod(col("event_id"), lit(batchMod)) =!= batchRem))
       .write.mode("overwrite").parquet(statePath)
-    val merged = spark.read.parquet(statePath)
-      .unionByName(partials(ev.filter(pmod(col("event_id"), lit(batchMod)) === batchRem)))
-      .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+    val merged = rollupMerge(spark.read.parquet(statePath),
+      rollupPartials(ev.filter(pmod(col("event_id"), lit(batchMod)) === batchRem)))
     // avg derives from the ROUNDED total, not the raw sum (the raw
     // merged sum differs from a single-pass sum by summation order),
     // and is NOT itself rounded: IEEE division of bit-identical
@@ -652,6 +664,36 @@ object RelationalExt {
     * side, still one shuffle); swap approx_count_distinct per column
     * for the sketch path when NDV precision can relax (q54's
     * trade-off, documented there). */
+  /** [[columnStats]]' 100 TB twin for the NDV column (the q100/q54
+    * sketch-twin pattern): exact multi-column count(DISTINCT) plans an
+    * expand (k× the rows map-side) with per-group state proportional
+    * to cardinality — at corpus scale the profiler runs
+    * approx_count_distinct (fixed-size HLL registers, one ordinary
+    * aggregate) instead. Output is the EXACT stats plus an in-plan
+    * boolean asserting the sketch landed inside a 4·rsd envelope
+    * (floored at ±1 for tiny cardinalities) — the oracle recomputes
+    * the exact side and expects literal TRUE, so a sketch regression
+    * fails the hash gate without the oracle ever evaluating a sketch. */
+  def columnStatsSketch(spark: SparkSession, dir: String,
+                        rsd: Double = 0.05): DataFrame = {
+    val wide = Tables.lineitem(spark, dir).agg(
+      countDistinct(col("l_quantity")).as("qty_ndv"),
+      approx_count_distinct(col("l_quantity"), rsd).as("qty_ap"),
+      countDistinct(col("l_extendedprice")).as("price_ndv"),
+      approx_count_distinct(col("l_extendedprice"), rsd).as("price_ap"),
+      countDistinct(col("l_discount")).as("disc_ndv"),
+      approx_count_distinct(col("l_discount"), rsd).as("disc_ap"))
+    wide.select(expr(
+      """stack(3,
+        | 'l_quantity', qty_ndv, qty_ap,
+        | 'l_extendedprice', price_ndv, price_ap,
+        | 'l_discount', disc_ndv, disc_ap)
+        | AS (column_name, ndv, ap)""".stripMargin))
+      .select(col("column_name"), col("ndv"),
+        (abs(col("ap") - col("ndv")) <=
+          greatest(lit(1.0), lit(4 * rsd) * col("ndv"))).as("in_envelope"))
+  }
+
   def columnStats(spark: SparkSession, dir: String): DataFrame = {
     val wide = Tables.lineitem(spark, dir).agg(
       count(lit(1)).as("n_rows"),

@@ -368,4 +368,51 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(exp3.size > exp2.size,
       "fixture sanity: the raised threshold admits strictly more pairs")
   }
+
+  test("streaming rollup refresh via foreachBatch: state is batch-identical and boundary-independent") {
+    // q121's streaming twin: the (count, sum) state refreshed per
+    // micro-batch through the SAME rollupPartials/rollupMerge core
+    // must converge to the one-shot aggregation whatever the chopping
+    // — the merge is associative+commutative, so this is the contract
+    // that makes "refresh from a stream" safe at all
+    import graft.ops.RelationalExt
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select($"event_type", to_date($"ts").cast("string").as("day"), $"value")
+    val rows = ev.as[(String, String, Double)].collect()
+    def runChopped(cuts: Seq[Int]): Map[(String, String), (Long, Double)] = {
+      var state = RelationalExt.rollupPartials(
+        ev.limit(0).select($"event_type", $"day".cast("date").as("day"), $"value"))
+        .localCheckpoint()
+      val input = MemoryStream[(String, String, Double)]
+      val q = input.toDF().toDF("event_type", "day", "value").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          state = RelationalExt.rollupMerge(state,
+            RelationalExt.rollupPartials(
+              batch.select($"event_type", $"day".cast("date").as("day"), $"value")))
+            .localCheckpoint() // materialized state per micro-batch
+          ()
+        }.start()
+      try {
+        var rest = rows.toSeq
+        for (c <- cuts) {
+          val (b, r) = rest.splitAt(c); rest = r
+          if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { input.addData(rest); q.processAllAvailable() }
+      } finally q.stop()
+      state.collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), math.rint(r.getDouble(3) * 100) / 100))).toMap
+    }
+    val oneShot = RelationalExt.rollupPartials(
+      ev.select($"event_type", $"day".cast("date").as("day"), $"value"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), math.rint(r.getDouble(3) * 100) / 100))).toMap
+    val a = runChopped(Seq(rows.length / 3, rows.length / 3))
+    val b = runChopped(Seq(rows.length / 7))
+    assert(a == oneShot, "streamed state diverged from the one-shot aggregation")
+    assert(b == oneShot, "state depends on micro-batch boundaries")
+    assert(oneShot.nonEmpty)
+  }
 }
