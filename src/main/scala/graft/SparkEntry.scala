@@ -295,6 +295,10 @@ object SparkEntry {
     // the composed curation pipeline (gate -> decontaminate -> budget
     // select) as ONE lazy plan, hash-gated end to end
     "q127_curation_pipeline" -> ((s, d) => CurationOps.curationPipeline(s, d)),
+    // training-shard export: q83's packing written as JSONL shard
+    // directories, manifest aggregated from the files READ BACK —
+    // the gate certifies what is on disk
+    "q128_shard_export"    -> ((s, d) => TextOps.shardExport(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1048,6 +1052,27 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens,
         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+    // q128: q83's packing CTEs aggregated per shard — the manifest
+    // the export's read-back must reproduce from disk
+    "q128_shard_export" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
+        |  FROM c)
+        |SELECT source, shard_id, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q84_unigram_logprob" ->
       s"""WITH words AS (
         |  SELECT doc_id,

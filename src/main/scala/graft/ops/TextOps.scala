@@ -291,6 +291,40 @@ object TextOps {
         floor((col("cum_tokens") - col("n_tokens")).cast("double") / budget).cast("bigint"))
   }
 
+  /** Training-shard EXPORT with manifest — the step that turns
+    * [[shardPacking]]'s assignment into actual training files plus
+    * the audit record a training job consumes: the packed corpus is
+    * written as JSONL Hive-partitioned by (source, shard_id) — each
+    * shard a directory a data loader can claim atomically — and the
+    * manifest is aggregated FROM THE FILES READ BACK (declared
+    * schema — inference over 100 TB of JSON is a full extra scan),
+    * so the oracle gate certifies what is ON DISK matches the packing
+    * definition, not merely that the plan intended it. Per shard:
+    * doc/token counts plus sum/min/max of doc_id — enough to detect
+    * a lost, duplicated, or misrouted document from the manifest
+    * alone. At scale the export is one wide write through the normal
+    * committer (per-partition atomicity, task-retry-safe); the
+    * manifest read is partition-pruned per shard claim. */
+  def shardExport(spark: SparkSession, dir: String,
+                  budget: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = spark.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + "/graft_shards"
+    shardPacking(spark, dir, budget)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).format("json")
+      .partitionBy("source", "shard_id").save(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_tokens", LongType),
+      StructField("cum_tokens", LongType), StructField("text", StringType)))
+    spark.read.schema(schema).format("json").load(path)
+      .groupBy(col("source"), col("shard_id").cast("bigint").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("shard_tokens"),
+        sum(col("doc_id")).cast("bigint").as("sum_ids"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   /** Unigram log-probability scoring — the cheap stand-in for an
     * n-gram LM perplexity filter: score(doc) = mean over tokens of
     * ln(count(word) / corpus_tokens). Templated/boilerplate text
