@@ -299,6 +299,9 @@ object SparkEntry {
     // directories, manifest aggregated from the files READ BACK —
     // the gate certifies what is on disk
     "q128_shard_export"    -> ((s, d) => TextOps.shardExport(s, d)),
+    // per-source winsorization: p05/p95 band clip + outlier flags,
+    // the q115 two-pass shape with integer-exact clipped values
+    "q129_winsorize"       -> ((s, d) => CurationOps.winsorize(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1052,6 +1055,21 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens,
         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+    // q129: the same two-pass band (quantile_cont = Spark percentile),
+    // floor'd to integers so the clip is exact cross-engine
+    "q129_winsorize" ->
+      """WITH sized AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |bands AS (
+        |  SELECT source,
+        |    CAST(floor(quantile_cont(n_chars, 0.05)) AS BIGINT) AS p_lo,
+        |    CAST(floor(quantile_cont(n_chars, 0.95)) AS BIGINT) AS p_hi
+        |  FROM sized GROUP BY source)
+        |SELECT s.doc_id, s.source, s.n_chars,
+        | greatest(b.p_lo, least(b.p_hi, s.n_chars)) AS n_chars_clipped,
+        | s.n_chars < b.p_lo OR s.n_chars > b.p_hi AS is_outlier
+        |FROM sized s JOIN bands b ON s.source = b.source""".stripMargin,
     // q128: q83's packing CTEs aggregated per shard — the manifest
     // the export's read-back must reproduce from disk
     "q128_shard_export" ->

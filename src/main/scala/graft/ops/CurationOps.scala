@@ -390,6 +390,32 @@ object CurationOps {
       .select(col("doc_id"), col("source"), col("thresh"))
   }
 
+  /** Per-source winsorization of document length (clip at the p05/p95
+    * band) with outlier flags — the robust-stats step before
+    * length-sensitive training decisions: a handful of giant
+    * concatenation artifacts otherwise dominate per-source token
+    * budgets and length-normalized scores.
+    *
+    * Same two-pass shape as [[percentileGate]] (and the same reason:
+    * a percent_rank window would sort every source's corpus slice):
+    * pass 1 aggregates each source's exact interpolated p05/p95 of
+    * n_chars, pass 2 broadcast-joins the band back and clips with
+    * least/greatest — a codegen'd narrow map. Clipped values stay
+    * BIGINT: the band edges are interpolated doubles, floor'd on both
+    * engines so the clip is integer-exact cross-engine. */
+  def winsorize(spark: SparkSession, dir: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val sized = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), length(col("text")).cast("bigint").as("n_chars"))
+    val bands = sized.groupBy(col("source")).agg(
+      floor(expr(s"percentile(n_chars, ${lo}D)")).cast("bigint").as("p_lo"),
+      floor(expr(s"percentile(n_chars, ${hi}D)")).cast("bigint").as("p_hi"))
+    sized.join(broadcast(bands), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        greatest(col("p_lo"), least(col("p_hi"), col("n_chars"))).as("n_chars_clipped"),
+        (col("n_chars") < col("p_lo") || col("n_chars") > col("p_hi")).as("is_outlier"))
+  }
+
   /** Quality-weighted sampling WITHOUT replacement via deterministic
     * sort keys (Efraimidis & Spirakis 2006, A-Res): each document
     * draws u ∈ (0,1) from an md5 hash of its id and competes with key

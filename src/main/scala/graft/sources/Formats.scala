@@ -151,8 +151,30 @@ object Formats {
     val kept = affectedPartitionScan(layout, changes, partCol)
       .join(changes.select(col(key)), Seq(key), "left_anti")
     val merged = kept.unionByName(
-      changes.filter(col("op") === "upsert").drop("op"))
-    overwritePartitions(merged.localCheckpoint(), root, Seq(partCol), format)
+      changes.filter(col("op") === "upsert").drop("op")).localCheckpoint()
+    overwritePartitions(merged, root, Seq(partCol), format)
+    // EMPTIED partitions: dynamic overwrite only replaces directories
+    // the merged frame writes rows INTO — a partition whose every row
+    // the batch deletes (and re-fills with nothing) contributes no
+    // rows, so its directory would survive untouched and the deletes
+    // would silently not apply. Remove those directories explicitly.
+    // The two collects are partition-VALUE lists (KBs — the same
+    // plan-time-bounded class as the IVF codebook probe), never rows;
+    // each directory delete is an independent FS operation with the
+    // same per-partition atomicity as the committer's own replacement.
+    val affected = changes.select(col(partCol)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    val written = merged.select(col(partCol)).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    val emptied = affected -- written
+    if (emptied.nonEmpty) {
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        val dir = new org.apache.hadoop.fs.Path(rootPath, s"$partCol=$v")
+        if (fs.exists(dir)) fs.delete(dir, true)
+      }
+    }
   }
 
   /** Persist as a bucketed + sorted catalog table: both sides of a

@@ -164,6 +164,27 @@ class AsofFormatsSpec extends AnyFunSuite {
       docs.filter($"source" === sibling).count(), "sibling row count changed")
   }
 
+  test("partition-scoped merge: a batch deleting a whole partition removes its directory") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-mrgdel").toString + "/docs"
+    Formats.writePartitioned(docs, base, Seq("source"))
+    val sources = docs.select($"source").distinct().collect().map(_.getString(0)).sorted
+    val target = sources.head
+    val sibling = sources.last
+    // delete EVERY row of the target partition — the merged frame then
+    // contains no rows for it, so dynamic overwrite alone would leave
+    // the old directory (and all its rows) silently in place
+    val changes = docs.filter($"source" === target).withColumn("op", lit("delete"))
+    Formats.mergeIntoPartitioned(spark, base, changes, "doc_id", "source")
+    assert(!new java.io.File(s"$base/source=$target").exists(),
+      "fully-deleted partition's directory survived the merge")
+    val after = spark.read.parquet(base)
+    assert(after.filter(col("source") === target).count() == 0, "deleted rows still readable")
+    assert(after.filter(col("source") === sibling).count() ==
+      docs.filter($"source" === sibling).count(), "sibling row count changed")
+  }
+
   test("partition compaction collapses one partition to a single file, siblings untouched") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)

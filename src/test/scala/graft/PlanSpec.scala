@@ -249,6 +249,23 @@ class PlanSpec extends AnyFunSuite {
       s"control: unpartitioned scan cannot partition-prune:\n$flat")
   }
 
+  test("two-pass threshold ops: the per-group threshold side broadcasts, the corpus never joins shuffled") {
+    // percentileGate / winsorize / invertedIndex all follow the same
+    // shape: a group-count-sized pass-1 aggregate joined back onto the
+    // corpus. The join must be a broadcast hash join — losing the hint
+    // (or growing the build side past the threshold) silently turns
+    // pass 2 into a corpus-wide shuffle at 100 TB, which is the exact
+    // sort this shape exists to avoid.
+    for ((name, df) <- Seq(
+      "percentileGate" -> CurationOps.percentileGate(spark, sf),
+      "winsorize" -> CurationOps.winsorize(spark, sf),
+      "invertedIndex" -> TextOps.invertedIndex(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name: threshold join is not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name: a shuffled join appeared:\n$p")
+    }
+  }
+
   test("merge: the affected-partition scan is dynamically pruned, no driver collect") {
     import org.apache.spark.sql.functions.col
     val path = spark.conf.get("spark.sql.warehouse.dir")
