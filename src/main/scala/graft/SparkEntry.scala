@@ -302,6 +302,12 @@ object SparkEntry {
     // per-source winsorization: p05/p95 band clip + outlier flags,
     // the q115 two-pass shape with integer-exact clipped values
     "q129_winsorize"       -> ((s, d) => CurationOps.winsorize(s, d)),
+    // BM25 top-k retrieval: tf pruned to query terms at the scan,
+    // df/avgdl/N broadcast, partial top-k — the retrieval flagship
+    "q130_bm25_topk"       -> ((s, d) => TextOps.bm25TopK(s, d)),
+    // positional phrase search: two postings lists self-joined on
+    // (doc, pos+1) — an index probe, not a corpus pass
+    "q131_phrase_search"   -> ((s, d) => TextOps.phraseSearch(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1055,6 +1061,47 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens,
         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+    // q131: the same adjacency join over the two postings; DuckDB's
+    // word stream re-derives 0-based positions via the unnest ordinal
+    "q131_phrase_search" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word,
+        |    generate_subscripts(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |wz AS (SELECT doc_id, word, pos FROM words WHERE word <> '')
+        |SELECT a.doc_id, count(*) AS n_occurrences
+        |FROM (SELECT doc_id, pos FROM wz WHERE word = 'table') a
+        |JOIN (SELECT doc_id, pos - 1 AS pos FROM wz WHERE word = 'hash') b
+        |  ON a.doc_id = b.doc_id AND a.pos = b.pos
+        |GROUP BY a.doc_id""".stripMargin,
+    // q130: same formula with IDENTICAL parenthesization and literal
+    // arithmetic ((1.2 + 1), not 2.2 — the engines must round the
+    // same IEEE operations, not just the same math)
+    "q130_bm25_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |wz AS (SELECT doc_id, word FROM words WHERE word <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM wz GROUP BY 1),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM wz
+        |       WHERE word IN ('data', 'analysis', 'model') GROUP BY 1, 2),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    sum(ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |        (t.tf * (1.2 + 1) /
+        |         (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / ad.avgdl)))) AS score_raw
+        |  FROM tf t JOIN df d USING (word) JOIN dl l ON t.doc_id = l.doc_id, n, ad
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, round(score_raw, 6) AS bm25
+        |FROM scored ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin,
     // q129: the same two-pass band (quantile_cont = Spark percentile),
     // floor'd to integers so the clip is exact cross-engine
     "q129_winsorize" ->

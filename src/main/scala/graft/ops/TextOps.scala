@@ -265,6 +265,67 @@ object TextOps {
         col("postings"))
   }
 
+  /** BM25 top-k retrieval (Robertson & Spärck Jones / Okapi BM25,
+    * k1/b defaults): score a fixed query term set against the corpus,
+    * fully relationally — the retrieval flagship the inverted-index
+    * machinery exists to serve.
+    *
+    * Plan shape: document lengths are a corpus-wide partial aggregate;
+    * per-(doc, term) tf touches ONLY rows matching the query's IN-list
+    * (pushed to the scan); df/avgdl/N are query-term-sized or one-row
+    * aggregates broadcast back (the unigramLogProb pattern — never a
+    * global window); the final top-k is TakeOrderedAndProject. At
+    * 100 TB the tf branch is the only corpus-scale work and it is
+    * filter-pruned to query terms before any shuffle. The summed
+    * score rounds to 6 (cross-engine sum-order ulps); ranking uses
+    * the unrounded score with doc_id tie-break. */
+  def bm25TopK(spark: SparkSession, dir: String,
+               query: Seq[String] = Seq("data", "analysis", "model"),
+               k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = wordRows(spark, dir)
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = words.filter(col("word").isin(query: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("n_docs"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .groupBy(col("doc_id")).agg(sum(idf * norm).as("score_raw"))
+    scored.orderBy(col("score_raw").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), roundAt(col("score_raw"), 6).as("bm25"))
+  }
+
+  /** Positional phrase search: exact-adjacency occurrences of a fixed
+    * two-word phrase, counted per document — the positional-index
+    * complement of [[bm25TopK]]'s bag-of-words scoring (a real
+    * retrieval stack needs both: BM25 ranks, phrase match filters).
+    *
+    * Plan shape: the word-position stream is filtered to the phrase's
+    * two terms AT THE SCAN (IN-list pushdown), then a self-join on
+    * (doc_id, pos + 1 = pos) finds adjacencies — the join inputs are
+    * term-frequency-sized, not corpus-sized, so at 100 TB the
+    * adjacency join touches exactly the postings of two words. The
+    * same window-lead trick bigramCounts uses would also work but
+    * scans every bigram; the filtered self-join reads only the two
+    * postings lists — the difference between a corpus pass and an
+    * index probe. */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   w0: String = "table", w1: String = "hash"): DataFrame = {
+    val words = wordRows(spark, dir)
+    val a = words.filter(col("word") === w0)
+      .select(col("doc_id"), col("pos").as("pos_a"))
+    val b = words.filter(col("word") === w1)
+      .select(col("doc_id"), (col("pos") - 1).as("pos_a"))
+    a.join(b, Seq("doc_id", "pos_a"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Token-budget shard packing: assign documents to training shards
     * so each shard holds ~`budget` whitespace tokens, packing in
     * doc_id order WITHIN each source stream. shard_id =
