@@ -308,6 +308,9 @@ object SparkEntry {
     // positional phrase search: two postings lists self-joined on
     // (doc, pos+1) — an index probe, not a corpus pass
     "q131_phrase_search"   -> ((s, d) => TextOps.phraseSearch(s, d)),
+    // per-source top-3 by quality via the bounded-buffer Aggregator:
+    // O(groups x k) state instead of the window's per-group sort
+    "q132_grouped_topk"    -> ((s, d) => TextOps.groupedTopK(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1061,6 +1064,30 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens,
         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+    // q132: the window form IS the oracle — row_number <= 3 with the
+    // same total order, formatted with identical integer micro-units
+    "q132_grouped_topk" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, source,
+        |    ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS quality
+        |  FROM (SELECT doc_id, source,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        |   FROM documents) t),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CAST(round(quality * 1000000) AS BIGINT) AS qm,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY quality DESC, doc_id) AS rn
+        |  FROM scored)
+        |SELECT source,
+        | string_agg(doc_id || ':' || qm, ',' ORDER BY rn) AS top_docs
+        |FROM r WHERE rn <= 3 GROUP BY source""".stripMargin,
     // q131: the same adjacency join over the two postings; DuckDB's
     // word stream re-derives 0-based positions via the unnest ordinal
     "q131_phrase_search" ->

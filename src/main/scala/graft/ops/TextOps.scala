@@ -300,6 +300,24 @@ object TextOps {
       .select(col("doc_id"), roundAt(col("score_raw"), 6).as("bm25"))
   }
 
+  /** Per-source top-k documents by quality through the
+    * [[graft.functions.TopKDocs]] bounded-buffer Aggregator — the
+    * whole point is the PLAN: one ordinary aggregation whose partial
+    * states are k-sized, versus the `row_number` window that sorts
+    * every source's full corpus slice to keep k rows of it. Output is
+    * the formatted "id:quality-micro-units" ranking string (integer
+    * micro-units — cross-engine double FORMATTING differs even when
+    * the doubles are identical). */
+  def groupedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(graft.functions.TopKDocs(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), qualityCol.as("quality"))
+      .groupBy(col("source"))
+      .agg(topk(col("doc_id"), col("quality")).as("top_docs"))
+  }
+
   /** Positional phrase search: exact-adjacency occurrences of a fixed
     * two-word phrase, counted per document — the positional-index
     * complement of [[bm25TopK]]'s bag-of-words scoring (a real

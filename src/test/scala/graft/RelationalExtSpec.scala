@@ -303,6 +303,31 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKDocs is split/merge-order invariant, bounded, and equals the sorted truth") {
+    // the same mergeable-summaries contract as Misra-Gries, for the
+    // bounded top-k buffer: any chunking of the input and any merge
+    // order must yield exactly the globally-sorted top k, and no
+    // intermediate buffer may ever exceed k entries
+    val tk = graft.functions.TopKDocs(5)
+    val rnd0 = new scala.util.Random(7)
+    // duplicate qualities on purpose — the doc_id tie-break must decide
+    val input: Seq[(Long, Double)] =
+      (1L to 500L).map(id => id -> (rnd0.nextInt(50) / 100.0))
+    val truth = input.map { case (id, q) => (q, id) }
+      .sorted(Ordering.by[(Double, Long), (Double, Long)] { case (q, id) => (-q, id) })
+      .take(5)
+      .map { case (q, id) => s"$id:${math.round(q * 1e6)}" }.mkString(",")
+    Seq(11, 23, 42).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val chunks = rnd.shuffle(input).grouped(37 + rnd.nextInt(80)).toSeq
+      val bufs = rnd.shuffle(chunks.map(c => c.foldLeft(tk.zero)(tk.reduce)))
+      bufs.foreach(b => assert(b.size <= 5, "buffer exceeded k"))
+      val merged = bufs.reduce(tk.merge)
+      assert(merged.size <= 5, "merged buffer exceeded k")
+      assert(tk.finish(merged) == truth, s"seed $seed: merged top-k != sorted truth")
+    }
+  }
+
   test("label centroids have one row per (label, dim) and count = label size") {
     val e = Tables.embeddings(spark, sf)
     val labelSizes = e.groupBy(col("label")).count().collect()
