@@ -185,6 +185,45 @@ class AsofFormatsSpec extends AnyFunSuite {
       docs.filter($"source" === sibling).count(), "sibling row count changed")
   }
 
+  test("partition-scoped merge equals a full rewrite for random change batches") {
+    import org.apache.spark.sql.functions.col
+    // property: for ANY keyed change batch, the incremental merge must
+    // be indistinguishable from the naive full-corpus rewrite — the
+    // reference implementation computed relationally, no layout at all
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars").cache()
+    Seq(13, 29).foreach { seed =>
+      val base = java.nio.file.Files.createTempDirectory(s"graft-prop$seed").toString + "/docs"
+      Formats.writePartitioned(docs, base, Seq("source"))
+      // deterministic pseudo-random op assignment from the seed:
+      // ~1/6 delete, ~1/6 edit, ~1/6 insert (re-keyed, mixed targets
+      // including a fresh partition), rest untouched
+      val h = pmod(xxhash64($"doc_id" + seed), lit(6))
+      val dels = docs.filter(h === 0).withColumn("op", lit("delete"))
+      val edits = docs.filter(h === 1)
+        .withColumn("text", concat($"text", lit(s" prop$seed")))
+        .withColumn("op", lit("upsert"))
+      val ins = docs.filter(h === 2)
+        .withColumn("doc_id", $"doc_id" + 5000000L)
+        .withColumn("source",
+          when(pmod($"doc_id", lit(2)) === 0, lit("src_prop")).otherwise($"source"))
+        .withColumn("op", lit("upsert"))
+      val changes = dels.unionByName(edits).unionByName(ins)
+      Formats.mergeIntoPartitioned(spark, base, changes, "doc_id", "source")
+      // reference: survivors + edits + inserts, computed without any
+      // layout machinery
+      val expected = docs.filter(h =!= 0 && h =!= 1)
+        .unionByName(edits.drop("op")).unionByName(ins.drop("op"))
+      val got = spark.read.parquet(base)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      assert(got.count() == expected.count(), s"seed $seed: row count")
+      assert(got.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(got).count() == 0,
+        s"seed $seed: merged layout differs from the full-rewrite reference")
+    }
+    docs.unpersist()
+  }
+
   test("partition compaction collapses one partition to a single file, siblings untouched") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)

@@ -264,6 +264,20 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("BroadcastHashJoin"), s"$name: threshold join is not broadcast:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$name: a shuffled join appeared:\n$p")
     }
+    // negative control: the SAME two-pass shape without the hint and
+    // with auto-broadcast off plans a shuffled join — proving the
+    // assertions above can fail when the hint is lost
+    import org.apache.spark.sql.functions.{col, expr}
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val scored = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      val th = scored.groupBy(col("source")).agg(expr("count(1)").as("n"))
+      val p = plan(scored.join(th, Seq("source")))
+      assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"control: hintless join under disabled auto-broadcast should shuffle:\n$p")
+    } finally spark.conf.set(key, prior)
   }
 
   test("merge: the affected-partition scan is dynamically pruned, no driver collect") {
