@@ -311,6 +311,9 @@ object SparkEntry {
     // per-source top-3 by quality via the bounded-buffer Aggregator:
     // O(groups x k) state instead of the window's per-group sort
     "q132_grouped_topk"    -> ((s, d) => TextOps.groupedTopK(s, d)),
+    // first-order Markov transition counts over per-user event
+    // sequences (event_id tie-break makes lead deterministic)
+    "q133_event_transitions" -> ((s, d) => RelationalExt.eventTransitions(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1064,6 +1067,16 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens,
         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+    // q133: identical window + tie-break
+    "q133_event_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // q132: the window form IS the oracle — row_number <= 3 with the
     // same total order, formatted with identical integer micro-units
     "q132_grouped_topk" ->

@@ -581,6 +581,29 @@ object RelationalExt {
     * costs the new day's scan plus a state-sized merge. Averages are
     * DERIVED from the merged pair at read time; storing avg itself
     * would make the state non-mergeable (the mean of means bug). */
+  /** Event-transition matrix (the first-order Markov summary of user
+    * journeys): per-user event streams ordered by time, adjacent
+    * pairs counted per (from, to) type — the sequence-analytics
+    * complement of [[funnel]]'s fixed-path counting (the funnel asks
+    * "who completed THIS path", the matrix asks "what paths exist").
+    *
+    * The window order carries event_id as tie-break: same-timestamp
+    * events otherwise make `lead` nondeterministic — and cross-engine
+    * compare impossible. Scale: ONE shuffle on user_id, per-user sort
+    * bounded by a user's history (never the corpus), then a
+    * type-pair-sized aggregation — the per-user sort is inherent to
+    * sequence semantics, not an implementation choice. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** The mergeable partial-aggregate pair per (event_type, day) —
     * the state [[incrementalRollup]] persists and the unit every
     * refresh (batch or per-micro-batch via foreachBatch) re-derives
