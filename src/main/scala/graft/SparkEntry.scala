@@ -314,6 +314,9 @@ object SparkEntry {
     // first-order Markov transition counts over per-user event
     // sequences (event_id tie-break makes lead deterministic)
     "q133_event_transitions" -> ((s, d) => RelationalExt.eventTransitions(s, d)),
+    // windowed co-occurrence PMI: pair stream O(words x window), pair
+    // total from doc lengths, vocab-sized broadcasts, partial top-k
+    "q134_pmi_pairs"       -> ((s, d) => TextOps.pmiPairs(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1067,6 +1070,40 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens,
         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+    // q134: two lead-window subqueries UNION ALL = the same pair
+    // multiset as the engine's one-pass explode; PMI parenthesization
+    // mirrored operation-for-operation
+    "q134_pmi_pairs" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word,
+        |    generate_subscripts(regexp_split_to_array(
+        |      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |wz AS (SELECT doc_id, word, pos FROM words WHERE word <> ''),
+        |pair_raw AS (
+        |  SELECT least(word, w1) AS a, greatest(word, w1) AS b
+        |  FROM (SELECT word, lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        |        FROM wz) t WHERE w1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(word, w2), greatest(word, w2)
+        |  FROM (SELECT word, lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |        FROM wz) t WHERE w2 IS NOT NULL),
+        |pc AS (SELECT a, b, count(*) AS pair_n FROM pair_raw
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |wc AS (SELECT word, count(*) AS n FROM wz GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nw FROM wz),
+        |np AS (SELECT CAST(sum(greatest(L - 1, 0) + greatest(L - 2, 0)) AS DOUBLE) AS np
+        |       FROM (SELECT count(*) AS L FROM wz GROUP BY doc_id) l),
+        |scored AS (
+        |  SELECT pc.a, pc.b, pc.pair_n,
+        |    ln((CAST(pc.pair_n AS DOUBLE) / np.np) /
+        |       ((ca.n / tot.nw) * (cb.n / tot.nw))) AS pmi_raw
+        |  FROM pc JOIN wc ca ON pc.a = ca.word
+        |  JOIN wc cb ON pc.b = cb.word, tot, np)
+        |SELECT a, b, pair_n, round(pmi_raw, 6) AS pmi
+        |FROM scored ORDER BY pmi_raw DESC, a, b LIMIT 50""".stripMargin,
     // q133: identical window + tie-break
     "q133_event_transitions" ->
       """WITH s AS (

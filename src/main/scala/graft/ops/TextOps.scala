@@ -300,6 +300,56 @@ object TextOps {
       .select(col("doc_id"), roundAt(col("score_raw"), 6).as("bm25"))
   }
 
+  /** Windowed co-occurrence PMI (pointwise mutual information) over
+    * word pairs within distance ≤ 2 — the word2vec-era corpus
+    * statistic that surfaces collocations: PMI =
+    * ln(p(a,b) / (p(a)·p(b))), pairs canonicalized (least, greatest)
+    * so co-occurrence is undirected.
+    *
+    * Scale shape: ONE window pass computes both lead distances (the
+    * pair stream is O(words × window), never quadratic-per-doc), the
+    * pair total comes from doc LENGTHS ((L−1)+(L−2) per doc — a
+    * narrow aggregate) rather than a second pass over the pair
+    * stream, and the unigram counts are a vocabulary-sized broadcast
+    * joined twice. All PMI inputs are exact integer counts, so the
+    * float pipeline is the same IEEE expression on both engines
+    * (parenthesization mirrored in the oracle); ranked top-k with
+    * (pmi desc, pair) tie-break plans as TakeOrderedAndProject. */
+  def pmiPairs(spark: SparkSession, dir: String,
+               minCount: Long = 5, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val words = wordRows(spark, dir)
+    val base = words
+      .withColumn("w1", lead(col("word"), 1).over(w))
+      .withColumn("w2", lead(col("word"), 2).over(w))
+    val pairRaw = base.select(explode(array(
+        when(col("w1").isNotNull,
+          struct(least(col("word"), col("w1")).as("a"),
+            greatest(col("word"), col("w1")).as("b"))),
+        when(col("w2").isNotNull,
+          struct(least(col("word"), col("w2")).as("a"),
+            greatest(col("word"), col("w2")).as("b"))))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pc = pairRaw.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minCount)
+    val wc = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val nw = words.agg(count(lit(1)).cast("double").as("nw"))
+    val np = words.groupBy(col("doc_id")).agg(count(lit(1)).as("L"))
+      .agg(sum(greatest(col("L") - 1, lit(0L)) +
+        greatest(col("L") - 2, lit(0L))).cast("double").as("np"))
+    val pmiRaw = log((col("pair_n").cast("double") / col("np")) /
+      ((col("na") / col("nw")) * (col("nb") / col("nw"))))
+    pc.join(broadcast(wc.select(col("word").as("a"), col("n").as("na"))), "a")
+      .join(broadcast(wc.select(col("word").as("b"), col("n").as("nb"))), "b")
+      .crossJoin(broadcast(nw)).crossJoin(broadcast(np))
+      .withColumn("pmi_raw", pmiRaw)
+      .orderBy(col("pmi_raw").desc, col("a"), col("b")).limit(k)
+      .select(col("a"), col("b"), col("pair_n"), roundAt(col("pmi_raw"), 6).as("pmi"))
+  }
+
   /** Per-source top-k documents by quality through the
     * [[graft.functions.TopKDocs]] bounded-buffer Aggregator — the
     * whole point is the PLAN: one ordinary aggregation whose partial
