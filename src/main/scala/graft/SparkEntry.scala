@@ -317,6 +317,9 @@ object SparkEntry {
     // windowed co-occurrence PMI: pair stream O(words x window), pair
     // total from doc lengths, vocab-sized broadcasts, partial top-k
     "q134_pmi_pairs"       -> ((s, d) => TextOps.pmiPairs(s, d)),
+    // contrastive pair mining: verified near-dup positives + bucketed
+    // deterministic negatives (no global window), anti-joined clean
+    "q135_contrastive_pairs" -> ((s, d) => DedupOps.contrastivePairs(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1070,6 +1073,47 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens,
         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+    // q135: q25's pair CTEs for positives; negatives re-derive the
+    // same bucketed odd-row/lead pairing
+    "q135_contrastive_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.5),
+        |hk AS (
+        |  SELECT doc_id,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt,
+        |    md5(CAST(doc_id AS VARCHAR)) AS mk
+        |  FROM documents),
+        |rnk AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY bkt ORDER BY mk) AS rn,
+        |    lead(doc_id) OVER (PARTITION BY bkt ORDER BY mk) AS partner
+        |  FROM hk),
+        |neg AS (
+        |  SELECT least(doc_id, partner) AS doc_a,
+        |    greatest(doc_id, partner) AS doc_b
+        |  FROM rnk WHERE rn % 2 = 1 AND partner IS NOT NULL),
+        |negc AS (
+        |  SELECT n.doc_a, n.doc_b FROM neg n
+        |  LEFT JOIN p ON n.doc_a = p.doc_a AND n.doc_b = p.doc_b
+        |  WHERE p.doc_a IS NULL)
+        |SELECT doc_a, doc_b, 1 AS label FROM p
+        |UNION ALL SELECT doc_a, doc_b, 0 FROM negc""".stripMargin,
     // q134: two lead-window subqueries UNION ALL = the same pair
     // multiset as the engine's one-pass explode; PMI parenthesization
     // mirrored operation-for-operation

@@ -227,6 +227,40 @@ object DedupOps {
         max(col("quality")).as("survivor_quality"))
   }
 
+  /** Contrastive training-pair mining: positives are the VERIFIED
+    * near-dup pairs ([[nearDupNgram]] — real paraphrase-grade
+    * overlap), negatives are deterministic hash-bucketed random
+    * pairings with any accidental positive removed — the labeled
+    * pair set a contrastive embedding model trains on.
+    *
+    * Negative sampling is the scale-relevant part: pairing "random"
+    * docs via a GLOBAL ordering would funnel the corpus through one
+    * window partition. Instead docs bucket by an md5 prefix (256
+    * buckets), order by the full md5 WITHIN the bucket (unique → a
+    * total order), and odd rows pair with their lead — distributed,
+    * collision-free by construction (a doc appears in at most one
+    * negative pair), reproducible across engines and reruns, and the
+    * anti join evicts the rare random pair that happens to be a true
+    * near-dup (a mislabeled positive poisons the loss). */
+  def contrastivePairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = nearDupNgram(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val mk = md5(col("doc_id").cast("string"))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("mk"))
+    val neg = Tables.documents(spark, dir)
+      .select(col("doc_id"), substring(mk, 1, 2).as("bkt"), mk.as("mk"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("partner", lead(col("doc_id"), 1).over(w))
+      .filter(pmod(col("rn"), lit(2)) === 1 && col("partner").isNotNull)
+      .select(least(col("doc_id"), col("partner")).as("doc_a"),
+        greatest(col("doc_id"), col("partner")).as("doc_b"))
+      .join(pos, Seq("doc_a", "doc_b"), "left_anti")
+    pos.withColumn("label", lit(1))
+      .unionByName(neg.withColumn("label", lit(0)))
+  }
+
   /** PageRank over the near-dup pair graph (Brin & Page 1998,
     * unnormalized per-node form r' = (1−d) + d·Σ r(u)/deg(u)), a
     * fixed number of power iterations — ranking the "duplication
