@@ -320,6 +320,12 @@ object SparkEntry {
     // contrastive pair mining: verified near-dup positives + bucketed
     // deterministic negatives (no global window), anti-joined clean
     "q135_contrastive_pairs" -> ((s, d) => DedupOps.contrastivePairs(s, d)),
+    // hard negatives: bucket-colliding pairs that FAIL verification —
+    // the near misses a contrastive boundary actually learns from
+    "q136_hard_negatives"  -> ((s, d) => DedupOps.hardNegatives(s, d)),
+    // split-leakage audit: near-dup pairs crossing a hash split —
+    // each row is an eval-inflating leak
+    "q137_split_leakage"   -> ((s, d) => CurationOps.splitLeakage(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1073,6 +1079,56 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, cum_tokens,
         | CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 4096) AS BIGINT) AS shard_id
         |FROM c""".stripMargin,
+    // q136: q25's candidate CTEs with the verify filter inverted
+    "q136_hard_negatives" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM cand
+        |WHERE jaccard > 0 AND jaccard < 0.5""".stripMargin,
+    // q137: q25's verified pairs + the md5 split, cross-boundary only
+    "q137_split_leakage" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |p AS (SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= 0.5),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |              IN ('0', '1', '2') THEN 'test' ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b, p.jaccard
+        |FROM p JOIN sp sa ON p.doc_a = sa.doc_id
+        |JOIN sp sb ON p.doc_b = sb.doc_id
+        |WHERE sa.split <> sb.split""".stripMargin,
     // q135: q25's pair CTEs for positives; negatives re-derive the
     // same bucketed odd-row/lead pairing
     "q135_contrastive_pairs" ->

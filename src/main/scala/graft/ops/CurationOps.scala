@@ -390,6 +390,31 @@ object CurationOps {
       .select(col("doc_id"), col("source"), col("thresh"))
   }
 
+  /** Train/test split-leakage audit: assign every document to a split
+    * by md5 hash (deterministic, engine-independent — the q57
+    * convention), then report every verified near-dup pair that
+    * CROSSES the split boundary. Each row is a leak: a test document
+    * whose near-duplicate sits in training data inflates eval scores
+    * without the model generalizing — the split-hygiene gate run
+    * before any benchmark number is trusted.
+    *
+    * Scale: the pair generation is the standard blocked candidate
+    * machinery (never all-pairs); the split assignment is a narrow
+    * hash map joined onto the pair list twice (doc-keyed broadcast-
+    * able at audit scale, shuffle join at corpus scale — either way
+    * pair-list-sized, not corpus-sized). */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val split = Tables.documents(spark, dir).select(col("doc_id"),
+      when(substring(md5(concat(lit("split_"), col("doc_id").cast("string"))), 1, 1)
+        .isin("0", "1", "2"), lit("test")).otherwise(lit("train")).as("split"))
+    DedupOps.nearDupNgram(spark, dir, threshold)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("split_a"), col("doc_b"), col("split_b"), col("jaccard"))
+  }
+
   /** Per-source winsorization of document length (clip at the p05/p95
     * band) with outlier flags — the robust-stats step before
     * length-sensitive training decisions: a handful of giant

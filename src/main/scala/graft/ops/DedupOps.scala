@@ -261,6 +261,38 @@ object DedupOps {
       .unionByName(neg.withColumn("label", lit(0)))
   }
 
+  /** Hard-negative mining: candidate pairs that shared a blocking
+    * bucket but FAILED exact-Jaccard verification — documents similar
+    * enough to collide in the LSH index yet verifiably below the
+    * near-dup threshold. These "near misses" are the negatives that
+    * actually teach a contrastive model its decision boundary
+    * ([[contrastivePairs]]' random negatives are trivially far apart;
+    * hard negatives are why candidate-generation blocking exists at
+    * training time, not just dedup time).
+    *
+    * Same candidate machinery as [[nearDupNgram]] — the blocking key
+    * is min-md5 so the oracle re-derives the exact candidate set —
+    * with the verify filter INVERTED (and the size-ratio prefilter
+    * necessarily skipped: it only proves a pair CANNOT pass, which is
+    * exactly the population this keeps). Zero-overlap collisions are
+    * excluded (jaccard > 0): a bucket collision with nothing shared
+    * teaches nothing. */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    threshold: Double = 0.5): DataFrame = {
+    val tok = shingleRows(spark, dir)
+    val keyed = tok.groupBy(col("doc_id")).agg(
+      min(md5(col("s"))).as("minsh"), collect_set(xxhash64(col("s"))).as("sh"))
+    val buckets = keyed.groupBy(col("minsh"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+    val sa = size(col("x.sh"))
+    val sb = size(col("y.sh"))
+    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+    bucketPairs(buckets)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(inter.cast("double") / (sa + sb - inter), 4).as("jaccard"))
+      .filter(col("jaccard") > 0 && col("jaccard") < threshold)
+  }
+
   /** PageRank over the near-dup pair graph (Brin & Page 1998,
     * unnormalized per-node form r' = (1−d) + d·Σ r(u)/deg(u)), a
     * fixed number of power iterations — ranking the "duplication
