@@ -326,6 +326,12 @@ object SparkEntry {
     // split-leakage audit: near-dup pairs crossing a hash split —
     // each row is an eval-inflating leak
     "q137_split_leakage"   -> ((s, d) => CurationOps.splitLeakage(s, d)),
+    // stop-key bucket cap ENGAGED: near-dup with buckets > 3 members
+    // excluded wholesale — the O(bucket^2) guard, oracle-mirrored
+    "q138_neardup_capped"  -> ((s, d) => DedupOps.nearDupNgramCapped(s, d)),
+    // hard negatives bounded to the top-2 hardest per anchor doc —
+    // the per-doc output cap a 100 TB contrastive run needs
+    "q139_hard_neg_capped" -> ((s, d) => DedupOps.hardNegativesCapped(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1129,6 +1135,58 @@ object SparkEntry {
         |FROM p JOIN sp sa ON p.doc_a = sa.doc_id
         |JOIN sp sb ON p.doc_b = sb.doc_id
         |WHERE sa.split <> sb.split""".stripMargin,
+    // q138: q25's CTEs + the bucket-size cap — buckets with more than
+    // 3 members contribute NO pairs (min-md5 membership is fully
+    // deterministic, so the oracle re-derives the same exclusions)
+    "q138_neardup_capped" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |bsz AS (SELECT minsh, count(*) AS n FROM keyed GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id
+        |  JOIN bsz ON a.minsh = bsz.minsh AND bsz.n <= 3)
+        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+    // q139: q136's candidate CTEs + a per-anchor top-2 bound over
+    // (jaccard DESC, doc_b) — the rounded jaccard is the ordering
+    // value on both engines, so the rank is cross-engine-stable
+    "q139_hard_neg_capped" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |neg AS (
+        |  SELECT doc_a, doc_b, jaccard,
+        |    row_number() OVER (PARTITION BY doc_a
+        |                       ORDER BY jaccard DESC, doc_b) AS neg_rank
+        |  FROM cand WHERE jaccard > 0 AND jaccard < 0.5)
+        |SELECT doc_a, doc_b, jaccard, neg_rank FROM neg
+        |WHERE neg_rank <= 2""".stripMargin,
     // q135: q25's pair CTEs for positives; negatives re-derive the
     // same bucketed odd-row/lead pairing
     "q135_contrastive_pairs" ->

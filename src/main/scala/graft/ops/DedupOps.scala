@@ -136,36 +136,67 @@ object DedupOps {
   private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame = {
     val sa = size(col("x.sh"))
     val sb = size(col("y.sh"))
-    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
     pairs
       .filter(least(sa, sb).cast("double") >= greatest(sa, sb) * threshold)
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        round(inter.cast("double") / (sa + sb - inter), 4).as("jaccard"))
+        pairJaccard.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The n-gram family's shared candidate-generation build: per-doc
+    * (min-md5 shingle, xxhash64'd shingle set) bucketed on the
+    * blocking key. [[nearDupNgram]] (verify ≥ t), [[hardNegatives]]
+    * (verify inverted) and the capped variants all derive from THIS
+    * one build, so the positive and negative populations — and their
+    * DuckDB oracles — cannot silently diverge if the blocking or
+    * hashing ever changes.
+    *
+    * Explode-then-aggregate: md5/xxhash as codegen'd scalars per
+    * exploded shingle instead of an interpreted array lambda per doc
+    * (2x runtime there), min() as the blocking key with map-side
+    * partial aggregation. Verification carries 64-bit shingle hashes,
+    * not strings: set cardinalities (and hence Jaccard) are unchanged
+    * up to a ~2^-65-per-pair collision, while the bucket shuffle
+    * moves ~3x fewer bytes and pair verification compares longs.
+    * The blocking key stays min-md5 so the DuckDB oracle mirrors the
+    * exact same candidate set. */
+  private def ngramBuckets(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir)
+      .groupBy(col("doc_id")).agg(
+        min(md5(col("s"))).as("minsh"), collect_set(xxhash64(col("s"))).as("sh"))
+      .groupBy(col("minsh"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+
+  /** Exact Jaccard of a [[bucketPairs]] row — single array_intersect,
+    * |A∪B| = |A|+|B|−|A∩B| on the distinct sets. Shared by the verify
+    * keep-side ([[jaccardVerify]]) and the inverted hard-negative
+    * side so both compute the identical value. */
+  private def pairJaccard: Column = {
+    val sa = size(col("x.sh"))
+    val sb = size(col("y.sh"))
+    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+    round(inter.cast("double") / (sa + sb - inter), 4)
   }
 
   /** Near-dup pairs by word-3-gram Jaccard, blocked on the minimum
     * md5'd shingle (a 1-permutation MinHash): only docs sharing their
     * min-shingle are compared — the standard cheap prefilter that
     * keeps candidate generation linear-ish in corpus size. */
-  def nearDupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    // explode-then-aggregate: md5/xxhash as codegen'd scalars per
-    // exploded shingle instead of an interpreted array lambda per doc
-    // (2x runtime there), min() as the blocking key with map-side
-    // partial aggregation. Verification carries 64-bit shingle hashes,
-    // not strings: set cardinalities (and hence Jaccard) are unchanged
-    // up to a ~2^-65-per-pair collision, while the bucket shuffle
-    // moves ~3x fewer bytes and pair verification compares longs.
-    // The blocking key stays min-md5 so the DuckDB oracle mirrors the
-    // exact same candidate set.
-    val tok = shingleRows(spark, dir)
-    val keyed = tok.groupBy(col("doc_id")).agg(
-      min(md5(col("s"))).as("minsh"), collect_set(xxhash64(col("s"))).as("sh"))
-    val buckets = keyed.groupBy(col("minsh"))
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
-    jaccardVerify(bucketPairs(buckets), threshold)
-  }
+  def nearDupNgram(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    jaccardVerify(bucketPairs(ngramBuckets(spark, dir)), threshold)
+
+  /** [[nearDupNgram]] with the stop-key bucket cap ENGAGED — the
+    * production form for corpora where a boilerplate shingle becomes
+    * everyone's minimum (the LSH stopword): buckets larger than
+    * `maxBucket` are excluded wholesale before pair generation, so
+    * candidate count is hard-bounded by buckets × maxBucket² instead
+    * of the largest bucket squared. Output ⊆ [[nearDupNgram]]'s by
+    * construction (BucketCapSpec proves it; the q138 oracle mirrors
+    * the cap exactly — bucket membership is md5-deterministic). */
+  def nearDupNgramCapped(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5, maxBucket: Int = 3): DataFrame =
+    jaccardVerify(bucketPairs(ngramBuckets(spark, dir), Some(maxBucket)), threshold)
 
   /** Duplicate clusters: connected components over the near-dup pair
     * graph, labeled by the minimum doc_id in each component — the step
@@ -278,19 +309,30 @@ object DedupOps {
     * excluded (jaccard > 0): a bucket collision with nothing shared
     * teaches nothing. */
   def hardNegatives(spark: SparkSession, dir: String,
-                    threshold: Double = 0.5): DataFrame = {
-    val tok = shingleRows(spark, dir)
-    val keyed = tok.groupBy(col("doc_id")).agg(
-      min(md5(col("s"))).as("minsh"), collect_set(xxhash64(col("s"))).as("sh"))
-    val buckets = keyed.groupBy(col("minsh"))
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
-    val sa = size(col("x.sh"))
-    val sb = size(col("y.sh"))
-    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
-    bucketPairs(buckets)
+                    threshold: Double = 0.5): DataFrame =
+    bucketPairs(ngramBuckets(spark, dir))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        round(inter.cast("double") / (sa + sb - inter), 4).as("jaccard"))
+        pairJaccard.as("jaccard"))
       .filter(col("jaccard") > 0 && col("jaccard") < threshold)
+
+  /** [[hardNegatives]] with the per-document bound a 100 TB run
+    * needs: keep only the top-`m` HARDEST negatives per anchor doc
+    * (highest sub-threshold Jaccard, ties to the smaller partner id —
+    * a total order, since the rounded Jaccard is the value both
+    * engines emit). The uncapped form's output grows with the
+    * near-miss population — at scale that dwarfs the dup population —
+    * while standard contrastive practice trains on a few hardest
+    * negatives per anchor; this is that shape. The window partitions
+    * by doc_a (bounded state: one bucket's candidates per anchor),
+    * never a global sort. */
+  def hardNegativesCapped(spark: SparkSession, dir: String,
+                          threshold: Double = 0.5, m: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_a"))
+      .orderBy(col("jaccard").desc, col("doc_b"))
+    hardNegatives(spark, dir, threshold)
+      .withColumn("neg_rank", row_number().over(w).cast("bigint"))
+      .filter(col("neg_rank") <= m)
   }
 
   /** PageRank over the near-dup pair graph (Brin & Page 1998,
