@@ -459,10 +459,12 @@ object DedupOps {
     * Each star op is a per-node min AGGREGATION (hash aggregate with
     * map-side partial combine — a degree-d node contributes at most
     * one partial row per map partition to the shuffle, so no task
-    * ever holds a whole neighborhood) followed by a SALTED join
-    * ([[Skew.saltedJoin]]) attaching each node's min back to its edge
-    * rows — the salt spreads a web-scale hub's edge rows over
-    * `skewFactor` reducers instead of one. A windowed min was the
+    * ever holds a whole neighborhood) followed by a min-attach join —
+    * SALTED ([[Skew.saltedJoin]]) when the input's max degree reaches
+    * `saltThreshold`, plain otherwise (see the body comment for the
+    * trade) — attaching each node's min back to its edge rows; the
+    * salt spreads a web-scale hub's edge rows over `skewFactor`
+    * reducers instead of one. A windowed min was the
     * round body through round 11 and was REPLACED for exactly that
     * skew: window exec keeps every row of a partition key in one
     * task, so one giant-component center became one hot task the
@@ -506,14 +508,43 @@ object DedupOps {
     * deliberate trade: constant-factor overhead where skew cannot
     * hurt, bounded tasks where it can. */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50,
-                              skewFactor: Int = 8): DataFrame = {
-    val nodes = pairs.select(col("doc_a").as("id"))
-      .union(pairs.select(col("doc_b").as("id"))).distinct().localCheckpoint()
-    var edges = pairs
+                              skewFactor: Int = 8,
+                              saltThreshold: Int = 1024): DataFrame = {
+    // checkpoint the INPUT once: nodes and edges both derive from it,
+    // and without this the caller's pair plan (a whole near-dup
+    // candidate+verify run for dedupClustersStar) evaluates twice —
+    // measured ~1.1 s of q97's round-12 cost at sf0.1
+    val p = pairs.localCheckpoint()
+    val nodes = p.select(col("doc_a").as("id"))
+      .union(p.select(col("doc_b").as("id"))).distinct().localCheckpoint()
+    var edges = p
       .filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .distinct().localCheckpoint()
+    // Salting is paid ONLY when the input actually carries a hub: one
+    // cheap degree pass over the canonical edges (explode both
+    // endpoints, count, max — edge-sized shuffle, runs once) decides
+    // the round body for the whole run. Skew-free graphs — the common
+    // case for near-dup components — take plain min-attach joins and
+    // skip the salt's per-round replicate+explode overhead (~+50% at
+    // bench scale, measured round 12→13 on q97). Residual: stars
+    // concentrate degree at component minima as rounds progress, so a
+    // low-degree input with a giant component still grows a hub
+    // mid-run; the unsalted body stays MEMORY-safe there (hash/SMJ
+    // joins stream a hot key's probe rows; only the windowed body the
+    // salted form replaced had to hold a neighborhood in one task) at
+    // the price of late-round time imbalance bounded by the largest
+    // component. Deployments expecting giant components set
+    // saltThreshold=0 to force salting unconditionally.
+    val maxDeg = edges
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .agg(coalesce(max(col("deg")), lit(0L))).head().getLong(0)
+    val useSalt = maxDeg >= saltThreshold
+    def minAttach(l: DataFrame, mins: DataFrame): DataFrame =
+      if (useSalt) Skew.saltedJoin(l, mins, col("u"), col("nu"), skewFactor)
+      else l.join(mins, col("u") === col("nu"))
     def fingerprint(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
@@ -530,12 +561,11 @@ object DedupOps {
     while (!converged && rounds < maxRounds) {
       val sym = edges.union(
         edges.select(col("v").as("u"), col("u").as("v"))) // symmetric view
-      val large = Skew.saltedJoin(sym, neighborhoodMin(sym),
-          col("u"), col("nu"), skewFactor)
+      val large = minAttach(sym, neighborhoodMin(sym))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
       val minsS = neighborhoodMin(large)
-      val small = Skew.saltedJoin(large, minsS, col("u"), col("nu"), skewFactor)
+      val small = minAttach(large, minsS)
         .filter(col("v") =!= col("mn"))
         .select(col("v").as("u"), col("mn").as("v"))
         .union(minsS.select(col("nu").as("u"), col("mn").as("v")))

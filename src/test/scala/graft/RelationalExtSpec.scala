@@ -230,6 +230,13 @@ class RelationalExtSpec extends AnyFunSuite {
       val star = DedupOps.connectedComponentsStar(df)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(star == minLabel, s"trial $trial: star and min-label labelings diverge")
+      // saltThreshold=0 forces the salted round body on the same graph
+      // (these small random graphs take the plain body by default):
+      // both bodies must compute the identical labeling
+      val starSalted = DedupOps.connectedComponentsStar(df, saltThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(starSalted == minLabel,
+        s"trial $trial: salted and plain round bodies diverge")
     }
   }
 
