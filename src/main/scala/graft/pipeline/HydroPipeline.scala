@@ -156,11 +156,17 @@ object HydroPipeline {
       // noData=null) would hash identically — an invariant that
       // otherwise held only because toFeatures coalesces both to
       // 'undefined', which callers feeding their own features into
-      // mergeSitesState/sitePartials could silently violate. NUL
-      // cannot appear in either field's domain, so the sentinel
-      // collides with no real value.
-      xxhash64(col("geometry"), col("properties.record"),
-        col("properties.site"), col("properties.srs"),
+      // mergeSitesState/sitePartials could silently violate. The same
+      // treatment covers the metadata fields: every string input is
+      // coalesced to NUL and the (non-string) geometry struct carries
+      // an explicit null-indicator child, so the key is total over
+      // ANY caller-supplied features, not just toFeatures' coalesced
+      // output. NUL cannot appear in any field's domain, so the
+      // sentinel collides with no real value.
+      xxhash64(col("geometry"), col("geometry").isNull,
+        coalesce(col("properties.record"), lit("\u0000")),
+        coalesce(col("properties.site"), lit("\u0000")),
+        coalesce(col("properties.srs"), lit("\u0000")),
         coalesce(var0.getField("variableUnit"), lit("\u0000")),
         coalesce(var0.getField("noDataValue"), lit("\u0000")))
         .cast("string"))
@@ -260,9 +266,12 @@ object HydroPipeline {
     * STATE KEY FORMAT: persisted state stores `ord_key` strings, and
     * the key format is part of the state contract — a persisted key
     * is only comparable against keys produced by the SAME format.
-    * The format has changed twice (round 11 added var0's unit/
+    * The format has changed three times (round 11 added var0's unit/
     * noDataValue to the xxhash64 tail; round 12 null-coalesced those
-    * two hash inputs), so state directories written by an older build
+    * two hash inputs; round 13 null-coalesced the four metadata hash
+    * inputs and added geometry's null indicator — making the key
+    * total for callers that bypass toFeatures' coalescing), so state
+    * directories written by an older build
     * mix old- and new-format keys on re-reduce: winner selection
     * stays deterministic (any total order on strings is), but the
     * "equals the one-shot aggregation over all features" invariant

@@ -19,6 +19,16 @@ case class ObsE(value: String, dateTime: String)
 case class ValuesE(value: Seq[ObsE])
 case class TsE(name: String, sourceInfo: SourceInfoE, variable: VariableE, values: Seq[ValuesE])
 
+// pre-projected Feature shapes for feeding mergeSites DIRECTLY,
+// bypassing toFeatures' null-coalescing — the caller contract the
+// ordKey's internal coalescing exists to protect
+case class VarAttrE(variableCode: String, variableUnit: String,
+                    noDataValue: String, value: String, timeStamp: String)
+case class PropsE(record: String, id: String, site: String, srs: String,
+                  siteCode: String, variables: Seq[VarAttrE])
+case class GeomE(`type`: String, coordinates: Seq[Double])
+case class FeatureE(`type`: String, geometry: GeomE, properties: PropsE)
+
 /** Property-based invariants for the hydro pipeline (SURVEY.md §5.3)
   * over scalacheck-generated WaterML time series, plus the §5.2
   * end-to-end golden-file check. */
@@ -105,6 +115,29 @@ class HydroPropertySpec extends AnyFunSuite {
       val rev = run(Seq(b, a)).select(to_json($"properties")).head().getString(0)
       assert(fwd == rev, s"$label: winner depends on delivery order")
     }
+  }
+
+  test("regression: null-position metadata twins merge order-independently without upstream coalescing") {
+    // the round-13 ordKey fix, pinned: two features share the whole
+    // key head and their metadata differs ONLY in which of two fields
+    // is null — with EQUAL non-null values in swapped positions. A
+    // hash tail that skips null children collapses both to one key
+    // (tie → encounter order → the winner flips with delivery order);
+    // the per-field NUL coalescing keeps the keys distinct. These
+    // features go straight into mergeSites, NOT through toFeatures,
+    // because toFeatures' own undef() coalescing would mask the gap.
+    def feat(site: String, srs: String) = FeatureE("Feature",
+      GeomE("Point", Seq(-100.0, 40.0)),
+      PropsE("usgs-water", "USGS:00000001:00060:00000", site, srs,
+        "00000001",
+        Seq(VarAttrE("00060", "ft3/s", "-999999", "42",
+          "2026-01-01T00:00:00Z"))))
+    val a = feat(null, "EPSG:4326")
+    val b = feat("EPSG:4326", null)
+    def outOf(fs: Seq[FeatureE]) = HydroPipeline.mergeSites(fs.toDF())
+      .select(to_json(struct($"geometry", $"properties"))).head().getString(0)
+    assert(outOf(Seq(a, b)) == outOf(Seq(b, a)),
+      "winner depends on delivery order when metadata nulls swap positions")
   }
 
   test("golden: fixture corpus end-to-end matches the checked-in FeatureCollection") {
