@@ -1706,7 +1706,8 @@ object SparkEntry {
         |       FROM edges e JOIN deg d ON e.src = d.src JOIN r3 r ON e.src = r.id GROUP BY 1),
         |r5 AS (SELECT e.dst AS id, 0.15 + 0.85 * sum(r.pr / d.deg) AS pr
         |       FROM edges e JOIN deg d ON e.src = d.src JOIN r4 r ON e.src = r.id GROUP BY 1)
-        |SELECT id AS doc_id, round(pr, 6) AS pr FROM r5""".stripMargin,
+        |SELECT id AS doc_id, floor(pr * 1000000 + 0.5) / 1000000 AS pr
+        |FROM r5""".stripMargin,
     // q120: same hash-derived u and A-Res key; the ORDER BY defines
     // top-k membership only (the compare sorts rows itself)
     "q120_weighted_sample" ->
@@ -1724,7 +1725,7 @@ object SparkEntry {
         |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
         |   FROM documents) t)
         |SELECT doc_id, source, quality,
-        | round(power(u, 1.0 / greatest(quality, 0.001)), 6) AS samp_key
+        | floor(power(u, 1.0 / greatest(quality, 0.001)) * 1000000 + 0.5) / 1000000 AS samp_key
         |FROM scored
         |ORDER BY power(u, 1.0 / greatest(quality, 0.001)) DESC, doc_id
         |LIMIT 200""".stripMargin,

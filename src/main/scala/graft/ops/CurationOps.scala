@@ -467,7 +467,9 @@ object CurationOps {
       .orderBy(col("samp_key").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("source"), col("quality"),
-        round(col("samp_key"), 6).as("samp_key"))
+        // floor-form rounding: samp_key is an arbitrary double, the
+        // exact cross-engine .5-boundary case library round() flips on
+        TextOps.roundAt(col("samp_key"), 6).as("samp_key"))
   }
 
   /** Incremental-batch dedup: admit a new ingest batch (the

@@ -373,7 +373,10 @@ object DedupOps {
         .select(col("dst").as("id"), col("pr"))
         .localCheckpoint()
     }
-    ranks.select(col("id").as("doc_id"), round(col("pr"), 6).as("pr"))
+    // TextOps.roundAt, not library round(): the rank is an arbitrary
+    // double and Spark/DuckDB round() diverge an ulp from the .5
+    // boundary — the floor-form is bit-identical across engines
+    ranks.select(col("id").as("doc_id"), TextOps.roundAt(col("pr"), 6).as("pr"))
   }
 
   /** Connected components over an undirected pair list (`doc_a`,

@@ -140,14 +140,46 @@ object Formats {
     * (same invariant as [[compactPartition]]): the merged frame
     * streams from the very files the write replaces, and Spark
     * refuses an overwrite whose lineage reads the output path; the
-    * checkpoint holds only the affected partitions' rows. */
+    * checkpoint holds only the affected partitions' rows.
+    *
+    * PRECONDITION — a key never changes partition: a change row's
+    * partition value must match the partition its stored row lives in.
+    * Only the changes' partitions are scanned, so an upsert that
+    * "moves" a key from an untouched partition leaves the OLD row
+    * alive in its original partition (a silent duplicate) and a
+    * delete aimed at the wrong partition silently deletes nothing.
+    * Callers that re-partition a key must emit an explicit delete for
+    * the old partition in the same batch. `validateKeyPartition=true`
+    * enforces the precondition: a broadcast semi-join of the change
+    * keys against the UNTOUCHED partitions' (key, partCol) columns —
+    * column-pruned, so the check reads two columns of the rest of the
+    * layout, never full rows — throws with offending keys before
+    * anything is written. Off by default: the merge itself stays
+    * proportional to the re-crawled slice, and the check's
+    * rest-of-layout key scan is the one part that is not. */
   def mergeIntoPartitioned(spark: SparkSession, root: String,
                            changes: DataFrame, key: String, partCol: String,
-                           format: String = "parquet"): Unit = {
-    import org.apache.spark.sql.functions.col
+                           format: String = "parquet",
+                           validateKeyPartition: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     require(changes.columns.contains("op"),
       "changes needs an 'op' column ('upsert' | 'delete')")
     val layout = read(spark, root, format)
+    if (validateKeyPartition) {
+      val strays = layout
+        .join(broadcast(changes.select(col(partCol)).distinct()),
+          Seq(partCol), "left_anti")
+        .join(broadcast(changes.select(col(key)).distinct()),
+          Seq(key), "left_semi")
+        .select(col(key), col(partCol))
+        .limit(5).collect()
+      if (strays.nonEmpty) throw new IllegalStateException(
+        "mergeIntoPartitioned: change keys exist in partitions the " +
+          "batch does not touch (a key moving partitions needs an " +
+          "explicit delete for its old partition): " +
+          strays.map(r => s"$key=${r.get(0)} in $partCol=${r.get(1)}")
+            .mkString(", "))
+    }
     val kept = affectedPartitionScan(layout, changes, partCol)
       .join(changes.select(col(key)), Seq(key), "left_anti")
     val merged = kept.unionByName(

@@ -185,6 +185,36 @@ class AsofFormatsSpec extends AnyFunSuite {
       docs.filter($"source" === sibling).count(), "sibling row count changed")
   }
 
+  test("partition-scoped merge: validateKeyPartition rejects a key moving partitions, admits clean batches") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft-mrgval").toString + "/docs"
+    Formats.writePartitioned(docs, base, Seq("source"))
+    val sources = docs.select($"source").distinct().collect().map(_.getString(0)).sorted
+    val target = sources.head
+    val sibling = sources.last
+    // an upsert claiming a sibling-partition key lives in `target` —
+    // the partition-move the merge's precondition forbids (unvalidated
+    // it would leave the old row alive in `sibling`: a silent dup)
+    val moved = docs.filter($"source" === sibling).limit(1)
+      .withColumn("source", lit(target)).withColumn("op", lit("upsert"))
+    val ex = intercept[IllegalStateException] {
+      Formats.mergeIntoPartitioned(spark, base, moved, "doc_id", "source",
+        validateKeyPartition = true)
+    }
+    assert(ex.getMessage.contains("partitions the batch does not touch"))
+    // the validation threw BEFORE anything was written
+    assert(spark.read.parquet(base).count() == docs.count(),
+      "failed validation must leave the layout untouched")
+    // a batch respecting the precondition passes with validation on
+    val clean = docs.filter($"source" === target).limit(5)
+      .withColumn("text", lit("validated-edit")).withColumn("op", lit("upsert"))
+    Formats.mergeIntoPartitioned(spark, base, clean, "doc_id", "source",
+      validateKeyPartition = true)
+    assert(spark.read.parquet(base)
+      .filter(col("text") === "validated-edit").count() == 5)
+  }
+
   test("partition-scoped merge equals a full rewrite for random change batches") {
     import org.apache.spark.sql.functions.col
     // property: for ANY keyed change batch, the incremental merge must
