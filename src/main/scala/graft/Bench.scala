@@ -32,6 +32,8 @@ import org.apache.spark.sql.SparkSession
   *    A/B'd in round 5 and showed no measurable win — BASELINE.md)
   *  - SPARK_GRAFT_ONLY: comma-separated query-name filter for
   *    single-query timing / A/B runs
+  *  - SPARK_GRAFT_SLOPE: set 0 to skip the sf0.01 scale-slope
+  *    reference pass (see the body comment; on by default)
   *  - SPARK_GRAFT_REPS: repetitions per timed query (default 3); the
   *    headline "queries" numbers are the MINIMUM across reps, and the
   *    JSON also carries the per-query MEDIANS plus an "estimator"
@@ -138,6 +140,38 @@ object Bench {
           System.err.println(s"warmup failed for $name on $warmupDir: ${e.getMessage}")
       }
     }
+    // scale-slope reference: one timed pass per query at the sf0.01
+    // sibling (post-warmup, so JIT/codegen cost is already paid). The
+    // detail line's "slope" map — target min-time / reference time —
+    // flags accidentally super-linear operators automatically: sf0.01
+    // → sf0.1 is 10× the rows, so a linear query's slope sits in a
+    // ≲10 band (usually well under — fixed job overhead dominates
+    // small queries); a slope far above 10 means candidate generation
+    // or state is growing faster than the data and deserves a look
+    // before it becomes a mystery in the total. Skipped when the
+    // sibling is missing or IS the target (SPARK_GRAFT_SLOPE=0
+    // disables explicitly); reference times are single-rep — the
+    // slope is a coarse regression tripwire, not a benchmark.
+    val slopeDir = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01")
+      val enabled = sys.env.getOrElse("SPARK_GRAFT_SLOPE", "1") != "0"
+      if (enabled && sib.isDirectory &&
+          sib.getCanonicalPath != new java.io.File(sfDir).getCanonicalPath)
+        Some(sib.getPath)
+      else None
+    }
+    val refTimes: Map[String, Double] = slopeDir match {
+      case Some(dir) => queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn(spark, dir)); true } catch {
+          case e: Throwable =>
+            System.err.println(s"slope reference failed for $name on $dir: ${e.getMessage}")
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+      case None => Map.empty[String, Double]
+    }
     // per-query I/O attribution: snapshot the listener between
     // queries. The bus has no public flush, so a description-tagged
     // marker job provides the barrier — events process FIFO per
@@ -209,6 +243,11 @@ object Bench {
       .mkString("{", ",", "}")
     val spl = results.map { case (k, v) => s"\"" + k + "\":" + v._3._3 }
       .mkString("{", ",", "}")
+    val slp = results.map { case (k, v) =>
+      val ref = refTimes.getOrElse(k, -1.0)
+      val s = if (ref > 0 && v._1 >= 0) math.round(v._1 / ref * 100) / 100.0 else -1.0
+      s"\"" + k + "\":" + s
+    }.mkString("{", ",", "}")
     val total = results.values.map(_._1).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Two lines, both valid JSON. The driver captures a bounded stdout
@@ -221,7 +260,7 @@ object Bench {
     // START of the one big line; every driver artifact recorded
     // `parsed: null` and, once per-query byte maps landed, the tail
     // showed only the all-zero spill map.)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir","medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir","slope_ref":"${slopeDir.getOrElse("")}","slope":$slp,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"reps":$reps,"estimator":"min","sf":"$sfDir"}""")
     spark.stop()
   }
