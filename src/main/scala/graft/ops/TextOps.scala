@@ -175,7 +175,10 @@ object TextOps {
   /** Normalized word rows: one row per (doc, word occurrence), empty
     * docs dropped. Shared by tf-idf and bigram stats. */
   private def wordRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    wordRowsOf(Tables.documents(spark, dir))
+
+  private def wordRowsOf(docs: DataFrame): DataFrame =
+    docs
       .repartition(col("doc_id")) // spread the explode (cf. DedupOps.shingleRows)
       .select(col("doc_id"),
         posexplode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")))
@@ -295,6 +298,80 @@ object TextOps {
     val scored = tf.join(broadcast(df), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .groupBy(col("doc_id")).agg(sum(idf * norm).as("score_raw"))
+    scored.orderBy(col("score_raw").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), roundAt(col("score_raw"), 6).as("bm25"))
+  }
+
+  // ---------------------------------------------------------------
+  // incremental BM25 corpus stats — the retrieval state twin
+  // ---------------------------------------------------------------
+
+  /** Mergeable per-word document-frequency partials of a document
+    * slice — the retrieval analog of `RelationalExt.rollupPartials`.
+    * Ingest slices are disjoint by doc_id, so a word's global df is
+    * the SUM of its per-slice distinct-doc counts: folding partials
+    * is exact, not approximate, and a persisted df state table
+    * refreshes per ingest batch without ever rescanning the corpus
+    * ([[bm25TopK]]'s df/N/avgdl are the only corpus-wide aggregates
+    * in the scoring plan — this state is what makes its re-index
+    * incremental). Vocabulary-grain output, one shuffle. */
+  def bm25DfPartials(docs: DataFrame): DataFrame =
+    wordRowsOf(docs).select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+
+  /** Fold a df state table with a refresh slice's partials: union +
+    * re-sum on word — associative and commutative, so any chopping of
+    * the corpus into ingest batches yields the identical state
+    * (spec-proven boundary-independent, the q121 contract). */
+  def bm25DfMerge(state: DataFrame, refresh: DataFrame): DataFrame =
+    state.unionByName(refresh)
+      .groupBy(col("word")).agg(sum(col("df")).as("df"))
+
+  /** The scalar half of the BM25 state: ONE row per slice —
+    * (n_docs, n_word_docs, sum_dl), every value an exact long (dl is
+    * an integer token count, and integer-valued double/long sums stay
+    * exact below 2^53), so the fold is bit-exact and
+    * avgdl = sum_dl / n_word_docs equals the from-scratch avg(dl)
+    * EXACTLY, not within ulps. */
+  def bm25ScalarPartials(docs: DataFrame): DataFrame = {
+    val dl = wordRowsOf(docs).groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(count(lit(1)).as("n_word_docs"), sum(col("dl")).as("sum_dl")))
+  }
+
+  def bm25ScalarMerge(state: DataFrame, refresh: DataFrame): DataFrame =
+    state.unionByName(refresh)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_word_docs")).as("n_word_docs"),
+        sum(col("sum_dl")).as("sum_dl"))
+
+  /** [[bm25TopK]] served FROM the incremental state tables instead of
+    * re-deriving df/N/avgdl from the corpus: tf and dl stay per-doc
+    * local (computed at index time on the docs themselves — the
+    * postings side), while every corpus-WIDE statistic comes from the
+    * folded state. When the state covers the same corpus the scores
+    * are bit-identical to the from-scratch plan (see the exactness
+    * arguments on the partials), which is what certifies the
+    * incremental refresh as a real re-index, not an approximation. */
+  def bm25TopKFromState(spark: SparkSession, dir: String,
+                        dfState: DataFrame, scalarState: DataFrame,
+                        query: Seq[String] = Seq("data", "analysis", "model"),
+                        k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = wordRows(spark, dir)
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = words.filter(col("word").isin(query: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = dfState.filter(col("word").isin(query: _*))
+    val scal = scalarState.select(
+      col("n_docs").cast("double").as("n_docs"),
+      (col("sum_dl").cast("double") / col("n_word_docs")).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scal))
       .groupBy(col("doc_id")).agg(sum(idf * norm).as("score_raw"))
     scored.orderBy(col("score_raw").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), roundAt(col("score_raw"), 6).as("bm25"))

@@ -415,4 +415,63 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(b == oneShot, "state depends on micro-batch boundaries")
     assert(oneShot.nonEmpty)
   }
+
+  test("streaming BM25 re-index via foreachBatch: corpus stats are batch-identical and served scores bit-equal") {
+    // q130's streaming twin: BM25's corpus-wide statistics (df, N,
+    // avgdl) folded per ingest micro-batch through bm25DfMerge /
+    // bm25ScalarMerge must equal the from-scratch build — every count
+    // is an exact long over doc-disjoint slices, so the fold is
+    // bit-exact, and scores SERVED from the folded state must equal
+    // the from-scratch bm25TopK row for row. This is what certifies
+    // incremental re-indexing as a real operation (state refresh per
+    // batch) rather than a corpus re-scan.
+    import graft.ops.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect()
+    def runChopped(cuts: Seq[Int]) = {
+      var dfState = TextOps.bm25DfPartials(docs.limit(0)).localCheckpoint()
+      var scalState = TextOps.bm25ScalarPartials(docs.limit(0)).localCheckpoint()
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          dfState = TextOps.bm25DfMerge(dfState,
+            TextOps.bm25DfPartials(batch)).localCheckpoint()
+          scalState = TextOps.bm25ScalarMerge(scalState,
+            TextOps.bm25ScalarPartials(batch)).localCheckpoint()
+          ()
+        }.start()
+      try {
+        var rest = rows.toSeq
+        for (c <- cuts) {
+          val (bt, r) = rest.splitAt(c); rest = r
+          if (bt.nonEmpty) { input.addData(bt); q.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { input.addData(rest); q.processAllAvailable() }
+      } finally q.stop()
+      (dfState, scalState)
+    }
+    def dfMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def scalRow(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val (dfA, scalA) = runChopped(Seq(rows.length / 3, rows.length / 3))
+    val (dfB, scalB) = runChopped(Seq(rows.length / 7))
+    val oneShotDf = dfMap(TextOps.bm25DfPartials(docs))
+    val oneShotScal = scalRow(TextOps.bm25ScalarPartials(docs))
+    assert(dfMap(dfA) == oneShotDf, "folded df state diverged from the from-scratch build")
+    assert(dfMap(dfB) == oneShotDf, "df state depends on micro-batch boundaries")
+    assert(scalRow(scalA) == oneShotScal && scalRow(scalB) == oneShotScal,
+      "scalar state (N, sum_dl) diverged")
+    assert(oneShotDf.nonEmpty && oneShotScal._1 > 0)
+    // serving: scores from the folded state are bit-identical to the
+    // from-scratch plan (ranking, tie-breaks, rounding — everything)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = scores(TextOps.bm25TopKFromState(spark, sf, dfA, scalA))
+    val scratch = scores(TextOps.bm25TopK(spark, sf))
+    assert(served == scratch, "state-served BM25 diverged from the from-scratch scores")
+    assert(scratch.nonEmpty)
+  }
 }
