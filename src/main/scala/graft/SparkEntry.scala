@@ -332,6 +332,13 @@ object SparkEntry {
     // hard negatives bounded to the top-2 hardest per anchor doc —
     // the per-doc output cap a 100 TB contrastive run needs
     "q139_hard_neg_capped" -> ((s, d) => DedupOps.hardNegativesCapped(s, d)),
+    // overlapping word-window passage chunking: one narrow map per
+    // doc, zero shuffles — the RAG splitter
+    "q140_chunk_passages"  -> ((s, d) => TextOps.chunkPassages(s, d, window = 40, stride = 30)),
+    // BM25 at passage grain over the chunked corpus — end-to-end
+    // RAG retrieval (chunk -> index -> score -> top-k)
+    "q141_passage_bm25"    -> ((s, d) =>
+      TextOps.bm25PassageTopK(s, d, window = 40, stride = 30)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1187,6 +1194,59 @@ object SparkEntry {
         |  FROM cand WHERE jaccard > 0 AND jaccard < 0.5)
         |SELECT doc_a, doc_b, jaccard, neg_rank FROM neg
         |WHERE neg_rank <= 2""".stripMargin,
+    // q140: the same split as q25's docs CTE; passage count is
+    // 1 + ceil((len - window)/stride) floored at 1; list_slice's
+    // inclusive end mirrors Spark slice's length argument
+    "q140_chunk_passages" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0,
+        |      CAST(greatest(ceil(CAST(len(w) - 40 AS DOUBLE) / 30), 0) AS BIGINT) + 1)) AS passage_id
+        |  FROM w)
+        |SELECT doc_id, CAST(passage_id AS BIGINT) AS passage_id,
+        |  array_to_string(list_slice(w, passage_id * 30 + 1, passage_id * 30 + 40), ' ') AS passage,
+        |  CAST(len(list_slice(w, passage_id * 30 + 1, passage_id * 30 + 40)) AS BIGINT) AS n_words
+        |FROM p""".stripMargin,
+    // q141: q140's passages re-tokenized, then q130's scoring plan at
+    // (doc_id, passage_id) grain
+    "q141_passage_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(passage_id AS BIGINT) AS passage_id,
+        |    array_to_string(list_slice(w, passage_id * 30 + 1, passage_id * 30 + 40), ' ') AS passage
+        |  FROM (SELECT doc_id, w,
+        |          unnest(range(0,
+        |            CAST(greatest(ceil(CAST(len(w) - 40 AS DOUBLE) / 30), 0) AS BIGINT) + 1)) AS passage_id
+        |        FROM w) t),
+        |words AS (
+        |  SELECT doc_id, passage_id,
+        |    unnest(regexp_split_to_array(passage, ' ')) AS word
+        |  FROM p),
+        |wz AS (SELECT doc_id, passage_id, word FROM words WHERE word <> ''),
+        |dl AS (SELECT doc_id, passage_id, count(*) AS dl FROM wz GROUP BY 1, 2),
+        |tf AS (SELECT doc_id, passage_id, word, count(*) AS tf FROM wz
+        |       WHERE word IN ('data', 'analysis', 'model') GROUP BY 1, 2, 3),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_passages FROM p),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT t.doc_id, t.passage_id,
+        |    sum(ln((n.n_passages - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |        (t.tf * (1.2 + 1) /
+        |         (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / ad.avgdl)))) AS score_raw
+        |  FROM tf t JOIN df d USING (word)
+        |  JOIN dl l ON t.doc_id = l.doc_id AND t.passage_id = l.passage_id, n, ad
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, passage_id,
+        |  floor(score_raw * 1000000 + 0.5) / 1000000 AS bm25
+        |FROM scored ORDER BY score_raw DESC, doc_id, passage_id LIMIT 20""".stripMargin,
     // q135: q25's pair CTEs for positives; negatives re-derive the
     // same bucketed odd-row/lead pairing
     "q135_contrastive_pairs" ->
@@ -1260,7 +1320,7 @@ object SparkEntry {
         |       ((ca.n / tot.nw) * (cb.n / tot.nw))) AS pmi_raw
         |  FROM pc JOIN wc ca ON pc.a = ca.word
         |  JOIN wc cb ON pc.b = cb.word, tot, np)
-        |SELECT a, b, pair_n, round(pmi_raw, 6) AS pmi
+        |SELECT a, b, pair_n, floor(pmi_raw * 1000000 + 0.5) / 1000000 AS pmi
         |FROM scored ORDER BY pmi_raw DESC, a, b LIMIT 50""".stripMargin,
     // q133: identical window + tie-break
     "q133_event_transitions" ->
@@ -1335,7 +1395,7 @@ object SparkEntry {
         |         (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / ad.avgdl)))) AS score_raw
         |  FROM tf t JOIN df d USING (word) JOIN dl l ON t.doc_id = l.doc_id, n, ad
         |  GROUP BY t.doc_id)
-        |SELECT doc_id, round(score_raw, 6) AS bm25
+        |SELECT doc_id, floor(score_raw * 1000000 + 0.5) / 1000000 AS bm25
         |FROM scored ORDER BY score_raw DESC, doc_id LIMIT 20""".stripMargin,
     // q129: the same two-pass band (quantile_cont = Spark percentile),
     // floor'd to integers so the clip is exact cross-engine

@@ -304,6 +304,91 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // passage chunking + passage-level retrieval (the RAG shape)
+  // ---------------------------------------------------------------
+
+  /** Overlapping fixed-size passage chunking — the document splitter
+    * every retrieval-augmented pipeline runs before embedding or
+    * indexing: word windows of `window` tokens advancing by `stride`
+    * (overlap = window − stride keeps answers that straddle a
+    * boundary findable in at least one passage). Passage count per
+    * doc is 1 + ceil((len − window)/stride) floored at 1, so a short
+    * doc is one (short) passage and the last passage may run short
+    * rather than spilling a near-duplicate tail window.
+    *
+    * Scale shape: chunking is embarrassingly parallel — ONE narrow
+    * map per document (split, explode the passage-id sequence, slice)
+    * with NO shuffle anywhere; at 100 TB this pipelines straight from
+    * the scan into whatever consumes the passages. The slice/
+    * concat_ws HOFs are interpreted, but run once per PASSAGE (cf.
+    * the shingleRows note, where the interpreted form ran per shingle
+    * and was replaced); per-passage state is `window`-bounded. */
+  def chunkPassages(spark: SparkSession, dir: String,
+                    window: Int = 120, stride: Int = 80): DataFrame =
+    chunkPassagesOf(Tables.documents(spark, dir), window, stride)
+
+  private[graft] def chunkPassagesOf(docs: DataFrame,
+                                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    docs
+      .select(col("doc_id"), words.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          greatest(ceil((size(col("w")) - lit(window)).cast("double") / stride), lit(0))
+            .cast("int"))).as("passage_id"))
+      .select(col("doc_id"), col("passage_id").cast("bigint").as("passage_id"),
+        concat_ws(" ",
+          slice(col("w"), col("passage_id") * stride + 1, lit(window))).as("passage"),
+        size(slice(col("w"), col("passage_id") * stride + 1, lit(window)))
+          .cast("bigint").as("n_words"))
+  }
+
+  /** BM25 top-k at PASSAGE grain over [[chunkPassages]] output — the
+    * end-to-end RAG retrieval unit (chunk → index → score → top-k).
+    * Same scoring plan as [[bm25TopK]] with the retrieval unit being
+    * (doc_id, passage_id): passage lengths replace document lengths
+    * in the normalization, df counts passages containing the term,
+    * and N is the passage count. The tf branch is filter-pruned to
+    * the query IN-list before any shuffle and the top-k plans as
+    * TakeOrderedAndProject — per-passage work is bounded by `window`,
+    * so the whole plan's state is independent of document length
+    * (the reason retrieval indexes chunk at all). */
+  def bm25PassageTopK(spark: SparkSession, dir: String,
+                      query: Seq[String] = Seq("data", "analysis", "model"),
+                      k: Int = 20, window: Int = 120, stride: Int = 80,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val passages = chunkPassages(spark, dir, window, stride)
+      .select(col("doc_id"), col("passage_id"), col("passage"))
+    val words = passages
+      .repartition(col("doc_id")) // spread the explode (cf. wordRowsOf)
+      .select(col("doc_id"), col("passage_id"),
+        explode(split(col("passage"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val dl = words.groupBy(col("doc_id"), col("passage_id"))
+      .agg(count(lit(1)).as("dl"))
+    val tf = words.filter(col("word").isin(query: _*))
+      .groupBy(col("doc_id"), col("passage_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df")) // one tf row per (passage, word) — already distinct
+    val n = passages.agg(count(lit(1)).cast("double").as("n_passages"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val idf = log((col("n_passages") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(df), "word")
+      .join(dl, Seq("doc_id", "passage_id"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .groupBy(col("doc_id"), col("passage_id"))
+      .agg(sum(idf * norm).as("score_raw"))
+    scored.orderBy(col("score_raw").desc, col("doc_id"), col("passage_id")).limit(k)
+      .select(col("doc_id"), col("passage_id"),
+        roundAt(col("score_raw"), 6).as("bm25"))
+  }
+
+  // ---------------------------------------------------------------
   // incremental BM25 corpus stats — the retrieval state twin
   // ---------------------------------------------------------------
 
