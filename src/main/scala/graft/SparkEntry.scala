@@ -339,6 +339,9 @@ object SparkEntry {
     // RAG retrieval (chunk -> index -> score -> top-k)
     "q141_passage_bm25"    -> ((s, d) =>
       TextOps.bm25PassageTopK(s, d, window = 40, stride = 30)),
+    // Z-order (Morton) keys on (customer, order day) — the layout
+    // clustering primitive; exact integer quantize + bit interleave
+    "q142_zorder_keys"     -> ((s, d) => RelationalExt.zOrderKeysOrders(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1247,6 +1250,23 @@ object SparkEntry {
         |SELECT doc_id, passage_id,
         |  floor(score_raw * 1000000 + 0.5) / 1000000 AS bm25
         |FROM scored ORDER BY score_raw DESC, doc_id, passage_id LIMIT 20""".stripMargin,
+    // q142: identical quantize geometry (floor of the double ratio —
+    // see ZOrder.quantize's exactness argument) and the generated
+    // 16-term interleave on both engines
+    "q142_zorder_keys" ->
+      s"""WITH d AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS o_days
+        |  FROM orders),
+        |m AS (SELECT max(o_custkey) AS mc, max(o_days) AS md FROM d),
+        |q AS (
+        |  SELECT o_orderkey, o_custkey, o_days,
+        |    CAST(floor(CAST(o_custkey * 65536 AS DOUBLE) / (mc + 1)) AS BIGINT) AS xq,
+        |    CAST(floor(CAST(o_days * 65536 AS DOUBLE) / (md + 1)) AS BIGINT) AS yq
+        |  FROM d, m)
+        |SELECT o_orderkey, o_custkey, o_days,
+        |  ${graft.functions.ZOrder.zValueSql("xq", "yq")} AS zkey
+        |FROM q""".stripMargin,
     // q135: q25's pair CTEs for positives; negatives re-derive the
     // same bucketed odd-row/lead pairing
     "q135_contrastive_pairs" ->

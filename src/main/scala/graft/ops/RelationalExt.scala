@@ -760,4 +760,29 @@ object RelationalExt {
       .withColumn(outName, col("__local") + col("__offset"))
       .drop("__pid", "__val", "__local")
   }
+
+  /** Z-order keys for the orders table on (customer, order day) —
+    * the two dimensions an orders workload actually filters by
+    * (per-customer lookups AND date-range scans). Both dims quantize
+    * to 16 bits with exact integer geometry (maxima ride in as a
+    * broadcast one-row aggregate — no driver-side action at plan
+    * time) and interleave via [[graft.functions.ZOrder.zValue]].
+    * Sorting the table by `zkey` before writing
+    * ([[graft.sources.Formats.writeZOrdered]]) gives every file a
+    * compact min/max envelope in BOTH dimensions — parquet footer
+    * stats then skip files for predicates on either one (ZOrderSpec
+    * proves the envelopes narrow vs the natural layout). */
+  def zOrderKeysOrders(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrder
+    val o = Tables.orders(spark, dir)
+    val days = datediff(col("o_orderdate"), lit("1992-01-01"))
+      .cast("long").as("o_days")
+    val keyed = o.select(col("o_orderkey"), col("o_custkey"), days)
+    val mx = keyed.agg(max(col("o_custkey")).as("mc"), max(col("o_days")).as("md"))
+    keyed.crossJoin(broadcast(mx))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_days"),
+        ZOrder.zValue(
+          ZOrder.quantize(col("o_custkey"), col("mc")),
+          ZOrder.quantize(col("o_days"), col("md"))).as("zkey"))
+  }
 }
