@@ -342,6 +342,9 @@ object SparkEntry {
     // Z-order (Morton) keys on (customer, order day) — the layout
     // clustering primitive; exact integer quantize + bit interleave
     "q142_zorder_keys"     -> ((s, d) => RelationalExt.zOrderKeysOrders(s, d)),
+    // incremental clustering: the pair stream folded in three batches
+    // through star-CC state updates — must equal one-shot q61
+    "q143_incremental_clusters" -> ((s, d) => DedupOps.dedupClustersIncremental(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1267,6 +1270,33 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_days,
         |  ${graft.functions.ZOrder.zValueSql("xq", "yq")} AS zkey
         |FROM q""".stripMargin,
+    // q143: q61's one-shot oracle VERBATIM — the incremental fold
+    // must be indistinguishable from clustering everything at once
+    "q143_incremental_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |dup AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        |          UNION SELECT doc_b, doc_a FROM dup),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |FROM reach GROUP BY a""".stripMargin,
     // q135: q25's pair CTEs for positives; negatives re-derive the
     // same bucketed odd-row/lead pairing
     "q135_contrastive_pairs" ->

@@ -443,6 +443,50 @@ object DedupOps {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Incremental connected components: fold a NEW batch of pair
+    * edges into an existing (id, cluster) labeling without re-running
+    * CC over history — the clustering member of the admission family
+    * (exact q92, near-dup q110, media q102, embeddings q107 admit
+    * per batch against a standing index; this updates the CLUSTERS
+    * per batch against the standing labeling). The state re-enters
+    * the graph as star edges (id → cluster), the batch's pairs join
+    * them, and one [[connectedComponentsStar]] pass converges over a
+    * graph of |state| + |batch| edges — history's original pair
+    * graph is never touched again, which is the whole point at
+    * 100 TB: the one-shot clustering runs once, every later ingest
+    * runs this.
+    *
+    * Exactness: a component's star edges connect exactly the node
+    * set of that historical component, so (state edges ∪ new pairs)
+    * has the same connected components as (all historical pairs ∪
+    * new pairs); labels are component minima in both, and the star
+    * state's label IS its component minimum — so folding batches in
+    * ANY order or chopping equals the one-shot clustering
+    * (spec-proven; q143 pins it against q61's oracle verbatim).
+    * Singleton state rows (id = cluster) ride along as self-pairs —
+    * canonicalization drops the self-loop edge but keeps the node,
+    * so an isolated doc stays labeled. */
+  def incrementalComponents(state: DataFrame, newPairs: DataFrame): DataFrame =
+    connectedComponentsStar(
+      state.select(col("id").as("doc_a"), col("cluster").as("doc_b"))
+        .unionByName(newPairs.select(col("doc_a"), col("doc_b"))))
+
+  /** q143: [[dedupClusters]] recomputed as three incremental folds —
+    * the near-dup pair stream split deterministically into thirds,
+    * clustered batch by batch through [[incrementalComponents]]. The
+    * oracle is q61's one-shot SQL VERBATIM: the fold must be
+    * indistinguishable from clustering everything at once. */
+  def dedupClustersIncremental(spark: SparkSession, dir: String,
+                               threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupNgram(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val slice = pmod(col("doc_a") + col("doc_b"), lit(3))
+    val s0 = connectedComponentsStar(pairs.filter(slice === 0))
+    val s1 = incrementalComponents(s0, pairs.filter(slice === 1))
+    incrementalComponents(s1, pairs.filter(slice === 2))
+      .select(col("id").as("doc_id"), col("cluster"))
+  }
+
   /** Large-star/small-star connected components — the deep-graph
     * variant [[connectedComponents]]' cap error points at. Same
     * contract: (id, cluster = minimum member id of the component) for

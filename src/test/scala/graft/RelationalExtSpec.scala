@@ -240,6 +240,40 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("property: incremental component folds equal the one-shot clustering for any chopping") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(23)
+    (1 to 4).foreach { trial =>
+      val n = 25 + rnd.nextInt(25)
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val df = edges.toDF("doc_a", "doc_b")
+      val oneShot = DedupOps.connectedComponentsStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // two different choppings AND two different fold orders — the
+      // state must absorb batches whatever the boundaries are
+      Seq(2, 3).foreach { k =>
+        val batches = edges.zipWithIndex.groupBy(_._2 % k).toSeq.sortBy(_._1)
+          .map(_._2.map(_._1))
+        def fold(bs: Seq[Seq[(Long, Long)]]): Map[Long, Long] = {
+          var state = DedupOps.connectedComponentsStar(
+            bs.head.toDF("doc_a", "doc_b"))
+          bs.tail.foreach { b =>
+            state = DedupOps.incrementalComponents(state, b.toDF("doc_a", "doc_b"))
+          }
+          state.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        }
+        assert(fold(batches) == oneShot,
+          s"trial $trial k=$k: incremental fold diverged from one-shot")
+        assert(fold(batches.reverse) == oneShot,
+          s"trial $trial k=$k: fold order changed the clustering")
+      }
+    }
+  }
+
   test("star components are insensitive to edge orientation, duplicates, and self-loops") {
     val spark2 = spark
     import spark2.implicits._
