@@ -307,6 +307,53 @@ class PlanSpec extends AnyFunSuite {
       s"control: unpartitioned scan cannot partition-prune:\n$flatScan")
   }
 
+  test("passage chunking: zero exchanges — a pure narrow map from scan to output") {
+    val df = TextOps.chunkPassages(spark, sf, window = 40, stride = 30)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!simple.linesIterator.exists(_.contains("Exchange")),
+      "chunking must not shuffle — it is embarrassingly parallel per doc")
+    // negative control: the passage BM25 that CONSUMES the chunks does
+    // aggregate, so its plan legitimately exchanges — proving the
+    // zero-exchange assertion above can fail
+    val bm = TextOps.bm25PassageTopK(spark, sf, window = 40, stride = 30)
+    assert(bm.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      .linesIterator.exists(_.contains("Exchange")))
+  }
+
+  test("passage BM25: query-term-sized df side broadcasts, top-k is TakeOrderedAndProject") {
+    val p = plan(TextOps.bm25PassageTopK(spark, sf, window = 40, stride = 30))
+    assert(p.contains("TakeOrderedAndProject"),
+      "passage top-k must be partial heaps, not a global sort")
+    assert(p.contains("BroadcastExchange"),
+      "df/N/avgdl must broadcast back onto the tf rows")
+  }
+
+  test("z-order keys: the maxima aggregate broadcasts; the write sorts within range partitions only") {
+    val keyed = RelationalExt.zOrderKeysOrders(spark, sf)
+    val p = plan(keyed)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "dimension maxima must ride in as a broadcast one-row aggregate")
+    // the clustered write's plan: range exchange + local sort, never a
+    // single-partition global sort
+    val sorted = keyed.withColumn("__zkey", org.apache.spark.sql.functions.col("zkey"))
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("__zkey"))
+      .sortWithinPartitions("__zkey")
+    val sp = sorted.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(sp.contains("rangepartitioning") || sp.contains("RangePartitioning"),
+      "z-order write must range-partition on the key")
+    // the sort node must be LOCAL (global=false — per-partition sort
+    // after the range exchange), never a global sort; the plan's one
+    // SinglePartition exchange is the 1-row maxima aggregate, which
+    // is fine
+    val sortLine = sp.linesIterator.find(_.trim.startsWith("+- Sort")).getOrElse(
+      sp.linesIterator.find(_.contains("Sort [")).get)
+    assert(sortLine.contains("false"),
+      s"z-order sort must be within partitions, got: $sortLine")
+  }
+
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
     val feats = graft.pipeline.HydroPipeline.toFeatures(
       graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml"))
