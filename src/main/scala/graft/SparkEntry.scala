@@ -345,6 +345,9 @@ object SparkEntry {
     // incremental clustering: the pair stream folded in three batches
     // through star-CC state updates — must equal one-shot q61
     "q143_incremental_clusters" -> ((s, d) => DedupOps.dedupClustersIncremental(s, d)),
+    // Gopher-style rule gate: 7 boolean quality rules per document,
+    // every ratio an exact integer cross-multiplication
+    "q144_gopher_rules"    -> ((s, d) => TextOps.gopherRules(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1297,6 +1300,32 @@ object SparkEntry {
         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster
         |FROM reach GROUP BY a""".stripMargin,
+    // q144: identical integer cross-multiplied rule set — no ratio is
+    // ever materialized as a double, so the flags cannot flip
+    "q144_gopher_rules" ->
+      s"""SELECT doc_id, n_words,
+        | (n_words >= 50 AND n_words <= 100000) AS f_word_count,
+        | (nonspace >= n_words * 3 AND nonspace <= n_words * 10) AS f_mean_word_len,
+        | (sym * 10 <= n_words) AS f_symbol_ratio,
+        | (bullet_lines * 10 <= n_lines * 9) AS f_bullet_lines,
+        | (ell_lines * 10 <= n_lines * 3) AS f_ellipsis_lines,
+        | (alpha_words * 5 >= n_words * 4) AS f_alpha_words,
+        | (stops >= 2) AS f_stopwords,
+        | ((n_words >= 50 AND n_words <= 100000) AND
+        |  (nonspace >= n_words * 3 AND nonspace <= n_words * 10) AND
+        |  (sym * 10 <= n_words) AND (bullet_lines * 10 <= n_lines * 9) AND
+        |  (ell_lines * 10 <= n_lines * 3) AND (alpha_words * 5 >= n_words * 4) AND
+        |  (stops >= 2)) AS keep
+        |FROM (SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\\s+')) AS n_words,
+        |  len(string_split(text, chr(10))) AS n_lines,
+        |  length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+        |  len(regexp_extract_all(text, '${TextOps.AlphaWordPattern}')) AS alpha_words,
+        |  len(regexp_extract_all(text, '${TextOps.SymbolPattern}')) AS sym,
+        |  len(regexp_extract_all(text, '${TextOps.BulletLinePattern}')) AS bullet_lines,
+        |  len(regexp_extract_all(text, '${TextOps.EllipsisLinePattern}')) AS ell_lines,
+        |  len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS stops
+        | FROM documents) t""".stripMargin,
     // q135: q25's pair CTEs for positives; negatives re-derive the
     // same bucketed odd-row/lead pairing
     "q135_contrastive_pairs" ->

@@ -707,4 +707,60 @@ object TextOps {
         (est >= col("n_exact") - col("n_total").cast("double") / (capacity + 1) &&
           est <= col("n_exact")).as("within_bound"))
   }
+
+  /** Word containing at least one letter, within one whitespace word
+    * (matches cannot span whitespace, so one match per qualifying
+    * word). */
+  val AlphaWordPattern = "\\S*[A-Za-z]\\S*"
+  /** A '#' or a literal three-dot ellipsis. */
+  val SymbolPattern = "#|\\.\\.\\."
+  /** Line starting with a bullet marker (multiline anchors). */
+  val BulletLinePattern = "(?m)^\\s*[-*•]"
+  /** Line ending in an ellipsis (multiline anchors). */
+  val EllipsisLinePattern = "(?m)\\.\\.\\.[ \\t]*$"
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1,
+    * arXiv:2112.11446): the rule-based repetition-free gate every
+    * large web-scrape pipeline runs before expensive dedup/training.
+    * Per document, each rule is a boolean flag plus the conjunction:
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' / '...') <= 0.1
+    *   - lines starting with a bullet <= 90%
+    *   - lines ending in an ellipsis <= 30%
+    *   - >= 80% of words contain an alphabetic character
+    *   - >= 2 stopword hits
+    *
+    * Every ratio test is an EXACT integer cross-multiplication
+    * (`10 * sym <= words`, never `sym / words <= 0.1`) so the flags
+    * are bit-identical across engines — no float boundary to flip.
+    *
+    * Scale: one codegen'd narrow map over the `text` scan — zero
+    * shuffles, zero joins; at 100 TB this is a single pass that
+    * prunes to the (doc_id, text) columns. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), "\\s+")).cast("bigint")
+    val lines = size(split(col("text"), "\n", -1)).cast("bigint")
+    val nonspace = length(regexp_replace(col("text"), "\\s", "")).cast("bigint")
+    val alphaWords = nMatches(col("text"), AlphaWordPattern)
+    val sym = nMatches(col("text"), SymbolPattern)
+    val bulletLines = nMatches(col("text"), BulletLinePattern)
+    val ellLines = nMatches(col("text"), EllipsisLinePattern)
+    val stops = nMatches(lower(col("text")), EnStops)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      words.as("n_words"),
+      (words >= 50 && words <= 100000).as("f_word_count"),
+      (nonspace >= words * 3 && nonspace <= words * 10).as("f_mean_word_len"),
+      (sym * 10 <= words).as("f_symbol_ratio"),
+      (bulletLines * 10 <= lines * 9).as("f_bullet_lines"),
+      (ellLines * 10 <= lines * 3).as("f_ellipsis_lines"),
+      (alphaWords * 5 >= words * 4).as("f_alpha_words"),
+      (stops >= 2).as("f_stopwords"))
+      .withColumn("keep",
+        col("f_word_count") && col("f_mean_word_len") && col("f_symbol_ratio") &&
+          col("f_bullet_lines") && col("f_ellipsis_lines") &&
+          col("f_alpha_words") && col("f_stopwords"))
+  }
 }
