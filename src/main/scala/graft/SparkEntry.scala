@@ -348,6 +348,12 @@ object SparkEntry {
     // Gopher-style rule gate: 7 boolean quality rules per document,
     // every ratio an exact integer cross-multiplication
     "q144_gopher_rules"    -> ((s, d) => TextOps.gopherRules(s, d)),
+    // LOCF imputation: error events' missing values filled from the
+    // user's most recent non-missing observation
+    "q145_locf_impute"     -> ((s, d) => RelationalExt.locfImpute(s, d)),
+    // token-exact sequence packing via the grouped two-phase prefix
+    // sum — a straddling doc is split with exact offsets
+    "q146_sequence_pack"   -> ((s, d) => TextOps.sequencePack(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1326,6 +1332,44 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '${TextOps.EllipsisLinePattern}')) AS ell_lines,
         |  len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS stops
         | FROM documents) t""".stripMargin,
+    // q145: same missing-value definition and (ts, event_id)-ordered
+    // IGNORE NULLS frame; the fill copies a double, no arithmetic
+    "q145_locf_impute" ->
+      """SELECT event_id, user_id,
+        | (CASE WHEN event_type = 'error' THEN NULL ELSE value END) IS NULL
+        |   AS was_missing,
+        | last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+        |   IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM events""".stripMargin,
+    // q146: identical integer geometry — prefix sum, floor division,
+    // clamped segment bounds; generate_series is inclusive like
+    // Spark's sequence()
+    "q146_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens,
+        |    sum(len(regexp_split_to_array(text, '\s+')))
+        |      OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM documents),
+        |g AS (
+        |  -- window sum is HUGEINT in DuckDB; pin everything BIGINT
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |    CAST(cum_tokens - n_tokens AS BIGINT) AS start_tok,
+        |    CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS first_seq,
+        |    CAST((cum_tokens - 1) // 256 AS BIGINT) AS last_seq
+        |  FROM t),
+        |e AS (
+        |  SELECT *, unnest(generate_series(first_seq, last_seq)) AS seq_id FROM g)
+        |SELECT source, seq_id, doc_id,
+        | greatest(start_tok, seq_id * 256) - seq_id * 256 AS begin_off,
+        | least(cum_tokens, (seq_id + 1) * 256) - seq_id * 256 AS end_off,
+        | least(cum_tokens, (seq_id + 1) * 256) -
+        |   greatest(start_tok, seq_id * 256) AS n_seg_tokens,
+        | last_seq > first_seq AS straddles
+        |FROM e""".stripMargin,
     // q135: q25's pair CTEs for positives; negatives re-derive the
     // same bucketed odd-row/lead pairing
     "q135_contrastive_pairs" ->

@@ -604,6 +604,33 @@ object RelationalExt {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Last-observation-carried-forward imputation over the event
+    * stream: `error` events carry no measurement, so their `value` is
+    * treated as missing and filled from the user's most recent
+    * non-missing observation (`last(_, ignoreNulls)` over a
+    * time-ordered per-user frame, `event_id` tie-break so `ts`
+    * collisions are deterministic cross-engine). A user whose history
+    * STARTS with errors keeps NULL — LOCF never invents a value.
+    *
+    * Scale: one `user_id` shuffle, per-user-history-bounded sort —
+    * the q133 shape; a user_id-bucketed events table runs it
+    * exchange-free. The fill itself copies an existing double (no
+    * float arithmetic), so the output hashes exactly. */
+  def locfImpute(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = when(col("event_type") === "error", lit(null).cast("double"))
+      .otherwise(col("value"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("v", v)
+      .withColumn("value_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"),
+        col("v").isNull.as("was_missing"), col("value_filled"))
+  }
+
   /** The mergeable partial-aggregate pair per (event_type, day) —
     * the state [[incrementalRollup]] persists and the unit every
     * refresh (batch or per-micro-batch via foreachBatch) re-derives
@@ -759,6 +786,41 @@ object RelationalExt {
     local.join(broadcast(offsets), "__pid")
       .withColumn(outName, col("__local") + col("__offset"))
       .drop("__pid", "__val", "__local")
+  }
+
+  /** Per-GROUP running sum without a per-group global sort: the
+    * grouped twin of [[globalRunningSum]]. Range-partition on
+    * (group, order...), sum locally per (partition, group), then
+    * per-group offsets from the O(partitions × groups-touched)
+    * partition summaries — a giant group spans partitions and still
+    * never funnels through one task, where
+    * `Window.partitionBy(group)` would sort that group's entire
+    * slice in a single task. `group` is a column NAME so both the
+    * local window and the offset join key the same attribute. */
+  def groupedRunningSum(df: DataFrame, group: String,
+                        order: Seq[org.apache.spark.sql.Column],
+                        value: org.apache.spark.sql.Column, outName: String,
+                        nPartitions: Int = 0): DataFrame = {
+    val parts = if (nPartitions > 0) nPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col(group) +: order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__val", coalesce(value, lit(0L)))
+    val wLocal = Window.partitionBy(col("__pid"), col(group)).orderBy(order: _*)
+    val local = ranged.withColumn("__local", sum(col("__val")).over(wLocal))
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"), col(group).as("__g"))
+      .agg(sum(col("__val")).as("__ptotal"))
+      .withColumn("__offset", coalesce(sum(col("__ptotal")).over(wOff), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__g"), col("__offset"))
+    // fresh names on the offsets side: both frames descend from
+    // `ranged`, so joining on the original attributes would be an
+    // ambiguous self-join
+    local.join(broadcast(offsets),
+        col("__pid") === col("__opid") && col(group) === col("__g"))
+      .withColumn(outName, col("__local") + col("__offset"))
+      .drop("__pid", "__opid", "__g", "__val", "__local")
   }
 
   /** Z-order keys for the orders table on (customer, order day) —

@@ -763,4 +763,46 @@ object TextOps {
           col("f_bullet_lines") && col("f_ellipsis_lines") &&
           col("f_alpha_words") && col("f_stopwords"))
   }
+
+  /** Token-exact sequence packing: lay every source's documents end
+    * to end in (doc_id) order and cut the token stream into
+    * fixed-length training sequences of `seqLen` tokens — the step
+    * that turns a curated corpus into the dense context windows a
+    * trainer actually consumes. Unlike [[shardPacking]] (doc-granular
+    * bins keyed by each doc's START token), packing is
+    * token-granular: a document straddling a cut is SPLIT, emitting
+    * one segment row per sequence it overlaps with in-sequence
+    * [begin_off, end_off) offsets, so segments concatenate back to
+    * the document exactly and every sequence except a source's last
+    * is exactly full.
+    *
+    * All geometry is exact integer arithmetic (`DIV`, `greatest`/
+    * `least`) — no float ever touches an offset.
+    *
+    * Scale: the prefix sum is [[RelationalExt.groupedRunningSum]] —
+    * range-partition + per-partition sums + per-group
+    * partition-summary offsets — so a 100 TB source never sorts in
+    * one task (the `Window.partitionBy(source)` a naive version
+    * would use); the explode emits ≤ (n DIV seqLen + 2) rows per doc
+    * with no further shuffle. */
+  def sequencePack(spark: SparkSession, dir: String, seqLen: Long = 256): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tokens"))
+    val cum = graft.ops.RelationalExt.groupedRunningSum(
+      docs, "source", Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
+    val L = lit(seqLen)
+    cum
+      .withColumn("start_tok", col("cum_tokens") - col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_tok DIV $seqLen"))
+      .withColumn("last_seq", expr(s"(cum_tokens - 1) DIV $seqLen"))
+      .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn("seg_start", greatest(col("start_tok"), col("seq_id") * L))
+      .withColumn("seg_end", least(col("cum_tokens"), (col("seq_id") + 1) * L))
+      .select(col("source"), col("seq_id"), col("doc_id"),
+        (col("seg_start") - col("seq_id") * L).as("begin_off"),
+        (col("seg_end") - col("seq_id") * L).as("end_off"),
+        (col("seg_end") - col("seg_start")).as("n_seg_tokens"),
+        (col("last_seq") > col("first_seq")).as("straddles"))
+  }
 }

@@ -445,4 +445,84 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(got.size == 1000 && got == want,
       "two-phase prefix sum diverged from the single-partition window")
   }
+
+  test("grouped prefix sum is row-identical to the naive per-group window") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // few groups over many range partitions, so groups SPAN partitions
+    // and the per-group offset phase is exercised; duplicate order keys
+    // and nulls as in the global fixture
+    val rows = (1 to 1000).map { i =>
+      (i.toLong, s"g${i % 3}",
+        if (i % 53 == 0) None else Some((i * 31 % 11 + 1).toLong))
+    }
+    val df = rows.toDF("id", "grp", "v")
+    val got = RelationalExt.groupedRunningSum(df, "grp", Seq($"id".asc), $"v",
+        "cum", nPartitions = 8)
+      .select($"id", $"cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df
+      .withColumn("cum", sum(coalesce($"v", lit(0L)))
+        .over(Window.partitionBy($"grp").orderBy($"id".asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"id", $"cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 1000 && got == want,
+      "grouped two-phase prefix sum diverged from the per-group window")
+  }
+
+  test("sequence packing: segments reassemble every doc exactly and fill every non-final sequence") {
+    import spark.implicits._
+    val segs = TextOps.sequencePack(spark, sf, seqLen = 256).cache()
+    try {
+      // per-doc: segment token counts sum to the doc's token count and
+      // segments are contiguous across consecutive sequences
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n"))
+      val reassembled = segs.groupBy($"doc_id")
+        .agg(sum($"n_seg_tokens").as("got"), count(lit(1)).as("n_segs"),
+          (max($"seq_id") - min($"seq_id") + 1).as("span"))
+      val bad = reassembled.join(docs, "doc_id")
+        .filter($"got" =!= $"n" || $"n_segs" =!= $"span").count()
+      assert(bad == 0, "a document's segments do not reassemble it")
+      // per-sequence: every sequence except each source's last is
+      // exactly seqLen tokens full
+      val seqFill = segs.groupBy($"source", $"seq_id")
+        .agg(sum($"n_seg_tokens").as("fill"))
+      val lastSeq = seqFill.groupBy($"source").agg(max($"seq_id").as("last"))
+      val under = seqFill.join(lastSeq, "source")
+        .filter($"seq_id" =!= $"last" && $"fill" =!= 256L).count()
+      assert(under == 0, "a non-final sequence is not exactly full")
+      // offsets stay inside the sequence window
+      val oob = segs.filter($"begin_off" < 0 || $"end_off" > 256 ||
+        $"begin_off" >= $"end_off").count()
+      assert(oob == 0, "segment offsets escape the [0, seqLen) window")
+    } finally segs.unpersist()
+  }
+
+  test("locf: filled value is the most recent non-missing; leading misses stay null") {
+    import spark.implicits._
+    val out = RelationalExt.locfImpute(spark, sf)
+    // non-missing rows carry their own value through unchanged
+    val ev = Tables.events(spark, sf).select($"event_id", $"event_type", $"value")
+    val own = out.join(ev, "event_id")
+      .filter(!$"was_missing" && $"value_filled" =!= $"value").count()
+    assert(own == 0, "a non-missing row's fill differs from its own value")
+    // a filled (missing) row's value must equal SOME earlier non-error
+    // value of the same user — spot-check via a recompute on one user
+    val u = out.filter($"was_missing" && $"value_filled".isNotNull)
+      .select($"user_id").limit(1).collect()(0).getLong(0)
+    val hist = Tables.events(spark, sf).filter($"user_id" === u)
+      .orderBy($"ts", $"event_id")
+      .select($"event_id", $"event_type", $"value").collect()
+    var lastSeen: Option[Double] = None
+    val wantFill = scala.collection.mutable.Map[Long, Option[Double]]()
+    hist.foreach { r =>
+      if (r.getString(1) != "error") lastSeen = Some(r.getDouble(2))
+      wantFill(r.getLong(0)) = lastSeen
+    }
+    val gotFill = out.filter($"user_id" === u).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(gotFill == wantFill.toMap,
+      s"user $u LOCF fill diverges from the sequential recompute")
+  }
 }
