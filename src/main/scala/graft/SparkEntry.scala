@@ -354,6 +354,19 @@ object SparkEntry {
     // token-exact sequence packing via the grouped two-phase prefix
     // sum — a straddling doc is split with exact offsets
     "q146_sequence_pack"   -> ((s, d) => TextOps.sequencePack(s, d)),
+    // fastText-style hashed linear classifier: md5-bucketed words,
+    // integer weights as a plan literal, exact BIGINT dot product,
+    // one narrow codegen pass
+    "q147_linear_quality"  -> ((s, d) => TextOps.linearQuality(s, d)),
+    // per-doc admission decision log: five shared-definition gates,
+    // failure count, first failing gate, verdict
+    "q148_gate_log"        -> ((s, d) => CurationOps.gateLog(s, d)),
+    // vocabulary-shape quality signals: exact counts + one-division TTR
+    "q149_lexical_diversity" -> ((s, d) => TextOps.lexicalDiversity(s, d)),
+    // L2 normalization exploded to (vec_id, dim) rows for the oracle
+    "q150_embed_normalize" -> ((s, d) => SimilarityOps.embeddingUnitRows(s, d)),
+    // edit-distance near-dup: prefix blocking + banded-DP Levenshtein
+    "q151_neardup_edit"    -> ((s, d) => DedupOps.nearDupEdit(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1370,6 +1383,160 @@ object SparkEntry {
         |   greatest(start_tok, seq_id * 256) AS n_seg_tokens,
         | last_seq > first_seq AS straddles
         |FROM e""".stripMargin,
+    // q147: the oracle re-derives the md5 weight vector per word
+    // (w(b) = hex8(md5('w_'||b)) % 2001 - 1000) — the engine looks the
+    // same weights up in a plan-literal array; both sums are exact
+    // BIGINT so the gate has no float boundary
+    "q147_linear_quality" ->
+      """SELECT doc_id, n_words, score, score >= 0 AS pass
+        |FROM (SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n_words,
+        |  CAST(list_sum(list_transform(regexp_split_to_array(text, '\s+'),
+        |    w -> ((('0x' || substr(md5('w_' ||
+        |      CAST((('0x' || substr(md5(w), 1, 8))::BIGINT % 256) AS VARCHAR)),
+        |      1, 8))::BIGINT % 2001) - 1000))) AS BIGINT) AS score
+        | FROM documents) t""".stripMargin,
+    // q148: each gate is its certifying oracle's fragment verbatim —
+    // quality/lang from q78, the seven rules from q144, keepers from
+    // q77, the contamination hits from q88
+    "q148_gate_log" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens_d,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops_d,
+        |    len(regexp_extract_all(text, '${TextOps.CjkPattern}')) AS zh,
+        |    len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS en,
+        |    len(regexp_extract_all(lower(text), '${TextOps.EsStops}')) AS es,
+        |    len(regexp_extract_all(lower(text), '${TextOps.DeStops}')) AS de,
+        |    len(regexp_extract_all(lower(text), '${TextOps.FrStops}')) AS fr,
+        |    len(regexp_split_to_array(text, '\\s+')) AS n_words,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+        |    len(regexp_extract_all(text, '${TextOps.AlphaWordPattern}')) AS alpha_words,
+        |    len(regexp_extract_all(text, '${TextOps.SymbolPattern}')) AS sym,
+        |    len(regexp_extract_all(text, '${TextOps.BulletLinePattern}')) AS bullet_lines,
+        |    len(regexp_extract_all(text, '${TextOps.EllipsisLinePattern}')) AS ell_lines
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |scored AS (
+        |  SELECT doc_id,
+        |    (${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops_d / n_tokens_d * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} >= 0.5) AS f_quality,
+        |    ((CASE WHEN zh > 0 THEN 'zh'
+        |           WHEN de > en AND de > es AND de > fr THEN 'de'
+        |           WHEN es > en AND es > fr THEN 'es'
+        |           WHEN fr > en THEN 'fr'
+        |           ELSE 'en' END) = 'en') AS f_lang,
+        |    ((n_words >= 50 AND n_words <= 100000) AND
+        |     (nonspace >= n_words * 3 AND nonspace <= n_words * 10) AND
+        |     (sym * 10 <= n_words) AND (bullet_lines * 10 <= n_lines * 9) AND
+        |     (ell_lines * 10 <= n_lines * 3) AND (alpha_words * 5 >= n_words * 4) AND
+        |     (en >= 2)) AS f_gopher
+        |  FROM t),
+        |w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 8), ' '))) AS gram
+        |  FROM w),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+        |hits AS (
+        |  SELECT t2.doc_id, count(ev.gram) AS n_hits
+        |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 7) t2
+        |  LEFT JOIN ev ON t2.gram = ev.gram
+        |  GROUP BY t2.doc_id),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))),
+        |flags AS (
+        |  SELECT s.doc_id, s.f_quality, s.f_lang,
+        |    (k.doc_id IS NOT NULL) AS f_unique, s.f_gopher,
+        |    (coalesce(h.n_hits, 0) = 0) AS f_clean
+        |  FROM scored s
+        |  LEFT JOIN keepers k ON s.doc_id = k.doc_id
+        |  LEFT JOIN hits h ON s.doc_id = h.doc_id)
+        |SELECT doc_id, f_quality, f_lang, f_unique, f_gopher, f_clean,
+        | CAST((CASE WHEN f_quality THEN 0 ELSE 1 END) +
+        |      (CASE WHEN f_lang THEN 0 ELSE 1 END) +
+        |      (CASE WHEN f_unique THEN 0 ELSE 1 END) +
+        |      (CASE WHEN f_gopher THEN 0 ELSE 1 END) +
+        |      (CASE WHEN f_clean THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+        | CASE WHEN NOT f_quality THEN 'quality'
+        |      WHEN NOT f_lang THEN 'lang'
+        |      WHEN NOT f_unique THEN 'duplicate'
+        |      WHEN NOT f_gopher THEN 'gopher'
+        |      WHEN NOT f_clean THEN 'contaminated'
+        |      ELSE 'none' END AS first_fail,
+        | (f_quality AND f_lang AND f_unique AND f_gopher AND f_clean) AS admitted
+        |FROM flags""".stripMargin,
+    // q149: same normalization + empty-word filter as the engine's
+    // wordRows; the roster left join keeps zero-word docs (NULL ttr)
+    "q149_lexical_diversity" ->
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |pw AS (
+        |  SELECT doc_id, word, count(*) AS n FROM w
+        |  WHERE word <> '' GROUP BY doc_id, word),
+        |pd AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct,
+        |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |    max(n) AS top_count
+        |  FROM pw GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce(pd.n_words, 0) AS n_words,
+        | coalesce(pd.n_distinct, 0) AS n_distinct,
+        | coalesce(pd.n_hapax, 0) AS n_hapax,
+        | coalesce(pd.top_count, 0) AS top_count,
+        | ${TextOps.roundAtSql(
+             "CAST(pd.n_distinct AS DOUBLE) / pd.n_words", 6)} AS ttr
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    // q150: identical operation order to the q29 cosine oracle — an
+    // index-order fold for the squared norm, one sqrt, one divide per
+    // element — so every double matches bit-for-bit before rounding
+    "q150_embed_normalize" ->
+      s"""WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, norm,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) / norm) AS unit
+        |  FROM n WHERE norm <> 0),
+        |uu AS (
+        |  SELECT vec_id, norm, unit,
+        |    sqrt(list_sum(list_transform(unit, x -> x * x))) AS unit_norm
+        |  FROM u)
+        |SELECT vec_id,
+        | CAST(unnest(range(0, len(unit))) AS BIGINT) AS dim,
+        | ${TextOps.roundAtSql("unnest(list_transform(unit, x -> x))", 6)} AS unit_v,
+        | ${TextOps.roundAtSql("norm", 6)} AS norm,
+        | (${TextOps.roundAtSql("unit_norm", 4)} = 1.0) AS unit_ok
+        |FROM uu""".stripMargin,
+    // q151: the engine's threshold Levenshtein returns -1 above the
+    // cap and is filtered out; the oracle computes the plain distance
+    // and applies the same <= cap — identical pair sets
+    "q151_neardup_edit" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |b AS (SELECT doc_id, norm, substr(norm, 1, 16) AS blk FROM t)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        | CAST(levenshtein(a.norm, c.norm) AS BIGINT) AS dist,
+        | (levenshtein(a.norm, c.norm) = 0) AS exact_dup
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        |WHERE abs(length(a.norm) - length(c.norm)) <= 8
+        |  AND levenshtein(a.norm, c.norm) <= 8""".stripMargin,
     // q135: q25's pair CTEs for positives; negatives re-derive the
     // same bucketed odd-row/lead pairing
     "q135_contrastive_pairs" ->

@@ -810,4 +810,56 @@ object CurationOps {
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     snapshotDiff(docs, v2)
   }
+
+  /** Per-document gate decision log — the explainability twin of the
+    * q127 capstone: instead of the filtered corpus, emit WHY each
+    * document was admitted or rejected. Five gates, each the exact
+    * shared definition its own oracle certifies ([[TextOps.qualityCol]]
+    * / [[TextOps.langPredCol]] / [[TextOps.exactKeepers]] /
+    * [[TextOps.gopherFlagCols]] / [[decontamination]]), plus the
+    * failure count, the first failing gate in audit priority order
+    * (quality → lang → duplicate → gopher → contaminated), and the
+    * final verdict. A curation run that drops 40% of a crawl owes its
+    * operators this table.
+    *
+    * Covers the non-eval slice ([[decontamination]]'s domain — eval
+    * docs are the benchmark, not candidates). Survivorship is judged
+    * against the FULL corpus like [[TextOps.corpusFilter]], so a
+    * non-eval dup of an eval doc still reads `duplicate`.
+    *
+    * Scale: quality, language, and all seven Gopher rules evaluate in
+    * ONE narrow codegen pass over the text scan; the only exchanges
+    * are the fingerprint-keeper aggregation and two doc_id joins
+    * (keeper marker, decontamination verdict) — no wide shuffle ever
+    * moves the text itself. */
+  def gateLog(spark: SparkSession, dir: String, minQuality: Double = 0.5,
+              evalMod: Int = 10, evalRem: Int = 7): DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(evalMod)) === evalRem
+    val scored = Tables.documents(spark, dir)
+      .filter(!isEval)
+      .select(col("doc_id"),
+        (TextOps.qualityCol >= minQuality).as("f_quality"),
+        (TextOps.langPredCol === "en").as("f_lang"),
+        TextOps.gopherKeepCol.as("f_gopher"))
+    val keepers = TextOps.exactKeepers(spark, dir)
+      .withColumn("__keeper", lit(true))
+    val clean = decontamination(spark, dir, evalMod = evalMod, evalRem = evalRem)
+      .select(col("doc_id"), (!col("contaminated")).as("f_clean"))
+    val flags = Seq("f_quality", "f_lang", "f_unique", "f_gopher", "f_clean")
+    scored
+      .join(keepers, Seq("doc_id"), "left")
+      .withColumn("f_unique", coalesce(col("__keeper"), lit(false)))
+      .join(clean, Seq("doc_id"))
+      .select(col("doc_id") +: flags.map(col): _*)
+      .withColumn("n_fail",
+        flags.map(f => when(col(f), 0L).otherwise(1L)).reduce(_ + _))
+      .withColumn("first_fail",
+        when(!col("f_quality"), "quality")
+          .when(!col("f_lang"), "lang")
+          .when(!col("f_unique"), "duplicate")
+          .when(!col("f_gopher"), "gopher")
+          .when(!col("f_clean"), "contaminated")
+          .otherwise("none"))
+      .withColumn("admitted", flags.map(col).reduce(_ && _))
+  }
 }

@@ -907,4 +907,40 @@ object DedupOps {
         round(cosineSimilarity(col("x.embedding"), col("y.embedding")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Edit-distance near-dup — the family member that catches
+    * single-character corruptions and small insertions the
+    * shingle/MinHash operators smear across every overlapping gram
+    * (title/URL dedup is this exact shape). Candidates block on the
+    * first `prefixLen` chars of the fingerprint-normalized text, then
+    * a length prefilter (|len_a − len_b| ≤ maxDist is a lower bound
+    * on edit distance — an exact, free reject) and the banded-DP
+    * Levenshtein verify: Spark's threshold form runs O(n·maxDist)
+    * per pair and early-exits to −1 above the cap, not O(n²).
+    *
+    * Prefix blocking misses pairs that differ inside the first
+    * `prefixLen` chars — the standard blocking recall trade, same as
+    * LSH banding; the oracle mirrors the blocking so the emitted set
+    * is exactly specified.
+    *
+    * Scale: one shuffle on the block key; bucket fan-out is bounded
+    * by prefix selectivity (lengthen the prefix or add a length-band
+    * key at 100 TB), and every surviving pair costs one banded DP. */
+  def nearDupEdit(spark: SparkSession, dir: String,
+                  prefixLen: Int = 16, maxDist: Int = 8): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm"))
+      .withColumn("blk", substring(col("norm"), 1, prefixLen))
+    val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("norm").as("norm_a"))
+    val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(length(col("norm_a")) - length(col("norm_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("norm_a"), col("norm_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .withColumn("exact_dup", col("dist") === 0)
+      .select(col("doc_a"), col("doc_b"),
+        col("dist").cast("bigint").as("dist"), col("exact_dup"))
+  }
 }

@@ -508,6 +508,49 @@ object SimilarityOps {
     * per-bucket. The same bounded-heap combiner as [[knnJoin]]
     * ([[partialTopK]]) cuts each partition's contribution to ≤ k rows
     * per query before the rank window's q_id exchange. */
+  /** L2 normalization of the embedding column — the feature-prep step
+    * before any cosine machinery (a normalized corpus turns cosine
+    * into a plain dot product, halving every downstream kernel).
+    * Zero-norm vectors (no direction) get a NULL unit vector rather
+    * than an Inf/NaN-filled one.
+    *
+    * The squared-norm fold and each element's division follow the
+    * exact operation order of the q29 cosine oracle (index-order
+    * `aggregate`, one `sqrt`, one divide), so DuckDB reproduces every
+    * double bit-for-bit before the display rounding.
+    *
+    * Scale: one codegen'd narrow map — no shuffle, no join; at 100 TB
+    * this pipelines with whatever scan feeds it. */
+  def normalizeEmbeddings(df: DataFrame): DataFrame = {
+    val sq = aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    df.withColumn("norm", sqrt(sq))
+      .withColumn("unit",
+        when(col("norm") === 0.0d, lit(null))
+          .otherwise(transform(col("embedding"),
+            x => x.cast("double") / col("norm"))))
+  }
+
+  /** q150: [[normalizeEmbeddings]] flattened to (vec_id, dim, unit
+    * value) rows — the q62 explode shape, because the oracle compare
+    * hashes scalars, not arrays. Unit values and the norm are
+    * floor-rounded at 6 for display; the norm of the unit vector is
+    * re-derived per row as an in-plan check column (`unit_ok`: every
+    * emitted row belongs to a vector whose rounded unit norm is 1). */
+  def embeddingUnitRows(spark: SparkSession, dir: String): DataFrame = {
+    val unitSq = aggregate(col("unit"), lit(0.0d), (acc, x) => acc + x * x)
+    normalizeEmbeddings(Tables.embeddings(spark, dir))
+      .filter(col("unit").isNotNull)
+      .withColumn("unit_ok",
+        TextOps.roundAt(sqrt(unitSq), 4) === 1.0d)
+      .select(col("vec_id"), posexplode(col("unit")).as(Seq("dim", "v")),
+        col("norm"), col("unit_ok"))
+      .select(col("vec_id"), col("dim").cast("bigint").as("dim"),
+        TextOps.roundAt(col("v"), 6).as("unit_v"),
+        TextOps.roundAt(col("norm"), 6).as("norm"),
+        col("unit_ok"))
+  }
+
   def knnJoinBucketed(spark: SparkSession, dir: String,
                       nQueries: Long = 20L, k: Int = 3,
                       nPlanes: Int = 6): DataFrame = {

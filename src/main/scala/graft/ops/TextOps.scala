@@ -112,7 +112,7 @@ object TextOps {
 
   /** The language prediction over the `text` column, as the one
     * shared Column definition (see [[qualityCol]]'s rationale). */
-  private def langPredCol: Column = {
+  private[ops] def langPredCol: Column = {
     val t = lower(col("text"))
     val zh = nMatches(col("text"), CjkPattern)
     val en = nMatches(t, EnStops)
@@ -152,7 +152,7 @@ object TextOps {
   /** The min-doc_id-per-fingerprint survivor set, shared by
     * [[dedupSurvivors]] and [[corpusFilter]] (one definition of the
     * keeper rule, like [[qualityCol]]). */
-  private def exactKeepers(spark: SparkSession, dir: String): DataFrame =
+  private[ops] def exactKeepers(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(fingerprintCol(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
@@ -739,7 +739,11 @@ object TextOps {
     * Scale: one codegen'd narrow map over the `text` scan — zero
     * shuffles, zero joins; at 100 TB this is a single pass that
     * prunes to the (doc_id, text) columns. */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  /** The seven rule flags over the `text` column, as one shared
+    * (name, Column) list: [[gopherRules]] reports them and
+    * [[CurationOps.gateLog]] folds their conjunction into the
+    * admission decision log — one definition, like [[qualityCol]]. */
+  private[ops] def gopherFlagCols: Seq[(String, Column)] = {
     val words = size(split(col("text"), "\\s+")).cast("bigint")
     val lines = size(split(col("text"), "\n", -1)).cast("bigint")
     val nonspace = length(regexp_replace(col("text"), "\\s", "")).cast("bigint")
@@ -748,20 +752,28 @@ object TextOps {
     val bulletLines = nMatches(col("text"), BulletLinePattern)
     val ellLines = nMatches(col("text"), EllipsisLinePattern)
     val stops = nMatches(lower(col("text")), EnStops)
+    Seq(
+      "f_word_count" -> (words >= 50 && words <= 100000),
+      "f_mean_word_len" -> (nonspace >= words * 3 && nonspace <= words * 10),
+      "f_symbol_ratio" -> (sym * 10 <= words),
+      "f_bullet_lines" -> (bulletLines * 10 <= lines * 9),
+      "f_ellipsis_lines" -> (ellLines * 10 <= lines * 3),
+      "f_alpha_words" -> (alphaWords * 5 >= words * 4),
+      "f_stopwords" -> (stops >= 2))
+  }
+
+  /** The conjunction of all seven rules, for composition into other
+    * gates without re-stating the thresholds. */
+  private[ops] def gopherKeepCol: Column =
+    gopherFlagCols.map(_._2).reduce(_ && _)
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(col("text"), "\\s+")).cast("bigint")
     Tables.documents(spark, dir).select(
-      col("doc_id"),
-      words.as("n_words"),
-      (words >= 50 && words <= 100000).as("f_word_count"),
-      (nonspace >= words * 3 && nonspace <= words * 10).as("f_mean_word_len"),
-      (sym * 10 <= words).as("f_symbol_ratio"),
-      (bulletLines * 10 <= lines * 9).as("f_bullet_lines"),
-      (ellLines * 10 <= lines * 3).as("f_ellipsis_lines"),
-      (alphaWords * 5 >= words * 4).as("f_alpha_words"),
-      (stops >= 2).as("f_stopwords"))
+      col("doc_id") +: words.as("n_words") +:
+        gopherFlagCols.map { case (n, c) => c.as(n) }: _*)
       .withColumn("keep",
-        col("f_word_count") && col("f_mean_word_len") && col("f_symbol_ratio") &&
-          col("f_bullet_lines") && col("f_ellipsis_lines") &&
-          col("f_alpha_words") && col("f_stopwords"))
+        gopherFlagCols.map { case (n, _) => col(n) }.reduce(_ && _))
   }
 
   /** Token-exact sequence packing: lay every source's documents end
@@ -804,5 +816,80 @@ object TextOps {
         (col("seg_end") - col("seq_id") * L).as("end_off"),
         (col("seg_end") - col("seg_start")).as("n_seg_tokens"),
         (col("last_seq") > col("first_seq")).as("straddles"))
+  }
+
+  /** Hashed-feature linear classifier scoring — the fastText-style
+    * model-based quality filter (Joulin et al. 2016 shape): each word
+    * hashes into one of `dim` feature buckets and the document's
+    * score is the sum of the bucket weights, i.e. `w · x` for a
+    * bag-of-words count vector under the hashing trick. The weight
+    * vector here is a deterministic md5-derived stand-in (integer
+    * weights in [-1000, 1000], so the score is EXACT BIGINT
+    * arithmetic — no float dot product to drift cross-engine); a
+    * trained model drops in by replacing the array.
+    *
+    * Scale: the model ships as a plan literal (for real 10⁶-dim
+    * models: a broadcast variable read by a codegen'd Expression) and
+    * scoring is `aggregate()` over `split()` — one codegen'd NARROW
+    * map over the text scan, zero shuffles, zero joins: the ideal
+    * 100 TB inference shape. Scoring cost is one md5 per word; the
+    * weight lookup is an O(1) array index, not a join.
+    *
+    * `split("\\s+")` yields a leading "" element for
+    * whitespace-leading text; it hashes like any token in BOTH
+    * engines, so parity holds without a trim pass. */
+  /** Lexical-diversity stats — the vocabulary-shape quality signals
+    * (MassiveText/C4 use the unique-word fraction as a boilerplate /
+    * keyword-stuffing detector): per document the normalized-word
+    * total, distinct count, hapax count (words occurring exactly
+    * once), the most-repeated word's count, and the type-token ratio.
+    * Every count is exact; TTR is ONE IEEE division, bit-identical
+    * cross-engine, floor-rounded at 6 like every ratio here.
+    *
+    * Docs whose text normalizes to zero words keep a row (zero
+    * counts, NULL ttr) via the roster left join, so the output stays
+    * one-row-per-document — an admission gate can consume it without
+    * an existence check.
+    *
+    * Scale: one (doc_id, word) aggregation and one doc_id rollup —
+    * both map-side-combined on the [[wordRows]] repartition, then a
+    * doc_id join back to the roster; the text column itself never
+    * crosses an exchange. */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val perWord = wordRows(spark, dir)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val perDoc = perWord.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("n")).as("top_count"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        roundAt(col("n_distinct").cast("double") / col("n_words"), 6).as("ttr"))
+  }
+
+  def linearQuality(spark: SparkSession, dir: String, dim: Int = 256): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val weights: Array[Long] = Array.tabulate(dim) { b =>
+      val hex = md.digest(s"w_$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 8), 16) % 2001 - 1000).toLong
+    }
+    val words = split(col("text"), "\\s+")
+    val bucket = (w: Column) =>
+      (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % dim).cast("int")
+    val score = aggregate(words, lit(0L),
+      (acc, w) => acc + element_at(lit(weights), bucket(w) + 1))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(words).cast("bigint").as("n_words"),
+        score.as("score"))
+      .withColumn("pass", col("score") >= 0)
   }
 }

@@ -422,4 +422,88 @@ class CurationSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k is not partial:\n$p")
     sample.unpersist()
   }
+
+  test("lexical diversity matches a driver-side recompute on every doc") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expected = docs.map { case (id, t) =>
+      val words = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty)
+      val counts = words.groupBy(identity).map { case (_, g) => g.length }
+      val n = words.length.toLong
+      val ttr = if (n == 0) None
+        else Some(math.floor(counts.size.toDouble / n * 1e6 + 0.5) / 1e6)
+      (id, (n, counts.size.toLong, counts.count(_ == 1).toLong,
+        if (counts.isEmpty) 0L else counts.max.toLong, ttr))
+    }.toMap
+    val got = TextOps.lexicalDiversity(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("linear classifier: score matches a driver-side recompute and plans as a zero-exchange narrow map") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val weights = Array.tabulate(256) { b =>
+      (BigInt(md5hex(s"w_$b").substring(0, 8), 16) % 2001 - 1000).toLong
+    }
+    def score(text: String): Long = text.split("\\s+", -1).map { w =>
+      weights((BigInt(md5hex(w).substring(0, 8), 16) % 256).toInt)
+    }.sum
+    val out = TextOps.linearQuality(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == docs.size)
+    docs.foreach { case (id, text) =>
+      val want = score(text)
+      assert(got(id) == ((want, want >= 0)), s"doc $id score")
+    }
+    // model scoring must be a pure narrow map: no exchange anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier pass shuffles:\n$plan")
+  }
+
+  test("gate log: flags agree with each component operator; n_fail/first_fail/admitted are consistent") {
+    val log = CurationOps.gateLog(spark, sf).cache()
+    try {
+      val rows = log.collect().map { r =>
+        (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5), r.getLong(6), r.getString(7),
+          r.getBoolean(8))
+      }
+      // eval slice excluded
+      assert(rows.forall(_._1 % 10 != 7), "an eval doc appears in the gate log")
+      // row-local consistency: n_fail counts the false flags, first_fail
+      // follows audit priority, admitted is the conjunction
+      rows.foreach { case (id, fq, fl, fu, fg, fc, nFail, firstFail, admitted) =>
+        val flags = Seq(fq, fl, fu, fg, fc)
+        assert(nFail == flags.count(!_), s"doc $id n_fail")
+        val want = Seq(fq -> "quality", fl -> "lang", fu -> "duplicate",
+          fg -> "gopher", fc -> "contaminated")
+          .collectFirst { case (false, n) => n }.getOrElse("none")
+        assert(firstFail == want, s"doc $id first_fail")
+        assert(admitted == flags.forall(identity), s"doc $id admitted")
+      }
+      // each flag column is its component operator's verdict verbatim
+      val inCorpusFilter = TextOps.corpusFilter(spark, sf)
+        .select($"doc_id").as[Long].collect().toSet
+      rows.foreach { case (id, fq, fl, fu, _, _, _, _, _) =>
+        assert((fq && fl && fu) == inCorpusFilter.contains(id),
+          s"doc $id quality+lang+unique vs corpusFilter")
+      }
+      val gopherKeep = TextOps.gopherRules(spark, sf)
+        .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+      val contaminated = CurationOps.decontamination(spark, sf)
+        .select($"doc_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+      rows.foreach { case (id, _, _, _, fg, fc, _, _, _) =>
+        assert(fg == gopherKeep(id), s"doc $id gopher flag")
+        assert(fc == !contaminated(id), s"doc $id clean flag")
+      }
+    } finally log.unpersist()
+  }
 }

@@ -360,4 +360,64 @@ class SimilarityDedupSpec extends AnyFunSuite {
     }
     assert(expected.nonEmpty, "fixture must produce at least one cross-boundary near-dup")
   }
+
+  test("embedding normalization: unit norms are 1, direction is preserved, the pass never shuffles") {
+    val out = SimilarityOps.normalizeEmbeddings(Tables.embeddings(spark, sf))
+    val rows = out.select($"vec_id", $"embedding", $"norm", $"unit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1).map(_.toDouble)
+      val norm = math.sqrt(emb.foldLeft(0.0)((a, x) => a + x * x))
+      assert(math.abs(r.getDouble(2) - norm) < 1e-12, s"vec ${r.getLong(0)} norm")
+      if (norm == 0.0) assert(r.isNullAt(3), "zero vector must yield NULL unit")
+      else {
+        val unit = r.getSeq[Double](3)
+        val un = math.sqrt(unit.foldLeft(0.0)((a, x) => a + x * x))
+        assert(math.abs(un - 1.0) < 1e-9, s"vec ${r.getLong(0)} unit norm $un")
+        // direction preserved: unit[i] * norm recovers the input
+        emb.zip(unit).foreach { case (x, u) =>
+          assert(math.abs(u * norm - x) < 1e-9, s"vec ${r.getLong(0)} direction")
+        }
+      }
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalization shuffles:\n$plan")
+  }
+
+  test("edit-distance near-dup matches a driver-side blocked Levenshtein recompute") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        }
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length)
+    }
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) =>
+        (id, t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim)
+      }
+    val expected = docs.groupBy(_._2.take(16)).values.flatMap { blkArr =>
+      val blk = blkArr.toSeq
+      for {
+        (ia, na) <- blk; (ib, nb) <- blk
+        if ia < ib && math.abs(na.length - nb.length) <= 8
+        d = lev(na, nb) if d <= 8
+      } yield (ia, ib) -> d
+    }.toMap
+    val got = DedupOps.nearDupEdit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+    assert(got == expected, s"pair sets differ: got ${got.size}, want ${expected.size}")
+    // the exact-dup subset agrees with the fingerprint dedup's groups
+    got.foreach { case ((a, b), d) =>
+      val same = docs.find(_._1 == a).get._2 == docs.find(_._1 == b).get._2
+      assert((d == 0) == same, s"pair ($a,$b) exact_dup flag")
+    }
+  }
 }
