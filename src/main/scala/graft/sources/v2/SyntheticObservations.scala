@@ -6,10 +6,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.WaterML
 
@@ -69,18 +71,75 @@ object SyntheticObservations {
   }
 
   private class ObsScanBuilder(options: CaseInsensitiveStringMap)
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownAggregates {
     private var required: StructType = WaterML.timeSeries
+    private var pushedCounts: Int = 0
     override def pruneColumns(requiredSchema: StructType): Unit =
       // accept top-level pruning only: re-expand each kept field to its
       // full type so the rows we produce match readSchema exactly
       required = StructType(WaterML.timeSeries.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
-    override def build(): Scan = new ObsScan(
-      sites = options.getLong("sites", 100L),
-      partitions = options.getInt("partitions", 4),
-      seed = options.getLong("seed", 42L),
-      schema = required)
+
+    // Aggregate pushdown (the tier parquet metadata-count sits on):
+    // an ungrouped COUNT(*) over this source is sites × |variables| by
+    // construction — answered in O(1) at the scan, generating ZERO
+    // rows. COMPLETE pushdown (not partial): the scan emits the final
+    // count row, so no aggregation node executes at all. Anything
+    // else (group-bys, other aggregates, residual filters — Spark
+    // only offers the pushdown when the whole subtree below the
+    // aggregate was pushed) falls back to the generating scan.
+    private def isCountStarOnly(agg: Aggregation): Boolean =
+      agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty &&
+        agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    override def supportCompletePushDown(agg: Aggregation): Boolean =
+      isCountStarOnly(agg)
+    override def pushAggregation(agg: Aggregation): Boolean =
+      if (isCountStarOnly(agg)) {
+        pushedCounts = agg.aggregateExpressions.length; true
+      } else false
+
+    override def build(): Scan =
+      if (pushedCounts > 0)
+        new ObsCountScan(
+          options.getLong("sites", 100L) * VariableCodes.length, pushedCounts)
+      else new ObsScan(
+        sites = options.getLong("sites", 100L),
+        partitions = options.getInt("partitions", 4),
+        seed = options.getLong("seed", 42L),
+        schema = required)
+  }
+
+  /** The O(1) answer to a completely-pushed COUNT(*): one partition,
+    * one row, no generator loop — a count over a trillion-row
+    * configuration returns instantly. */
+  private class ObsCountScan(total: Long, nCounts: Int)
+      extends Scan with Batch {
+    override def readSchema(): StructType =
+      StructType((0 until nCounts).map(i => StructField(s"count_$i", LongType)))
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"synthetic_observations PushedAggregates: [COUNT(*)], rows=$total"
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(CountPartition(total, nCounts))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CountReaderFactory
+  }
+
+  private case class CountPartition(total: Long, nCounts: Int)
+      extends InputPartition
+
+  private class CountReaderFactory extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val cp = p.asInstanceOf[CountPartition]
+        private var done = false
+        override def next(): Boolean = if (done) false else { done = true; true }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array.fill[Any](cp.nCounts)(cp.total))
+        override def close(): Unit = ()
+      }
   }
 
   private class ObsScan(sites: Long, partitions: Int, seed: Long,
