@@ -64,25 +64,67 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; the only supported path is the legacy nanosAsLong
-    * conf, so read it as long and rebuild a TIMESTAMP_NTZ (session is
-    * pinned UTC, so the LTZ→NTZ cast is value-preserving). `div` keeps
-    * the ns→us conversion in integer space — a double division would
-    * lose precision above 2^53 ns (~1970+104 days). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    // The conf cannot be a per-read datasource option (verified: the
-    // analyzer rejects the file during eager schema inference), so it
-    // is scoped here instead: schema inference happens inside load(),
-    // and the task-side scan does not re-read the session conf
-    // (verified: count() succeeds after restore) — so restoring the
-    // caller's value immediately after load() leaves no session-wide
-    // footprint on later unrelated parquet reads.
-    withNanosAsLong(spark) {
-      load(spark, dir, "events").withColumn(
-        "ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+  /** events loader, resilient to the physical encoding of `ts`.
+    *
+    * The generator has shipped this column two ways across testdata
+    * regenerations: standard parquet `timestamp[us]` (current) and
+    * legacy INT64 TIMESTAMP(NANOS) (older rounds). The contract here is
+    * fixed regardless: callers always see `ts: TIMESTAMP_NTZ` (session
+    * is pinned UTC, so the LTZ→NTZ cast is value-preserving), so the 17
+    * event-family query bodies never change when the files do.
+    *
+    * Branch selection is by *inferred* schema, never by assumption:
+    *   - inference succeeds → TimestampNTZType passes through,
+    *     TimestampType casts to NTZ, LongType (a nanos file read under
+    *     an already-set nanosAsLong conf) takes the integer ns→us path;
+    *   - inference throws → that is the signature of a nanos file read
+    *     WITHOUT the legacy conf (the analyzer rejects INT64
+    *     TIMESTAMP(NANOS) during eager schema inference; a per-read
+    *     datasource option cannot fix it) → retry under
+    *     [[withNanosAsLong]] and convert. `div` keeps the ns→us
+    *     conversion in integer space — a double division would lose
+    *     precision above 2^53 ns (~1970+104 days). The conf is restored
+    *     immediately after inference; the task-side scan does not
+    *     re-read it (verified: count() succeeds after restore).
+    * Any other `ts` type fails loudly — silently proceeding is how the
+    * round-14 outage (17 queries dead on one hard-coded encoding) would
+    * recur.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    val schema = eventsRawSchema(spark, path)
+    val raw = spark.read.schema(schema).parquet(path)
+    schema("ts").dataType match {
+      case TimestampNTZType => raw
+      case TimestampType    => raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case LongType =>
+        raw.withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case other =>
+        throw new IllegalStateException(
+          s"$path: events.ts has unsupported type $other — expected TIMESTAMP_NTZ, " +
+            "TIMESTAMP, or INT64 nanos; refusing to guess")
+    }
+  }
+
+  /** Schema of an events parquet file, whatever its `ts` encoding:
+    * plain inference first (covers both `timestamp[us]` variants); if
+    * that throws — the signature of a legacy INT64 TIMESTAMP(NANOS)
+    * file, which the analyzer rejects during eager inference — retry
+    * under [[withNanosAsLong]] (yielding LongType for ts). Shared by
+    * the batch loader and the streaming schema probe so both branch on
+    * the same evidence. */
+  private[graft] def eventsRawSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaCache.get(path).getOrElse {
+      try schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          withNanosAsLong(spark) {
+            schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+          }
+      }
     }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -46,24 +46,32 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total"))
 
-  /** Streaming source over the events parquet: same nanos→micros
-    * rebuild as Tables.events, via readStream — but as TIMESTAMP
-    * (with-local-tz): Structured Streaming watermarks reject
+  /** Streaming source over the events parquet: same encoding-resilient
+    * `ts` normalization as Tables.events, via readStream — but as
+    * TIMESTAMP (with-local-tz): Structured Streaming watermarks reject
     * TIMESTAMP_NTZ. Session tz is pinned UTC, so wall-clock values
-    * match the batch NTZ twin. The nanosAsLong conf is scoped to the
-    * eager batch schema-inference read and restored afterwards (the
-    * stream itself gets the explicit schema, so its execution never
+    * match the batch NTZ twin. The schema probe (Tables.eventsRawSchema)
+    * scopes the legacy nanos conf to the eager batch inference read only
+    * (the stream itself gets the explicit schema, so its execution never
     * consults the conf — same scoping as Tables.events). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.withNanosAsLong(spark) {
-      spark.read.parquet(s"$dir/events.parquet").schema
-    }
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    val raw = Tables.eventsRawSchema(spark, path)
     // the streaming file source requires a directory; glob down to the
     // events file inside the sf dir
-    spark.readStream.schema(raw)
+    val stream = spark.readStream.schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw("ts").dataType match {
+      case TimestampType    => stream
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType         => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other =>
+        throw new IllegalStateException(
+          s"$path: events.ts has unsupported type $other — expected TIMESTAMP_NTZ, " +
+            "TIMESTAMP, or INT64 nanos; refusing to guess")
+    }
   }
 
   /** Batch sessionization (gaps-and-islands): a new session starts
