@@ -367,6 +367,8 @@ object SparkEntry {
     "q150_embed_normalize" -> ((s, d) => SimilarityOps.embeddingUnitRows(s, d)),
     // edit-distance near-dup: prefix blocking + banded-DP Levenshtein
     "q151_neardup_edit"    -> ((s, d) => DedupOps.nearDupEdit(s, d)),
+    // q151 with the stop-prefix block cap engaged (the 100 TB form)
+    "q152_neardup_edit_capped" -> ((s, d) => DedupOps.nearDupEditCapped(s, d)),
     "q36_math_funcs"       -> ((s, d) => Relational.mathFuncs(s, d)),
     "q37_string_funcs"     -> ((s, d) => Relational.stringFuncs(s, d)),
     "q38_cube"             -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -1535,6 +1537,24 @@ object SparkEntry {
         | CAST(levenshtein(a.norm, c.norm) AS BIGINT) AS dist,
         | (levenshtein(a.norm, c.norm) = 0) AS exact_dup
         |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        |WHERE abs(length(a.norm) - length(c.norm)) <= 8
+        |  AND levenshtein(a.norm, c.norm) <= 8""".stripMargin,
+    // q152: q151's CTEs + the stop-prefix block cap — blocks with more
+    // than 2 members contribute NO pairs (prefix membership is a pure
+    // function of the normalized text, so the oracle re-derives the
+    // same exclusions)
+    "q152_neardup_edit_capped" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |b AS (SELECT doc_id, norm, substr(norm, 1, 16) AS blk FROM t),
+        |bsz AS (SELECT blk, count(*) AS n FROM b GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        | CAST(levenshtein(a.norm, c.norm) AS BIGINT) AS dist,
+        | (levenshtein(a.norm, c.norm) = 0) AS exact_dup
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        |JOIN bsz ON bsz.blk = a.blk AND bsz.n <= 2
         |WHERE abs(length(a.norm) - length(c.norm)) <= 8
         |  AND levenshtein(a.norm, c.norm) <= 8""".stripMargin,
     // q135: q25's pair CTEs for positives; negatives re-derive the

@@ -923,24 +923,48 @@ object DedupOps {
     * LSH banding; the oracle mirrors the blocking so the emitted set
     * is exactly specified.
     *
-    * Scale: one shuffle on the block key; bucket fan-out is bounded
-    * by prefix selectivity (lengthen the prefix or add a length-band
-    * key at 100 TB), and every surviving pair costs one banded DP. */
+    * Scale: ONE shuffle on the block key via the shared [[bucketPairs]]
+    * groupBy-bucket shape (no self-join — the normalization subtree is
+    * evaluated once, and there is no second scan). Without a cap, a
+    * boilerplate-prefix corpus (every page opening with the same
+    * 16 chars — licence headers, crawler banners) makes one block hold
+    * a large doc fraction and pair generation go O(block²) with one
+    * hot reducer; `maxBlock` EXCLUDES such stop-prefix blocks wholesale
+    * before pair generation, exactly the [[nearDupNgramCapped]]
+    * tradeoff: a prefix shared by everyone carries no discriminating
+    * information, so its pairs are overwhelmingly non-dups and the cap
+    * buys a hard buckets × maxBlock² candidate bound for bounded
+    * recall loss. Block membership is a pure function of the
+    * normalized text, so the oracle re-derives identical exclusions. */
   def nearDupEdit(spark: SparkSession, dir: String,
-                  prefixLen: Int = 16, maxDist: Int = 8): DataFrame = {
+                  prefixLen: Int = 16, maxDist: Int = 8,
+                  maxBlock: Option[Int] = None): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-    val t = Tables.documents(spark, dir)
+    val blocks = Tables.documents(spark, dir)
       .select(col("doc_id"), norm.as("norm"))
-      .withColumn("blk", substring(col("norm"), 1, prefixLen))
-    val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("norm").as("norm_a"))
-    val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("doc_a") < col("doc_b") &&
-        abs(length(col("norm_a")) - length(col("norm_b"))) <= maxDist)
+      .groupBy(substring(col("norm"), 1, prefixLen).as("blk"))
+      .agg(collect_list(struct(col("doc_id"), col("norm"))).as("members"))
+    bucketPairs(blocks, maxBlock)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.norm").as("norm_a"), col("y.norm").as("norm_b"))
+      .filter(abs(length(col("norm_a")) - length(col("norm_b"))) <= maxDist)
       .withColumn("dist", levenshtein(col("norm_a"), col("norm_b"), maxDist))
       .filter(col("dist") >= 0)
       .withColumn("exact_dup", col("dist") === 0)
       .select(col("doc_a"), col("doc_b"),
         col("dist").cast("bigint").as("dist"), col("exact_dup"))
   }
+
+  /** [[nearDupEdit]] with the stop-prefix block cap ENGAGED — the
+    * production form at 100 TB, and the q152 oracle gate. The default
+    * cap of 2 is the test-scale setting chosen so the sf0.01 corpus
+    * (25 blocks of 2, one of 3) exercises the exclusion non-vacuously;
+    * a production deployment raises it to executor-task size (≥64).
+    * Output ⊆ [[nearDupEdit]]'s by construction (BucketCapSpec
+    * proves it, plus wholesale exclusion of a synthetic
+    * common-prefix corpus). */
+  def nearDupEditCapped(spark: SparkSession, dir: String,
+                        prefixLen: Int = 16, maxDist: Int = 8,
+                        maxBlock: Int = 2): DataFrame =
+    nearDupEdit(spark, dir, prefixLen, maxDist, Some(maxBlock))
 }

@@ -66,6 +66,39 @@ class BucketCapSpec extends AnyFunSuite {
     assert(capped.count() > 0)
   }
 
+  test("nearDupEditCapped is a strict verified subset of nearDupEdit on real data") {
+    val uncapped = DedupOps.nearDupEdit(spark, sf)
+    val capped = DedupOps.nearDupEditCapped(spark, sf) // maxBlock = 2
+    // subset: every capped pair exists uncapped with the same distance
+    assert(capped.except(uncapped).count() == 0)
+    // strict: sf0.001 has a 16-char-prefix block of 4 docs whose 9
+    // verified pairs the cap must drop — equality means the cap
+    // silently stopped engaging (the negative control)
+    assert(capped.count() < uncapped.count())
+    assert(capped.count() > 0)
+  }
+
+  test("a boilerplate-prefix corpus is excluded wholesale by the edit block cap") {
+    // the 100 TB failure mode in miniature: most docs open with the
+    // same 16+ chars (licence header), so they all share one block
+    val boiler = (1L to 6L).map(i =>
+      (i, s"COPYRIGHT 2024 ACME corpus page number $i"))
+    // differ past char 16, so both share the "unique alpha doc" block
+    val normal = Seq((10L, s"unique alpha document nine"), (11L, s"unique alpha document nina"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-editcap").toString
+    (boiler ++ normal).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val capped = DedupOps.nearDupEditCapped(spark, dir)
+    val got = capped.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // boilerplate block (6 > cap 2) contributes nothing; the normal
+    // 1-char-apart pair survives with its distance intact
+    assert(got == Set((10L, 11L)), s"got $got")
+    assert(capped.filter($"doc_a" === 10L).select($"dist").as[Long].head() == 1L)
+    // and uncapped on the same corpus would have emitted the O(block²)
+    // boilerplate pairs — the cap is what removed them
+    assert(DedupOps.nearDupEdit(spark, dir).count() == 15 + 1)
+  }
+
   test("hardNegativesCapped keeps exactly the per-anchor top-m by (jaccard desc, doc_b)") {
     import org.apache.spark.sql.expressions.Window
     val m = 2
