@@ -454,7 +454,8 @@ object SparkEntry {
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
     "q09_anti_join" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)""".stripMargin,
     "q10_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q11_setops" ->
@@ -1992,7 +1993,10 @@ object SparkEntry {
         |FROM scored s JOIN th USING (source)
         |WHERE s.quality >= th.threshold""".stripMargin,
     // q116: same word normalization as q44; postings ordered by doc_id
-    // (unique per group — total order), df band 2..50
+    // (unique per group — total order), df band 2..5000 (the absolute
+    // upper cap bounds the postings buffer by construction; 5000
+    // admits the testdata's whole 31-word vocabulary so the gate
+    // compares 31 postings lists, not 1 — the round-14 low-row sweep)
     "q116_inverted_index" ->
       """WITH words AS (
         |  SELECT doc_id,
@@ -2004,7 +2008,7 @@ object SparkEntry {
         |  WHERE word <> '' GROUP BY 1, 2),
         |stats AS (
         |  SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
-        |  FROM tf GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50)
+        |  FROM tf GROUP BY 1 HAVING count(*) BETWEEN 2 AND 5000)
         |SELECT t.word, s.df, s.total_tf,
         | string_agg(t.doc_id || ':' || t.tf, ',' ORDER BY t.doc_id) AS postings
         |FROM tf t JOIN stats s USING (word)

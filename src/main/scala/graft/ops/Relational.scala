@@ -152,10 +152,18 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
   }
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no large order.
+    * The right side is filtered BEFORE the join (pushed below the
+    * shuffle), not with a post-join predicate — anti-join semantics
+    * differ. The 350k threshold is chosen so the testdata has real
+    * orphans at every scale factor (8 at sf0.001, 68 at sf0.01): an
+    * unfiltered right side matches every customer, returns zero rows
+    * on both engines, and turns the oracle gate vacuous — a broken
+    * anti join could not fail it (the round-13 finding). */
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 350000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
 
   /** Distinct = hash aggregate with no measures. */

@@ -252,7 +252,7 @@ object TextOps {
     * order is total — struct sort on (doc_id, tf) with doc_id unique
     * per group. */
   def invertedIndex(spark: SparkSession, dir: String,
-                    minDf: Long = 2, maxDf: Long = 50): DataFrame = {
+                    minDf: Long = 2, maxDf: Long = 5000): DataFrame = {
     val tf = wordRows(spark, dir)
       .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
     val stats = tf.groupBy(col("word"))

@@ -29,8 +29,7 @@ class RelationalSpec extends AnyFunSuite {
       val n = df.count()
       assert(n >= 0, s"$name failed to execute")
       assert(df.columns.nonEmpty, s"$name has no columns")
-      // anti-join legitimately returns 0 rows on dense data
-      if (name != "q09_anti_join") assert(n > 0, s"$name returned no rows")
+      assert(n > 0, s"$name returned no rows")
     }
   }
 
