@@ -474,4 +474,52 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(served == scratch, "state-served BM25 diverged from the from-scratch scores")
     assert(scratch.nonEmpty)
   }
+
+  test("streaming cluster fold via foreachBatch: labels are batch-identical and boundary-independent") {
+    // q143's streaming twin: the (id, cluster) state table refolded
+    // per micro-batch of near-dup pairs through incrementalComponents
+    // must equal clustering the whole pair set at once, whatever the
+    // chopping — including cuts that land a cluster-MERGING pair
+    // (one linking two components already closed in earlier batches)
+    // in a later micro-batch. The star edges in the state (id →
+    // component minimum) are re-entered as plain edges each fold, so
+    // history is never rescanned; only state-sized plus batch-sized
+    // rows flow.
+    import graft.ops.DedupOps
+    implicit val sqlCtx = spark.sqlContext
+    val pairs = DedupOps.nearDupNgram(spark, sf).select($"doc_a", $"doc_b")
+    // deterministic feed order so the two choppings differ only in
+    // their cut points, not their pair order
+    val rows = pairs.as[(Long, Long)].collect().sortBy(identity).toSeq
+    def runChopped(cuts: Seq[Int]): Map[Long, Long] = {
+      var state = pairs.limit(0)
+        .select($"doc_a".as("id"), $"doc_b".as("cluster")).localCheckpoint()
+      val input = MemoryStream[(Long, Long)]
+      val q = input.toDF().toDF("doc_a", "doc_b").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          state = DedupOps.incrementalComponents(state, batch)
+            .localCheckpoint() // materialized state per micro-batch
+          ()
+        }.start()
+      try {
+        var rest = rows
+        for (c <- cuts) {
+          val (b, r) = rest.splitAt(c); rest = r
+          if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { input.addData(rest); q.processAllAvailable() }
+      } finally q.stop()
+      state.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val oneShot = DedupOps.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = runChopped(Seq(rows.length / 3, rows.length / 3))
+    val b = runChopped(Seq(rows.length / 7))
+    assert(a == oneShot, "folded cluster labels diverged from the one-shot clustering")
+    assert(b == oneShot, "cluster labels depend on micro-batch boundaries")
+    // fixture sanity: the pair set actually exercises multi-pair
+    // clusters, so the fold had merges to get right
+    assert(oneShot.values.groupBy(identity).exists(_._2.size > 2))
+  }
 }
