@@ -33,20 +33,60 @@ object ZOrder {
   def quantize(v: Column, maxV: Column, bits: Int = 16): Column =
     floor((v * (1L << bits)).cast("double") / (maxV + 1)).cast("long")
 
-  /** Bit-interleaved Z-value of two already-quantized columns: bit i
-    * of x lands at position 2i, bit i of y at 2i+1. 2·bits total
-    * output bits (32 for the default — well inside BIGINT on both
-    * engines). */
-  def zValue(xq: Column, yq: Column, bits: Int = 16): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xq, i).bitwiseAND(1L), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(yq, i).bitwiseAND(1L), 2 * i + 1))
+  /** Output bit position of bit level `i` of dimension `d`, for
+    * dimensions with (possibly unequal) per-dim bit budgets: levels
+    * are consumed round-robin from the LSB, and a dimension whose
+    * budget is exhausted simply drops out of later rounds. With equal
+    * budgets this degenerates to the classic stride — bit i of dim d
+    * at position n·i + d — and for ANY budgets a given dimension's
+    * positions are strictly increasing in i, which is what makes the
+    * key monotone per dimension (and envelope-narrowing per
+    * dimension) below. Unequal budgets are the per-dim resolution
+    * knob: give a high-cardinality filter column more bits and a
+    * coarse one fewer, instead of paying every dimension the widest
+    * dimension's width. */
+  private def positions(budgets: Seq[Int]): Seq[Seq[Int]] = {
+    val out = Array.fill(budgets.length)(List.empty[Int])
+    var pos = 0
+    for (i <- 0 until budgets.max; d <- budgets.indices if budgets(d) > i) {
+      out(d) = pos :: out(d) // reversed: head = highest level
+      pos += 1
+    }
+    out.map(_.reverse).toSeq
+  }
+
+  /** Bit-interleaved Z-value of n already-quantized columns with
+    * per-dimension bit budgets. Total bits must fit a signed BIGINT
+    * on both engines. */
+  def zValueN(dims: Seq[(Column, Int)]): Column = {
+    require(dims.nonEmpty && dims.map(_._2).sum <= 63,
+      s"z-value needs 1..n dims totalling <= 63 bits, got ${dims.map(_._2)}")
+    val pos = positions(dims.map(_._2))
+    dims.zipWithIndex.flatMap { case ((q, _), d) =>
+      pos(d).zipWithIndex.map { case (p, i) =>
+        shiftleft(shiftright(q, i).bitwiseAND(1L), p)
+      }
     }.reduce(_ bitwiseOR _)
+  }
+
+  /** [[zValueN]] as SQL text (for the DuckDB oracle twin) over
+    * pre-quantized expressions. */
+  def zValueNSql(dims: Seq[(String, Int)]): String = {
+    require(dims.nonEmpty && dims.map(_._2).sum <= 63)
+    val pos = positions(dims.map(_._2))
+    dims.zipWithIndex.flatMap { case ((q, _), d) =>
+      pos(d).zipWithIndex.map { case (p, i) => s"((($q >> $i) & 1) << $p)" }
+    }.mkString("(", " | ", ")")
+  }
+
+  /** Two-dim special case (bit i of x at 2i, of y at 2i+1) — the
+    * round-robin layout of [[zValueN]] with equal budgets, kept as
+    * the q142 entry point. */
+  def zValue(xq: Column, yq: Column, bits: Int = 16): Column =
+    zValueN(Seq(xq -> bits, yq -> bits))
 
   /** The same interleave as SQL text (for the DuckDB oracle twin) over
     * pre-quantized expressions `xq`, `yq`. */
   def zValueSql(xq: String, yq: String, bits: Int = 16): String =
-    (0 until bits).map { i =>
-      s"((($xq >> $i) & 1) << ${2 * i}) | ((($yq >> $i) & 1) << ${2 * i + 1})"
-    }.mkString("(", " | ", ")")
+    zValueNSql(Seq(xq -> bits, yq -> bits))
 }
