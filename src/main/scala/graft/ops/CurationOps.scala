@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextNorm
 
 /** Corpus-curation operators for LLM training-data pipelines
   * (SURVEY.md §2c): benchmark decontamination, cross-document
@@ -45,7 +46,7 @@ object CurationOps {
   private[ops] def kgramRowsOf(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k-gram size must be >= 2, got $k")
-    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val words = TextNorm.words(col("text"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leads = (1 until k).map(i => lead(col("col"), i).over(w).as(s"w$i"))
     docs
@@ -251,7 +252,7 @@ object CurationOps {
     val words = Tables.documents(spark, dir)
       .repartition(col("doc_id")) // spread the explode (cf. kgramRows)
       .select(col("doc_id"), posexplode(
-        split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")))
+        TextNorm.words(col("text"))))
       .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
         col("col").as("word"))
     val covered = maximalSpans(spark, dir, k, minDocs)

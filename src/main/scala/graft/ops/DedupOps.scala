@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextNorm
 import graft.functions.CosineSimilarity.cosineSimilarity
 
 /** Deduplication operators for LLM-data pipelines (SURVEY.md §2c):
@@ -46,7 +47,7 @@ object DedupOps {
   /** Word 3-gram shingle set of a normalized text column (array
     * form — convenient for small inputs and tests). */
   def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    val words = TextNorm.words(text)
     array_distinct(transform(
       sequence(lit(0), greatest(size(words) - n, lit(0))),
       i => concat_ws(" ", slice(words, i + 1, lit(n)))))
@@ -66,7 +67,7 @@ object DedupOps {
 
   private def shingleRowsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val words = TextNorm.words(col("text"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
       // spread BEFORE the 50x explode: a small documents file is one
@@ -838,7 +839,7 @@ object DedupOps {
   def simHashes(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        explode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")).as("tok"))
+        explode(TextNorm.words(col("text"))).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 17, 15), 16, 10).cast("long"))
     val bitSums = (0 until SimHashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
@@ -939,7 +940,7 @@ object DedupOps {
   def nearDupEdit(spark: SparkSession, dir: String,
                   prefixLen: Int = 16, maxDist: Int = 8,
                   maxBlock: Option[Int] = None): DataFrame = {
-    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val norm = TextNorm.norm(col("text"))
     val blocks = Tables.documents(spark, dir)
       .select(col("doc_id"), norm.as("norm"))
       .groupBy(substring(col("norm"), 1, prefixLen).as("blk"))

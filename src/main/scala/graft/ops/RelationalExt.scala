@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.TextNorm
 
 /** Second tranche of relational coverage (SURVEY.md §2b checklist):
   * statistical aggregates, grouping sets, navigation window
@@ -315,7 +316,7 @@ object RelationalExt {
     * codegen'd collection expression, flattened to scalars so the
     * oracle compare stays scalar-only. */
   def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val words = TextNorm.words(col("text"))
     Tables.documents(spark, dir).select(
       col("doc_id"),
       size(array_distinct(words)).cast("bigint").as("n_uniq"),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextNorm
 
 /** Text-analysis operators for LLM-data pipelines over the
   * `documents` table: token counting, quality scoring, language
@@ -131,7 +132,7 @@ object TextOps {
     * whitespace/punctuation/case edits; distributable as a pure map
     * (the shuffle, if any, happens in the groupBy that consumes it). */
   def fingerprintCol(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+    md5(TextNorm.norm(text))
 
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -181,7 +182,7 @@ object TextOps {
     docs
       .repartition(col("doc_id")) // spread the explode (cf. DedupOps.shingleRows)
       .select(col("doc_id"),
-        posexplode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")))
+        posexplode(TextNorm.words(col("text"))))
       .filter(col("col") =!= "")
       .select(col("doc_id"), col("pos"), col("col").as("word"))
 
@@ -331,7 +332,7 @@ object TextOps {
                                      window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
-    val words = split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val words = TextNorm.words(col("text"))
     docs
       .select(col("doc_id"), words.as("w"))
       .select(col("doc_id"), col("w"),
