@@ -127,7 +127,30 @@ object Tables {
       }
     }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** embeddings loader with the same schema-drift resilience as
+    * [[events]] (the round-14 lesson applied before it recurs): the
+    * engine contract is `embedding: array<float>` — the type the
+    * codegen'd CosineSimilarity kernel requires — whatever precision
+    * the generator shipped. `array<float>` passes through;
+    * `array<double>` down-casts (values the generator produced as
+    * float32 round-trip exactly; a genuinely double-precision corpus
+    * loses precision uniformly on every operator, which is the float
+    * kernel's documented contract); anything else fails loudly. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val raw = load(spark, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalStateException(
+          s"$dir/embeddings.parquet: embedding has unsupported type $other — " +
+            "expected array<float> or array<double>; refusing to guess")
+    }
+  }
 
   // Embedding dimension per table path, probed from the first non-null
   // row ONCE and memoized: the array element count is a property of

@@ -113,6 +113,36 @@ class EventsEncodingSpec extends AnyFunSuite {
     assert(canonical(nanosFixture()) == ntz)
   }
 
+  test("embeddings loader normalizes array<double> files to the array<float> contract") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val vals = Seq((1L, Seq(0.25, -1.5, 3.0), 0), (2L, Seq(0.5, 0.75, -2.0), 1))
+    def fixture(asDouble: Boolean): String = {
+      val dir = tmpDir(if (asDouble) "embd" else "embf")
+      val df =
+        if (asDouble) vals.toDF("vec_id", "embedding", "label")
+        else vals.map { case (id, e, l) => (id, e.map(_.toFloat), l) }
+          .toDF("vec_id", "embedding", "label")
+      df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    def rows(dir: String): Seq[(Long, Seq[Float])] = {
+      val df = Tables.embeddings(spark, dir)
+      assert(df.schema("embedding").dataType == ArrayType(FloatType),
+        s"loader contract is embedding: array<float>, got ${df.schema("embedding").dataType}")
+      df.orderBy($"vec_id").select($"vec_id", $"embedding")
+        .as[(Long, Seq[Float])].collect().toSeq
+    }
+    // float32-exact values round-trip identically through either encoding
+    assert(rows(fixture(asDouble = true)) == rows(fixture(asDouble = false)))
+    // and the float kernel accepts the normalized column
+    val dir = fixture(asDouble = true)
+    val sim = Tables.embeddings(spark, dir).as("a")
+      .crossJoin(Tables.embeddings(spark, dir).as("b"))
+      .select(graft.functions.CosineSimilarity.cosineSimilarity(
+        $"a.embedding", $"b.embedding").as("c"))
+    assert(sim.count() == 4)
+  }
+
   test("events loader fails loudly on an unsupported ts type instead of guessing") {
     val dir = tmpDir("bad")
     Seq((1L, "not-a-timestamp")).toDF("event_id", "ts")
