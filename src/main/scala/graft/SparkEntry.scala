@@ -326,6 +326,8 @@ object SparkEntry {
     // split-leakage audit: near-dup pairs crossing a hash split —
     // each row is an eval-inflating leak
     "q137_split_leakage"   -> ((s, d) => CurationOps.splitLeakage(s, d)),
+    // leakage-free split assignment keyed on the dedup-cluster rep
+    "q153_cluster_split"   -> ((s, d) => CurationOps.clusterAwareSplit(s, d)),
     // stop-key bucket cap ENGAGED: near-dup with buckets > 3 members
     // excluded wholesale — the O(bucket^2) guard, oracle-mirrored
     "q138_neardup_capped"  -> ((s, d) => DedupOps.nearDupNgramCapped(s, d)),
@@ -1173,6 +1175,40 @@ object SparkEntry {
         |FROM p JOIN sp sa ON p.doc_a = sa.doc_id
         |JOIN sp sb ON p.doc_b = sb.doc_id
         |WHERE sa.split <> sb.split""".stripMargin,
+    // q153: q61's recursive cluster CTEs + the q137 md5 split rule,
+    // but hashed on the cluster representative (cluster-min; docs in
+    // no pair represent themselves), so near-dups cannot straddle
+    "q153_cluster_split" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |dup AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        |          UNION SELECT doc_b, doc_a FROM dup),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |           FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        | coalesce(l.cluster, d.doc_id) AS cluster_rep,
+        | CASE WHEN substr(md5('split_' ||
+        |            CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)), 1, 1)
+        |      IN ('0', '1', '2') THEN 'test' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin,
     // q138: q25's CTEs + the bucket-size cap — buckets with more than
     // 3 members contribute NO pairs (min-md5 membership is fully
     // deterministic, so the oracle re-derives the same exclusions)

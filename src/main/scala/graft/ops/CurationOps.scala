@@ -416,6 +416,37 @@ object CurationOps {
       .select(col("doc_a"), col("split_a"), col("doc_b"), col("split_b"), col("jaccard"))
   }
 
+  /** Leakage-free train/test split ASSIGNMENT — the constructive
+    * complement of [[splitLeakage]]'s audit: every document's split is
+    * decided by the md5 hash of its dedup-cluster REPRESENTATIVE (the
+    * cluster-minimum doc_id; docs in no near-dup pair represent
+    * themselves), so all members of a near-dup cluster land on the
+    * same side and a verified near-dup pair can never cross the
+    * boundary BY CONSTRUCTION (CurationSpec re-runs the q137 audit on
+    * this split and pins the leak count at zero). Hashing the
+    * representative keeps the assignment deterministic, engine-
+    * independent (same md5 first-hex-char rule as [[splitLeakage]]) and
+    * stable under corpus growth: adding documents never flips an
+    * existing cluster's side unless dedup merges its cluster.
+    *
+    * Scale: cluster labels come from the standard blocked CC machinery
+    * (pair-list-sized, never all-pairs); the representative lookup is
+    * one doc_id-keyed left join (labels are pair-participant-sized,
+    * far smaller than the corpus); the hash rule is a codegen'd narrow
+    * map. */
+  def clusterAwareSplit(spark: SparkSession, dir: String,
+                        threshold: Double = 0.5): DataFrame = {
+    val labels = DedupOps.dedupClusters(spark, dir, threshold)
+      .select(col("doc_id"), col("cluster"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_rep"))
+      .withColumn("split",
+        when(substring(md5(concat(lit("split_"), col("cluster_rep").cast("string"))), 1, 1)
+          .isin("0", "1", "2"), lit("test")).otherwise(lit("train")))
+  }
+
   /** Per-source winsorization of document length (clip at the p05/p95
     * band) with outlier flags — the robust-stats step before
     * length-sensitive training decisions: a handful of giant

@@ -506,4 +506,31 @@ class CurationSpec extends AnyFunSuite {
       }
     } finally log.unpersist()
   }
+
+  test("cluster-aware split: zero leaks by construction, cluster-constant, and both sides populated") {
+    import graft.ops.DedupOps
+    val split = CurationOps.clusterAwareSplit(spark, sf).cache()
+    try {
+      // the q137 audit, re-run against THIS split, must find nothing:
+      // no verified near-dup pair crosses the boundary
+      val s = split.select($"doc_id", $"split")
+      val leaks = DedupOps.nearDupNgram(spark, sf)
+        .join(s.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+        .join(s.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+        .filter($"split_a" =!= $"split_b")
+      assert(leaks.count() == 0, "cluster-keyed split leaked a near-dup pair across the boundary")
+      // negative control: the doc_id-keyed split (q137's subject) DOES
+      // leak on this corpus — otherwise the zero above proves nothing
+      assert(CurationOps.splitLeakage(spark, sf).count() > 0,
+        "fixture sanity: the naive split has no leaks to prevent")
+      // split is a pure function of the cluster representative
+      assert(split.groupBy($"cluster_rep")
+        .agg(countDistinct($"split").as("n")).filter($"n" > 1).count() == 0)
+      // every document is assigned, exactly once, and both sides exist
+      assert(split.count() == Tables.documents(spark, sf).count())
+      assert(split.select($"doc_id").distinct().count() == split.count())
+      val sides = split.groupBy($"split").count().as[(String, Long)].collect().toMap
+      assert(sides.getOrElse("train", 0L) > 0 && sides.getOrElse("test", 0L) > 0, s"$sides")
+    } finally split.unpersist()
+  }
 }
