@@ -54,6 +54,8 @@ object SparkEntry {
     "q32_multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
     "q33_sessionize"       -> ((s, d) => graft.streaming.EventStream.sessionizeBatch(s, d)),
     "q34_asof_join"        -> ((s, d) => AsofJoin.eventsToLatestOrder(s, d)),
+    // left as-of with a staleness tolerance (pandas merge_asof form)
+    "q154_asof_tolerance"  -> ((s, d) => AsofJoin.eventsToRecentOrderTolerant(s, d)),
     "q41_interval_join"    -> ((s, d) => AsofJoin.eventPairsWithin(s, d)),
     "q42_quantiles"        -> ((s, d) => Relational.quantiles(s, d)),
     "q43_pivot"            -> ((s, d) => Relational.pivotEvents(s, d)),
@@ -677,6 +679,20 @@ object SparkEntry {
         |     e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
         |FROM e ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    // q154: q34's ASOF made LEFT + a staleness bound on the match —
+    // stale/absent matches null out with matched = false
+    "q154_asof_tolerance" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |           FROM orders GROUP BY 1, 2),
+        |     e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, e.ts,
+        | CASE WHEN o.o_orderdate + INTERVAL 8400 DAYS >= e.ts
+        |      THEN o.o_orderkey END AS o_orderkey,
+        | CASE WHEN o.o_orderdate + INTERVAL 8400 DAYS >= e.ts
+        |      THEN o.o_orderdate END AS o_orderdate,
+        | coalesce(o.o_orderdate + INTERVAL 8400 DAYS >= e.ts, FALSE) AS matched
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q76_asof_forward" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS event_id
         |           FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events) GROUP BY 1, 2),

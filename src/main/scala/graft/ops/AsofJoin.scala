@@ -56,6 +56,55 @@ object AsofJoin {
         col("m.o_orderdate").as("o_orderdate"))
   }
 
+  /** LEFT as-of with a TOLERANCE bound — the two semantics the plain
+    * [[eventsToLatestOrder]] lacks, together (pandas
+    * `merge_asof(tolerance=...)`): every event row is kept (left
+    * semantics), and a backward match only counts when the matched
+    * order is no staler than `toleranceDays`; stale or absent matches
+    * yield NULL columns and `matched = false`. The staleness bound is
+    * what makes as-of joins honest on sparse keys — without it a
+    * price/feature lookup silently joins data years old.
+    *
+    * Same union+window carry as [[eventsToLatestOrder]] (one shuffle,
+    * O(1) state per key); the tolerance is a row-local predicate on
+    * the carried match, so it adds zero plan structure. The default
+    * 8400 days is the TEST-SCALE setting: the synthetic corpus's
+    * order→event gaps run 8223..8814 days, so this value exercises
+    * both outcomes non-vacuously (5570 of 10000 matched at sf0.01) —
+    * a production deployment sets minutes or hours. */
+  def eventsToRecentOrderTolerant(spark: SparkSession, dir: String,
+                                  toleranceDays: Int = 8400): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val right = orders.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("src"),
+      lit(null).cast("bigint").as("event_id"),
+      struct(col("o_orderkey"), col("o_orderdate")).as("r"))
+    val left = Tables.events(spark, dir).select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("src"),
+      col("event_id"),
+      lit(null).cast(
+        "struct<o_orderkey:bigint,o_orderdate:timestamp_ntz>").as("r"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("src"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // false (not null) when no order precedes the event: isNotNull =
+    // false short-circuits the AND under three-valued logic
+    val within = col("m").isNotNull &&
+      col("m.o_orderdate") + expr(s"INTERVAL $toleranceDays DAYS") >= col("t")
+    right.unionByName(left)
+      .withColumn("m", last(col("r"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(
+        col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        when(within, col("m.o_orderkey")).as("o_orderkey"),
+        when(within, col("m.o_orderdate")).as("o_orderdate"),
+        within.as("matched"))
+  }
+
   /** Forward as-of: for each order, the customer's EARLIEST event at
     * or after the order date — the mirror of [[eventsToLatestOrder]],
     * carrying the nearest right row backward with

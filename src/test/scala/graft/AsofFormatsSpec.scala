@@ -47,6 +47,34 @@ class AsofFormatsSpec extends AnyFunSuite {
     assert(joined.join(early, Seq("event_id"), "left_semi").count() == 0)
   }
 
+  test("tolerant left as-of: every event kept, matches within tolerance, flags honest") {
+    val tolDays = 8400
+    val joined = AsofJoin.eventsToRecentOrderTolerant(spark, sf, tolDays).cache()
+    try {
+      // LEFT semantics: one output row per event, always
+      assert(joined.count() == Tables.events(spark, sf).count())
+      // every match is backward AND within the staleness bound
+      assert(joined.filter($"matched" &&
+        ($"o_orderdate" > $"ts" ||
+          $"o_orderdate" + expr(s"INTERVAL $tolDays DAYS") < $"ts")).count() == 0)
+      // flags are honest three-way: matched <=> non-null match columns
+      assert(joined.filter($"matched" =!= $"o_orderkey".isNotNull).count() == 0)
+      assert(joined.filter($"matched".isNull).count() == 0)
+      // an unmatched event with SOME earlier order was rejected for
+      // staleness only — its latest earlier order must violate the
+      // bound (the tolerance really is the deciding predicate)
+      val latest = AsofJoin.eventsToLatestOrder(spark, sf)
+        .select($"event_id", $"o_orderdate".as("latest_date"))
+      val rejected = joined.filter(!$"matched")
+        .join(latest, Seq("event_id"))
+      assert(rejected.filter(
+        $"latest_date" + expr(s"INTERVAL $tolDays DAYS") >= $"ts").count() == 0)
+      // both outcomes populated (non-vacuous at this tolerance)
+      val n = joined.filter($"matched").count()
+      assert(n > 0 && n < joined.count())
+    } finally joined.unpersist()
+  }
+
   test("interval join: pairs ordered, in-window, same user, no self-pairs") {
     val pairs = AsofJoin.eventPairsWithin(spark, sf, windowHours = 4)
     val e = Tables.events(spark, sf)
