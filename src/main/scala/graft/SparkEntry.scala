@@ -48,6 +48,8 @@ object SparkEntry {
     "q27_neardup_simhash"  -> ((s, d) => DedupOps.nearDupSimHash(s, d)),
     "q28_neardup_embedding"-> ((s, d) => DedupOps.nearDupEmbedding(s, d)),
     "q29_sim_topk"         -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    // query-ensemble retrieval fused by reciprocal rank fusion
+    "q155_multiquery_rrf"  -> ((s, d) => SimilarityOps.multiQueryRRF(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
     "q40_neardup_emb_lsh"  -> ((s, d) => DedupOps.nearDupEmbeddingLSH(s, d)),
     "q31_media_meta"       -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
@@ -631,6 +633,63 @@ object SparkEntry {
         |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))), 4) AS cos
         |  FROM embeddings e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // q155: three q29-style exact legs (query vectors 0/1/2, top-100
+    // each, cos rounded at 4 with vec_id tie-break), pivoted to rank
+    // columns and fused left-to-right as 1/(60+rank) with absent legs
+    // contributing zero — the fixed IEEE operation order both engines
+    // share; final order on the UNROUNDED fused score, vec_id tiebreak
+    "q155_multiquery_rrf" ->
+      """WITH cand AS (SELECT vec_id, embedding FROM embeddings
+        |              WHERE vec_id NOT IN (0, 1, 2)),
+        |leg0 AS (SELECT vec_id, rnk FROM (
+        |  SELECT c.vec_id, row_number() OVER (ORDER BY cos DESC, c.vec_id) AS rnk FROM (
+        |    SELECT c2.vec_id,
+        |      round(list_sum(list_transform(range(1, len(c2.embedding) + 1),
+        |          i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+        |        (sqrt(list_sum(list_transform(range(1, len(c2.embedding) + 1),
+        |          i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))) *
+        |         sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))), 4) AS cos
+        |    FROM cand c2, (SELECT embedding FROM embeddings WHERE vec_id = 0) q) c) r
+        |  WHERE rnk <= 100),
+        |leg1 AS (SELECT vec_id, rnk FROM (
+        |  SELECT c.vec_id, row_number() OVER (ORDER BY cos DESC, c.vec_id) AS rnk FROM (
+        |    SELECT c2.vec_id,
+        |      round(list_sum(list_transform(range(1, len(c2.embedding) + 1),
+        |          i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+        |        (sqrt(list_sum(list_transform(range(1, len(c2.embedding) + 1),
+        |          i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))) *
+        |         sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))), 4) AS cos
+        |    FROM cand c2, (SELECT embedding FROM embeddings WHERE vec_id = 1) q) c) r
+        |  WHERE rnk <= 100),
+        |leg2 AS (SELECT vec_id, rnk FROM (
+        |  SELECT c.vec_id, row_number() OVER (ORDER BY cos DESC, c.vec_id) AS rnk FROM (
+        |    SELECT c2.vec_id,
+        |      round(list_sum(list_transform(range(1, len(c2.embedding) + 1),
+        |          i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+        |        (sqrt(list_sum(list_transform(range(1, len(c2.embedding) + 1),
+        |          i -> CAST(c2.embedding[i] AS DOUBLE) * CAST(c2.embedding[i] AS DOUBLE)))) *
+        |         sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))), 4) AS cos
+        |    FROM cand c2, (SELECT embedding FROM embeddings WHERE vec_id = 2) q) c) r
+        |  WHERE rnk <= 100),
+        |u AS (SELECT vec_id, 0 AS leg, rnk FROM leg0
+        |      UNION ALL SELECT vec_id, 1, rnk FROM leg1
+        |      UNION ALL SELECT vec_id, 2, rnk FROM leg2),
+        |pv AS (SELECT vec_id,
+        |         min(CASE WHEN leg = 0 THEN rnk END) AS rank_q0,
+        |         min(CASE WHEN leg = 1 THEN rnk END) AS rank_q1,
+        |         min(CASE WHEN leg = 2 THEN rnk END) AS rank_q2
+        |       FROM u GROUP BY vec_id),
+        |scored AS (SELECT vec_id, rank_q0, rank_q1, rank_q2,
+        |  ((CASE WHEN rank_q0 IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_q0) ELSE CAST(0.0 AS DOUBLE) END)
+        |   + (CASE WHEN rank_q1 IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_q1) ELSE CAST(0.0 AS DOUBLE) END))
+        |   + (CASE WHEN rank_q2 IS NOT NULL THEN CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank_q2) ELSE CAST(0.0 AS DOUBLE) END) AS rrf_raw
+        |  FROM pv)
+        |SELECT vec_id, rank_q0, rank_q1, rank_q2,
+        |  floor(rrf_raw * 1000000 + 0.5) / 1000000 AS rrf
+        |FROM scored ORDER BY rrf_raw DESC, vec_id LIMIT 20""".stripMargin,
     "q31_media_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'png'

@@ -577,4 +577,62 @@ object SimilarityOps {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= k)
   }
+
+  /** Multi-query rank fusion: an ensemble of query vectors retrieves
+    * independently and the per-query rankings fuse by Reciprocal Rank
+    * Fusion (Cormack, Clarke & Büttcher 2009: score = Σ 1/(rrfK +
+    * rank), the standard rrfK = 60) — the query-ensemble form used to
+    * stabilize embedding retrieval when a single query vector
+    * under-represents the intent (multi-probe / query-expansion
+    * retrieval; also the fusion step of hybrid lexical+dense stacks).
+    *
+    * Exactness contract: each leg is the q29 exact top-`legK` ranking
+    * (cosine rounded at 4, vec_id tie-break — deterministic
+    * cross-engine), candidates never include any query vector, a
+    * candidate absent from a leg's top-`legK` contributes zero, and
+    * the fused sum is evaluated in FIXED leg order over the pivoted
+    * rank columns (null-safe terms added left to right), so every
+    * double is IEEE-identical to the DuckDB oracle's.
+    *
+    * Scale: each leg is an independent broadcast-probe + partial
+    * top-k (TakeOrderedAndProject — bounded per-partition heaps,
+    * never a global sort); fusion touches only queries × legK rows.
+    * Plan size grows with the query-ensemble size, which is a fixed
+    * handful by construction. */
+  def multiQueryRRF(spark: SparkSession, dir: String,
+                    queryIds: Seq[Long] = Seq(0L, 1L, 2L),
+                    legK: Int = 100, k: Int = 20, rrfK: Int = 60): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query vector")
+    val e = Tables.embeddings(spark, dir)
+    val legs = queryIds.zipWithIndex.map { case (qid, idx) =>
+      val q = e.filter(col("vec_id") === qid).select(col("embedding").as("q_emb"))
+      e.filter(!col("vec_id").isInCollection(queryIds))
+        .crossJoin(broadcast(q))
+        .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+        .select(col("vec_id"), col("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(legK)
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cos").desc, col("vec_id"))).cast("bigint"))
+        .select(col("vec_id"), lit(idx).as("leg"), col("rnk"))
+    }
+    val ranks = legs.reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .pivot("leg", queryIds.indices)
+      .agg(first(col("rnk")))
+    val rankCols = queryIds.indices.map(i => col(i.toString))
+    // fixed left-to-right sum over the pivoted columns — never an
+    // aggregation, so the IEEE operation order is part of the plan
+    val rrf = rankCols
+      .map(r => when(r.isNotNull, lit(1.0) / (lit(rrfK.toDouble) + r)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    ranks
+      .withColumn("rrf_raw", rrf)
+      .orderBy(col("rrf_raw").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id") +:
+        queryIds.indices.map(i => col(i.toString).as(s"rank_q$i")) :+
+        TextOps.roundAt(col("rrf_raw"), 6).as("rrf"): _*)
+  }
 }

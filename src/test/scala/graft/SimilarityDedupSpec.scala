@@ -420,4 +420,44 @@ class SimilarityDedupSpec extends AnyFunSuite {
       assert((d == 0) == same, s"pair ($a,$b) exact_dup flag")
     }
   }
+
+  test("multi-query RRF matches a driver-side fusion of the exact per-query rankings") {
+    val legK = 100
+    val queryIds = Seq(0L, 1L, 2L)
+    // independent recompute: per-query exact ranking from the q29-
+    // gated bruteForceTopK (cos already rounded at 4, vec_id
+    // tie-break), restricted to candidates outside the query set
+    val legRanks: Seq[Map[Long, Long]] = queryIds.map { qid =>
+      SimilarityOps.bruteForceTopK(spark, sf, queryId = qid, k = legK + queryIds.size)
+        .select($"vec_id").as[Long].collect()
+        .filterNot(queryIds.contains).take(legK)
+        .zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap
+    }
+    val expected = legRanks.flatMap(_.keys).distinct.map { v =>
+      val rrf = legRanks.foldLeft(0.0) { (acc, leg) =>
+        acc + leg.get(v).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      }
+      (v, rrf)
+    }.sortBy { case (v, s) => (-s, v) }.take(20)
+    val got = SimilarityOps.multiQueryRRF(spark, sf)
+      .select($"vec_id", $"rank_q0", $"rank_q1", $"rank_q2", $"rrf").collect()
+    assert(got.map(_.getLong(0)).toSeq == expected.map(_._1),
+      "fused ordering diverged from the driver-side recompute")
+    got.foreach { r =>
+      val ranks = legRanks.map(_.get(r.getLong(0)))
+      Seq(1, 2, 3).zip(ranks).foreach { case (i, exp) =>
+        val actual = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        assert(actual == exp, s"vec ${r.getLong(0)} leg ${i - 1} rank")
+      }
+      val exp = expected.find(_._1 == r.getLong(0)).get._2
+      assert(math.abs(r.getDouble(4) - exp) < 1e-6, s"vec ${r.getLong(0)} rrf value")
+    }
+    // a vector in no leg's top-100 can never appear
+    assert(got.forall(r => !(1 to 3).forall(r.isNullAt)))
+    // scale shape: every leg is a partial top-k, not a global sort of
+    // the candidate set (the one global window runs on legK rows only)
+    val p = SimilarityOps.multiQueryRRF(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"legs are not partial top-k:\n$p")
+  }
 }
