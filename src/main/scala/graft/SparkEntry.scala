@@ -50,6 +50,8 @@ object SparkEntry {
     "q29_sim_topk"         -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     // query-ensemble retrieval fused by reciprocal rank fusion
     "q155_multiquery_rrf"  -> ((s, d) => SimilarityOps.multiQueryRRF(s, d)),
+    // int8-candidate + exact-cosine re-rank (PQ-style two-stage ANN)
+    "q156_quantized_rerank" -> ((s, d) => SimilarityOps.quantizedRerank(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
     "q40_neardup_emb_lsh"  -> ((s, d) => DedupOps.nearDupEmbeddingLSH(s, d)),
     "q31_media_meta"       -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
@@ -690,6 +692,38 @@ object SparkEntry {
         |SELECT vec_id, rank_q0, rank_q1, rank_q2,
         |  floor(rrf_raw * 1000000 + 0.5) / 1000000 AS rrf
         |FROM scored ORDER BY rrf_raw DESC, vec_id LIMIT 20""".stripMargin,
+    // q156: unit-normalize + symmetric int8 quantize (q150's
+    // squared-norm fold + shared floor-form rounding), an exact-BIGINT
+    // int dot picks 100 candidates, the q29 cosine re-ranks them — the
+    // whole two-stage ANN mechanism under the hash gate
+    "q156_quantized_rerank" ->
+      """WITH coded AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0 THEN
+        |      list_transform(embedding, x -> CAST(floor(
+        |        CAST(x AS DOUBLE) /
+        |        sqrt(list_sum(list_transform(embedding,
+        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) * 127.0 + 0.5) AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM embeddings),
+        |q AS (SELECT qv AS q_qv, embedding AS q_emb FROM coded WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT c.vec_id, c.embedding,
+        |    CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+        |      i -> c.qv[i] * q.q_qv[i])) AS BIGINT) AS int_dot
+        |  FROM coded c, q WHERE c.vec_id <> 0
+        |  ORDER BY int_dot DESC, c.vec_id LIMIT 100),
+        |rr AS (
+        |  SELECT cand.vec_id, cand.int_dot,
+        |    round(list_sum(list_transform(range(1, len(cand.embedding) + 1),
+        |        i -> CAST(cand.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(range(1, len(cand.embedding) + 1),
+        |        i -> CAST(cand.embedding[i] AS DOUBLE) * CAST(cand.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+        |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))), 4) AS cos
+        |  FROM cand, q)
+        |SELECT vec_id, int_dot, cos FROM rr ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q31_media_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'png'

@@ -578,6 +578,54 @@ object SimilarityOps {
       .filter(col("rnk") <= k)
   }
 
+  /** Two-stage quantized retrieval — the int8 ANN shape: every vector
+    * is unit-normalized and SYMMETRICALLY quantized (q_i = round(127 ·
+    * x_i / ‖x‖) — one shared scale, so the integer dot of two codes is
+    * proportional to their cosine up to quantization error), candidates
+    * are the top-`candidateK` by that exact-BIGINT dot, and the exact
+    * float cosine kernel re-ranks only those. Per-vector AFFINE codes
+    * ([[quantizeInt8]] — a storage scheme) are deliberately NOT used
+    * here: each vector's own offset/scale makes raw affine dots
+    * incomparable across candidates and recall collapses (measured
+    * 2/10 vs 9/10 on this corpus). The point at 100 TB: the candidate
+    * scan touches 1-byte codes (8× less memory traffic than float32,
+    * SIMD-friendly on a real column store) and the expensive exact
+    * kernel runs on `candidateK` rows, not the corpus.
+    *
+    * Cross-engine exactness: the integer dot is exact BIGINT
+    * arithmetic (dim·127² ≈ 1M max — no IEEE concerns), the
+    * normalize-then-floor quantizer is the q150 squared-norm fold plus
+    * the floor-form rounding both engines share, and the re-rank
+    * mirrors q29. So the whole two-stage mechanism is
+    * oracle-checkable, unlike opaque PQ codebooks. */
+  def quantizedRerank(spark: SparkSession, dir: String,
+                      queryId: Long = 0L, candidateK: Int = 100,
+                      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // same left-to-right squared-norm fold as the q150 oracle parity
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val qArr = when(norm > 0d,
+      transform(col("embedding"), x =>
+        floor(x.cast("double") / norm * 127.0 + 0.5).cast("bigint")))
+      .otherwise(transform(col("embedding"), _ => lit(0L)))
+    val coded = e.select(col("vec_id"), col("embedding"), qArr.as("qv"))
+    val q = coded.filter(col("vec_id") === queryId)
+      .select(col("qv").as("q_qv"), col("embedding").as("q_emb"))
+    val intDot = aggregate(
+      zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    coded.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("int_dot", intDot)
+      .orderBy(col("int_dot").desc, col("vec_id"))
+      .limit(candidateK)
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("int_dot"), col("cos"))
+  }
+
   /** Multi-query rank fusion: an ensemble of query vectors retrieves
     * independently and the per-query rankings fuse by Reciprocal Rank
     * Fusion (Cormack, Clarke & Büttcher 2009: score = Σ 1/(rrfK +

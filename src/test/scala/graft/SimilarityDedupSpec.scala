@@ -421,6 +421,36 @@ class SimilarityDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized rerank: candidates are the true int8-dot top-100 and recall@10 is perfect here") {
+    val got = SimilarityOps.quantizedRerank(spark, sf).collect()
+    // driver-side recompute of the symmetric int8 codes and dots
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def code(v: Seq[Float]): Seq[Long] = {
+      val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      if (norm > 0) v.map(x => math.floor(x.toDouble / norm * 127.0 + 0.5).toLong)
+      else v.map(_ => 0L)
+    }
+    val qc = code(vecs(0L))
+    val dots = vecs.collect { case (id, v) if id != 0L =>
+      id -> code(v).zip(qc).map { case (a, b) => a * b }.sum
+    }
+    val top100 = dots.toSeq.sortBy { case (id, d) => (-d, id) }.take(100).map(_._1).toSet
+    got.foreach { r =>
+      assert(top100(r.getLong(0)), s"vec ${r.getLong(0)} not an int8-dot top-100 candidate")
+      assert(dots(r.getLong(0)) == r.getLong(1), s"vec ${r.getLong(0)} int_dot")
+    }
+    // re-ranked cosines agree with the exact kernel's values
+    val brute = SimilarityOps.bruteForceTopK(spark, sf, k = 10)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toMap
+    // recall floor: on this corpus the quantized candidates recover
+    // the ENTIRE exact top-10 (measured at both SFs); any quantizer
+    // regression that degrades ranking comparability shows up here
+    assert(got.map(_.getLong(0)).toSet == brute.keySet,
+      "quantized-then-reranked top-10 no longer equals the exact top-10")
+    got.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(2)))
+  }
+
   test("multi-query RRF matches a driver-side fusion of the exact per-query rankings") {
     val legK = 100
     val queryIds = Seq(0L, 1L, 2L)
