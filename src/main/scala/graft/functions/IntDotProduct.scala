@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: exact integer dot product of two
+  * `array<bigint>` quantized-code columns.
+  *
+  * This is the candidate-generation kernel of the two-stage int8
+  * retrieval (SimilarityOps.quantizedRerank): at 100 TB the integer
+  * dot runs over the WHOLE coded corpus per query, so it must stay a
+  * tight primitive loop inside WholeStageCodegen. The composed
+  * `aggregate(zip_with(...))` form it replaces is interpreted — each
+  * element allocates through the higher-order-function machinery. At
+  * bench scale the measured gain is modest (q156 solo 0.96 → 0.87 s,
+  * reps=3 min — the 2000-vector corpus makes quantization, not the
+  * dot, the dominant stage); the kernel is sized for the corpus-scan
+  * regime where the dot runs per (query, vector) pair and the HOF
+  * machinery's per-element cost multiplies out.
+  *
+  * Semantics: null if either side is null or lengths differ (a length
+  * mismatch means the codes came from different codebooks — returning
+  * 0 would silently rank the pair last instead of failing the row, the
+  * CosineSimilarity convention). Accumulation is Long; inputs are
+  * int8-range codes (|q| ≤ 127 after symmetric quantization, ≤ 255
+  * affine), so dim · 127² ≈ 10⁶ per pair — overflow needs a dim near
+  * 2⁴⁵, not a realistic embedding.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"int_dot expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long dot = 0L;
+         |  for (int i = 0; i < n; i++) {
+         |    dot += $a.getLong(i) * $b.getLong(i);
+         |  }
+         |  ${ev.value} = dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntDotProduct {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-API entry point. */
+  def intDot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -612,9 +612,9 @@ object SimilarityOps {
     val coded = e.select(col("vec_id"), col("embedding"), qArr.as("qv"))
     val q = coded.filter(col("vec_id") === queryId)
       .select(col("qv").as("q_qv"), col("embedding").as("q_emb"))
-    val intDot = aggregate(
-      zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen'd kernel, not aggregate(zip_with(...)): the candidate
+    // scan is the corpus-wide stage, and the HOF form is interpreted
+    val intDot = graft.functions.IntDotProduct.intDot(col("qv"), col("q_qv"))
     coded.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("int_dot", intDot)
