@@ -354,6 +354,47 @@ class PlanSpec extends AnyFunSuite {
       s"z-order sort must be within partitions, got: $sortLine")
   }
 
+  test("tolerant as-of: one shuffle total — the union sorts ONCE on the join key") {
+    val df = graft.ops.AsofJoin.eventsToRecentOrderTolerant(spark, sf)
+    val simple = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // both inputs land in the same key-hash exchange feeding the
+    // window (plus its per-input side copies, never more): a second
+    // key shuffle would mean the tolerance predicate broke the
+    // single-pass union+carry shape
+    assert(simple.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"tolerant as-of grew extra shuffles:\n$simple")
+    assert(!simple.contains("CartesianProduct") && !simple.contains("BroadcastNestedLoop"),
+      "tolerance must be a row-local predicate, not a join")
+  }
+
+  test("quantized rerank: both stages are partial top-k, query attaches by broadcast") {
+    val p = plan(SimilarityOps.quantizedRerank(spark, sf))
+    // candidate top-100 AND re-rank top-10 both TakeOrdered — never a
+    // global sort of the coded corpus
+    assert(p.linesIterator.count(_.contains("TakeOrderedAndProject")) >= 2, p)
+    // the 1-row query side rides a BroadcastExchange (a broadcast
+    // nested-loop against one row is the scalar-attach shape, same as
+    // q29); an unbroadcast CartesianProduct would be the regression
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"),
+      "the single-row query side must broadcast, not cartesian")
+    // NOTE deliberately NOT asserted: codegen over the coding
+    // projection — the transform() quantizer is CodegenFallback. In
+    // production the codes are persisted once (a storage pass, like
+    // q81) and the scan reads them; the per-query work is the
+    // codegen-capable IntDotProduct + TakeOrdered.
+  }
+
+  test("cluster-aware split: the representative lookup joins on doc_id, never a corpus product") {
+    val p = plan(CurationOps.clusterAwareSplit(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // exactly one left outer join attaches the pair-participant-sized
+    // label table to the corpus roster ("Join type:" appears once per
+    // join operator in formatted mode)
+    assert(p.linesIterator.count(_.contains("Join type:")) == 1, p)
+  }
+
   test("hydro merge: single shuffle, codegen'd aggregate (no ObjectHashAggregate)") {
     val feats = graft.pipeline.HydroPipeline.toFeatures(
       graft.sources.WaterML.timeSeriesOf(spark, "src/test/resources/waterml"))
