@@ -288,6 +288,8 @@ object SparkEntry {
     "q122_quality_audit"   -> ((s, d) => RelationalExt.qualityAudit(s, d)),
     // ANALYZE-style column stats: one pass, stack-unpivoted
     "q123_column_stats"    -> ((s, d) => RelationalExt.columnStats(s, d)),
+    // per-source PSI drift vs the corpus length distribution
+    "q157_source_drift"    -> ((s, d) => RelationalExt.sourceDrift(s, d)),
     // q123's sketch twin: HLL NDV per column gated on the exact value
     // via an in-plan envelope flag (the q100/q54 pattern)
     "q124_column_stats_sketch" -> ((s, d) => RelationalExt.columnStatsSketch(s, d)),
@@ -2422,6 +2424,51 @@ object SparkEntry {
         |UNION ALL SELECT 'l_discount',
         | count(DISTINCT l_discount), TRUE FROM lineitem""".stripMargin,
     // q123: the same one-pass stats, unpivoted by UNION ALL
+    // q157: integer-exact equal-width bins, Laplace-smoothed
+    // proportions, fixed left-to-right PSI chain (see sourceDrift)
+    "q157_source_drift" ->
+      """WITH g AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+        |b AS (SELECT source,
+        |        ((n_chars - g.mn) * 10) // (g.mx - g.mn + 1) AS bin
+        |      FROM documents, g),
+        |s AS (SELECT source,
+        |        count(*) FILTER (bin = 0) AS c0,
+        |        count(*) FILTER (bin = 1) AS c1,
+        |        count(*) FILTER (bin = 2) AS c2,
+        |        count(*) FILTER (bin = 3) AS c3,
+        |        count(*) FILTER (bin = 4) AS c4,
+        |        count(*) FILTER (bin = 5) AS c5,
+        |        count(*) FILTER (bin = 6) AS c6,
+        |        count(*) FILTER (bin = 7) AS c7,
+        |        count(*) FILTER (bin = 8) AS c8,
+        |        count(*) FILTER (bin = 9) AS c9,
+        |        count(*) AS n_src
+        |      FROM b GROUP BY source),
+        |e AS (SELECT
+        |       count(*) FILTER (bin = 0) AS e0,
+        |       count(*) FILTER (bin = 1) AS e1,
+        |       count(*) FILTER (bin = 2) AS e2,
+        |       count(*) FILTER (bin = 3) AS e3,
+        |       count(*) FILTER (bin = 4) AS e4,
+        |       count(*) FILTER (bin = 5) AS e5,
+        |       count(*) FILTER (bin = 6) AS e6,
+        |       count(*) FILTER (bin = 7) AS e7,
+        |       count(*) FILTER (bin = 8) AS e8,
+        |       count(*) FILTER (bin = 9) AS e9,
+        |       count(*) AS n_tot
+        |      FROM b)
+        |SELECT source, n_src AS n_docs,
+        | floor((((CAST(c0 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e0 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c0 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e0 + 1 AS DOUBLE) / (n_tot + 10)))
+        | + ((CAST(c1 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e1 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c1 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e1 + 1 AS DOUBLE) / (n_tot + 10)))
+        | + ((CAST(c2 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e2 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c2 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e2 + 1 AS DOUBLE) / (n_tot + 10)))
+        | + ((CAST(c3 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e3 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c3 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e3 + 1 AS DOUBLE) / (n_tot + 10)))
+        | + ((CAST(c4 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e4 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c4 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e4 + 1 AS DOUBLE) / (n_tot + 10)))
+        | + ((CAST(c5 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e5 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c5 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e5 + 1 AS DOUBLE) / (n_tot + 10)))
+        | + ((CAST(c6 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e6 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c6 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e6 + 1 AS DOUBLE) / (n_tot + 10)))
+        | + ((CAST(c7 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e7 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c7 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e7 + 1 AS DOUBLE) / (n_tot + 10)))
+        | + ((CAST(c8 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e8 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c8 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e8 + 1 AS DOUBLE) / (n_tot + 10)))
+        | + ((CAST(c9 + 1 AS DOUBLE) / (n_src + 10)) - (CAST(e9 + 1 AS DOUBLE) / (n_tot + 10))) * ln((CAST(c9 + 1 AS DOUBLE) / (n_src + 10)) / (CAST(e9 + 1 AS DOUBLE) / (n_tot + 10)))) * 1000000 + 0.5) / 1000000 AS psi
+        |FROM s, e""".stripMargin,
     "q123_column_stats" ->
       """WITH w AS (
         |  SELECT count(*) AS n_rows,

@@ -745,6 +745,50 @@ object RelationalExt {
           greatest(lit(1.0), lit(4 * rsd) * col("ndv"))).as("in_envelope"))
   }
 
+  /** Per-source distribution drift vs the corpus — the Population
+    * Stability Index over equal-width document-length bins, the
+    * standard monitor for "did this source's data shift" before a
+    * training run trusts a refreshed corpus (PSI < 0.1 stable,
+    * 0.1–0.25 moderate, > 0.25 major — the credit-scoring convention).
+    *
+    * Cross-engine exactness by construction: bin assignment is pure
+    * BIGINT arithmetic ((n_chars − mn)·nBins div (mx − mn + 1) — no
+    * float boundary to disagree on), counts pivot to one column per
+    * bin, Laplace smoothing ((c+1)/(n+nBins)) avoids ln(0) without an
+    * epsilon constant, and the PSI sum is a FIXED left-to-right chain
+    * over the bin columns (the q155 pattern — never a float
+    * aggregation whose order the engine chooses). ln parity is the
+    * same libm contract the BM25/PMI oracles already hash-prove.
+    *
+    * Scale: one narrow pass bins the corpus (the min/max ride in as a
+    * broadcast one-row aggregate), the pivot aggregation shuffles
+    * (source, bin) counts only, and the corpus-wide expected row
+    * broadcasts back — sources × nBins cells total, corpus-sized work
+    * only in the first pass. */
+  def sourceDrift(spark: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val sized = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"))
+    val g = sized.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+    val binned = sized.crossJoin(broadcast(g))
+      .withColumn("bin", expr(s"((n_chars - mn) * $nBins) div (mx - mn + 1)"))
+    val bins = (0 until nBins).toList
+    def cnt(i: Int) = coalesce(col(s"$i"), lit(0L))
+    val bySource = binned.groupBy(col("source")).pivot("bin", bins).count()
+    val corpus = binned.groupBy(lit(1).as("one")).pivot("bin", bins).count()
+      .select(bins.map(i => cnt(i).as(s"e$i")) :+
+        bins.map(i => cnt(i)).reduce(_ + _).as("n_tot"): _*)
+    val withTotals = bySource
+      .withColumn("n_src", bins.map(cnt).reduce(_ + _))
+      .crossJoin(broadcast(corpus))
+    val psi = bins.map { i =>
+      val pa = (cnt(i) + lit(1L)).cast("double") / (col("n_src") + lit(nBins.toLong))
+      val pe = (col(s"e$i") + lit(1L)).cast("double") / (col("n_tot") + lit(nBins.toLong))
+      (pa - pe) * log(pa / pe)
+    }.reduce(_ + _)
+    withTotals.select(col("source"), col("n_src").as("n_docs"),
+      TextOps.roundAt(psi, 6).as("psi"))
+  }
+
   def columnStats(spark: SparkSession, dir: String): DataFrame = {
     val wide = Tables.lineitem(spark, dir).agg(
       count(lit(1)).as("n_rows"),

@@ -62,6 +62,36 @@ class LowRowGateSpec extends AnyFunSuite {
     }
   }
 
+  test("source drift PSI matches a driver-side recompute and is nonnegative") {
+    import graft.ops.RelationalExt
+    val nBins = 10
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val mn = docs.map(_._2).min; val mx = docs.map(_._2).max
+    def bin(c: Long): Int = (((c - mn) * nBins) / (mx - mn + 1)).toInt
+    val corpus = docs.groupBy(d => bin(d._2)).view.mapValues(_.length.toLong).toMap
+    val nTot = docs.length.toLong
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val byBin = rows.groupBy(d => bin(d._2)).view.mapValues(_.length.toLong).toMap
+      val nSrc = rows.length.toLong
+      val psi = (0 until nBins).foldLeft(0.0) { (acc, i) =>
+        val pa = (byBin.getOrElse(i, 0L) + 1.0) / (nSrc + nBins)
+        val pe = (corpus.getOrElse(i, 0L) + 1.0) / (nTot + nBins)
+        acc + (pa - pe) * math.log(pa / pe)
+      }
+      src -> (nSrc, math.floor(psi * 1e6 + 0.5) / 1e6)
+    }
+    val got = RelationalExt.sourceDrift(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (src, n, psi) =>
+      assert((n, psi) == expected(src), s"source $src: got ($n, $psi)")
+      // PSI is a sum of same-sign terms — a negative value means the
+      // formula (not the data) broke
+      assert(psi >= 0.0, s"source $src psi $psi")
+    }
+  }
+
   test("q116's df band admits the corpus vocabulary, not a single word") {
     val idx = run("q116_inverted_index")
     assert(idx.count() > 10,
