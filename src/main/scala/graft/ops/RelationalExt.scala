@@ -771,10 +771,36 @@ object RelationalExt {
     val g = sized.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
     val binned = sized.crossJoin(broadcast(g))
       .withColumn("bin", expr(s"((n_chars - mn) * $nBins) div (mx - mn + 1)"))
+    psiFromBinCounts(
+      binned.groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c")), nBins)
+  }
+
+  /** The mergeable (source, bin, c) state the drift monitor persists —
+    * binned against a FIXED reference band [mn, mx] (the reference
+    * snapshot's, NOT each batch's own: drift is measured against a
+    * frozen yardstick, and a per-batch band would silently re-define
+    * the bins every refresh). Counts are exact longs, so the merge is
+    * associative+commutative addition — any chopping of the corpus
+    * into ingest batches folds to the same state. */
+  def driftBinPartials(docs: DataFrame, mn: Long, mx: Long,
+                       nBins: Int = 10): DataFrame =
+    docs.select(col("source"),
+        expr(s"((n_chars - $mn) * $nBins) div ($mx - $mn + 1)").as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
+
+  def driftBinMerge(state: DataFrame, refresh: DataFrame): DataFrame =
+    state.unionByName(refresh)
+      .groupBy(col("source"), col("bin")).agg(sum(col("c")).as("c"))
+
+  /** PSI per source from a (source, bin, c) count table: pivot to one
+    * column per bin, corpus-wide expected row broadcast back, fixed
+    * left-to-right chain (see [[sourceDrift]]'s exactness contract).
+    * Serves both the one-shot query and the folded streaming state. */
+  private[graft] def psiFromBinCounts(binCounts: DataFrame, nBins: Int): DataFrame = {
     val bins = (0 until nBins).toList
     def cnt(i: Int) = coalesce(col(s"$i"), lit(0L))
-    val bySource = binned.groupBy(col("source")).pivot("bin", bins).count()
-    val corpus = binned.groupBy(lit(1).as("one")).pivot("bin", bins).count()
+    val bySource = binCounts.groupBy(col("source")).pivot("bin", bins).agg(sum(col("c")))
+    val corpus = binCounts.groupBy(lit(1).as("one")).pivot("bin", bins).agg(sum(col("c")))
       .select(bins.map(i => cnt(i).as(s"e$i")) :+
         bins.map(i => cnt(i)).reduce(_ + _).as("n_tot"): _*)
     val withTotals = bySource

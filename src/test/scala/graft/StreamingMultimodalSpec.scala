@@ -522,4 +522,52 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // clusters, so the fold had merges to get right
     assert(oneShot.values.groupBy(identity).exists(_._2.size > 2))
   }
+
+  test("streaming drift fold via foreachBatch: PSI from folded bins is batch-identical and boundary-independent") {
+    // q157's streaming twin: (source, bin, c) counts folded per
+    // ingest micro-batch against the FIXED reference band must serve
+    // the same PSI as binning the whole corpus at once, whatever the
+    // chopping — counts are exact longs, so the merge is associative
+    // addition and the equality is exact, not approximate
+    import graft.ops.RelationalExt
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select($"source", $"n_chars")
+    val (mn, mx) = docs.agg(min($"n_chars"), max($"n_chars"))
+      .as[(Long, Long)].head()
+    val rows = docs.as[(String, Long)].collect().toSeq
+    def psiMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Double)] =
+      df.as[(String, Long, Double)].collect()
+        .map { case (s, n, p) => s -> ((n, p)) }.toMap
+    def runChopped(cuts: Seq[Int]): Map[String, (Long, Double)] = {
+      var state = RelationalExt.driftBinPartials(docs.limit(0), mn, mx)
+        .localCheckpoint()
+      val input = MemoryStream[(String, Long)]
+      val q = input.toDF().toDF("source", "n_chars").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          state = RelationalExt.driftBinMerge(state,
+            RelationalExt.driftBinPartials(batch, mn, mx)).localCheckpoint()
+          ()
+        }.start()
+      try {
+        var rest = rows
+        for (c <- cuts) {
+          val (b, r) = rest.splitAt(c); rest = r
+          if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { input.addData(rest); q.processAllAvailable() }
+      } finally q.stop()
+      psiMap(RelationalExt.psiFromBinCounts(state, 10))
+    }
+    val oneShot = psiMap(RelationalExt.psiFromBinCounts(
+      RelationalExt.driftBinPartials(docs, mn, mx), 10))
+    // the reference-band form equals the q157 production query when
+    // the band is the corpus's own min/max
+    assert(oneShot == psiMap(RelationalExt.sourceDrift(spark, sf)))
+    assert(runChopped(Seq(rows.length / 3, rows.length / 3)) == oneShot,
+      "folded drift state diverged from the one-shot binning")
+    assert(runChopped(Seq(rows.length / 7)) == oneShot,
+      "PSI depends on micro-batch boundaries")
+    assert(oneShot.nonEmpty)
+  }
 }
