@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, IntDotProduct}
 
 /** Session extension wiring (SURVEY.md §7): registers the engine's
   * custom Catalyst pieces so `spark.sql("... cosine_similarity(a,b)")`
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "int_dot"),
+      (children: Seq[Expression]) => IntDotProduct(children.head, children(1))))
     e.injectFunction((
       new FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),

@@ -251,6 +251,15 @@ class SimilarityDedupSpec extends AnyFunSuite {
     val r = spark.sql("SELECT cosine_similarity(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
       "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c").head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
+    // the int8 kernel rides the same SQL surface
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "int_dot",
+      exprs => graft.functions.IntDotProduct(exprs.head, exprs(1)), "built-in")
+    val d = spark.sql(
+      "SELECT int_dot(array(3L, -2L, 1L), array(4L, 5L, 6L)) AS d").head().getLong(0)
+    assert(d == 3L * 4 - 2 * 5 + 1 * 6)
+    assert(spark.sql("SELECT int_dot(array(1L), array(1L, 2L)) AS d").head().isNullAt(0),
+      "length mismatch must be null, not zero")
   }
 
   test("exact dedup: normalized variants collapse to one fingerprint") {
