@@ -290,6 +290,8 @@ object SparkEntry {
     "q123_column_stats"    -> ((s, d) => RelationalExt.columnStats(s, d)),
     // per-source PSI drift vs the corpus length distribution
     "q157_source_drift"    -> ((s, d) => RelationalExt.sourceDrift(s, d)),
+    // DSIR importance selection toward a target source's distribution
+    "q158_dsir_select"     -> ((s, d) => TextOps.dsirSelect(s, d)),
     // q123's sketch twin: HLL NDV per column gated on the exact value
     // via an in-plan envelope flag (the q100/q54 pattern)
     "q124_column_stats_sketch" -> ((s, d) => RelationalExt.columnStatsSketch(s, d)),
@@ -1537,6 +1539,36 @@ object SparkEntry {
     // (w(b) = hex8(md5('w_'||b)) % 2001 - 1000) — the engine looks the
     // same weights up in a plan-literal array; both sums are exact
     // BIGINT so the gate has no float boundary
+    // q158: integer bucket counts (q147's md5 hex convention),
+    // smoothed log ratios, per-doc fold in bucket order (list ORDER BY
+    // b + sequential list_sum — the deterministic-sum pattern), final
+    // order on the UNROUNDED weight
+    "q158_dsir_select" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |wb AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 256 AS INTEGER) AS b
+        |       FROM w WHERE word <> ''),
+        |tgt AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |twb AS (SELECT wb.doc_id, wb.b FROM wb JOIN tgt ON wb.doc_id = tgt.doc_id),
+        |tc AS (SELECT b, count(*) AS t FROM twb GROUP BY b),
+        |cc AS (SELECT b, count(*) AS c FROM wb GROUP BY b),
+        |nt AS (SELECT count(*) AS n_t FROM twb),
+        |nc AS (SELECT count(*) AS n_c FROM wb),
+        |r AS (SELECT CAST(g.range AS INTEGER) AS b,
+        |        ln(CAST(coalesce(tc.t, 0) + 1 AS DOUBLE) / (nt.n_t + 256)) -
+        |        ln(CAST(coalesce(cc.c, 0) + 1 AS DOUBLE) / (nc.n_c + 256)) AS lnr
+        |      FROM range(0, 256) g
+        |      LEFT JOIN tc ON tc.b = g.range
+        |      LEFT JOIN cc ON cc.b = g.range, nt, nc),
+        |d AS (SELECT doc_id, b, count(*) AS n FROM wb GROUP BY 1, 2),
+        |s AS (SELECT d.doc_id,
+        |        list_sum(list(CAST(d.n AS DOUBLE) * r.lnr ORDER BY d.b)) AS logw_raw
+        |      FROM d JOIN r ON d.b = r.b GROUP BY d.doc_id)
+        |SELECT doc_id, floor(logw_raw * 1000000 + 0.5) / 1000000 AS logw
+        |FROM s ORDER BY logw_raw DESC, doc_id LIMIT 50""".stripMargin,
     "q147_linear_quality" ->
       """SELECT doc_id, n_words, score, score >= 0 AS pass
         |FROM (SELECT doc_id,

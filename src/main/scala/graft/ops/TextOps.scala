@@ -875,6 +875,61 @@ object TextOps {
         roundAt(col("n_distinct").cast("double") / col("n_words"), 6).as("ttr"))
   }
 
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank pretraining
+    * documents by how much their hashed-word distribution looks like a
+    * TARGET domain's rather than the corpus's. Each document's log
+    * importance weight is Σ_b n_db · (ln p_target(b) − ln p_corpus(b))
+    * over its hashed buckets (the q147 md5 hashing convention),
+    * with Laplace smoothing on both distributions; the top-k by weight
+    * is what a domain-adaptation run feeds the sampler.
+    *
+    * Cross-engine exactness: bucket assignment and counts are integer;
+    * the per-bucket log ratio is a 2·dim-row broadcast computed with
+    * an explicit operation order; and the per-document float sum folds
+    * over the document's bucket terms in BUCKET ORDER (array_sort /
+    * list(... ORDER BY b)) — a deterministic sequence both engines
+    * share, never a float aggregation with engine-chosen order. Final
+    * ranking uses the unrounded weight with doc_id tie-break.
+    *
+    * Scale: two corpus-pass aggregations build bucket counts (dim-row
+    * results), the ratio table broadcasts, per-doc terms shuffle once
+    * on doc_id, and the cut is TakeOrderedAndProject. The target
+    * membership probe is a semi join on doc_id. */
+  def dsirSelect(spark: SparkSession, dir: String,
+                 targetSource: String = "src0", dim: Int = 256,
+                 k: Int = 50): DataFrame = {
+    val bucket = (w: Column) =>
+      (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % dim).cast("int")
+    val wb = wordRows(spark, dir).select(col("doc_id"), bucket(col("word")).as("b"))
+    val tgtIds = Tables.documents(spark, dir)
+      .filter(col("source") === targetSource).select(col("doc_id"))
+    val twb = wb.join(tgtIds, Seq("doc_id"), "left_semi")
+    val tc = twb.groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val cc = wb.groupBy(col("b")).agg(count(lit(1)).as("c"))
+    val nt = twb.agg(count(lit(1)).as("n_t"))
+    val nc = wb.agg(count(lit(1)).as("n_c"))
+    val ratio = spark.range(dim).select(col("id").cast("int").as("b"))
+      .join(tc, Seq("b"), "left").join(cc, Seq("b"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+      .select(col("b"),
+        (log((coalesce(col("t"), lit(0L)) + 1L).cast("double") /
+            (col("n_t") + lit(dim.toLong))) -
+          log((coalesce(col("c"), lit(0L)) + 1L).cast("double") /
+            (col("n_c") + lit(dim.toLong)))).as("lnr"))
+    val terms = wb.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .join(broadcast(ratio), Seq("b"))
+      .select(col("doc_id"),
+        struct(col("b"), (col("n").cast("double") * col("lnr")).as("term")).as("s"))
+    terms.groupBy(col("doc_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(col("s"))), x => x.getField("term")),
+        lit(0.0d), (acc, t) => acc + t).as("logw_raw"))
+      .orderBy(col("logw_raw").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), roundAt(col("logw_raw"), 6).as("logw"))
+  }
+
   def linearQuality(spark: SparkSession, dir: String, dim: Int = 256): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val weights: Array[Long] = Array.tabulate(dim) { b =>

@@ -92,6 +92,44 @@ class LowRowGateSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR selection matches a driver-side importance-weight recompute") {
+    import graft.ops.TextOps
+    val dim = 256
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    def words(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").toSeq.filter(_.nonEmpty)
+    def bucket(w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 8), 16) % dim).toInt
+    }
+    val perDoc = docs.map { case (id, src, t) =>
+      (id, src, words(t).map(bucket).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val corpus = perDoc.flatMap(_._3).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val target = perDoc.filter(_._2 == "src0")
+      .flatMap(_._3).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val (nT, nC) = (target.values.sum, corpus.values.sum)
+    val lnr = (0 until dim).map { b =>
+      b -> (math.log((target.getOrElse(b, 0L) + 1.0) / (nT + dim)) -
+        math.log((corpus.getOrElse(b, 0L) + 1.0) / (nC + dim)))
+    }.toMap
+    val expected = perDoc.filter(_._3.nonEmpty).map { case (id, _, bs) =>
+      // bucket-order fold, exactly the engines' deterministic sum
+      val logw = bs.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (b, n)) =>
+        acc + n.toDouble * lnr(b)
+      }
+      (id, logw)
+    }.sortBy { case (id, w) => (-w, id) }.take(50)
+      .map { case (id, w) => (id, math.floor(w * 1e6 + 0.5) / 1e6) }.toSeq
+    val got = TextOps.dsirSelect(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == expected, s"DSIR ranking diverged:\ngot  ${got.take(5)}\nwant ${expected.take(5)}")
+    // the weights genuinely discriminate: not all identical
+    assert(got.map(_._2).distinct.size > 1)
+  }
+
   test("q116's df band admits the corpus vocabulary, not a single word") {
     val idx = run("q116_inverted_index")
     assert(idx.count() > 10,
