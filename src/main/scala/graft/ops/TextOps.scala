@@ -899,19 +899,43 @@ object TextOps {
   def dsirSelect(spark: SparkSession, dir: String,
                  targetSource: String = "src0", dim: Int = 256,
                  k: Int = 50): DataFrame = {
-    val bucket = (w: Column) =>
-      (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % dim).cast("int")
-    val wb = wordRows(spark, dir).select(col("doc_id"), bucket(col("word")).as("b"))
-    val tgtIds = Tables.documents(spark, dir)
-      .filter(col("source") === targetSource).select(col("doc_id"))
-    val twb = wb.join(tgtIds, Seq("doc_id"), "left_semi")
-    val tc = twb.groupBy(col("b")).agg(count(lit(1)).as("t"))
-    val cc = wb.groupBy(col("b")).agg(count(lit(1)).as("c"))
-    val nt = twb.agg(count(lit(1)).as("n_t"))
-    val nc = wb.agg(count(lit(1)).as("n_c"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    dsirScoreFromState(spark, docs, dsirBucketPartials(docs, targetSource, dim), dim, k)
+  }
+
+  private def dsirBucket(dim: Int)(w: Column): Column =
+    (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % dim).cast("int")
+
+  /** The mergeable reference-distribution state DSIR persists: per
+    * hashed bucket, the target-domain word count and the corpus word
+    * count, from one pass over a (doc_id, source, text) slice. Exact
+    * longs, so [[dsirBucketMerge]] is associative addition — any
+    * chopping of the corpus into ingest batches folds to the same
+    * state, and scoring reads the state without rescanning history. */
+  def dsirBucketPartials(docs: DataFrame, targetSource: String,
+                         dim: Int = 256): DataFrame =
+    wordRowsOf(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(dsirBucket(dim)(col("word")).as("b"),
+        (col("source") === targetSource).cast("long").as("is_t"))
+      .groupBy(col("b"))
+      .agg(sum(col("is_t")).as("t"), count(lit(1)).as("c"))
+
+  def dsirBucketMerge(state: DataFrame, refresh: DataFrame): DataFrame =
+    state.unionByName(refresh)
+      .groupBy(col("b")).agg(sum(col("t")).as("t"), sum(col("c")).as("c"))
+
+  /** Score a document batch against a folded (b, t, c) state: smoothed
+    * log ratio per bucket (dim-row broadcast), per-doc fold in bucket
+    * order (see [[dsirSelect]]'s exactness contract), top-k cut. */
+  def dsirScoreFromState(spark: SparkSession, docs: DataFrame, state: DataFrame,
+                         dim: Int = 256, k: Int = 50): DataFrame = {
+    val wb = wordRowsOf(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), dsirBucket(dim)(col("word")).as("b"))
+    val totals = state.agg(sum(col("t")).as("n_t"), sum(col("c")).as("n_c"))
     val ratio = spark.range(dim).select(col("id").cast("int").as("b"))
-      .join(tc, Seq("b"), "left").join(cc, Seq("b"), "left")
-      .crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+      .join(state, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("b"),
         (log((coalesce(col("t"), lit(0L)) + 1L).cast("double") /
             (col("n_t") + lit(dim.toLong))) -

@@ -570,4 +570,48 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "PSI depends on micro-batch boundaries")
     assert(oneShot.nonEmpty)
   }
+
+  test("streaming DSIR fold via foreachBatch: scores served from folded state are batch-identical") {
+    // q158's production shape: the (b, t, c) reference-distribution
+    // state folds per ingest micro-batch (exact long counts —
+    // associative addition), and scoring any document batch reads the
+    // state without rescanning history. Scores served from the folded
+    // state must be bit-identical to the one-shot q158 ranking,
+    // whatever the chopping.
+    import graft.ops.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"source", $"text")
+    val rows = docs.as[(Long, String, String)].collect().toSeq
+    def scores(state: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      TextOps.dsirScoreFromState(spark, docs, state)
+        .as[(Long, Double)].collect().toSeq
+    def runChopped(cuts: Seq[Int]): Seq[(Long, Double)] = {
+      var state = TextOps.dsirBucketPartials(docs.limit(0), "src0").localCheckpoint()
+      val input = MemoryStream[(Long, String, String)]
+      val q = input.toDF().toDF("doc_id", "source", "text").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          state = TextOps.dsirBucketMerge(state,
+            TextOps.dsirBucketPartials(batch, "src0")).localCheckpoint()
+          ()
+        }.start()
+      try {
+        var rest = rows
+        for (c <- cuts) {
+          val (b, r) = rest.splitAt(c); rest = r
+          if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { input.addData(rest); q.processAllAvailable() }
+      } finally q.stop()
+      scores(state)
+    }
+    val oneShot = TextOps.dsirSelect(spark, sf).as[(Long, Double)].collect().toSeq
+    assert(scores(TextOps.dsirBucketPartials(docs, "src0")) == oneShot,
+      "state-served scores diverged from the one-shot query on identical state")
+    assert(runChopped(Seq(rows.length / 3, rows.length / 3)) == oneShot,
+      "folded-state scores diverged from the one-shot ranking")
+    assert(runChopped(Seq(rows.length / 7)) == oneShot,
+      "DSIR scores depend on micro-batch boundaries")
+    assert(oneShot.nonEmpty)
+  }
 }
