@@ -28,12 +28,30 @@ object Tables {
   // design pinned its own weak keys through df.sparkSession and could
   // never evict). File listing for a single parquet file is a
   // filesystem stat, not a job, and stays per-read.
+  //
+  // Cache entries are keyed on (path, mtime, length) — [[statKey]] —
+  // not path alone: the driver regenerates the testdata parquet
+  // between rounds, and a path-keyed entry surviving an in-place
+  // regeneration with a DIFFERENT physical encoding would re-apply the
+  // stale schema via spark.read.schema and bypass the loud-failure
+  // contract (e.g. a cached LongType nanos schema over a new micros
+  // file reads micros as nanos → timestamps silently off by 1000×).
+  // A stat is a filesystem call, not a Spark job, so the guard is free.
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
+  /** Cache key that changes when the file (or partitioned-table
+    * directory: replacing part-files updates the dir's mtime) is
+    * regenerated in place. A missing path yields a stable key and the
+    * subsequent schema inference fails loudly as before. */
+  private def statKey(path: String): String = {
+    val f = new java.io.File(path)
+    s"$path@${f.lastModified}:${f.length}"
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val schema = schemaCache.getOrElseUpdate(statKey(path), spark.read.parquet(path).schema)
     spark.read.schema(schema).parquet(path)
   }
 
@@ -116,16 +134,18 @@ object Tables {
     * the batch loader and the streaming schema probe so both branch on
     * the same evidence. */
   private[graft] def eventsRawSchema(
-      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    schemaCache.get(path).getOrElse {
-      try schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val key = statKey(path)
+    schemaCache.get(key).getOrElse {
+      try schemaCache.getOrElseUpdate(key, spark.read.parquet(path).schema)
       catch {
         case scala.util.control.NonFatal(_) =>
           withNanosAsLong(spark) {
-            schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+            schemaCache.getOrElseUpdate(key, spark.read.parquet(path).schema)
           }
       }
     }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
 
   /** embeddings loader with the same schema-drift resilience as
@@ -133,17 +153,43 @@ object Tables {
     * engine contract is `embedding: array<float>` — the type the
     * codegen'd CosineSimilarity kernel requires — whatever precision
     * the generator shipped. `array<float>` passes through;
-    * `array<double>` down-casts (values the generator produced as
-    * float32 round-trip exactly; a genuinely double-precision corpus
-    * loses precision uniformly on every operator, which is the float
-    * kernel's documented contract); anything else fails loudly. */
+    * `array<double>` down-casts ONLY after a sampled losslessness
+    * check (below); anything else fails loudly.
+    *
+    * The downcast must be provably lossless because the DuckDB oracle
+    * reads the same parquet at its native precision: a genuinely
+    * double-precision corpus silently narrowed to float32 would
+    * diverge every embedding oracle gate at once — the same
+    * one-regeneration-kills-a-family outage class the schema branching
+    * exists to prevent. So the double branch samples rows and verifies
+    * each value round-trips double→float→double exactly (float32-
+    * generated data does; true float64 data fails within a handful of
+    * rows with probability ~1), failing loudly with the remediation
+    * options rather than absorbing the drift. Memoized per file state
+    * — one small bounded job per regeneration, not per query. */
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, exists}
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val raw = load(spark, dir, "embeddings")
     raw.schema("embedding").dataType match {
       case ArrayType(FloatType, _) => raw
       case ArrayType(DoubleType, _) =>
+        val path = s"$dir/embeddings.parquet"
+        losslessVerified.getOrElseUpdate(statKey(path), {
+          val lossy = raw.select(col("embedding"))
+            .where(col("embedding").isNotNull).limit(4096)
+            .where(exists(col("embedding"), d =>
+              d.isNotNull && d =!= d.cast(FloatType).cast(DoubleType)))
+            .take(1)
+          if (lossy.nonEmpty) throw new IllegalStateException(
+            s"$path: embedding is array<double> with values that do NOT " +
+              "round-trip through float32 — refusing the silent downcast " +
+              "(the DuckDB oracles read this parquet at double precision, " +
+              "so narrowing would diverge every embedding gate). Either " +
+              "regenerate as float32 or run the oracles with a matching " +
+              "CAST(... AS FLOAT[]) on the embedding column.")
+          true
+        })
         raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
       case other =>
         throw new IllegalStateException(
@@ -152,19 +198,25 @@ object Tables {
     }
   }
 
-  // Embedding dimension per table path, probed from the first non-null
-  // row ONCE and memoized: the array element count is a property of
-  // the data files (parquet list types carry no length), so keying by
-  // path makes every later withBucket/ANN call on that table a pure
-  // narrow map with no extra probe job — previously each call paid a
-  // one-row Spark job.
+  // Downcast-losslessness verdicts per embeddings file state (see
+  // [[embeddings]]); value is always true — a lossy file throws
+  // instead of caching.
+  private val losslessVerified = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  // Embedding dimension per table FILE STATE, probed from the first
+  // non-null row ONCE and memoized: the array element count is a
+  // property of the data files (parquet list types carry no length),
+  // so keying by statKey makes every later withBucket/ANN call on that
+  // table a pure narrow map with no extra probe job — previously each
+  // call paid a one-row Spark job — while an in-place regeneration
+  // with a different dimension invalidates naturally.
   private val dimCache = scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** Dimension of the `embedding` column of `dir`'s embeddings table
-    * (cached per path). Fails loudly if every embedding is null —
+    * (cached per file state). Fails loudly if every embedding is null —
     * there is no dimension to bucket against. */
   def embeddingDim(spark: SparkSession, dir: String): Int =
-    dimCache.getOrElseUpdate(s"$dir/embeddings.parquet", {
+    dimCache.getOrElseUpdate(statKey(s"$dir/embeddings.parquet"), {
       import org.apache.spark.sql.functions.{col, size}
       embeddings(spark, dir).where(col("embedding").isNotNull)
         .select(size(col("embedding"))).take(1)

@@ -57,18 +57,26 @@ case class IntDotProduct(left: Expression, right: Expression)
     java.lang.Long.valueOf(dot)
   }
 
+  // locals via ctx.freshName: nullSafeCodeGen only brace-scopes the
+  // body when a child is nullable, so fixed identifiers would collide
+  // (Janino duplicate-local compile failure → silent interpreted
+  // fallback) when two int_dot calls over non-nullable inputs land in
+  // one WholeStageCodegen function.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long dot = 0L;
-         |  for (int i = 0; i < n; i++) {
-         |    dot += $a.getLong(i) * $b.getLong(i);
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getLong($i) * $b.getLong($i);
          |  }
-         |  ${ev.value} = dot;
+         |  ${ev.value} = $dot;
          |}
        """.stripMargin
     })

@@ -527,17 +527,23 @@ object DedupOps {
     * edges are distinct so pairwise cancellation needs a hash
     * collision). A fixed point of the
     * alternation is exactly a star forest centered at component
-    * minima, so stationarity IS the answer; the fingerprint compare is
-    * one tiny aggregation action per round on the already-checkpointed
-    * edges (hash-collision false-convergence is ~2⁻⁶⁴ per round —
-    * negligible against any infrastructure failure rate). Fusing the
+    * minima, so stationarity IS the answer (hash-collision
+    * false-convergence is ~2⁻⁶⁴ per round — negligible against any
+    * infrastructure failure rate). Fusing the
     * fingerprint into the checkpoint job via an accumulator — the
     * min-label trick — was considered and REJECTED: xor under
     * at-least-once accumulator semantics is retry-UNSAFE (a retried
     * task xors its partition twice and self-cancels, silently faking
     * convergence), where min-label's changed-counter was safe because
-    * retries can only over-count. Two small jobs per round is the
-    * honest price. Like
+    * retries can only over-count. Instead the round's checkpoint is
+    * LAZY (`localCheckpoint(eager = false)`) and the fingerprint
+    * aggregation is the action that materializes it — ONE Spark job
+    * per round, not a checkpoint job plus a fingerprint job. The
+    * iterative shape is uniquely sensitive to per-job scheduler
+    * latency (r15's driver artifact read q97 at 27.4 s under box
+    * contention vs 2.9 s solo — job fan-out amplifies whatever
+    * latency the box adds), so halving the job count halves that
+    * exposure with zero semantic change. Like
     * min-label, hitting the cap THROWS rather than returning an
     * under-merged labeling, and localCheckpoint cuts lineage so the
     * loop cannot build an unbounded plan.
@@ -563,13 +569,18 @@ object DedupOps {
     // candidate+verify run for dedupClustersStar) evaluates twice —
     // measured ~1.1 s of q97's round-12 cost at sf0.1
     val p = pairs.localCheckpoint()
+    // nodes/edges both derive from the checkpointed input, so their own
+    // checkpoints are LAZY: edges materializes inside the setup-probe
+    // job below, nodes inside the final labeling join — two fewer
+    // standalone jobs with identical cached-block behavior.
     val nodes = p.select(col("doc_a").as("id"))
-      .union(p.select(col("doc_b").as("id"))).distinct().localCheckpoint()
+      .union(p.select(col("doc_b").as("id"))).distinct()
+      .localCheckpoint(false)
     var edges = p
       .filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     // Salting is paid ONLY when the input actually carries a hub: one
     // cheap degree pass over the canonical edges (explode both
     // endpoints, count, max — edge-sized shuffle, runs once) decides
@@ -585,10 +596,24 @@ object DedupOps {
     // the price of late-round time imbalance bounded by the largest
     // component. Deployments expecting giant components set
     // saltThreshold=0 to force salting unconditionally.
-    val maxDeg = edges
-      .select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      .agg(coalesce(max(col("deg")), lit(0L))).head().getLong(0)
+    // ONE setup action folds three former jobs together: it
+    // materializes the lazy edge checkpoint, computes the max degree
+    // (posexplode both endpoints, per-node count), and computes the
+    // initial (count, xor) fingerprint — each edge's pos-0 row carries
+    // its xxhash64 exactly once (grouped under n = u), so xor of the
+    // per-node partial xors is the edge-set xor and sum of the pos-0
+    // counts is the edge count.
+    val probeRow = edges
+      .select(col("u"), col("v"),
+        posexplode(array(col("u"), col("v"))).as(Seq("pos", "n")))
+      .groupBy(col("n")).agg(
+        count(lit(1)).as("deg"),
+        sum(when(col("pos") === 0, lit(1L)).otherwise(lit(0L))).as("ec"),
+        expr("bit_xor(CASE WHEN pos = 0 THEN xxhash64(u, v) END)").as("x"))
+      .agg(coalesce(max(col("deg")), lit(0L)),
+        coalesce(sum(col("ec")), lit(0L)),
+        coalesce(expr("bit_xor(x)"), lit(0L))).head()
+    val maxDeg = probeRow.getLong(0)
     val useSalt = maxDeg >= saltThreshold
     def minAttach(l: DataFrame, mins: DataFrame): DataFrame =
       if (useSalt) Skew.saltedJoin(l, mins, col("u"), col("nu"), skewFactor)
@@ -598,7 +623,7 @@ object DedupOps {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var fp = fingerprint(edges)
+    var fp = (probeRow.getLong(1), probeRow.getLong(2))
     var converged = false
     var rounds = 0
     // (node, min-neighbor) via hash aggregate — the partial combine is
@@ -618,7 +643,9 @@ object DedupOps {
         .select(col("v").as("u"), col("mn").as("v"))
         .union(minsS.select(col("nu").as("u"), col("mn").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: fingerprint() below is the
+                                // action that materializes it — one
+                                // job per round (see scaladoc)
       val nfp = fingerprint(small)
       converged = nfp == fp
       fp = nfp

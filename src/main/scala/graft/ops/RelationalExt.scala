@@ -781,11 +781,19 @@ object RelationalExt {
     * frozen yardstick, and a per-batch band would silently re-define
     * the bins every refresh). Counts are exact longs, so the merge is
     * associative+commutative addition — any chopping of the corpus
-    * into ingest batches folds to the same state. */
+    * into ingest batches folds to the same state.
+    *
+    * Out-of-band rows CLAMP to the edge bins (standard PSI practice):
+    * the frozen band never covers a drifted refresh by definition, and
+    * an unclamped index would fall outside the pivot's 0..nBins-1
+    * column list in [[psiFromBinCounts]] — silently vanishing from
+    * both the bin counts and n_src, making precisely the most-drifted
+    * documents invisible to the monitor that exists to flag them. */
   def driftBinPartials(docs: DataFrame, mn: Long, mx: Long,
                        nBins: Int = 10): DataFrame =
     docs.select(col("source"),
-        expr(s"((n_chars - $mn) * $nBins) div ($mx - $mn + 1)").as("bin"))
+        greatest(lit(0L), least(lit(nBins - 1L),
+          expr(s"((n_chars - $mn) * $nBins) div ($mx - $mn + 1)"))).as("bin"))
       .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c"))
 
   def driftBinMerge(state: DataFrame, refresh: DataFrame): DataFrame =

@@ -262,6 +262,27 @@ class SimilarityDedupSpec extends AnyFunSuite {
       "length mismatch must be null, not zero")
   }
 
+  test("int_dot codegen: two calls over non-nullable inputs compile in one function") {
+    // nullSafeCodeGen only brace-scopes the body when a child is
+    // nullable, so with NON-nullable children two int_dot calls land
+    // unbraced in the same generated-function scope. Pre-fix (fixed
+    // Java locals n/dot/i instead of ctx.freshName) that was a Janino
+    // duplicate-local compile failure → silent interpreted fallback.
+    // GenerateUnsafeProjection compiles eagerly with no fallback, so
+    // this test fails loudly if the locals ever collide again.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val a = Literal.create(Seq(1L, 2L, 3L), ArrayType(LongType, containsNull = false))
+    val b = Literal.create(Seq(4L, 5L, 6L), ArrayType(LongType, containsNull = false))
+    assert(!a.nullable && !b.nullable, "fixture must exercise the unbraced path")
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      graft.functions.IntDotProduct(a, b), graft.functions.IntDotProduct(b, a)))
+    val row = proj.apply(InternalRow.empty)
+    assert(row.getLong(0) == 32L && row.getLong(1) == 32L)
+  }
+
   test("exact dedup: normalized variants collapse to one fingerprint") {
     val docs = Seq(
       (1L, "Hello, World!"),

@@ -571,6 +571,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
+  test("drift binning clamps out-of-band refresh rows to the edge bins") {
+    // The frozen reference band never covers a drifted refresh by
+    // definition. Pre-clamp, a row outside [mn, mx] produced bin < 0
+    // or bin >= nBins, and psiFromBinCounts' pivot(0..nBins-1)
+    // silently dropped it from BOTH the bin counts and n_docs — the
+    // most-drifted documents were invisible to the drift monitor.
+    // Band [100, 199], rows far outside on both sides:
+    import graft.ops.RelationalExt
+    val refresh = Seq(
+      ("web", 5L), ("web", 1L),         // below band → edge bin 0
+      ("web", 150L),                    // in band → bin 5
+      ("web", 10000L), ("web", 99999L)  // above band → edge bin 9
+    ).toDF("source", "n_chars")
+    val binned = RelationalExt.driftBinPartials(refresh, 100L, 199L, 10)
+    val byBin = binned.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byBin.keys.forall(b => b >= 0 && b <= 9),
+      s"bins escaped the pivot range: ${byBin.keySet}")
+    assert(byBin(0L) == 2L && byBin(9L) == 2L && byBin(5L) == 1L)
+    // and the PSI table sees every row: one source, n_docs = all 5
+    val psi = RelationalExt.psiFromBinCounts(binned, 10).collect()
+    assert(psi.length == 1 && psi.head.getLong(1) == 5L,
+      "out-of-band rows missing from n_docs")
+  }
+
   test("streaming DSIR fold via foreachBatch: scores served from folded state are batch-identical") {
     // q158's production shape: the (b, t, c) reference-distribution
     // state folds per ingest micro-batch (exact long counts —
