@@ -69,7 +69,10 @@ object SparkEntry {
     // mllib approxSimilarityJoin form is ~5x slower than q26's
     // hand-rolled banded LSH for identical results (cross-validated in
     // SimilarityDedupSpec); it exists as the mllib integration path.
-    "q46_sim_ivf"          -> ((s, d) => MLVariants.ivfTopK(s, d)),
+    // gated envelope form: exact top-10 rows + in-plan ANN-recall
+    // flag (see MLVariants.ivfTopKGated); the raw KMeans-IVF result
+    // is seed/probe-dependent and so not SQL-replayable by itself
+    "q46_sim_ivf"          -> ((s, d) => MLVariants.ivfTopKGated(s, d)),
     "q47_stats_agg"        -> ((s, d) => RelationalExt.statsAgg(s, d)),
     "q48_grouping_sets"    -> ((s, d) => RelationalExt.groupingSetsAgg(s, d)),
     "q49_window_nav"       -> ((s, d) => RelationalExt.windowNav(s, d)),
@@ -395,9 +398,85 @@ object SparkEntry {
     }),
   )
 
+  /** Exact brute-force cosine top-10 CTE shared by q29 (which IS the
+    * brute force) and q46's gated envelope (whose checkable values are
+    * the same exact rows — the ANN leg only feeds the TRUE flag). */
+  private lazy val bruteTopKOracleCte: String =
+    """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |s AS (
+      |  SELECT e.vec_id, CAST(e.label AS INTEGER) AS label,
+      |    round(
+      |      list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
+      |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))), 4) AS cos
+      |  FROM embeddings e, q WHERE e.vec_id <> 0)""".stripMargin
+
+  /** Full md5-LSH replay shared by q75 (the md5 variant itself) and
+    * q26 (the xxhash production variant, gated on set EQUALITY with
+    * the md5-verified pairs). The equality gate is sound on this
+    * corpus because every planted near-dup pair verifies at J ≥ 0.9,
+    * where both S-curves (8 bands × 4 rows and 8 × 3) have recall
+    * > 0.999 — the candidate DRAWS differ, the verified SETS cannot,
+    * so a hash mismatch means a real recall/verify regression, not
+    * hash-draw luck. If a future regeneration plants borderline pairs
+    * (J in [0.5, 0.7), where the curves genuinely diverge), relax q26
+    * to the containment form and document it. Program-generated SQL
+    * mirroring nearDupMinHashMd5: one md5 per shingle, double-hashing
+    * h_i = (h1 + i*h2) mod p over two 60-bit big-endian hex windows of
+    * the digest (chars 17-31 and 1-15; DuckDB parses '0x...' straight
+    * to BIGINT, the exact twin of Spark's conv(substr(hex),16,10)),
+    * 8 three-row band buckets. */
+  private lazy val minHashMd5OracleSql: String = {
+    val P = "2147483647"
+    val h1 = s"(('0x' || substr(md5(s), 17, 15))::BIGINT % $P)"
+    val h2 = s"(('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
+    val sigCols = (0 until 24).map(i =>
+      s"list_aggregate(list_transform(sh, s -> " +
+        s"($h1 + $i * $h2) % $P), 'min') AS m$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until 8).map(bd =>
+      s"SELECT doc_id, sh, $bd AS band, " +
+        s"concat(m${3 * bd}, ',', m${3 * bd + 1}, ',', m${3 * bd + 2}) AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH docs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(words) - 3, 0) + 1),
+      |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+      |        FROM documents) w),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |    $sigCols
+      |  FROM docs),
+      |banded AS (
+      |  $bandSelects),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // q26: the xxhash production LSH, gated on equality with the
+    // md5-twin replay (see minHashMd5OracleSql's soundness argument)
+    "q26_neardup_minhash" -> minHashMd5OracleSql,
+    // q46: exact top-10 values + literal TRUE recall envelope (the
+    // ANN side cannot be SQL-replayed; its recall feeds the flag)
+    "q46_sim_ivf" ->
+      s"""$bruteTopKOracleCte,
+        |r AS (SELECT vec_id, label, cos FROM s
+        |      ORDER BY cos DESC, vec_id LIMIT 10)
+        |SELECT vec_id, label, cos, TRUE AS ivf_recall_ok FROM r""".stripMargin,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
@@ -627,17 +706,7 @@ object SparkEntry {
         |  round(dot / denom, 4) AS cos
         |FROM p WHERE round(dot / denom, 4) >= 0.35""".stripMargin,
     "q29_sim_topk" ->
-      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-        |s AS (
-        |  SELECT e.vec_id, CAST(e.label AS INTEGER) AS label,
-        |    round(
-        |      list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))) /
-        |      (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
-        |       sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1),
-        |        i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))), 4) AS cos
-        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+      s"""$bruteTopKOracleCte
         |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     // q155: three q29-style exact legs (query vectors 0/1/2, top-100
     // each, cos rounded at 4 with vec_id tie-break), pivoted to rank
@@ -1082,46 +1151,9 @@ object SparkEntry {
         |        date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day_num,
         |        l_extendedprice
         |      FROM lineitem WHERE l_suppkey < 5) t""".stripMargin,
-    "q75_minhash_md5" -> {
-      // program-generated SQL mirroring nearDupMinHashMd5: one md5 per
-      // shingle, double-hashing h_i = (h1 + i*h2) mod p over two
-      // 60-bit big-endian hex windows of the digest (chars 17-31 and
-      // 1-15; DuckDB parses '0x...' strings straight to BIGINT, the
-      // exact twin of Spark's conv(substr(hex),16,10)), 8 three-row
-      // band buckets
-      val P = "2147483647"
-      val h1 = s"(('0x' || substr(md5(s), 17, 15))::BIGINT % $P)"
-      val h2 = s"(('0x' || substr(md5(s), 1, 15))::BIGINT % $P)"
-      val sigCols = (0 until 24).map(i =>
-        s"list_aggregate(list_transform(sh, s -> " +
-          s"($h1 + $i * $h2) % $P), 'min') AS m$i")
-        .mkString(",\n    ")
-      val bandSelects = (0 until 8).map(bd =>
-        s"SELECT doc_id, sh, $bd AS band, " +
-          s"concat(m${3 * bd}, ',', m${3 * bd + 1}, ',', m${3 * bd + 2}) AS bucket FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH docs AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(words) - 3, 0) + 1),
-        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
-        |  FROM (SELECT doc_id,
-        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
-        |        FROM documents) w),
-        |sig AS (
-        |  SELECT doc_id, sh,
-        |    $sigCols
-        |  FROM docs),
-        |banded AS (
-        |  $bandSelects),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        |  FROM banded a JOIN banded b
-        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
-    },
+    // shared program-generated md5-LSH replay (also gates q26 — see
+    // minHashMd5OracleSql's scaladoc for construction + soundness)
+    "q75_minhash_md5" -> minHashMd5OracleSql,
     "q77_dedup_survivors" ->
       """SELECT d.doc_id, d.lang, d.source, length(d.text) AS n_chars_calc
         |FROM documents d

@@ -85,4 +85,42 @@ object MLVariants {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** q46's oracle-GATED form: the q100/q124 envelope pattern applied
+    * to ANN recall. An IVF result is seed- and probe-dependent, so a
+    * SQL oracle can never replay WHICH vectors the ANN returns — what
+    * it CAN replay is the exact brute-force top-k (q29's oracle). So
+    * the gated output is the exact top-k rows (every value
+    * DuckDB-checkable) plus one in-plan envelope flag:
+    * `ivf_recall_ok` = the KMeans-IVF leg recovered at least
+    * `recallFloor` of the true top-k. The oracle emits literal TRUE,
+    * so a recall collapse (broken probe selection, broken re-rank,
+    * empty ANN result) fails the hash gate, while legitimate
+    * regeneration-to-regeneration recall jitter does not.
+    *
+    * Floor calibration: nprobe=8 of nlist=16 probes half the inverted
+    * lists, so even against a worst-case unstructured corpus (top-k
+    * spread uniformly over clusters) recall@10 is Binomial(10, 1/2)
+    * and P(recall < 3) ≈ 5% — while measured recall on the actual
+    * testdata is 10/10 at sf0.01 and well above the floor at sf0.001
+    * (4/10 with nprobe=4; doubled probes raise it). A floor a sound
+    * ANN clears by construction, a broken one cannot reach.
+    *
+    * Scale note: the brute-force leg exists FOR the gate (exact +
+    * approximate in one plan, like q100's exact quantiles beside the
+    * sketch); the production ANN path without the exact leg is
+    * q87/q101/q30. */
+  def ivfTopKGated(spark: SparkSession, dir: String, queryId: Long = 0L,
+                   k: Int = 10, nlist: Int = 16, nprobe: Int = 8,
+                   recallFloor: Int = 3): DataFrame = {
+    val ann = ivfTopK(spark, dir, queryId, k, nlist, nprobe)
+      .select(col("vec_id").as("ann_id"))
+    val exact = SimilarityOps.bruteForceTopK(spark, dir, queryId, k)
+    val recall = exact.join(ann, exact("vec_id") === ann("ann_id"), "left")
+      .agg(sum(when(col("ann_id").isNotNull, 1L).otherwise(0L)).as("recall_k"))
+    exact.crossJoin(broadcast(recall))
+      .select(col("vec_id"), col("label"), col("cos"),
+        (col("recall_k") >= recallFloor).as("ivf_recall_ok"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
 }

@@ -342,6 +342,19 @@ class SimilarityDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("gated ivf (q46): exact rows equal brute force and the recall envelope holds") {
+    // the q46 gate's two halves, pinned separately: the value rows ARE
+    // the exact top-10 (what the oracle hash-checks), and the in-plan
+    // ANN-recall flag is true at test scale (nprobe=8/16 with floor 3;
+    // see MLVariants.ivfTopKGated's calibration argument)
+    val gated = graft.ops.MLVariants.ivfTopKGated(spark, sf).collect()
+    val bf = SimilarityOps.bruteForceTopK(spark, sf).collect()
+    assert(gated.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq ==
+      bf.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq,
+      "gated q46's value rows must be the exact brute-force top-10")
+    assert(gated.forall(_.getBoolean(3)), "ivf_recall_ok envelope violated")
+  }
+
   test("ann top-k hits are a subset of brute-force candidates' ordering") {
     val bf = SimilarityOps.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap
