@@ -262,37 +262,37 @@ object SimilarityOps {
     // it — taking bucket PRUNING down with it ("Bucketed: false
     // (disabled by query planner)", the probe reading all buckets).
     // Pruning is exactly why this scan exists, so pin the bucketed
-    // read (cf. bucketedAdmission's outputOrdering opt-in) — but only
-    // for THIS query's planning: the conf is session state, and
-    // leaving it flipped silently changes how every later bucketed
-    // scan in the same session is planned (bench runs q95's admission
-    // probe after this). Save, pin, force the physical plan while
-    // pinned (executedPlan is a lazy val — the decision is cached for
-    // the returned DataFrame's later actions), then restore.
-    val bucketedScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prior = spark.conf.getOption(bucketedScanKey)
-    spark.conf.set(bucketedScanKey, "false")
-    try {
-      val e = Tables.embeddings(spark, dir)
-      val probeLabels = e.filter(col("vec_id") === queryId)
-        .crossJoin(broadcast(ivfCodebook(e)))
-        .select(explode(slice(ivfDists, 1, nprobe)).as("p"))
-        .select(col("p.clabel")).collect().map(_.get(0)).toSeq
-      val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
-      val res = spark.table(table)
-        .filter(col("clabel").isin(probeLabels: _*))
-        .filter(col("vec_id") =!= queryId)
-        .crossJoin(broadcast(q))
-        .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
-        .select(col("vec_id"), col("label").cast("int").as("label"), col("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(k)
-      res.queryExecution.executedPlan
-      res
-    } finally prior match {
-      case Some(v) => spark.conf.set(bucketedScanKey, v)
-      case None    => spark.conf.unset(bucketedScanKey)
-    }
+    // read (cf. bucketedAdmission's outputOrdering opt-in) — but in a
+    // DERIVED session, never by mutating the caller's: the conf is
+    // session-global state, and the earlier save/pin/force/restore
+    // form meant a concurrent query planned inside the pinned window
+    // silently changed plan (single-threaded in Bench/Verify, but a
+    // library must not carry that assumption). newSession() shares the
+    // SparkContext, SharedState (catalog — so the bucketed table
+    // resolves) and extensions, while conf changes stay private to the
+    // probe; builder-level confs (shuffle partitions, timezone) are
+    // SparkConf-backed and inherited. The physical plan is forced
+    // while the DataFrame is bound to the pinned session (executedPlan
+    // is a lazy val — the decision is cached for the returned frame's
+    // later actions).
+    val pinned = spark.newSession()
+    pinned.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val e = Tables.embeddings(pinned, dir)
+    val probeLabels = e.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(ivfCodebook(e)))
+      .select(explode(slice(ivfDists, 1, nprobe)).as("p"))
+      .select(col("p.clabel")).collect().map(_.get(0)).toSeq
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    val res = pinned.table(table)
+      .filter(col("clabel").isin(probeLabels: _*))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .select(col("vec_id"), col("label").cast("int").as("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+    res.queryExecution.executedPlan
+    res
   }
 
   /** Incremental embedding-batch admission against a persisted

@@ -7,9 +7,19 @@ import org.apache.spark.sql.types.StructType
   * reference's collection layer (reference mongodb.js:26-53: logical
   * name → mongo collection, insert array-or-single). The engine is
   * parquet-first (columnar + stats + pushdown); JSON/CSV/ORC cover
-  * interchange. A MongoDB deployment would swap `format("mongodb")`
-  * in here — the connector is not in this image (SURVEY.md §7 risk
-  * register), and nothing else in the engine would change.
+  * interchange.
+  *
+  * The swap point to the reference's actual storage is REAL, not a
+  * comment: any format string outside [[Supported]] passes straight
+  * through to Spark's DataSource resolution — `ServiceLoader` over
+  * `DataSourceRegister` short names, then class-name lookup — which
+  * is exactly how the MongoDB connector registers `"mongodb"`. With
+  * the connector jar deployed, `write(df, uri, "mongodb")` routes to
+  * it with zero engine change; without it, resolution fails loudly at
+  * the Spark layer ("Failed to find data source"). The connector is
+  * not in this image (SURVEY.md §7 risk register), so the spec
+  * exercises the pluggable path with a test-registered external sink
+  * riding the same ServiceLoader mechanism.
   *
   * Scale notes: writes go through the normal committer (atomic,
   * task-retry-safe at 1000 executors); text formats carry no stats so
@@ -17,18 +27,18 @@ import org.apache.spark.sql.types.StructType
   * JSON is a full extra scan.
   */
 object Formats {
+  /** Formats verified in-image; anything else resolves via Spark's
+    * pluggable DataSource registry (see object scaladoc). */
   val Supported: Seq[String] = Seq("parquet", "orc", "json", "csv")
 
   def write(df: DataFrame, path: String, format: String,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
-    require(Supported.contains(format), s"unsupported format: $format")
     val w = df.write.mode(mode).format(format)
     (if (format == "csv") w.option("header", "true") else w).save(path)
   }
 
   def read(spark: SparkSession, path: String, format: String,
            schema: Option[StructType] = None): DataFrame = {
-    require(Supported.contains(format), s"unsupported format: $format")
     val r = spark.read.format(format)
     val r2 = schema.map(r.schema).getOrElse(r)
     (if (format == "csv") r2.option("header", "true") else r2).load(path)

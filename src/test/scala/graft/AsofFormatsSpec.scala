@@ -114,6 +114,30 @@ class AsofFormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("sink is pluggable: an external DataSourceRegister short name routes through Formats.write") {
+    // The MongoDB swap point (reference mongodb.js:26-53), exercised
+    // for real: PluggableSink is registered ONLY via the ServiceLoader
+    // file in test resources — the identical mechanism the Mongo
+    // connector uses for "mongodb" — and is not in Formats.Supported,
+    // so this write proves the format string is a live plug point, not
+    // documentation. With the connector jar deployed the same call is
+    // write(df, uri, "mongodb") and nothing else in the engine changes.
+    import org.apache.spark.sql.SaveMode
+    PluggableSink.received.set(null)
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "v")
+    Formats.write(df, "graft://stations", "graftsink")
+    val got = PluggableSink.received.get()
+    assert(got != null, "external sink never received the frame")
+    assert(got._1.contains("graft://stations") && got._2 == 3L &&
+      got._3 == SaveMode.Overwrite)
+    // and an unregistered format still fails loudly at resolution
+    val err = intercept[Exception] {
+      Formats.write(df, "/tmp/nowhere", "no_such_format")
+    }
+    assert(err.getMessage.toLowerCase.contains("data source") ||
+      err.getMessage.contains("no_such_format"))
+  }
+
   test("dynamic partition overwrite re-lands one partition and leaves siblings untouched") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
@@ -361,9 +385,14 @@ class AsofFormatsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
-  test("unsupported format is rejected eagerly") {
-    intercept[IllegalArgumentException] {
+  test("unresolvable format fails loudly at DataSource resolution") {
+    // the pre-r16 eager require() is gone — unknown format strings now
+    // pass through to Spark's registry so external connectors plug in
+    // (see the pluggable-sink test); a genuinely absent provider must
+    // still fail loudly, just at the Spark layer
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       Formats.read(spark, "/tmp/x", "avro")
     }
+    assert(e.getMessage.toLowerCase.contains("avro"))
   }
 }
