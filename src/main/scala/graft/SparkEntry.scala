@@ -295,6 +295,11 @@ object SparkEntry {
     "q157_source_drift"    -> ((s, d) => RelationalExt.sourceDrift(s, d)),
     // DSIR importance selection toward a target source's distribution
     "q158_dsir_select"     -> ((s, d) => TextOps.dsirSelect(s, d)),
+    // BPE merge-table induction (Sennrich 2016): deterministic
+    // most-frequent-pair merges, oracle replays the full loop
+    "q159_bpe_merges"      -> ((s, d) => TextOps.bpeMerges(s, d)),
+    // tokenize with the learned merges: exact per-doc BPE token counts
+    "q160_bpe_tokens"      -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
     // q123's sketch twin: HLL NDV per column gated on the exact value
     // via an in-plan envelope flag (the q100/q54 pattern)
     "q124_column_stats_sketch" -> ((s, d) => RelationalExt.columnStatsSketch(s, d)),
@@ -464,9 +469,93 @@ object SparkEntry {
       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** Program-generated DuckDB replay of TextOps.bpeLearnState: the
+    * merge-learning loop UNROLLED into one CTE chain per round
+    * (pair counts → deterministic argmax → greedy left-to-right merge
+    * application). The greedy scan is relational here where Spark
+    * folds sequentially: match positions form gaps-and-islands runs
+    * (two matches can only be adjacent when left = right), and a
+    * left-to-right scan takes even offsets within each run — so
+    * `(j - island_start) % 2 = 0` IS the sequential semantics. All
+    * values are exact longs and binary-ordered ASCII strings; nothing
+    * floats, so both q159 (merge table) and q160 (token counts) are
+    * hash-exact. Every CTE is AS MATERIALIZED: each stage is
+    * referenced several times downstream, and DuckDB's default CTE
+    * inlining would re-evaluate the chain once per reference —
+    * exponentially many scans over 16 rounds (observed as an
+    * open-files blowup). Returns the WITH chain ending at stage
+    * `s<merges>` (the final dictionary segmentation). */
+  private def bpeStagesSql(merges: Int): String = {
+    val s0 =
+      s"""s0 AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |    list_append(list_transform(range(1, length(word) + 1),
+        |      j -> substr(word, j, 1)), '</w>') AS syms
+        |  FROM (SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ')) AS word
+        |    FROM documents) w WHERE word <> '' GROUP BY word) f)""".stripMargin
+    val rounds = (1 to merges).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS MATERIALIZED (
+        |  SELECT syms[j] AS l, syms[j + 1] AS r, sum(cnt) AS pc FROM (
+        |    SELECT cnt, syms, unnest(range(1, len(syms))) AS j
+        |    FROM $prev WHERE len(syms) >= 2) t
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+        |m$i AS MATERIALIZED (
+        |  SELECT word, cnt, syms, j,
+        |    (j < len(syms) AND syms[j] = (SELECT l FROM b$i)
+        |      AND syms[j + 1] = (SELECT r FROM b$i)) AS mt
+        |  FROM (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS j
+        |        FROM $prev) t),
+        |tk$i AS MATERIALIZED (
+        |  SELECT word, j FROM (
+        |    SELECT word, j, min(j) OVER (PARTITION BY word, grp) AS g0 FROM (
+        |      SELECT word, j, j - row_number() OVER (PARTITION BY word ORDER BY j) AS grp
+        |      FROM m$i WHERE mt) g) h
+        |  WHERE (j - g0) % 2 = 0),
+        |s$i AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |    list(CASE WHEN tk IS NOT NULL THEN syms[j] || syms[j + 1]
+        |              ELSE syms[j] END ORDER BY j) AS syms
+        |  FROM (
+        |    SELECT m.word, m.cnt, m.syms, m.j, t.j AS tk, tp.j AS consumed
+        |    FROM m$i m
+        |    LEFT JOIN tk$i t ON t.word = m.word AND t.j = m.j
+        |    LEFT JOIN tk$i tp ON tp.word = m.word AND tp.j = m.j - 1) u
+        |  WHERE consumed IS NULL
+        |  GROUP BY word, cnt)""".stripMargin
+    }
+    (s0 +: rounds).mkString("WITH ", ",\n", "")
+  }
+
+  private val BpeMergeRounds = 16
+
+  private lazy val bpeMergesOracleSql: String = {
+    val ranks = (1 to BpeMergeRounds).map { i =>
+      s"SELECT $i AS merge_rank, l AS left_sym, r AS right_sym, CAST(pc AS BIGINT) AS pair_count FROM b$i"
+    }.mkString("\n  UNION ALL ")
+    s"""${bpeStagesSql(BpeMergeRounds)}
+      |  $ranks
+      |ORDER BY merge_rank""".stripMargin
+  }
+
+  private lazy val bpeTokensOracleSql: String =
+    s"""${bpeStagesSql(BpeMergeRounds)},
+      |wr AS (SELECT doc_id, word FROM (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ')) AS word
+      |  FROM documents) t WHERE word <> '')
+      |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(len(s.syms)) AS BIGINT) AS n_tokens
+      |FROM wr w JOIN s$BpeMergeRounds s ON s.word = w.word
+      |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q159_bpe_merges" -> bpeMergesOracleSql,
+    "q160_bpe_tokens" -> bpeTokensOracleSql,
     // q26: the xxhash production LSH, gated on equality with the
     // md5-twin replay (see minHashMd5OracleSql's soundness argument)
     "q26_neardup_minhash" -> minHashMd5OracleSql,

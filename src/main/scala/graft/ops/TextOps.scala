@@ -972,4 +972,131 @@ object TextOps {
         score.as("score"))
       .withColumn("pass", col("score") >= 0)
   }
+
+  // ===================== BPE vocabulary induction =====================
+
+  /** End-of-word marker appended to every word's initial symbol
+    * sequence (Sennrich et al. 2016 convention). Normalized words are
+    * `[a-z0-9]+` so the marker cannot collide with a corpus symbol. */
+  val BpeEow = "</w>"
+
+  /** Word-frequency dictionary with initial BPE symbol sequences:
+    * (word, cnt, syms) where syms = characters of the normalized word
+    * plus [[BpeEow]]. This is the ONLY corpus-sized pass BPE learning
+    * makes — everything after operates on the vocabulary-sized
+    * dictionary (Heaps'-law sublinear in corpus size), which is the
+    * standard industrial BPE trainer shape. */
+  private def bpeInitState(docs: DataFrame): DataFrame =
+    wordRowsOf(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat(
+          transform(sequence(lit(1), length(col("word"))),
+            j => col("word").substr(j, lit(1))),
+          array(lit(BpeEow))).as("syms"))
+
+  /** Adjacent-symbol pair counts of a dictionary state, weighted by
+    * word frequency. Vocabulary-sized explode + one small shuffle on
+    * the (left, right) pair key. */
+  private def bpePairCounts(state: DataFrame): DataFrame =
+    state.filter(size(col("syms")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          j => struct(element_at(col("syms"), j).as("l"),
+            element_at(col("syms"), j + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("pc"))
+
+  /** Greedy left-to-right application of merge (l, r) → l+r to a
+    * symbol array, as a single `aggregate` higher-order fold: scan
+    * positions carrying (rebuilt array, consumed-next flag). The fold
+    * IS the sequential BPE semantics — in an equal-symbol run like
+    * "aaa" under merge (a,a) it takes positions 0,2,4,… exactly as a
+    * left-to-right scan does. Narrow (zero exchanges); the lookahead
+    * `element_at(j+1)` only evaluates under `when(j < size)` so the
+    * fold is ANSI-safe at the last position. */
+  private def bpeApplyMerge(syms: Column, l: String, r: String): Column = {
+    val merged = l + r
+    aggregate(
+      sequence(lit(1), size(syms)),
+      struct(slice(syms, 1, 0).as("out"), lit(false).as("skip")),
+      (acc, j) => {
+        val cur = element_at(syms, j)
+        val hit = when(acc.getField("skip") || j === size(syms), lit(false))
+          .otherwise(cur === lit(l) && element_at(syms, j + 1) === lit(r))
+        struct(
+          when(acc.getField("skip"), acc.getField("out"))
+            .when(hit, concat(acc.getField("out"), array(lit(merged))))
+            .otherwise(concat(acc.getField("out"), array(cur))).as("out"),
+          when(acc.getField("skip"), lit(false)).otherwise(hit).as("skip"))
+      },
+      acc => acc.getField("out"))
+  }
+
+  /** Learned merge table + final dictionary segmentation after
+    * `merges` deterministic BPE rounds (Sennrich et al. 2016: each
+    * round merges the most frequent adjacent symbol pair; ties broken
+    * (count DESC, left ASC, right ASC) — exact longs and binary ASCII
+    * string order, so DuckDB replays the identical sequence).
+    *
+    * Scale: the corpus is touched ONCE (the word-count aggregation);
+    * each round is one vocabulary-sized narrow rewrite plus one small
+    * pair-count shuffle whose argmax is a 1-row collect — merge
+    * decisions are MODEL STATE, not corpus data, the same bounded-
+    * collect contract as the IVF codebook. A lazy localCheckpoint per
+    * round cuts lineage (and the otherwise R-deep nested-fold
+    * expression) and is materialized by the NEXT round's argmax
+    * action — one Spark job per round, the q97 iterative budget.
+    * Fails loudly if the vocabulary exhausts its pairs before
+    * `merges` rounds (cannot happen at any real corpus size). */
+  def bpeLearnState(spark: SparkSession, docs: DataFrame,
+                    merges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var state = bpeInitState(docs).localCheckpoint(false)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (i <- 1 to merges) {
+      val top = bpePairCounts(state)
+        .orderBy(col("pc").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"BPE vocabulary exhausted after ${i - 1} of $merges merges")
+      val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      learned += ((i, l, r, pc))
+      state = state
+        .withColumn("syms", bpeApplyMerge(col("syms"), l, r))
+        .localCheckpoint(false)
+    }
+    (learned.toSeq, state)
+  }
+
+  /** q159 — BPE merge-table induction over the documents corpus: the
+    * first `merges` learned merges as (merge_rank, left_sym,
+    * right_sym, pair_count). Deterministic, so the DuckDB oracle
+    * replays the full learning loop (program-generated unrolled
+    * stages, SparkEntry.bpeStagesSql). */
+  def bpeMerges(spark: SparkSession, dir: String, merges: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (learned, _) = bpeLearnState(spark, docs, merges)
+    import spark.implicits._
+    learned.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** q160 — tokenize the corpus with the learned merges: per document,
+    * the word count and the exact BPE token count (the training-budget
+    * unit q83/q113/q146 approximate with whitespace tokens). The final
+    * dictionary segmentation IS the tokenization of every distinct
+    * word — docs join to it by word (the standard tokenizer cache),
+    * so tokenizing the corpus is one explode + one join + one doc_id
+    * aggregation; the vocabulary side broadcasts when small and
+    * shuffle-joins on `word` when not. */
+  def bpeTokenCounts(spark: SparkSession, dir: String, merges: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, seg) = bpeLearnState(spark, docs, merges)
+    wordRowsOf(docs.select(col("doc_id"), col("text")))
+      .join(seg.select(col("word"), size(col("syms")).cast("bigint").as("n_syms")),
+        Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextOps
+
+/** BPE vocabulary induction (q159) + tokenization (q160): every
+  * assertion runs against an INDEPENDENT sequential driver-side
+  * implementation of Sennrich-style BPE (argmax by (count DESC, left,
+  * right), greedy left-to-right merge application), so a drift in the
+  * distributed fold — especially the equal-symbol-run greedy subtlety
+  * — cannot hide behind the oracle replay sharing its formulation. */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  private val Eow = TextOps.BpeEow
+  private val Rounds = 16
+
+  private def normWords(text: String): Seq[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ").trim.split(" ").toSeq.filter(_.nonEmpty)
+
+  /** Sequential greedy left-to-right application — the semantics the
+    * distributed fold must reproduce (incl. "aaa" under (a,a) merging
+    * positions 0-1 and leaving the third 'a'). */
+  private def refApply(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]; var j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+        out += (l + r); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.result()
+  }
+
+  private def refLearn(freq: Map[String, Long], merges: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    var state = freq.map { case (w, _) => w -> (w.map(_.toString).toVector :+ Eow) }
+    val learned = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to merges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (w, syms) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          pc(p) = pc.getOrElse(p, 0L) + freq(w)
+        }
+      }
+      val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+      learned += ((i, l, r, c))
+      state = state.map { case (w, syms) => w -> refApply(syms, l, r) }
+    }
+    (learned.result(), state)
+  }
+
+  private def freqOf(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(normWords).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+
+  private lazy val corpusFreq: Map[String, Long] =
+    freqOf(Tables.documents(spark, sf).select("text").collect().toSeq
+      .map(_.getString(0)))
+
+  test("merge table equals a full driver-side relearning, rank for rank") {
+    val (want, _) = refLearn(corpusFreq, Rounds)
+    val got = TextOps.bpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
+  test("per-doc BPE token counts match the reference tokenizer on every doc") {
+    val (_, seg) = refLearn(corpusFreq, Rounds)
+    val want = Tables.documents(spark, sf).select("doc_id", "text").collect().toSeq
+      .flatMap { r =>
+        val ws = normWords(r.getString(1))
+        if (ws.isEmpty) None
+        else Some((r.getLong(0), ws.length.toLong,
+          ws.map(w => seg(w).length.toLong).sum))
+      }.sortBy(_._1)
+    val got = TextOps.bpeTokenCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("greedy equal-symbol runs and reassembly on a crafted corpus") {
+    // 'aaa'/'aaaa' force the (a,a) merge into overlapping-run
+    // territory where a non-greedy (or right-to-left) fold diverges:
+    // greedy segments 'aaa' as [aa, a, </w>], never [a, aa, </w>]
+    val docs = Seq(
+      (0L, "aaa bb aaaa"),
+      (1L, "aaa aaa bb aaaa baab"),
+      (2L, "ab aab aaab ba")
+    ).toDF("doc_id", "text")
+    val (learned, state) = TextOps.bpeLearnState(spark, docs, merges = 3)
+    val (want, wantState) =
+      refLearn(freqOf(Seq("aaa bb aaaa", "aaa aaa bb aaaa baab", "ab aab aaab ba")), 3)
+    assert(learned == want)
+    val got = state.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toVector).toMap
+    assert(got == wantState)
+    // segments reassemble each word exactly (nothing dropped or
+    // duplicated by the fold's skip handling)
+    got.foreach { case (w, syms) => assert(syms.mkString == w + Eow) }
+  }
+
+  test("learning stays inside the iterative action budget") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    val merges = 8
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TextOps.bpeLearnState(spark, Tables.documents(spark, sf), merges)
+      // the listener bus drains asynchronously; give it a beat
+      var last = -1
+      var settled = 0
+      while (settled < 3) {
+        Thread.sleep(100)
+        if (jobs.get == last) settled += 1 else { last = jobs.get; settled = 0 }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one argmax ACTION per round (which also materializes the lazy
+    // checkpoint); AQE may split an action into a small constant
+    // number of scheduler jobs, but a regression to eager
+    // checkpointing or per-round double actions blows this bound
+    assert(jobs.get <= merges * 3 + 4,
+      s"BPE learning ran ${jobs.get} scheduler jobs for $merges rounds")
+  }
+}
