@@ -300,6 +300,9 @@ object SparkEntry {
     "q159_bpe_merges"      -> ((s, d) => TextOps.bpeMerges(s, d)),
     // tokenize with the learned merges: exact per-doc BPE token counts
     "q160_bpe_tokens"      -> ((s, d) => TextOps.bpeTokenCounts(s, d)),
+    // CCNet-style bigram-LM fluency: interpolated model trained on
+    // src0, per-doc avg-NLL, head/middle/tail banding
+    "q161_bigram_fluency"  -> ((s, d) => TextOps.bigramFluency(s, d)),
     // q123's sketch twin: HLL NDV per column gated on the exact value
     // via an in-plan envelope flag (the q100/q54 pattern)
     "q124_column_stats_sketch" -> ((s, d) => RelationalExt.columnStatsSketch(s, d)),
@@ -556,6 +559,51 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q159_bpe_merges" -> bpeMergesOracleSql,
     "q160_bpe_tokens" -> bpeTokensOracleSql,
+    // q161: full model replay — exact counts, one ln per distinct
+    // (doc, bigram) mirrored literal-for-literal, per-doc fold in
+    // (w1, w2) order (q158 convention), band on the RAW avg-NLL
+    "q161_bigram_fluency" ->
+      s"""WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' '),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(w) - 1, 0)), i -> w[i + 1])) AS w1,
+        |    unnest(list_transform(range(0, greatest(len(w) - 1, 0)), i -> w[i + 2])) AS w2
+        |  FROM ws WHERE len(w) >= 2),
+        |train AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |cu AS (SELECT word AS w2, count(*) AS cu FROM (
+        |         SELECT unnest(w) AS word FROM ws JOIN train USING (doc_id)) t
+        |       GROUP BY 1),
+        |sc AS (SELECT CAST(sum(cu) AS BIGINT) AS n_uni, count(*) AS v FROM cu),
+        |tb AS (SELECT w1, w2, count(*) AS cb FROM bg JOIN train USING (doc_id) GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(cb) AS cctx FROM tb GROUP BY 1),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+        |terms AS (
+        |  SELECT db.doc_id, db.w1, db.w2, db.n,
+        |    CAST(db.n AS DOUBLE) * ln(
+        |      ${TextOps.BigramLambda} * (CASE WHEN cx.cctx IS NOT NULL
+        |          THEN CAST(coalesce(tb.cb, 0) AS DOUBLE) / cx.cctx ELSE 0.0 END) +
+        |      ${TextOps.BigramFloor} * (CAST(coalesce(cu.cu, 0) + 1 AS DOUBLE) /
+        |          (sc.n_uni + sc.v))) AS term
+        |  FROM db
+        |  LEFT JOIN tb ON tb.w1 = db.w1 AND tb.w2 = db.w2
+        |  LEFT JOIN cx ON cx.w1 = db.w1
+        |  LEFT JOIN cu ON cu.w2 = db.w2, sc),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |    -(list_sum(list(term ORDER BY w1, w2))) / sum(n) AS nll_raw
+        |  FROM terms GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  ${TextOps.roundAtSql("s.nll_raw", 6)} AS nll,
+        |  CASE WHEN s.n_bigrams IS NULL THEN 'short'
+        |       WHEN s.nll_raw < ${TextOps.BigramHeadMax} THEN 'head'
+        |       WHEN s.nll_raw < ${TextOps.BigramMiddleMax} THEN 'middle'
+        |       ELSE 'tail' END AS band
+        |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q26: the xxhash production LSH, gated on equality with the
     // md5-twin replay (see minHashMd5OracleSql's soundness argument)
     "q26_neardup_minhash" -> minHashMd5OracleSql,

@@ -973,6 +973,94 @@ object TextOps {
       .withColumn("pass", col("score") >= 0)
   }
 
+  /** q161 — CCNet-style bigram-LM fluency scoring (Wenzek et al.
+    * 2020): an interpolated bigram language model is trained on a
+    * reference slice (the `trainSource` documents — CCNet trains on
+    * Wikipedia), every document is scored by its average negative
+    * log-likelihood under that model, and fixed thresholds band the
+    * corpus into head / middle / tail — the classic perplexity filter
+    * (banding on avg-NLL is monotone-equivalent to perplexity and
+    * avoids a cross-engine `exp`). P(w2|w1) = 0.9·c(w1,w2)/c(w1·)
+    * + 0.1·(c(w2)+1)/(N+V): Jelinek–Mercer interpolation with a
+    * Laplace unigram floor, so unseen bigrams and unseen words both
+    * score finitely; an unseen CONTEXT zeroes the bigram component
+    * rather than dividing by zero.
+    *
+    * Cross-engine exactness: all counts are exact integers; the
+    * per-bigram term is one ln over an explicitly ordered arithmetic
+    * expression mirrored literal-for-literal in the oracle; the
+    * per-document float sum folds in (w1, w2) order on both engines
+    * (the q158 sorted-fold convention — never an engine-ordered float
+    * aggregation); band compares the RAW avg-NLL (the filter decision
+    * itself, not a rounded proxy — the q80 convention). Documents
+    * with fewer than two words stay in the output via the roster left
+    * join (band 'short', the q149 zero-word convention).
+    *
+    * Scale: model tables are observed-vocabulary/bigram-sized
+    * (sublinear in corpus) — broadcast onto the per-doc bigram stream
+    * here; a model too big to broadcast shuffle-joins on the same
+    * keys with no plan change elsewhere. The bigram stream reuses the
+    * one doc_id window shuffle (q80's shape); scalars attach as a
+    * broadcast one-row aggregate, never a global window. */
+  def bigramFluency(spark: SparkSession, dir: String,
+                    trainSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val words = wordRows(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bg = words
+      .select(col("doc_id"), col("word").as("w1"),
+        lead(col("word"), 1).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+    val train = docs.filter(col("source") === trainSource).select(col("doc_id"))
+    val cu = words.join(train, Seq("doc_id"))
+      .groupBy(col("word").as("w2")).agg(count(lit(1)).as("cu"))
+    val sc = cu.agg(sum(col("cu")).cast("bigint").as("n_uni"),
+      count(lit(1)).as("v"))
+    val tb = bg.join(train, Seq("doc_id"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cx = tb.groupBy(col("w1")).agg(sum(col("cb")).as("cctx"))
+    val db = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val pBig = when(col("cctx").isNotNull,
+      coalesce(col("cb"), lit(0L)).cast("double") / col("cctx"))
+      .otherwise(lit(0.0d))
+    val term = col("n").cast("double") * log(
+      lit(BigramLambda) * pBig +
+        lit(BigramFloor) * ((coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_uni") + col("v"))))
+    val scored = db
+      .join(broadcast(tb), Seq("w1", "w2"), "left")
+      .join(broadcast(cx), Seq("w1"), "left")
+      .join(broadcast(cu), Seq("w2"), "left")
+      .crossJoin(broadcast(sc))
+      .select(col("doc_id"), col("n"),
+        struct(col("w1"), col("w2"), term.as("term")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        ((-aggregate(
+          transform(array_sort(collect_list(col("s"))), x => x.getField("term")),
+          lit(0.0d), (a, t) => a + t)) / sum(col("n"))).as("nll_raw"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("bigint").as("n_bigrams"),
+        roundAt(col("nll_raw"), 6).as("nll"),
+        when(col("n_bigrams").isNull, lit("short"))
+          .when(col("nll_raw") < BigramHeadMax, lit("head"))
+          .when(col("nll_raw") < BigramMiddleMax, lit("middle"))
+          .otherwise(lit("tail")).as("band"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q161 model constants, interpolated into the oracle SQL verbatim
+    * (the head/middle cuts sit near the corpus avg-NLL terciles so
+    * all three bands are populated at every test SF — fixed
+    * language-specific constants, exactly how CCNet ships them). */
+  val BigramLambda = 0.9
+  val BigramFloor = 0.1
+  val BigramHeadMax = 3.75
+  val BigramMiddleMax = 3.88
+
   // ===================== BPE vocabulary induction =====================
 
   /** End-of-word marker appended to every word's initial symbol

@@ -533,4 +533,50 @@ class CurationSpec extends AnyFunSuite {
       assert(sides.getOrElse("train", 0L) > 0 && sides.getOrElse("test", 0L) > 0, s"$sides")
     } finally split.unpersist()
   }
+
+  test("bigram fluency matches a driver-side model recompute on every doc; all bands populated") {
+    def words(t: String): Array[String] =
+      t.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ")
+        .trim.split(" ").filter(_.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)].collect()
+    // train the interpolated model on the src0 slice, sequentially
+    val trainWords = docs.filter(_._2 == "src0").flatMap(d => words(d._3))
+    val cu = trainWords.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val nUni = trainWords.length.toLong
+    val v = cu.size.toLong
+    val trainBigrams = docs.filter(_._2 == "src0")
+      .flatMap(d => words(d._3).sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+    val cb = trainBigrams.groupBy(identity).map { case (b, g) => b -> g.length.toLong }
+    val cctx = trainBigrams.groupBy(_._1).map { case (w1, g) => w1 -> g.length.toLong }
+    val expected = docs.map { case (id, _, t) =>
+      val bgs = words(t).sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+      if (bgs.isEmpty) id -> ((0L, None: Option[Double], "short"))
+      else {
+        // fold in (w1, w2) order — the cross-engine contract
+        val byPair = bgs.groupBy(identity).map { case (b, g) => (b, g.length.toLong) }
+          .toSeq.sortBy(_._1)
+        var s = 0.0d
+        byPair.foreach { case ((w1, w2), n) =>
+          val pBig = cctx.get(w1)
+            .map(c => cb.getOrElse((w1, w2), 0L).toDouble / c).getOrElse(0.0d)
+          s += n.toDouble * math.log(TextOps.BigramLambda * pBig +
+            TextOps.BigramFloor * ((cu.getOrElse(w2, 0L) + 1).toDouble / (nUni + v)))
+        }
+        val nll = -s / bgs.length
+        val band = if (nll < TextOps.BigramHeadMax) "head"
+          else if (nll < TextOps.BigramMiddleMax) "middle" else "tail"
+        id -> ((bgs.length.toLong,
+          Some(math.floor(nll * 1e6 + 0.5) / 1e6), band))
+      }
+    }.toMap
+    val got = TextOps.bigramFluency(spark, sf).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3)))
+    }.toMap
+    assert(got == expected)
+    val bands = got.values.map(_._3).toSeq.distinct.sorted
+    assert(bands.contains("head") && bands.contains("middle") && bands.contains("tail"),
+      s"a fluency band is empty at this SF: $bands")
+  }
 }
