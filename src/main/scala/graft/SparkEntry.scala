@@ -303,6 +303,9 @@ object SparkEntry {
     // CCNet-style bigram-LM fluency: interpolated model trained on
     // src0, per-doc avg-NLL, head/middle/tail banding
     "q161_bigram_fluency"  -> ((s, d) => TextOps.bigramFluency(s, d)),
+    // SemDeDup: within-cluster cosine dup groups, keep the member
+    // least similar to the centroid
+    "q162_semdedup"        -> ((s, d) => SimilarityOps.semDedup(s, d)),
     // q123's sketch twin: HLL NDV per column gated on the exact value
     // via an in-plan envelope flag (the q100/q54 pattern)
     "q124_column_stats_sketch" -> ((s, d) => RelationalExt.columnStatsSketch(s, d)),
@@ -604,6 +607,53 @@ object SparkEntry {
         |       ELSE 'tail' END AS band
         |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q162: q87's assignment CTEs + within-cluster pair cosines +
+    // q61's recursive min-label CC + the keep-the-atypical window;
+    // both cosines rounded at 4 and every DECISION compares the
+    // rounded value (q40 convention)
+    "q162_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT label AS clabel,
+        |    unnest(range(0, len(emb))) AS pos,
+        |    unnest(emb) AS v
+        |  FROM e),
+        |cm AS (SELECT clabel, pos, avg(v) AS m FROM flat GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(m ORDER BY pos) AS cent FROM cm GROUP BY 1),
+        |ad AS (
+        |  SELECT e.vec_id, e.emb, c.clabel,
+        |    list_sum(list_transform(range(1, len(e.emb) + 1),
+        |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+        |  FROM e CROSS JOIN cent c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk FROM ad),
+        |asg AS (SELECT vec_id, clabel, emb FROM rk WHERE rk = 1),
+        |sc AS (
+        |  SELECT a.vec_id, a.clabel, a.emb,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * c.cent[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(c.cent) + 1), i -> c.cent[i] * c.cent[i])))), 4) AS cos_c
+        |  FROM asg a JOIN cent c ON c.clabel = a.clabel),
+        |dup AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM asg a JOIN asg b ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * b.emb[i])))), 4) >= 0.35),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        |          UNION SELECT doc_b, doc_a FROM dup),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        |lbl AS (SELECT a AS vec_id, least(a, min(b)) AS grp FROM reach GROUP BY a),
+        |g AS (
+        |  SELECT s.vec_id, s.clabel, coalesce(l.grp, s.vec_id) AS grp, s.cos_c
+        |  FROM sc s LEFT JOIN lbl l ON l.vec_id = s.vec_id)
+        |SELECT vec_id, CAST(clabel AS INTEGER) AS clabel, grp, cos_c,
+        |  (row_number() OVER (PARTITION BY grp ORDER BY cos_c, vec_id)) = 1 AS kept
+        |FROM g ORDER BY vec_id""".stripMargin,
     // q26: the xxhash production LSH, gated on equality with the
     // md5-twin replay (see minHashMd5OracleSql's soundness argument)
     "q26_neardup_minhash" -> minHashMd5OracleSql,

@@ -683,4 +683,71 @@ object SimilarityOps {
         queryIds.indices.map(i => col(i.toString).as(s"rank_q$i")) :+
         TextOps.roundAt(col("rrf_raw"), 6).as("rrf"): _*)
   }
+
+  /** q162 — SemDeDup (Abbas et al. 2023): semantic deduplication in
+    * embedding space. Every vector is assigned to its nearest
+    * centroid (the q87 label-centroid codebook — the deterministic
+    * stand-in for the paper's k-means, exactly as q46/q87 use it);
+    * WITHIN each cluster, pairs with cosine ≥ `threshold` are
+    * semantic duplicates; duplicate groups are the connected
+    * components of those pairs; and each group keeps its member with
+    * the LOWEST similarity to the cluster centroid (the paper's
+    * keep-the-atypical rule — typical members carry no extra
+    * information), ties to the smaller vec_id. Output is
+    * roster-total: every vector with its cluster, its dup group
+    * (singletons group with themselves), its centroid similarity and
+    * the keep verdict.
+    *
+    * Cross-engine exactness: assignment is the q87 argmin (sequential
+    * (x−c)² fold, (d2, clabel) tie-break); both cosines round at 4
+    * and every comparison — the dup threshold and the keeper argmin —
+    * uses the ROUNDED value (the q40 convention: decisions never sit
+    * on a cross-engine ulp); the CC labels are min-ids (q61's oracle
+    * replays them with a recursive CTE).
+    *
+    * Scale: the paper's own bound — candidate pairs are generated
+    * within clusters only, O(Σ|c|²) with k chosen ∝ corpus size so
+    * clusters stay bounded; the codebook broadcasts (k × dim);
+    * cluster pairing is one shuffle join on clabel; CC runs on the
+    * duplicate-pair graph (tiny relative to the corpus — most
+    * vectors are not near-duplicates); the keeper window sorts only
+    * within dup groups (≤ cluster-sized). */
+  def semDedup(spark: SparkSession, dir: String,
+               threshold: Double = 0.35): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val codebook = ivfCodebook(e)
+    // cosine against the (double-typed) centroid via the same HOF
+    // fold shapes the oracle's list_sum mirrors (q28/q29 parity)
+    def cosToCent(emb: Column, cent: Column): Column = {
+      val dot = aggregate(zip_with(emb, cent, (x, y) => x.cast("double") * y),
+        lit(0.0d), (s, v) => s + v)
+      val na = aggregate(emb, lit(0.0d),
+        (s, x) => s + x.cast("double") * x.cast("double"))
+      val nb = aggregate(cent, lit(0.0d), (s, y) => s + y * y)
+      dot / (sqrt(na) * sqrt(nb))
+    }
+    val withC = e.crossJoin(broadcast(codebook))
+      .withColumn("clabel", ivfDists.getItem(0).getField("clabel"))
+      .withColumn("cent", element_at(
+        filter(col("cents"), c => c.getField("clabel") === col("clabel")),
+        1).getField("cent"))
+      .select(col("vec_id"), col("clabel"), col("embedding"),
+        round(cosToCent(col("embedding"), col("cent")), 4).as("cos_c"))
+    val pairs = withC.select(col("clabel"), col("vec_id").as("doc_a"),
+        col("embedding").as("ea"))
+      .join(withC.select(col("clabel"), col("vec_id").as("doc_b"),
+        col("embedding").as("eb")), Seq("clabel"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(round(cosineSimilarity(col("ea"), col("eb")), 4) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = DedupOps.connectedComponents(pairs)
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cos_c").asc, col("vec_id").asc)
+    withC.join(cc, withC("vec_id") === cc("id"), "left")
+      .select(col("vec_id"), col("clabel"),
+        coalesce(col("cluster"), col("vec_id")).as("grp"), col("cos_c"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .orderBy(col("vec_id"))
+  }
 }

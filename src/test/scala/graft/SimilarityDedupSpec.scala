@@ -533,4 +533,67 @@ class SimilarityDedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"legs are not partial top-k:\n$p")
   }
+
+  test("SemDeDup matches a full driver-side recompute (assignment, groups, keepers)") {
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))
+    // centroids per label (mean per dimension, double)
+    val cents = e.groupBy(_._3).map { case (l, g) =>
+      val dim = g.head._2.length
+      l -> Array.tabulate(dim)(d => g.map(_._2(d)).sum / g.length)
+    }
+    // nearest-centroid assignment, (d2, clabel) tie-break
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }; s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val assigned = e.toSeq.map { case (id, emb, _) =>
+      val cl = cents.toSeq.map { case (l, c) => (d2(emb, c), l) }.min._2
+      (id, emb, cl)
+    }
+    // within-cluster dup pairs at the ROUNDED threshold
+    val byCluster = assigned.groupBy(_._3)
+    val dup = byCluster.values.flatMap { g =>
+      for (a <- g; b <- g if a._1 < b._1 && r4(cos(a._2, b._2)) >= 0.35)
+        yield (a._1, b._1)
+    }.toSeq
+    // union-find CC -> min-id group labels
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    dup.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val grpOf = assigned.map(v => v._1 -> find(v._1)).toMap
+    // keeper per group: lowest ROUNDED centroid cosine, then vec_id
+    val cosC = assigned.map { case (id, emb, cl) => id -> r4(cos(emb, cents(cl))) }.toMap
+    val keeper = assigned.groupBy(v => grpOf(v._1)).map { case (g, ms) =>
+      g -> ms.map(v => (cosC(v._1), v._1)).min._2
+    }
+    val got = SimilarityOps.semDedup(spark, sf).collect()
+    assert(got.length == e.length)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == assigned.find(_._1 == id).get._3, s"clabel of $id")
+      assert(r.getLong(2) == grpOf(id), s"group of $id")
+      assert(r.getDouble(3) == cosC(id), s"cos_c of $id")
+      assert(r.getBoolean(4) == (keeper(grpOf(id)) == id), s"kept of $id")
+    }
+    // the operator must actually deduplicate here: multi-member
+    // groups exist and every one keeps exactly its atypical argmin
+    val dropped = got.filter(!_.getBoolean(4))
+    assert(dropped.nonEmpty, "no semantic duplicates found - vacuous gate")
+    dropped.foreach { r =>
+      val g = grpOf(r.getLong(0))
+      assert(cosC(keeper(g)) <= r.getDouble(3), "kept member is not the argmin")
+    }
+  }
 }
