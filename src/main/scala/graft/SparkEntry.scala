@@ -306,6 +306,9 @@ object SparkEntry {
     // SemDeDup: within-cluster cosine dup groups, keep the member
     // least similar to the centroid
     "q162_semdedup"        -> ((s, d) => SimilarityOps.semDedup(s, d)),
+    // JL random projection 64->16 dims, md5-derived +-1 matrix,
+    // zero-exchange narrow map
+    "q163_random_projection" -> ((s, d) => SimilarityOps.randomProjection(s, d)),
     // q123's sketch twin: HLL NDV per column gated on the exact value
     // via an in-plan envelope flag (the q100/q54 pattern)
     "q124_column_stats_sketch" -> ((s, d) => RelationalExt.columnStatsSketch(s, d)),
@@ -607,6 +610,19 @@ object SparkEntry {
         |       ELSE 'tail' END AS band
         |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q163: the ±1 matrix rebuilt from md5('rp<j>_<i>') — identical
+    // on both engines, so projections are hash-exact (q30's proven
+    // sign/fold parity); 0.25 is 1/sqrt(16) exactly
+    "q163_random_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(j AS INTEGER) AS rdim,
+        |  floor(list_sum(list_transform(range(1, len(emb) + 1),
+        |    i -> emb[i] * (CASE WHEN substr(md5('rp' || j || '_' || (i - 1)), 1, 1) < '8'
+        |                        THEN 1.0 ELSE -1.0 END))) * 0.25 * 1000000 + 0.5) / 1000000 AS y
+        |FROM e, (SELECT unnest(range(0, 16)) AS j) r
+        |ORDER BY vec_id, rdim""".stripMargin,
     // q162: q87's assignment CTEs + within-cluster pair cosines +
     // q61's recursive min-label CC + the keep-the-atypical window;
     // both cosines rounded at 4 and every DECISION compares the

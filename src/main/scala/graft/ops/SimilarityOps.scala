@@ -684,6 +684,51 @@ object SimilarityOps {
         TextOps.roundAt(col("rrf_raw"), 6).as("rrf"): _*)
   }
 
+  /** q163 — Johnson–Lindenstrauss random projection: every embedding
+    * reduced from its native dimension to `k` dims via a dense
+    * Rademacher (±1) projection scaled by 1/√k (Achlioptas 2003:
+    * ±1 entries give the same JL distance-preservation guarantee as
+    * Gaussians — and, as with the q30 LSH planes, the matrix is
+    * md5-derived ("rp<j>_<i>" keys, a family disjoint from the LSH
+    * planes') so BOTH engines rebuild the identical matrix and the
+    * output is hash-exact, no envelope needed). The standard
+    * compression step before shipping vectors to an ANN index when
+    * int8 (q81/q156) is not enough.
+    *
+    * Exactness: ±1 weights make each product exact in IEEE; the fold
+    * is the q28/q29-proven zip_with/aggregate ↔ list_sum sequence;
+    * the 1/√k scale is interpolated as one literal double into both
+    * engines (0.25 exactly at k=16); projections round at 6 for
+    * display.
+    *
+    * Scale: a pure narrow map — the matrix is a plan literal (k × dim
+    * doubles), each vector reads once and writes k values, zero
+    * exchanges (spec-asserted, the q147/q150 pattern); output rows
+    * are stack-unpivoted in the same narrow stage. */
+  def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = Tables.embeddingDim(spark, dir)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: Array[Array[Double]] = Array.tabulate(k, dim) { (j, i) =>
+      val d = md.digest(s"rp${j}_$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
+    def proj(j: Int): Column =
+      aggregate(
+        zip_with(col("embedding"),
+          array(signs(j).toIndexedSeq.map(v => lit(v)): _*),
+          (x, w) => x.cast("double") * w),
+        lit(0.0d), (a, v) => a + v) * lit(scale)
+    // no orderBy: a global sort is the one Exchange this narrow map
+    // would otherwise have (the correctness gate sorts rows itself —
+    // the q150 convention)
+    e.select(col("vec_id"),
+        posexplode(array((0 until k).map(j => TextOps.roundAt(proj(j), 6)): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("rdim"),
+        col("col").as("y"))
+  }
+
   /** q162 — SemDeDup (Abbas et al. 2023): semantic deduplication in
     * embedding space. Every vector is assigned to its nearest
     * centroid (the q87 label-centroid codebook — the deterministic

@@ -596,4 +596,45 @@ class SimilarityDedupSpec extends AnyFunSuite {
       assert(cosC(keeper(g)) <= r.getDouble(3), "kept member is not the argmin")
     }
   }
+
+  test("random projection: hash-exact vs driver recompute, zero exchanges, JL distortion bounded") {
+    def md5hex(x: String): Array[Byte] = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val dim = e.head._2.length
+    val signs = Array.tabulate(16, dim) { (j, i) =>
+      if (((md5hex(s"rp${j}_$i")(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
+    def proj(x: Array[Double]): Array[Double] = Array.tabulate(16) { j =>
+      var s0 = 0.0; var i = 0
+      while (i < dim) { s0 += x(i) * signs(j)(i); i += 1 }
+      s0 * 0.25
+    }
+    val df = SimilarityOps.randomProjection(spark, sf)
+    // zero-exchange narrow map (the q147/q150 plan standard)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection is not a narrow map:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == e.length * 16)
+    e.foreach { case (id, x) =>
+      val y = proj(x)
+      (0 until 16).foreach { j =>
+        assert(got((id, j)) == math.floor(y(j) * 1e6 + 0.5) / 1e6, s"vec $id dim $j")
+      }
+    }
+    // the JL property itself on the first 30 vectors' pairs: squared
+    // distances preserved within a loose (k=16) distortion band, and
+    // unbiased on average
+    val sample = e.take(30)
+    val ratios = for (a <- sample; b <- sample if a._1 < b._1) yield {
+      def d2(u: Array[Double], v: Array[Double]) =
+        u.zip(v).map { case (p, q) => (p - q) * (p - q) }.sum
+      d2(proj(a._2), proj(b._2)) / d2(a._2, b._2)
+    }
+    assert(ratios.forall(r => r > 0.15 && r < 3.0),
+      s"distance distortion outside the loose k=16 JL band: ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.75 && mean < 1.25, s"projection biased: mean ratio $mean")
+  }
 }
