@@ -44,6 +44,15 @@ object SparkEntry {
     "q23_fingerprint"      -> ((s, d) => TextOps.fingerprints(s, d)),
     "q24_dedup_exact"      -> ((s, d) => DedupOps.dedupExact(s, d)),
     "q25_neardup_ngram"    -> ((s, d) => DedupOps.nearDupNgram(s, d)),
+    // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
+    // detection over the SAME q25 candidate build
+    "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
+    // cross-source duplication matrix: q25's verified pairs rolled up
+    // by unordered source pair — the corpus-overlap audit
+    "q165_cross_source_dups" -> ((s, d) => DedupOps.crossSourceDupMatrix(s, d)),
+    // per-doc fraction of distinct 3-gram shingles shared with >=2
+    // docs: the inter-doc boilerplate complement of q80
+    "q166_boilerplate_grams" -> ((s, d) => DedupOps.boilerplateGrams(s, d)),
     "q26_neardup_minhash"  -> ((s, d) => DedupOps.nearDupMinHash(s, d)),
     "q27_neardup_simhash"  -> ((s, d) => DedupOps.nearDupSimHash(s, d)),
     "q28_neardup_embedding"-> ((s, d) => DedupOps.nearDupEmbedding(s, d)),
@@ -865,6 +874,83 @@ object SparkEntry {
         |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
         |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+    // q164: q25's shingle + min-md5-blocking CTEs verbatim, verified
+    // on containment |A∩B|/min(|A|,|B|) instead of Jaccard; both
+    // metrics rounded at 4, keep decision on rounded containment
+    "q164_neardup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          least(len(a.sh), len(b.sh)), 4) AS containment,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, containment, jaccard
+        |FROM pairs WHERE containment >= 0.8""".stripMargin,
+    // q165: the q25 pair CTEs + two source lookups + the unordered
+    // source-pair rollup; avg rounded at 4 on both engines
+    "q165_cross_source_dups" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |hits AS (SELECT * FROM pairs WHERE jaccard >= 0.5)
+        |SELECT least(da.source, db.source) AS src_lo,
+        |  greatest(da.source, db.source) AS src_hi,
+        |  count(*) AS n_pairs, round(avg(h.jaccard), 4) AS avg_jaccard
+        |FROM hits h
+        |JOIN documents da ON da.doc_id = h.doc_a
+        |JOIN documents db ON db.doc_id = h.doc_b
+        |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
+    // q166: distinct (doc, gram) rows -> gram document frequency ->
+    // per-doc common fraction; roster left join keeps all-unique docs
+    "q166_boilerplate_grams" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |dg AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+        |gdf AS (SELECT s, count(*) AS df FROM dg GROUP BY s),
+        |per AS (
+        |  SELECT dg.doc_id, count(*) AS n_shingles,
+        |    sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS n_common
+        |  FROM dg JOIN gdf ON gdf.s = dg.s GROUP BY dg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(per.n_common, 0) AS BIGINT) AS n_common,
+        |  round(CAST(coalesce(per.n_common, 0) AS DOUBLE) /
+        |        greatest(coalesce(per.n_shingles, 0), 1), 4) AS common_frac
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q27: full cross-engine SimHash. The 60-bit token hash is one
     // big-endian hex window of md5 parsed to BIGINT (same
     // construction as q75's base hashes) — 60 bits keeps the value

@@ -199,6 +199,106 @@ object DedupOps {
                          threshold: Double = 0.5, maxBucket: Int = 3): DataFrame =
     jaccardVerify(bucketPairs(ngramBuckets(spark, dir), Some(maxBucket)), threshold)
 
+  /** q164: ASYMMETRIC containment near-dup — C(A,B) = |A∩B| /
+    * min(|A|,|B|) over the word-3-gram shingle sets. Symmetric Jaccard
+    * misses subset duplication (a short doc quoted wholesale inside a
+    * long one scores J = |A|/|B| ≈ 0 but C = 1); containment is the
+    * standard companion metric for exactly that case (Broder 1997's
+    * resemblance/containment pair). Same one-shuffle candidate build
+    * as q25 — [[ngramBuckets]] min-md5 blocking through
+    * [[bucketPairs]] — so the candidate population is IDENTICAL to the
+    * Jaccard family's and the two verdicts are comparable pair by
+    * pair; the output carries both metrics for that reason. No
+    * size-ratio prefilter: a containment hit is legal at ANY size
+    * skew — pruning on min/max sizes is precisely the mistake this
+    * metric exists to avoid. Both metrics rounded at 4 with the keep
+    * decision on the rounded containment (q40 convention). Scale: the
+    * blocking bound is q25's (buckets × member² within min-shingle
+    * buckets, [[nearDupNgramCapped]]'s cap composes unchanged); the
+    * verify adds one array_intersect already paid by the Jaccard
+    * column. */
+  def nearDupContainment(spark: SparkSession, dir: String,
+                         threshold: Double = 0.8): DataFrame = {
+    val sa = size(col("x.sh"))
+    val sb = size(col("y.sh"))
+    val inter = size(array_intersect(col("x.sh"), col("y.sh")))
+    bucketPairs(ngramBuckets(spark, dir))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(inter.cast("double") / least(sa, sb), 4).as("containment"),
+        pairJaccard.as("jaccard"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** q165: cross-source duplication matrix — the verified near-dup
+    * pairs of [[nearDupNgram]] rolled up by unordered source pair
+    * (src_lo ≤ src_hi lexicographically), with pair counts and the
+    * mean verified Jaccard per cell. This is the corpus-overlap audit
+    * a curation team runs before mixing crawls (the cross-corpus
+    * duplication tables of Lee 2022's dedup study): a hot off-diagonal
+    * cell means two "independent" sources are substantially the same
+    * data and their mixture weights double-count it.
+    *
+    * Scale shape: the expensive part IS q25 (one bucket shuffle);
+    * everything after operates on the verified pair set (≪ corpus).
+    * The two source lookups join the pair side to a column-pruned
+    * (doc_id, source) projection — Spark broadcasts the small pair
+    * side, so the corpus is never shuffled; the final rollup groups
+    * tens of cells. avg is rounded at 4 on both engines (cross-engine
+    * sum order differs in ulps). */
+  def crossSourceDupMatrix(spark: SparkSession, dir: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    nearDupNgram(spark, dir, threshold)
+      .join(src.toDF("doc_a", "source_a"), "doc_a")
+      .join(src.toDF("doc_b", "source_b"), "doc_b")
+      .groupBy(
+        least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  /** q166: boilerplate-gram commonness — for every document, the
+    * fraction of its DISTINCT word-3-gram shingles that occur in at
+    * least `minDf` documents. q80 measures intra-doc repetition; this
+    * is its inter-doc complement, the "how much of this page is
+    * corpus-wide boilerplate" signal (the RefinedWeb/Dolma line-level
+    * boilerplate heuristic lifted to gram granularity) that feeds
+    * quality gates before any pairwise dedup runs.
+    *
+    * Scale shape: one pass builds distinct (doc, gram) rows (the q25
+    * shingle window chain, codegen'd), one gram-keyed aggregation
+    * computes document frequency with map-side partials, and one
+    * shuffle join brings df back to the (doc, gram) rows — the
+    * standard two-shuffle inverted-index shape (q116), no driver
+    * state, no all-pairs anywhere. The roster left join keeps every
+    * document in the output (a doc whose grams are all unique scores
+    * 0). Fraction of two exact longs, rounded at 4. */
+  def boilerplateGrams(spark: SparkSession, dir: String,
+                       minDf: Long = 2L): DataFrame = {
+    val docGrams = shingleRows(spark, dir)
+      .select(col("doc_id"), col("s")).distinct()
+    val gramDf = docGrams.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+    val perDoc = docGrams.join(gramDf, "s")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_common"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L)), 4).as("common_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate clusters: connected components over the near-dup pair
     * graph, labeled by the minimum doc_id in each component — the step
     * that turns pairwise near-dup hits into keep/drop decisions (keep
