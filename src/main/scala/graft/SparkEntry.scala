@@ -53,6 +53,9 @@ object SparkEntry {
     // per-doc fraction of distinct 3-gram shingles shared with >=2
     // docs: the inter-doc boilerplate complement of q80
     "q166_boilerplate_grams" -> ((s, d) => DedupOps.boilerplateGrams(s, d)),
+    // per-doc OOV rate vs the corpus top-20 word vocabulary
+    // (mergeable exact-count state, broadcast vocab)
+    "q167_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q26_neardup_minhash"  -> ((s, d) => DedupOps.nearDupMinHash(s, d)),
     "q27_neardup_simhash"  -> ((s, d) => DedupOps.nearDupSimHash(s, d)),
     "q28_neardup_embedding"-> ((s, d) => DedupOps.nearDupEmbedding(s, d)),
@@ -949,6 +952,27 @@ object SparkEntry {
         |  CAST(coalesce(per.n_common, 0) AS BIGINT) AS n_common,
         |  round(CAST(coalesce(per.n_common, 0) AS DOUBLE) /
         |        greatest(coalesce(per.n_shingles, 0), 1), 4) AS common_frac
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q167: corpus word frequencies -> top-20 vocab cut on the
+    // deterministic (count desc, word asc) tie -> per-doc OOV rate
+    "q167_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, count(*) AS c FROM w WHERE word <> '' GROUP BY word),
+        |vocab AS (SELECT word FROM wf ORDER BY c DESC, word LIMIT 20),
+        |per AS (
+        |  SELECT w.doc_id, count(*) AS n_words,
+        |    sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM w LEFT JOIN vocab v ON v.word = w.word
+        |  WHERE w.word <> '' GROUP BY w.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov,
+        |  round(CAST(coalesce(per.n_oov, 0) AS DOUBLE) /
+        |        greatest(coalesce(per.n_words, 0), 1), 4) AS oov_rate
         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // q27: full cross-engine SimHash. The 60-bit token hash is one

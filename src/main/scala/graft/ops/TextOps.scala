@@ -954,6 +954,67 @@ object TextOps {
       .select(col("doc_id"), roundAt(col("logw_raw"), 6).as("logw"))
   }
 
+  /** q167: vocabulary coverage / OOV rate — per document, the count
+    * and fraction of word tokens falling OUTSIDE the corpus top-`k`
+    * vocabulary. The tokenizer-analysis staple: before freezing a
+    * vocab (word-level here; q159's BPE covers subword) a data team
+    * audits what coverage a k-entry vocabulary buys per document and
+    * which docs are OOV-heavy (usually noise or the wrong language).
+    *
+    * Exactness: vocabulary membership is decided on exact long counts
+    * with the deterministic (count desc, word asc) boundary tie —
+    * both engines cut the identical top-k. OOV fraction is a ratio
+    * of exact longs rounded at 4.
+    *
+    * Scale shape: one word-keyed aggregation builds the frequency
+    * table (map-side partials), the top-k cut is a TakeOrdered (k
+    * rows — model state, never corpus-sized), and scoring joins the
+    * BROADCAST vocabulary onto the word rows — the corpus is touched
+    * once and never shuffled by vocabulary size. The frequency state
+    * is mergeable exact-long counts ([[vocabCountMerge]]) so a
+    * streaming ingest folds batches into the same state the batch
+    * build produces ([[vocabCountPartials]]); roster left join keeps
+    * wordless docs at rate 0. */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    oovFromState(spark, docs, vocabCountPartials(docs), k)
+  }
+
+  /** The mergeable vocabulary state: per word, its exact corpus count
+    * from one pass over a (doc_id, text) slice. Associative addition,
+    * so any batch chopping folds to the same state. */
+  def vocabCountPartials(docs: DataFrame): DataFrame =
+    wordRowsOf(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+
+  def vocabCountMerge(state: DataFrame, refresh: DataFrame): DataFrame =
+    state.unionByName(refresh)
+      .groupBy(col("word")).agg(sum(col("c")).as("c"))
+
+  /** Score a document batch against a folded (word, c) state: cut the
+    * top-k vocabulary on (c desc, word asc), broadcast it onto the
+    * batch's word rows, aggregate per doc. */
+  def oovFromState(spark: SparkSession, docs: DataFrame, state: DataFrame,
+                   k: Int = 20): DataFrame = {
+    val vocab = state.orderBy(col("c").desc, col("word")).limit(k)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    val perDoc = wordRowsOf(docs.select(col("doc_id"), col("text")))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_words"), lit(0L)), lit(1L)), 4).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   def linearQuality(spark: SparkSession, dir: String, dim: Int = 256): DataFrame = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val weights: Array[Long] = Array.tabulate(dim) { b =>

@@ -638,4 +638,50 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       "DSIR scores depend on micro-batch boundaries")
     assert(oneShot.nonEmpty)
   }
+
+  test("streaming vocab fold via foreachBatch: OOV rates from folded counts are batch-identical") {
+    // q167's production shape: the (word, c) frequency state folds
+    // per ingest micro-batch (exact longs — associative addition);
+    // the top-k vocabulary cut and OOV scoring read the state without
+    // rescanning history. Whatever the chopping, rates served from
+    // folded state must be bit-identical to the one-shot query —
+    // including the deterministic (count desc, word asc) boundary tie.
+    import graft.ops.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    def rates(state: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double)] =
+      TextOps.oovFromState(spark, docs, state)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    def runChopped(cuts: Seq[Int]): Seq[(Long, Long, Long, Double)] = {
+      var state = TextOps.vocabCountPartials(docs.limit(0)).localCheckpoint()
+      val input = MemoryStream[(Long, String)]
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          state = TextOps.vocabCountMerge(state,
+            TextOps.vocabCountPartials(batch)).localCheckpoint()
+          ()
+        }.start()
+      try {
+        var rest = rows
+        for (c <- cuts) {
+          val (b, r) = rest.splitAt(c); rest = r
+          if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { input.addData(rest); q.processAllAvailable() }
+      } finally q.stop()
+      rates(state)
+    }
+    val oneShot = TextOps.vocabCoverage(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rates(TextOps.vocabCountPartials(docs)) == oneShot,
+      "state-served rates diverged from the one-shot query on identical state")
+    assert(runChopped(Seq(rows.length / 3, rows.length / 3)) == oneShot,
+      "folded-state OOV rates diverged from the one-shot query")
+    assert(runChopped(Seq(rows.length / 7)) == oneShot,
+      "OOV rates depend on micro-batch boundaries")
+    // non-vacuity: both vocab hits and OOV tokens exist in the corpus
+    assert(oneShot.exists(_._3 > 0) && oneShot.exists(r => r._3 < r._2))
+  }
 }
