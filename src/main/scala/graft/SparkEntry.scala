@@ -64,6 +64,9 @@ object SparkEntry {
     "q155_multiquery_rrf"  -> ((s, d) => SimilarityOps.multiQueryRRF(s, d)),
     // int8-candidate + exact-cosine re-rank (PQ-style two-stage ANN)
     "q156_quantized_rerank" -> ((s, d) => SimilarityOps.quantizedRerank(s, d)),
+    // MMR diversity re-rank: greedy redundancy-penalized selection
+    // over the top-50 candidates, unrolled in-plan
+    "q168_mmr_rerank"      -> ((s, d) => SimilarityOps.mmrRerank(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
     "q40_neardup_emb_lsh"  -> ((s, d) => DedupOps.nearDupEmbeddingLSH(s, d)),
     "q31_media_meta"       -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
@@ -427,6 +430,53 @@ object SparkEntry {
   /** Exact brute-force cosine top-10 CTE shared by q29 (which IS the
     * brute force) and q46's gated envelope (whose checkable values are
     * the same exact rows — the ANN leg only feeds the TRUE flag). */
+  /** q168 oracle: the MMR greedy loop replayed as program-generated
+    * unrolled CTE stages (the q159 pattern) — stage r picks the
+    * argmax of `0.7·rel − (1−0.7)·max sim-to-selected` over the
+    * not-yet-selected candidates. The (1−λ) coefficient is written as
+    * the SUBTRACTION `1.0 − 0.7` on both engines (Spark computes
+    * `lit(1.0 - lam)` = 0.30000000000000004 — a bare 0.3 literal is a
+    * DIFFERENT double), and bare literals are cast to DOUBLE (DuckDB
+    * parses 0.7 as DECIMAL, the q155 lesson). rel and sims rounded at
+    * 4; each decision on the raw identical-IEEE mmr expression with
+    * vec_id ties. */
+  private lazy val mmrOracleSql: String = {
+    def cos(a: String, b: String): String =
+      s"""round(list_sum(list_transform(range(1, len($a) + 1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(range(1, len($b) + 1),
+         |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))), 4)""".stripMargin
+    val stages = (2 to 10).map { r =>
+      s"""sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL
+         |  (SELECT c.vec_id, c.rel,
+         |     0.7::DOUBLE * c.rel - (1.0::DOUBLE - 0.7::DOUBLE) * m.msim AS mmr,
+         |     CAST($r AS BIGINT) AS rank
+         |   FROM cand c
+         |   JOIN (SELECT a, max(sim) AS msim FROM sims
+         |         WHERE b IN (SELECT vec_id FROM sel${r - 1}) GROUP BY a) m
+         |     ON m.a = c.vec_id
+         |   WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+         |   ORDER BY mmr DESC, c.vec_id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding,
+       |    ${cos("e.embedding", "q.q_emb")} AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT 50),
+       |sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    ${cos("a.embedding", "b.embedding")} AS sim
+       |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (SELECT vec_id, rel, rel AS mmr, CAST(1 AS BIGINT) AS rank
+       |         FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |$stages
+       |SELECT rank, vec_id, rel, round(mmr, 6) AS mmr
+       |FROM sel10 ORDER BY rank""".stripMargin
+  }
+
   private lazy val bruteTopKOracleCte: String =
     """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
       |s AS (
@@ -1021,6 +1071,7 @@ object SparkEntry {
     "q29_sim_topk" ->
       s"""$bruteTopKOracleCte
         |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q168_mmr_rerank" -> mmrOracleSql,
     // q155: three q29-style exact legs (query vectors 0/1/2, top-100
     // each, cos rounded at 4 with vec_id tie-break), pivoted to rank
     // columns and fused left-to-right as 1/(60+rank) with absent legs

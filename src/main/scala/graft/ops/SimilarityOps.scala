@@ -705,6 +705,80 @@ object SimilarityOps {
     * doubles), each vector reads once and writes k values, zero
     * exchanges (spec-asserted, the q147/q150 pattern); output rows
     * are stack-unpivoted in the same narrow stage. */
+  /** q168: Maximal Marginal Relevance diversity re-rank (Carbonell &
+    * Goldstein 1998) — greedily select `k` of the top-`candK`
+    * retrieval candidates maximizing
+    * `λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s)`: the standard
+    * redundancy-penalized re-rank every retrieval stack runs after
+    * its ANN stage (near-duplicate hits crowd out coverage otherwise).
+    *
+    * Exactness: rel and all pairwise sims are cosines rounded at 4;
+    * each greedy pick maximizes the raw `λ·rel − (1−λ)·msim` double
+    * (identical IEEE expression both engines, vec_id tie) — the
+    * DuckDB oracle replays the loop as unrolled CTE stages.
+    *
+    * Scale shape: the corpus is touched exactly twice — the top-candK
+    * TakeOrderedAndProject and one semi-filtered rescan for candidate
+    * embeddings (a FRESH scan, deliberately not a self-join of the
+    * candidate frame: Spark's self-join attribute dedup on array
+    * columns is the known trap, see [[DedupOps.bucketPairs]]). The
+    * greedy loop itself never sees the corpus: it runs over the
+    * checkpointed candK-row candidate list and candK²-row sim matrix
+    * (bounded query-time model state, the house IVF-probe rule), one
+    * tiny argmax action per pick via lazy localCheckpoint (the q159
+    * round shape). k and candK are query constants — plan size is
+    * static. */
+  def mmrRerank(spark: SparkSession, dir: String, queryId: Long = 0L,
+                k: Int = 10, candK: Int = 50, lam: Double = 0.7): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    val cand = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineSimilarity(col("embedding"), col("q_emb")), 4).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(candK)
+      .localCheckpoint(false)
+    val candIds = cand.select(col("vec_id"))
+    // candidate-pair sim matrix from a fresh scan (lineage-safe), all
+    // ordered pairs a ≠ b; candK² rows, checkpointed once
+    val ea = Tables.embeddings(spark, dir)
+      .join(candIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = Tables.embeddings(spark, dir)
+      .join(candIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val sims = ea.join(broadcast(eb), col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(cosineSimilarity(col("ea"), col("eb")), 4).as("sim"))
+      .localCheckpoint(false)
+    // greedy unroll: each pick is a one-row lazy checkpoint (leaf), so
+    // the plan stays linear in k instead of exponential in references
+    val first = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), col("rel").as("mmr"), lit(1L).as("rank"))
+      .localCheckpoint(false)
+    var picks = Vector(first)
+    for (r <- 2 to k) {
+      val selIds = picks.map(_.select(col("vec_id"))).reduce(_ unionByName _)
+      val msim = sims
+        .join(broadcast(selIds.toDF("b")), Seq("b"))
+        .groupBy(col("a")).agg(max(col("sim")).as("msim"))
+      val pick = cand
+        .join(selIds, Seq("vec_id"), "left_anti")
+        .join(msim, col("vec_id") === col("a"))
+        .select(col("vec_id"), col("rel"),
+          (lit(lam) * col("rel") - lit(1.0 - lam) * col("msim")).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .withColumn("rank", lit(r.toLong))
+        .localCheckpoint(false)
+      picks = picks :+ pick
+    }
+    picks.reduce(_ unionByName _)
+      .select(col("rank"), col("vec_id"), col("rel"),
+        round(col("mmr"), 6).as("mmr"))
+      .orderBy(col("rank"))
+  }
+
   def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val dim = Tables.embeddingDim(spark, dir)
