@@ -67,6 +67,9 @@ object SparkEntry {
     // MMR diversity re-rank: greedy redundancy-penalized selection
     // over the top-50 candidates, unrolled in-plan
     "q168_mmr_rerank"      -> ((s, d) => SimilarityOps.mmrRerank(s, d)),
+    // real Lloyd k-means training: broadcast centroid model, one
+    // (cl, pos) partial-sum shuffle per round
+    "q169_kmeans_lloyd"    -> ((s, d) => SimilarityOps.kmeansLloyd(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
     "q40_neardup_emb_lsh"  -> ((s, d) => DedupOps.nearDupEmbeddingLSH(s, d)),
     "q31_media_meta"       -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
@@ -475,6 +478,50 @@ object SparkEntry {
        |$stages
        |SELECT rank, vec_id, rel, round(mmr, 6) AS mmr
        |FROM sel10 ORDER BY rank""".stripMargin
+  }
+
+  /** q169 oracle: Lloyd's loop replayed as unrolled MATERIALIZED CTE
+    * rounds — c0 seeds from the first k vectors, each round is a
+    * CROSS JOIN distance stage (list_sum fold, the q87/q162 parity),
+    * a row_number() argmin with (d2, cl) ties, and an avg-per-(cl,pos)
+    * centroid rebuild; the final select re-assigns against the last
+    * centroids. Means are exact (float32 inputs summed in double —
+    * the q87/q162 argument), so every round is hash-exact. */
+  private lazy val kmeansOracleSql: String = {
+    val k = 8; val iters = 3
+    def dist(cte: String) =
+      s"""list_sum(list_transform(range(1, len(e.emb) + 1),
+         |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])))""".stripMargin
+    val rounds = (1 until iters).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cl, ${dist(s"c${r - 1}")} AS d2
+         |  FROM e CROSS JOIN c${r - 1} c),
+         |a$r AS MATERIALIZED (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |    FROM d$r) WHERE rk = 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT cl, list(m ORDER BY pos) AS cent FROM (
+         |    SELECT a.cl, f.pos, avg(f.v) AS m
+         |    FROM a$r a JOIN flat f ON f.vec_id = a.vec_id
+         |    GROUP BY a.cl, f.pos) GROUP BY cl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |flat AS MATERIALIZED (
+       |  SELECT vec_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v
+       |  FROM e),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cent FROM e WHERE vec_id < $k),
+       |$rounds,
+       |df AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cl, ${dist(s"c${iters - 1}")} AS d2
+       |  FROM e CROSS JOIN c${iters - 1} c)
+       |SELECT vec_id, cl AS cluster, round(d2, 6) AS d2 FROM (
+       |  SELECT vec_id, cl, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+       |  FROM df) WHERE rk = 1 ORDER BY vec_id""".stripMargin
   }
 
   private lazy val bruteTopKOracleCte: String =
@@ -1072,6 +1119,7 @@ object SparkEntry {
       s"""$bruteTopKOracleCte
         |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q168_mmr_rerank" -> mmrOracleSql,
+    "q169_kmeans_lloyd" -> kmeansOracleSql,
     // q155: three q29-style exact legs (query vectors 0/1/2, top-100
     // each, cos rounded at 4 with vec_id tie-break), pivoted to rank
     // columns and fused left-to-right as 1/(60+rank) with absent legs

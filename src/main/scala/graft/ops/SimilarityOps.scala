@@ -779,6 +779,73 @@ object SimilarityOps {
       .orderBy(col("rank"))
   }
 
+  /** q169: Lloyd's k-means TRAINING loop (the real thing — q87/q162
+    * use the label codebook as a deterministic stand-in; this learns
+    * centroids from data). `iters` assignment passes over the corpus
+    * seeded from the first `k` vectors by vec_id, with a centroid
+    * update after each pass but the last; the output is the final
+    * assignment with its squared distance.
+    *
+    * Exactness, cross-engine: assignment distance is a per-row fold
+    * over dims in fixed index order (the q87/q162 `aggregate`-HOF ↔
+    * `list_sum` parity); the centroid mean is exact because the
+    * inputs are float32 values summed in double — 24-bit mantissas
+    * across this corpus stay inside double's 53-bit headroom, so the
+    * cross-row sum is the same exact value in ANY order (the
+    * established q87/q162 avg(v) argument) and the division is one
+    * deterministic IEEE op. Ties at the assignment boundary break to
+    * the lowest cluster id via a (d2, cl) struct `least`. A cluster
+    * that empties simply vanishes (no centroid row), mirrored by the
+    * oracle's join semantics. The DuckDB oracle replays ALL rounds as
+    * unrolled MATERIALIZED CTE stages.
+    *
+    * Scale shape — this is exactly how distributed Lloyd's works on a
+    * real cluster: the centroid model (k×dim doubles — bounded MODEL
+    * STATE, the q159 per-round-collect rule) broadcasts into a pure
+    * narrow assignment map (plan literals, zero exchange), and each
+    * update is ONE shuffle of (cl, pos) partial sums with map-side
+    * combine. Rounds are `iters` corpus passes — Lloyd's inherent
+    * cost; nothing driver-side ever holds corpus-sized data. */
+  def kmeansLloyd(spark: SparkSession, dir: String, k: Int = 8,
+                  iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+
+    def d2To(c: Array[Double]): Column = aggregate(
+      zip_with(col("embedding"), array(c.toIndexedSeq.map(lit): _*),
+        (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+      lit(0.0), (acc, v) => acc + v)
+
+    // min (d2, cl) struct = nearest centroid, lowest-cl tie. least()
+    // re-derives the struct type with generic field names (col1,
+    // col2), so downstream access is positional via those.
+    def best(cents: Seq[(Long, Array[Double])]): Column =
+      least(cents.map { case (cl, c) =>
+        struct(d2To(c), lit(cl)) }: _*)
+
+    var cents: Seq[(Long, Array[Double])] =
+      e.filter(col("vec_id") < k).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+
+    for (_ <- 1 until iters) {
+      val flat = e
+        .select(best(cents).getField("col2").as("cl"), posexplode(col("embedding")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .orderBy(col("cl"), col("pos"))
+        .collect() // k×dim rows — model state, never corpus data
+      cents = flat.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cl, rows) =>
+        (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+    }
+    val a = best(cents)
+    e.select(
+      col("vec_id"),
+      a.getField("col2").as("cluster"),
+      round(a.getField("col1"), 6).as("d2"))
+      .orderBy(col("vec_id"))
+  }
+
   def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val dim = Tables.embeddingDim(spark, dir)
