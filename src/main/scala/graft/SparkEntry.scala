@@ -56,6 +56,11 @@ object SparkEntry {
     // per-doc OOV rate vs the corpus top-20 word vocabulary
     // (mergeable exact-count state, broadcast vocab)
     "q167_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(s, d)),
+    // BPE tokens-per-word by source: the tokenizer-efficiency audit
+    "q170_bpe_fertility"   -> ((s, d) => TextOps.bpeFertility(s, d)),
+    // per-node triangle counts on the near-dup graph: clique vs
+    // hub-and-spoke discrimination the CC labels can't make
+    "q171_dup_triangles"   -> ((s, d) => DedupOps.triangleCounts(s, d)),
     "q26_neardup_minhash"  -> ((s, d) => DedupOps.nearDupMinHash(s, d)),
     "q27_neardup_simhash"  -> ((s, d) => DedupOps.nearDupSimHash(s, d)),
     "q28_neardup_embedding"-> ((s, d) => DedupOps.nearDupEmbedding(s, d)),
@@ -669,11 +674,57 @@ object SparkEntry {
       |FROM wr w JOIN s$BpeMergeRounds s ON s.word = w.word
       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
+  /** q170 oracle: the q159 stage chain + word rows with a source
+    * lookup; exact long counts, ratio rounded at 4. */
+  private lazy val bpeFertilityOracleSql: String =
+    s"""${bpeStagesSql(BpeMergeRounds)},
+      |wr AS (SELECT doc_id, word FROM (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ')) AS word
+      |  FROM documents) t WHERE word <> '')
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(len(s.syms)) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(len(s.syms)) AS DOUBLE) / count(*), 4) AS fertility
+      |FROM wr w
+      |JOIN documents d ON d.doc_id = w.doc_id
+      |JOIN s$BpeMergeRounds s ON s.word = w.word
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q159_bpe_merges" -> bpeMergesOracleSql,
     "q160_bpe_tokens" -> bpeTokensOracleSql,
+    "q170_bpe_fertility" -> bpeFertilityOracleSql,
+    // q171: q25's pair CTEs + the a<b<c wedge join closed by the
+    // third edge, three corner credits per triangle
+    "q171_dup_triangles" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |e AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+        |tri AS (
+        |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.doc_a = e1.doc_b
+        |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |corners AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+        |SELECT doc_id, count(*) AS n_triangles
+        |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q161: full model replay — exact counts, one ln per distinct
     // (doc, bigram) mirrored literal-for-literal, per-doc fold in
     // (w1, w2) order (q158 convention), band on the RAW avg-NLL

@@ -299,6 +299,43 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q171: per-node triangle counts on the verified near-dup graph —
+    * the clustering-coefficient building block that distinguishes a
+    * transitively-closed duplicate clique (template spam: every pair
+    * verifies) from a hub-and-spoke chain (incremental edits of one
+    * ancestor: pairs verify against the hub but not each other).
+    * Connected components (q61) can't tell those apart; triangles
+    * can, and the distinction decides whether keep-one-per-cluster
+    * (clique) or keep-the-chain-ends (drift) is the right
+    * survivorship policy.
+    *
+    * Algorithm: the classic two-path join on a<b ordered edges —
+    * e(a,b) ⋈ e(b,c) gives a<b<c wedges, a semi join against e(a,c)
+    * closes them; each triangle then credits its three corners via
+    * one explode + aggregation. The edge list is lazily checkpointed
+    * so the three join legs share ONE near-dup computation instead of
+    * re-running q25 per leg.
+    *
+    * Scale: edges are the post-blocking VERIFIED pair set (≪ corpus);
+    * the wedge join is bounded by Σ deg(b)² over hub nodes — at
+    * 100 TB the standard upgrade is degree-ordering each edge toward
+    * its higher-degree endpoint first (cuts the bound to O(m^1.5),
+    * Suri & Vassilvitskii's MR-triangle result) and the same
+    * [[nearDupNgramCapped]] stop-bucket cap already bounds the
+    * degree a boilerplate hub can reach. */
+  def triangleCounts(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val e = nearDupNgram(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
+    val tris = wedges.join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate clusters: connected components over the near-dup pair
     * graph, labeled by the minimum doc_id in each component — the step
     * that turns pairwise near-dup hits into keep/drop decisions (keep

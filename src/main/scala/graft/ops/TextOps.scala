@@ -1248,4 +1248,28 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** q170 — tokenizer fertility by source: BPE tokens emitted per word
+    * occurrence, per corpus source (plus exact token/word totals).
+    * Fertility is THE tokenizer-efficiency audit (an SP-level unit in
+    * the multilingual-tokenizer literature): a source whose fertility
+    * runs hot pays proportionally more of the training budget per
+    * word, and a vocab change shifts these numbers before anything
+    * else. Same q160 tokenizer-cache shape — the learned dictionary
+    * segmentation joins onto word rows — with the per-source rollup
+    * joining the (doc_id, source) projection; exact long counts, the
+    * one float is the final ratio rounded at 4. */
+  def bpeFertility(spark: SparkSession, dir: String, merges: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, seg) = bpeLearnState(spark, docs, merges)
+    wordRowsOf(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .join(seg.select(col("word"), size(col("syms")).cast("bigint").as("n_syms")),
+        Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 4).as("fertility"))
+      .orderBy(col("source"))
+  }
 }

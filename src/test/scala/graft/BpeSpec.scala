@@ -81,6 +81,29 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("per-source fertility equals the reference tokenizer's rollup (q170)") {
+    val (_, seg) = refLearn(corpusFreq, Rounds)
+    val want = Tables.documents(spark, sf).select("doc_id", "text", "source")
+      .collect().toSeq
+      .flatMap { r =>
+        normWords(r.getString(1)).map(w => (r.getString(2), seg(w).length.toLong))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (src, toks) =>
+        val nWords = toks.size.toLong
+        val nTokens = toks.map(_._2).sum
+        (src, nWords, nTokens,
+          BigDecimal(nTokens.toDouble / nWords)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = TextOps.bpeFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // fertility is a real compression audit: after 16 merges it must
+    // sit strictly between 1 token/word and the char+eow ceiling
+    assert(got.forall { case (_, _, _, f) => f > 1.0 })
+  }
+
   test("greedy equal-symbol runs and reassembly on a crafted corpus") {
     // 'aaa'/'aaaa' force the (a,a) merge into overlapping-run
     // territory where a non-greedy (or right-to-left) fold diverges:
