@@ -58,6 +58,14 @@ object SparkEntry {
     "q167_vocab_coverage"  -> ((s, d) => TextOps.vocabCoverage(s, d)),
     // BPE tokens-per-word by source: the tokenizer-efficiency audit
     "q170_bpe_fertility"   -> ((s, d) => TextOps.bpeFertility(s, d)),
+    // per-doc Shannon entropy of the word distribution (evenness —
+    // the information-density complement of q149's TTR)
+    "q172_token_entropy"   -> ((s, d) => TextOps.tokenEntropy(s, d)),
+    // per-source percent_rank calibration of the quality score
+    "q173_quality_quantile_norm" -> ((s, d) => TextOps.qualityQuantileNorm(s, d)),
+    // hourly event-rate z-score anomalies per event_type (volume
+    // telemetry; q157 watches content drift)
+    "q174_event_rate_anomaly" -> ((s, d) => RelationalExt.eventRateAnomaly(s, d)),
     // per-node triangle counts on the near-dup graph: clique vs
     // hub-and-spoke discrimination the CC labels can't make
     "q171_dup_triangles"   -> ((s, d) => DedupOps.triangleCounts(s, d)),
@@ -1123,6 +1131,71 @@ object SparkEntry {
         |        greatest(coalesce(per.n_words, 0), 1), 4) AS oov_rate
         |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q172: (doc, word) exact counts -> per-term (n/N)·ln(n/N) ->
+    // negated left-fold sum in word order (≡ Spark's subtraction
+    // chain — IEEE negation is exact, the q161 convention)
+    "q172_token_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |t AS (SELECT doc_id, word, count(*) AS n
+        |      FROM w WHERE word <> '' GROUP BY doc_id, word),
+        |tot AS (SELECT doc_id, sum(n) AS nt, count(*) AS nd FROM t GROUP BY doc_id),
+        |terms AS (
+        |  SELECT t.doc_id, t.word,
+        |    (CAST(t.n AS DOUBLE) / tot.nt) * ln(CAST(t.n AS DOUBLE) / tot.nt) AS term
+        |  FROM t JOIN tot ON tot.doc_id = t.doc_id),
+        |per AS (
+        |  SELECT tm.doc_id, -(list_sum(list(tm.term ORDER BY tm.word))) AS h_raw
+        |  FROM terms tm GROUP BY tm.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(tot.nt, 0) AS BIGINT) AS n_words,
+        |  CAST(coalesce(tot.nd, 0) AS BIGINT) AS n_distinct,
+        |  round(coalesce(per.h_raw, 0.0), 6) AS entropy
+        |FROM documents d
+        |LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |LEFT JOIN per ON per.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q173: the q21 quality CTE + percent_rank within source over the
+    // deterministic (quality, doc_id) order
+    "q173_quality_quantile_norm" ->
+      s"""WITH q AS (SELECT doc_id, source,
+        | ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS quality
+        |FROM (SELECT doc_id, source,
+        |  CAST(length(text) AS DOUBLE) AS n_chars,
+        |  CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |  CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        | FROM documents) t)
+        |SELECT doc_id, source, quality,
+        |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS q_rank
+        |FROM q ORDER BY doc_id""".stripMargin,
+    // q174: exact hourly counts -> per-type mean and textbook
+    // variance from exact Σx/Σx² (no engine stddev function — their
+    // conventions differ) -> z with the sd=0 guard
+    "q174_event_rate_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(sum(n_events) AS DOUBLE) / count(*) AS mu,
+        |    sqrt((CAST(sum(n_events * n_events) AS DOUBLE) -
+        |          CAST(sum(n_events) AS DOUBLE) * CAST(sum(n_events) AS DOUBLE) / count(*)) /
+        |         (count(*) - 1)) AS sd
+        |  FROM h GROUP BY event_type)
+        |SELECT h.event_type, h.hour, h.n_events,
+        |  round(CASE WHEN s.sd = 0.0 THEN 0.0
+        |             ELSE (CAST(h.n_events AS DOUBLE) - s.mu) / s.sd END, 6) AS z,
+        |  CASE WHEN s.sd = 0.0 THEN FALSE
+        |       ELSE abs((CAST(h.n_events AS DOUBLE) - s.mu) / s.sd) >= 2.0 END AS is_anomaly
+        |FROM h JOIN s ON s.event_type = h.event_type
+        |ORDER BY h.event_type, h.hour""".stripMargin,
     // q27: full cross-engine SimHash. The 60-bit token hash is one
     // big-endian hex window of md5 parsed to BIGINT (same
     // construction as q75's base hashes) — 60 bits keeps the value

@@ -926,4 +926,44 @@ object RelationalExt {
           ZOrder.quantize(col("o_custkey"), col("mc")),
           ZOrder.quantize(col("o_days"), col("md"))).as("zkey"))
   }
+
+  /** q174: hourly event-rate anomaly detection — per (event_type,
+    * hour) z-scores of the event count against that type's hourly
+    * distribution, with an |z| ≥ `zThresh` flag. The ingest-telemetry
+    * monitor a pipeline runs on its own event stream (a dead
+    * collector reads z ≪ 0, a replay storm z ≫ 0) — q157 watches
+    * WHAT arrives (content drift), this watches HOW MUCH.
+    *
+    * Determinism: hourly counts are exact longs, so Σx and Σx² are
+    * exact; mean and the textbook variance `(Σx² − (Σx)²/n)/(n−1)`
+    * are then fixed IEEE expression trees both engines share — no
+    * engine stddev function is used precisely because sample/pop
+    * conventions and accumulation orders differ across engines. An
+    * all-constant type (sd = 0) yields z = 0 rather than ±∞. z is
+    * rounded at 6 for output; the flag compares the RAW z.
+    *
+    * Scale: one (type, hour) aggregation with map-side partials, one
+    * tiny per-type stats table broadcast back — the corpus shuffles
+    * once. */
+  def eventRateAnomaly(spark: SparkSession, dir: String,
+                       zThresh: Double = 2.0): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("nb")).as("mu"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("nb")) /
+          (col("nb") - 1L)).as("sd"))
+    val z = when(col("sd") === 0.0d, lit(0.0d))
+      .otherwise((col("n_events").cast("double") - col("mu")) / col("sd"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        round(z, 6).as("z"), (abs(z) >= zThresh).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
 }

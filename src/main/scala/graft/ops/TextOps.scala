@@ -875,6 +875,68 @@ object TextOps {
         roundAt(col("n_distinct").cast("double") / col("n_words"), 6).as("ttr"))
   }
 
+  /** q172: per-document token entropy — Shannon entropy of the word
+    * distribution, H = −Σ (n/N)·ln(n/N). The information-density
+    * complement of q149's count-based diversity ratios: TTR says how
+    * many types a doc uses, entropy says how evenly it uses them (a
+    * doc that is 90% one word and 10% long tail has high TTR-ish
+    * counts but near-zero entropy — the classic keyboard-mash /
+    * SEO-stuffing signature).
+    *
+    * Cross-engine exactness: per-(doc, word) counts are exact longs;
+    * each term's `(n/N)·ln(n/N)` is one fixed IEEE expression; and
+    * the per-doc fold runs in WORD ORDER (array_sort ↔ list(... ORDER
+    * BY word)) — Spark's subtraction chain `acc − term` equals
+    * DuckDB's negated left-fold sum bit-for-bit because IEEE negation
+    * is exact (the q161 convention). Rounded at 6 for output only.
+    *
+    * Scale: one (doc, word) aggregation + one doc aggregation — the
+    * q149 two-shuffle shape; the collect_list is per-doc
+    * vocabulary-sized, bounded by document length. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val perWord = wordRows(spark, dir)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val perDoc = perWord.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"), count(lit(1)).as("n_distinct"),
+        array_sort(collect_list(struct(col("word"), col("n")))).as("terms"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        aggregate(col("terms"), lit(0.0d), (acc, t) => {
+          val p = t.getField("n").cast("double") / col("n_words")
+          acc - p * log(p)
+        }).as("h_raw"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        roundAt(coalesce(col("h_raw"), lit(0.0d)), 6).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q173: per-source quantile normalization of the quality score —
+    * percent_rank of each document WITHIN its source, the calibration
+    * step before any global quality threshold: raw scores are not
+    * comparable across sources (a clean-wiki source's p10 beats a
+    * crawl source's p90), so production gates cut on the per-source
+    * rank, not the raw score (the percentile-gate q115 applied this
+    * corpus-wide; this is its per-source calibrated form).
+    *
+    * Determinism: the window orders by (quality, doc_id) so ranks are
+    * unique even at quality ties, and percent_rank = (rank−1)/(n−1)
+    * is the same closed form on both engines. One window over one
+    * source-partitioned shuffle; quality is the shared rounded-at-6
+    * score (q21/q126 convention). */
+  def qualityQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), qualityCol.as("quality"))
+      .withColumn("q_rank", roundAt(percent_rank().over(w), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): rank pretraining
     * documents by how much their hashed-word distribution looks like a

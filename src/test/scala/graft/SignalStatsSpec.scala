@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{RelationalExt, TextOps}
+
+/** q172 token entropy, q173 per-source quantile normalization, q174
+  * event-rate anomalies — driver-side recomputes plus the structural
+  * properties each signal exists to provide. */
+class SignalStatsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  test("token entropy: hand-computed values on a crafted corpus; evenness ordering") {
+    // doc 1: four words evenly -> H = ln(4); doc 2: same length but
+    // 5-of-8 mass on one word -> strictly lower entropy than even
+    // 8-word doc; doc 3: one word -> H = 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-entropy").toString
+    Seq((1L, "alpha bravo charlie delta"),
+        (2L, "echo echo echo echo echo golf hotel india"),
+        (3L, "juliet")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.tokenEntropy(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    def h(counts: Seq[Long]): Double = {
+      val n = counts.sum.toDouble
+      val raw = counts.map(_ / n).foldLeft(0.0)((acc, p) => acc - p * math.log(p))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(0) == ((1L, 4L, 4L, h(Seq(1, 1, 1, 1)))))
+    assert(got(1) == ((2L, 8L, 4L, h(Seq(5, 1, 1, 1)))))
+    assert(got(2) == ((3L, 1L, 1L, 0.0)))
+    // evenness, not just type count: doc 2 has the same n_distinct as
+    // doc 1 but strictly lower entropy
+    assert(got(1)._4 < got(0)._4)
+  }
+
+  test("quantile normalization: per-source ranks span [0,1] and are monotone in quality") {
+    val rows = TextOps.qualityQuantileNorm(spark, sf)
+      .as[(Long, String, Double, Double)].collect()
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.size > 1)
+    bySrc.foreach { case (src, docs) =>
+      val sorted = docs.sortBy(d => (d._3, d._1)).map(_._4)
+      assert(sorted.head == 0.0, s"$src min rank ${sorted.head}")
+      assert(sorted.last == 1.0, s"$src max rank ${sorted.last}")
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+        s"$src ranks not monotone in (quality, doc_id)")
+    }
+    // the calibration is non-trivial: identical raw qualities in two
+    // sources map to different ranks somewhere (the reason q173 exists)
+    val byQuality = rows.groupBy(_._3).filter(_._2.map(_._2).distinct.size > 1)
+    assert(byQuality.exists { case (_, ds) => ds.map(_._4).distinct.size > 1 })
+  }
+
+  test("event-rate anomalies: z-scores match a driver-side recompute; flags non-vacuous") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy($"event_type", org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"))
+      .count()
+      .as[(String, java.sql.Timestamp, Long)].collect()
+    val want = hourly.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val n = rows.length
+      val s1 = rows.map(_._3).sum
+      val s2 = rows.map(r => r._3 * r._3).sum
+      val mu = s1.toDouble / n
+      val sd = math.sqrt((s2.toDouble - s1.toDouble * s1.toDouble / n) / (n - 1))
+      rows.map { case (_, hr, c) =>
+        val z = if (sd == 0.0) 0.0 else (c.toDouble - mu) / sd
+        ((et, hr), (c, BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          sd != 0.0 && math.abs(z) >= 2.0))
+      }
+    }.toMap
+    val got = RelationalExt.eventRateAnomaly(spark, sf)
+      .as[(String, java.sql.Timestamp, Long, Double, Boolean)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (et, hr, c, z, fl) =>
+      assert(want((et, hr)) == ((c, z, fl)), s"mismatch at ($et, $hr)")
+    }
+    assert(got.exists(_._5), "no anomaly flagged — threshold never engages on this corpus")
+    assert(got.exists(!_._5))
+  }
+}
