@@ -66,6 +66,14 @@ object SparkEntry {
     // hourly event-rate z-score anomalies per event_type (volume
     // telemetry; q157 watches content drift)
     "q174_event_rate_anomaly" -> ((s, d) => RelationalExt.eventRateAnomaly(s, d)),
+    // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
+    "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
+    // Heaps-law vocabulary growth curve via first-occurrence agg +
+    // two-phase distributed prefix sums
+    "q176_vocab_growth"    -> ((s, d) => TextOps.vocabGrowth(s, d)),
+    // Zipf slope per source: closed-form LS over top-100 ranks,
+    // sums folded in rank order
+    "q177_zipf_slope"      -> ((s, d) => TextOps.zipfSlope(s, d)),
     // per-node triangle counts on the near-dup graph: clique vs
     // hub-and-spoke discrimination the CC labels can't make
     "q171_dup_triangles"   -> ((s, d) => DedupOps.triangleCounts(s, d)),
@@ -1196,6 +1204,65 @@ object SparkEntry {
         |       ELSE abs((CAST(h.n_events AS DOUBLE) - s.mu) / s.sd) >= 2.0 END AS is_anomaly
         |FROM h JOIN s ON s.event_type = h.event_type
         |ORDER BY h.event_type, h.hour""".stripMargin,
+    // q175: exact vocab counts + TTR; in_envelope is an IN-PLAN gate
+    // the oracle asserts TRUE (the q124 exact-gated-sketch pattern)
+    "q175_vocab_richness" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents)
+        |SELECT d.source,
+        |  count(*) AS n_words,
+        |  count(DISTINCT w.word) AS vocab_ndv,
+        |  round(CAST(count(DISTINCT w.word) AS DOUBLE) / count(*), 6) AS ttr,
+        |  TRUE AS in_envelope
+        |FROM w JOIN documents d ON d.doc_id = w.doc_id
+        |WHERE w.word <> ''
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // q176: first-occurrence credit per word + window prefix sums
+    // (exact longs; Spark side uses the distributed two-phase form)
+    "q176_vocab_growth" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens FROM wf GROUP BY doc_id),
+        |fo AS (SELECT min(doc_id) AS doc_id FROM wf GROUP BY word),
+        |nn AS (SELECT doc_id, count(*) AS n_new FROM fo GROUP BY doc_id)
+        |SELECT pd.doc_id, pd.n_tokens,
+        |  coalesce(nn.n_new, 0) AS n_new,
+        |  CAST(sum(pd.n_tokens) OVER (ORDER BY pd.doc_id) AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(nn.n_new, 0)) OVER (ORDER BY pd.doc_id) AS BIGINT) AS cum_vocab
+        |FROM pd LEFT JOIN nn ON nn.doc_id = pd.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
+    // q177: deterministic (count desc, word) ranks, mirrored ln
+    // pairs, four regression sums folded in rank order, one fixed
+    // IEEE slope expression
+    "q177_zipf_slope" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |c AS (
+        |  SELECT d.source, w.word, count(*) AS cnt
+        |  FROM w JOIN documents d ON d.doc_id = w.doc_id
+        |  WHERE w.word <> '' GROUP BY d.source, w.word),
+        |r AS (
+        |  SELECT source, rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM (SELECT source, cnt, word,
+        |          row_number() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS rank
+        |        FROM c) t WHERE rank <= 100),
+        |s AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    list_sum(list(x ORDER BY rank)) AS sx,
+        |    list_sum(list(y ORDER BY rank)) AS sy,
+        |    list_sum(list(x * y ORDER BY rank)) AS sxy,
+        |    list_sum(list(x * x ORDER BY rank)) AS sxx
+        |  FROM r GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_terms,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+        |FROM s ORDER BY source""".stripMargin,
     // q27: full cross-engine SimHash. The 60-bit token hash is one
     // big-endian hex window of md5 parsed to BIGINT (same
     // construction as q75's base hashes) — 60 bits keeps the value

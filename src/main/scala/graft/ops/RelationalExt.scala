@@ -864,7 +864,7 @@ object RelationalExt {
       .select(col("__pid"), col("__offset"))
     local.join(broadcast(offsets), "__pid")
       .withColumn(outName, col("__local") + col("__offset"))
-      .drop("__pid", "__val", "__local")
+      .drop("__pid", "__val", "__local", "__offset")
   }
 
   /** Per-GROUP running sum without a per-group global sort: the
@@ -899,7 +899,7 @@ object RelationalExt {
     local.join(broadcast(offsets),
         col("__pid") === col("__opid") && col(group) === col("__g"))
       .withColumn(outName, col("__local") + col("__offset"))
-      .drop("__pid", "__opid", "__g", "__val", "__local")
+      .drop("__pid", "__opid", "__g", "__val", "__local", "__offset")
   }
 
   /** Z-order keys for the orders table on (customer, order day) —

@@ -810,39 +810,63 @@ object SimilarityOps {
                   iters: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
 
-    def d2To(c: Array[Double]): Column = aggregate(
-      zip_with(col("embedding"), array(c.toIndexedSeq.map(lit): _*),
-        (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
-      lit(0.0), (acc, v) => acc + v)
+    import spark.implicits._
 
-    // min (d2, cl) struct = nearest centroid, lowest-cl tie. least()
-    // re-derives the struct type with generic field names (col1,
-    // col2), so downstream access is positional via those.
-    def best(cents: Seq[(Long, Array[Double])]): Column =
-      least(cents.map { case (cl, c) =>
-        struct(d2To(c), lit(cl)) }: _*)
+    // The centroid model rides as DATA (one broadcast row holding the
+    // cl-ordered array of (cl, centroid) structs), NOT as plan
+    // literals: literal centroids change the generated code every
+    // round, and Janino-recompiling the k×dim expression tree per
+    // round cost more than all the arithmetic (measured 25+ s at
+    // sf0.1 vs ~2 s for this form — same trap as a struct `least`,
+    // which additionally falls out of codegen entirely). With the
+    // model as data the plan/code shape is identical across rounds
+    // (codegen cache hit); only the broadcast leaf changes.
+    //
+    // The per-row argmin folds the centroid array IN cl ORDER keeping
+    // the strictly-smaller d2 — the identical lowest-cl tie rule as
+    // the oracle's ORDER BY d2, cl; d2 itself is the q87/q162
+    // zip_with+aggregate fixed-order fold.
+    def withBest(cents: Seq[(Long, Array[Double])]): DataFrame = {
+      val centsDf = Seq(Tuple1(cents.map { case (cl, c) => (cl, c.toSeq) }))
+        .toDF("cents")
+      val d2 = (c: Column) => aggregate(
+        zip_with(col("embedding"), c, (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+        lit(0.0d), (acc, v) => acc + v)
+      val scored = transform(col("cents"), s =>
+        struct(d2(s.getField("_2")).as("d2"), s.getField("_1").as("cl")))
+      val best = aggregate(scored,
+        struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl")),
+        (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
+      e.crossJoin(broadcast(centsDf))
+        .select(col("vec_id"), col("embedding"),
+          best.getField("cl").as("cluster"), best.getField("d2").as("d2"))
+    }
 
     var cents: Seq[(Long, Array[Double])] =
       e.filter(col("vec_id") < k).orderBy(col("vec_id"))
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val dim = cents.head._2.length
 
     for (_ <- 1 until iters) {
-      val flat = e
-        .select(best(cents).getField("col2").as("cl"), posexplode(col("embedding")))
-        .groupBy(col("cl"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("m"))
-        .orderBy(col("cl"), col("pos"))
-        .collect() // k×dim rows — model state, never corpus data
-      cents = flat.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cl, rows) =>
-        (cl, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
-      }
+      // Centroid update WITHOUT a posexplode: one codegen'd per-dim
+      // sum column each (map-side partials, no Generate — an exploded
+      // form re-evaluates the inlined argmin per exploded ROW, the
+      // shingleRows CollapseProject trap, measured ~3× slower).
+      val sums = withBest(cents)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")): _*)
+        .orderBy(col("cluster"))
+        .collect() // k rows of (cl, n, dim sums) — model state
+      cents = sums.map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(i + 2) / n))
+      }.toSeq
     }
-    val a = best(cents)
-    e.select(
-      col("vec_id"),
-      a.getField("col2").as("cluster"),
-      round(a.getField("col1"), 6).as("d2"))
+    withBest(cents)
+      .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("d2"))
       .orderBy(col("vec_id"))
   }
 

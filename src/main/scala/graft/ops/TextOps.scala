@@ -937,6 +937,101 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q175: per-source vocabulary richness with an HLL sketch twin —
+    * exact distinct-word count and type-token ratio per source, plus
+    * an in-plan envelope flag asserting the approx_count_distinct
+    * sketch landed within 4·rsd of the exact value (the q124
+    * exact-gated-sketch pattern: the oracle checks the exact numbers
+    * AND that every flag is TRUE, so the sketch path — the one a
+    * 100 TB deployment actually runs, where countDistinct of a
+    * trillion-token vocabulary is the expensive half — stays
+    * correctness-anchored). One (source, word) aggregation; the
+    * sketch is mergeable HLL state by construction. */
+  def vocabRichnessSketch(spark: SparkSession, dir: String,
+                          rsd: Double = 0.05): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    wordRows(spark, dir)
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("vocab_ndv"),
+        approx_count_distinct(col("word"), rsd).as("ap"))
+      .select(col("source"), col("n_words"), col("vocab_ndv"),
+        roundAt(col("vocab_ndv").cast("double") / col("n_words"), 6).as("ttr"),
+        (abs(col("ap") - col("vocab_ndv")) <=
+          greatest(lit(1.0), lit(4 * rsd) * col("vocab_ndv"))).as("in_envelope"))
+      .orderBy(col("source"))
+  }
+
+  /** q176: vocabulary growth curve (Heaps' law) — cumulative distinct
+    * vocabulary vs cumulative tokens in doc_id ingest order, the
+    * diminishing-returns curve a data team reads before deciding
+    * whether more of a source still buys new vocabulary. Each word
+    * contributes at its FIRST occurrence (one word-keyed min
+    * aggregation — no per-prefix rescans), and both cumulative sums
+    * run through [[RelationalExt.globalRunningSum]]'s two-phase
+    * distributed prefix sum — never a single-task global window.
+    * Exact longs end to end. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val words = wordRows(spark, dir)
+    val firstOcc = words.groupBy(col("word"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val perDoc = words.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val joined = perDoc.join(firstOcc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val cumTok = RelationalExt.globalRunningSum(
+      joined, Seq(col("doc_id")), col("n_tokens"), "cum_tokens")
+    RelationalExt.globalRunningSum(
+      cumTok, Seq(col("doc_id")), col("n_new"), "cum_vocab")
+      .select(col("doc_id"), col("n_tokens"), col("n_new"),
+        col("cum_tokens"), col("cum_vocab"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q177: Zipf slope per source — closed-form least squares of
+    * ln(count) on ln(rank) over the top-`topN` words, the
+    * distribution-health fingerprint (natural language sits near −1;
+    * a template-spam or keyword-stuffed source flattens or
+    * steepens it). Ranks are deterministic ((count desc, word) —
+    * exact longs and binary string order), each (x, y) term is one
+    * mirrored ln pair, and all four regression sums fold in RANK
+    * order over the per-source top-N array (the q158 sorted-fold
+    * convention — never an engine-ordered float aggregation);
+    * `slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)` is one fixed IEEE
+    * tree. Scale: one (source, word) count shuffle, one
+    * source-partitioned top-N window over vocabulary-sized rows,
+    * per-source arrays bounded at topN. */
+  def zipfSlope(spark: SparkSession, dir: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = wordRows(spark, dir)
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source")).orderBy(col("cnt").desc, col("word"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("source"), col("rank"),
+        log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    def fsum(arr: Column, f: Column => Column): Column =
+      aggregate(arr, lit(0.0d), (acc, t) => acc + f(t))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        array_sort(collect_list(struct(col("rank"), col("x"), col("y")))).as("ts"))
+      .select(col("source"), col("n").cast("bigint").as("n_terms"),
+        roundAt(
+          (col("n") * fsum(col("ts"), t => t.getField("x") * t.getField("y")) -
+            fsum(col("ts"), _.getField("x")) * fsum(col("ts"), _.getField("y"))) /
+          (col("n") * fsum(col("ts"), t => t.getField("x") * t.getField("x")) -
+            fsum(col("ts"), _.getField("x")) * fsum(col("ts"), _.getField("x"))),
+          6).as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): rank pretraining
     * documents by how much their hashed-word distribution looks like a
