@@ -74,6 +74,14 @@ object SparkEntry {
     // Zipf slope per source: closed-form LS over top-100 ranks,
     // sums folded in rank order
     "q177_zipf_slope"      -> ((s, d) => TextOps.zipfSlope(s, d)),
+    // BPE decode(encode(w)) == w proven in-plan per dictionary word
+    "q178_bpe_round_trip"  -> ((s, d) => TextOps.bpeRoundTrip(s, d)),
+    // padding waste: arrival-order vs length-sorted batching, global
+    // ordinals via the two-phase distributed prefix sum
+    "q179_padding_waste"   -> ((s, d) => TextOps.paddingWaste(s, d)),
+    // append-only IVF index refresh == full rebuild under a frozen
+    // codebook, proven in-plan per served row
+    "q180_ivf_incremental" -> ((s, d) => SimilarityOps.ivfIncrementalAppend(s, d)),
     // per-node triangle counts on the near-dup graph: clique vs
     // hub-and-spoke discrimination the CC labels can't make
     "q171_dup_triangles"   -> ((s, d) => DedupOps.triangleCounts(s, d)),
@@ -706,12 +714,81 @@ object SparkEntry {
       |JOIN s$BpeMergeRounds s ON s.word = w.word
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** q178 oracle: the q159 stage chain; the round-trip flag is
+    * asserted literally TRUE next to the exact token counts. */
+  private lazy val bpeRoundTripOracleSql: String =
+    s"""${bpeStagesSql(BpeMergeRounds)}
+      |SELECT word, cnt, CAST(len(syms) AS BIGINT) AS n_tokens,
+      |  TRUE AS round_trip_ok
+      |FROM s$BpeMergeRounds ORDER BY word""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q159_bpe_merges" -> bpeMergesOracleSql,
     "q160_bpe_tokens" -> bpeTokensOracleSql,
     "q170_bpe_fertility" -> bpeFertilityOracleSql,
+    "q178_bpe_round_trip" -> bpeRoundTripOracleSql,
+    // q179: row_number ordinals over both batching orders; floor()
+    // for the batch id on both engines (Spark's long cast truncates,
+    // DuckDB's rounds — floor is the shared semantics)
+    "q179_padding_waste" ->
+      s"""WITH l AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ')) AS BIGINT) AS len
+        |  FROM documents),
+        |a AS (
+        |  SELECT 'by_arrival' AS strategy,
+        |    CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 32.0) AS BIGINT) AS batch_id,
+        |    len FROM l),
+        |b AS (
+        |  SELECT 'by_length' AS strategy,
+        |    CAST(floor((row_number() OVER (ORDER BY len DESC, doc_id) - 1) / 32.0) AS BIGINT) AS batch_id,
+        |    len FROM l),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT strategy, batch_id, count(*) AS n_docs,
+        |  max(len) AS max_len, CAST(sum(len) AS BIGINT) AS sum_len,
+        |  CAST(count(*) * max(len) - sum(len) AS BIGINT) AS waste
+        |FROM u GROUP BY strategy, batch_id
+        |ORDER BY strategy, batch_id""".stripMargin,
+    // q180: q101's probe semantics with the codebook frozen on the
+    // STANDING slice (vec_id % 10 <> 7), candidates from ALL vectors
+    // (the appended index holds them), match flags asserted TRUE
+    "q180_ivf_incremental" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT label AS clabel,
+        |    unnest(range(0, len(emb))) AS pos,
+        |    unnest(emb) AS v
+        |  FROM e WHERE vec_id % 10 <> 7),
+        |cm AS (SELECT clabel, pos, avg(v) AS m FROM flat GROUP BY 1, 2),
+        |cent AS (SELECT clabel, list(m ORDER BY pos) AS cent FROM cm GROUP BY 1),
+        |ad AS (
+        |  SELECT e.vec_id, e.label, e.emb, c.clabel,
+        |    list_sum(list_transform(range(1, len(e.emb) + 1),
+        |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+        |  FROM e CROSS JOIN cent c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk FROM ad),
+        |probes AS (SELECT clabel FROM rk WHERE vec_id = 0 AND rk <= 2),
+        |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT r.vec_id, CAST(r.label AS INTEGER) AS label, r.emb, q.q_emb
+        |  FROM rk r, q
+        |  WHERE r.rk = 1 AND r.vec_id <> 0
+        |    AND r.clabel IN (SELECT clabel FROM probes)),
+        |s AS (
+        |  SELECT vec_id, label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * q_emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] * q_emb[i])))), 4) AS cos
+        |  FROM cand),
+        |topk AS (SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+        |  vec_id, label, cos, TRUE AS match_rebuild
+        |FROM topk ORDER BY rank""".stripMargin,
     // q171: q25's pair CTEs + the a<b<c wedge join closed by the
     // third edge, three corner credits per triangle
     "q171_dup_triangles" ->

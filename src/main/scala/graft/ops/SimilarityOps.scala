@@ -705,6 +705,80 @@ object SimilarityOps {
     * doubles), each vector reads once and writes k values, zero
     * exchanges (spec-asserted, the q147/q150 pattern); output rows
     * are stack-unpivoted in the same narrow stage. */
+  /** q180: INCREMENTAL IVF index maintenance — the append-only refresh
+    * path a production ANN index runs instead of rebuilding: a batch
+    * of arriving vectors (vec_id ≡ 7 mod 10 here) is assigned against
+    * the FROZEN standing-corpus codebook and appended into the same
+    * bucket layout ([[graft.sources.Formats.appendBucketed]] — history
+    * is never rewritten or reshuffled; Spark validates the bucket spec
+    * against the catalog). Because assignment depends only on (vector,
+    * codebook), append-then-serve is EQUAL BY CONSTRUCTION to
+    * rebuild-then-serve under a frozen codebook — and the output
+    * carries that proof in-plan: the served top-k from the appended
+    * index joined against a from-scratch re-assignment serve, with a
+    * per-row `match_rebuild` flag the oracle asserts TRUE (alongside
+    * replaying the full standing-codebook probe semantics).
+    *
+    * Scale: the append touches only the batch (assignment = narrow
+    * map over one broadcast codebook row); serving reads only the
+    * nprobe probed buckets of old+new files (the q101 pruned-scan
+    * contract, pinned session); the rebuild serve exists here only as
+    * the in-plan correctness witness. Codebook freezing is the
+    * documented contract (same as [[embeddingAdmissionOf]]): a batch
+    * must not move the centroids it is judged against — periodic
+    * re-clustering is a separate offline job (q169's Lloyd). */
+  def ivfIncrementalAppend(spark: SparkSession, dir: String,
+                           table: String = "ivf_incr_idx",
+                           queryId: Long = 0L, k: Int = 10,
+                           nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val isBatch = pmod(col("vec_id"), lit(10L)) === 7L
+    val standing = e.filter(!isBatch)
+    val batch = e.filter(isBatch)
+    val codebook = ivfCodebook(standing) // FROZEN: standing slice only
+    def assigned(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(codebook))
+        .withColumn("clabel", ivfDists.getItem(0).getField("clabel"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("clabel"))
+    graft.sources.Formats.writeBucketed(assigned(standing), table, "clabel", 8)
+    graft.sources.Formats.appendBucketed(assigned(batch), table, "clabel", 8)
+
+    // probe labels from the frozen codebook (index state, not corpus)
+    val probeLabels = e.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(codebook))
+      .select(explode(slice(ivfDists, 1, nprobe)).as("p"))
+      .select(col("p.clabel")).collect().map(_.get(0)).toSeq
+    def serve(src: DataFrame, q: DataFrame): DataFrame = src
+      .filter(col("clabel").isin(probeLabels: _*))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .select(col("vec_id"), col("label").cast("int").as("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+    val pinned = spark.newSession()
+    pinned.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // the incr serve is built ENTIRELY in the pinned session (the
+    // ivfBucketedTopK discipline) so its bucketed-scan conf applies
+    val qP = Tables.embeddings(pinned, dir)
+      .filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    val incr = serve(pinned.table(table), qP)
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    val rebuild = serve(assigned(e), q)
+      .select(col("rank").as("r_rank"), col("vec_id").as("r_vec"),
+        col("cos").as("r_cos"))
+    val res = incr.join(rebuild, col("rank") === col("r_rank"), "left")
+      .select(col("rank"), col("vec_id"), col("label"), col("cos"),
+        (col("vec_id") === col("r_vec") && col("cos") === col("r_cos"))
+          .as("match_rebuild"))
+      .orderBy(col("rank"))
+    res.queryExecution.executedPlan
+    res
+  }
+
   /** q168: Maximal Marginal Relevance diversity re-rank (Carbonell &
     * Goldstein 1998) — greedily select `k` of the top-`candK`
     * retrieval candidates maximizing

@@ -1406,6 +1406,60 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q178 — BPE round-trip safety audit: for every dictionary word,
+    * the in-plan proof that concatenating its learned-merge tokens
+    * reproduces the word exactly (plus the end-of-word marker). BPE
+    * is lossless BY CONSTRUCTION — merges only ever glue adjacent
+    * symbols — so this gate costs one narrow map over the
+    * vocabulary-sized dictionary and turns any future tokenizer bug
+    * (a merge application that drops or reorders symbols) into a hash
+    * mismatch instead of silent corpus corruption. The oracle replays
+    * the learning chain and asserts every flag TRUE. */
+  def bpeRoundTrip(spark: SparkSession, dir: String, merges: Int = 16): DataFrame = {
+    val (_, seg) = bpeLearnState(spark, Tables.documents(spark, dir), merges)
+    seg.select(col("word"), col("cnt"),
+      size(col("syms")).cast("bigint").as("n_tokens"),
+      (concat_ws("", col("syms")) === concat(col("word"), lit(BpeEow)))
+        .as("round_trip_ok"))
+      .orderBy(col("word"))
+  }
+
+  /** q179 — padding-waste audit for length-bucketed batching: the
+    * per-batch padded-token waste (`n_docs·max_len − Σlen`) under the
+    * arrival-order batching a naive loader uses versus length-sorted
+    * batching — THE motivating number for bucketed batching in every
+    * training stack (padding is pure wasted compute; length-sorting
+    * collapses it). Both strategies are emitted so the saving is an
+    * output fact, not a claim.
+    *
+    * Scale shape: the global ordinal each strategy needs comes from
+    * [[RelationalExt.globalRunningSum]]'s two-phase distributed
+    * prefix sum over a literal 1 (cumulative count ≡ row_number) —
+    * never a single-task global window; batch rollups are one
+    * aggregation each. Exact longs end to end. */
+  def paddingWaste(spark: SparkSession, dir: String,
+                   batchSize: Int = 32): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextNorm.words(col("text"))).cast("long").as("len"))
+    def batches(strategy: String, order: Seq[Column]): DataFrame =
+      RelationalExt.globalRunningSum(
+        lens.withColumn("one", lit(1L)), order, col("one"), "rk")
+        // floor, not a bare cast: Spark's long cast truncates but
+        // DuckDB's CAST rounds — floor() is the one both engines share
+        .select(lit(strategy).as("strategy"), col("len"),
+          floor((col("rk") - 1L) / batchSize).cast("long").as("batch_id"))
+        .groupBy(col("strategy"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("len")).as("max_len"), sum(col("len")).as("sum_len"))
+        .select(col("strategy"), col("batch_id"), col("n_docs"),
+          col("max_len"), col("sum_len"),
+          (col("n_docs") * col("max_len") - col("sum_len")).as("waste"))
+    batches("by_arrival", Seq(col("doc_id")))
+      .unionByName(batches("by_length", Seq(col("len").desc, col("doc_id"))))
+      .orderBy(col("strategy"), col("batch_id"))
+  }
+
   /** q170 — tokenizer fertility by source: BPE tokens emitted per word
     * occurrence, per corpus source (plus exact token/word totals).
     * Fertility is THE tokenizer-efficiency audit (an SP-level unit in

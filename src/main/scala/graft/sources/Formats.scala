@@ -289,4 +289,18 @@ object Formats {
       .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
+
+  /** Append a batch to an existing [[writeBucketed]] table with the
+    * SAME bucket spec — the index-maintenance primitive: history is
+    * never rewritten or reshuffled, the batch hashes into the same
+    * bucket layout (Spark validates the spec against the catalog and
+    * fails loudly on a mismatch), and every bucket-pruned reader sees
+    * old + new files of its bucket. */
+  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(!table.contains('.'),
+      s"appendBucketed supports simple default-database table names only, got '$table'")
+    df.repartition(buckets, df.col(key))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 }
