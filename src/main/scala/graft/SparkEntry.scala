@@ -100,6 +100,11 @@ object SparkEntry {
     // (cl, pos) partial-sum shuffle per round
     "q169_kmeans_lloyd"    -> ((s, d) => SimilarityOps.kmeansLloyd(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
+    // margin-guided multi-probe LSH: t+1 buckets instead of the full
+    // Hamming-1 ball, probe set derived in-plan
+    "q181_multiprobe_lsh"  -> ((s, d) => SimilarityOps.multiProbeTopK(s, d)),
+    // IDF-weighted containment: shared RARE content, not boilerplate
+    "q182_neardup_weighted" -> ((s, d) => DedupOps.nearDupWeighted(s, d)),
     "q40_neardup_emb_lsh"  -> ((s, d) => DedupOps.nearDupEmbeddingLSH(s, d)),
     "q31_media_meta"       -> ((s, d) => MultimodalOps.mediaMeta(s, d)),
     "q32_multimodal_features" -> ((s, d) => MultimodalOps.mediaFeatures(s, d)),
@@ -2701,6 +2706,79 @@ object SparkEntry {
         |  FROM cand)
         |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
     },
+    // q181: q30's plane/bucket replay + query margins per plane,
+    // the t=2 lowest-(margin, p) flips, probes = own bucket + flips
+    "q181_multiprobe_lsh" -> {
+      def sign(p: Int) =
+        s"(CASE WHEN substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)"
+      val bucket = (0 until 6).map { p =>
+        s"(CASE WHEN list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * ${sign(p)})) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString("\n      + ")
+      val margins = (0 until 6).map { p =>
+        s"SELECT $p AS p, round(abs(list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] * ${sign(p)}))), 4) AS m FROM q"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(label AS INTEGER) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, label, emb,
+        |      $bucket AS bucket FROM e),
+        |q AS (SELECT emb AS q_emb, bucket AS qb FROM b WHERE vec_id = 0),
+        |m AS (
+        |  $margins),
+        |flips AS (SELECT p FROM m ORDER BY m, p LIMIT 2),
+        |probes AS (
+        |  SELECT qb AS pb FROM q
+        |  UNION ALL
+        |  SELECT xor(qb, CAST(2 ** p AS INTEGER)) FROM q, flips),
+        |cand AS (
+        |  SELECT b.vec_id, b.label, b.emb, q.q_emb FROM b, q
+        |  WHERE b.vec_id <> 0 AND b.bucket IN (SELECT pb FROM probes)),
+        |s AS (
+        |  SELECT vec_id, label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * q_emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] * q_emb[i])))), 4) AS cos
+        |  FROM cand)
+        |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    },
+    // q182: q25 blocking with md5-keyed grams, smoothed IDF dim, all
+    // three weighted sums folded in m order (0.0 for non-matching
+    // terms so both engines run the identical add sequence)
+    "q182_neardup_weighted" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |dg AS (SELECT doc_id, md5(s) AS m FROM (SELECT doc_id, unnest(sh) AS s FROM docs) t),
+        |idf AS (
+        |  SELECT m,
+        |    ln(CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE) / (count(*) + 1)) + 1.0 AS idf
+        |  FROM dg GROUP BY m),
+        |keyed AS (SELECT doc_id, min(m) AS minsh, list(m) AS sh FROM dg GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |ex AS (
+        |  SELECT doc_a, doc_b, unnest(list_distinct(list_concat(sha, shb))) AS m, sha, shb
+        |  FROM pairs),
+        |flg AS (
+        |  SELECT e.doc_a, e.doc_b, e.m,
+        |    list_contains(e.sha, e.m) AS in_a, list_contains(e.shb, e.m) AS in_b, i.idf
+        |  FROM ex e JOIN idf i ON i.m = e.m),
+        |per AS (
+        |  SELECT doc_a, doc_b,
+        |    list_sum(list(CASE WHEN in_a AND in_b THEN idf ELSE 0.0 END ORDER BY m)) AS wi,
+        |    list_sum(list(CASE WHEN in_a THEN idf ELSE 0.0 END ORDER BY m)) AS wa,
+        |    list_sum(list(CASE WHEN in_b THEN idf ELSE 0.0 END ORDER BY m)) AS wb
+        |  FROM flg GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, round(wi / least(wa, wb), 4) AS w_containment
+        |FROM per WHERE round(wi / least(wa, wb), 4) >= 0.6""".stripMargin,
     "q40_neardup_emb_lsh" -> {
       def sign(p: Int) =
         s"(CASE WHEN substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)"

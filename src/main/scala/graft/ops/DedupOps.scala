@@ -299,6 +299,62 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q182: IDF-WEIGHTED containment near-dup — q164's containment with
+    * every shingle weighted by its smoothed IDF (`ln((N+1)/(df+1))+1`,
+    * the q59 tf-idf convention): wC = Σ_{A∩B} idf / min(Σ_A, Σ_B).
+    * Unweighted set metrics let ubiquitous boilerplate grams carry the
+    * score; IDF weighting makes a hit mean shared RARE content — the
+    * difference between "both pages have a nav bar" and "both pages
+    * contain the same article".
+    *
+    * Cross-engine exactness: the blocking and pair population are
+    * q25's (min-md5 shingle); every per-pair weighted sum folds over
+    * the pair's gram terms in md5-KEY ORDER (array_sort ↔ list(…
+    * ORDER BY m) — grams are keyed by their md5 on BOTH engines here,
+    * not xxhash, precisely so the float fold order is shared); idf is
+    * one mirrored ln per distinct gram. Score rounded at 4, keep
+    * decision on the rounded value.
+    *
+    * Scale: candidates from the one-shuffle blocked build (pairs ≪
+    * corpus); the verify explodes each pair to its gram union and
+    * joins the vocabulary-sized idf dim on the gram key — pair-bounded
+    * work, the q116 inverted-index join shape, no all-pairs
+    * anywhere. */
+  def nearDupWeighted(spark: SparkSession, dir: String,
+                      threshold: Double = 0.6): DataFrame = {
+    val dg = shingleRows(spark, dir)
+      .select(col("doc_id"), md5(col("s")).as("m")).distinct()
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val idf = dg.groupBy(col("m")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("m"),
+        (log((col("n_docs") + 1L).cast("double") / (col("df") + 1L)) + 1.0d).as("idf"))
+    val keyed = dg.groupBy(col("doc_id"))
+      .agg(min(col("m")).as("minsh"), collect_set(col("m")).as("sh"))
+      .groupBy(col("minsh"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+    val exploded = bucketPairs(keyed)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        explode(array_union(col("x.sh"), col("y.sh"))).as("m"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .select(col("doc_a"), col("doc_b"), col("m"),
+        array_contains(col("sha"), col("m")).as("in_a"),
+        array_contains(col("shb"), col("m")).as("in_b"))
+      .join(idf, Seq("m"))
+    def fsum(arr: Column, pred: Column => Column): Column = aggregate(
+      arr, lit(0.0d),
+      (acc, t) => acc + when(pred(t), t.getField("idf")).otherwise(lit(0.0d)))
+    exploded.groupBy(col("doc_a"), col("doc_b"))
+      .agg(array_sort(collect_list(
+        struct(col("m"), col("idf"), col("in_a"), col("in_b")))).as("ts"))
+      .select(col("doc_a"), col("doc_b"),
+        round(
+          fsum(col("ts"), t => t.getField("in_a") && t.getField("in_b")) /
+            least(fsum(col("ts"), _.getField("in_a")),
+              fsum(col("ts"), _.getField("in_b"))), 4).as("w_containment"))
+      .filter(col("w_containment") >= threshold)
+  }
+
   /** q171: per-node triangle counts on the verified near-dup graph —
     * the clustering-coefficient building block that distinguishes a
     * transitively-closed duplicate clique (template spam: every pair

@@ -487,6 +487,51 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** q181: margin-guided multi-probe LSH (Lv et al. 2007) — probe the
+    * query's own bucket plus the flips of only the `t` LOWEST-MARGIN
+    * hyperplanes (the planes the query sits closest to, where a true
+    * neighbor most plausibly landed on the other side). [[annTopK]]
+    * probes the full Hamming-1 ball (nPlanes+1 buckets); this reads
+    * t+1 — the standard recall-per-bucket economy that makes
+    * multi-probe the production default: at 100 TB each probed bucket
+    * is a scan, and margin ordering buys most of the 1-ball's recall
+    * for a third of the reads.
+    *
+    * Exactness: margins are |query·plane| rounded at 4 with a
+    * plane-index tie, selected by an in-plan struct array_sort (no
+    * driver collect — the probe set is derived inside the plan);
+    * plane dots are the q30 md5-derived fixed-order folds, so the
+    * DuckDB oracle replays margins, flips, probes, and the exact
+    * cosine top-k end to end. Approximate BY CONTRACT like every LSH
+    * probe: a neighbor outside the probed buckets is unseen. */
+  def multiProbeTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                     k: Int = 10, nPlanes: Int = 6, t: Int = 2): DataFrame = {
+    val dim = Tables.embeddingDim(spark, dir)
+    val e = withBucket(Tables.embeddings(spark, dir), nPlanes, dim)
+    val ps = planes(nPlanes, dim)
+    def dot(p: Int): Column = aggregate(
+      zip_with(col("embedding"), array(ps(p).toIndexedSeq.map(v => lit(v)): _*),
+        (x, w) => x.cast("double") * w),
+      lit(0.0), (a, v) => a + v)
+    val margins = array((0 until nPlanes).map(p =>
+      struct(round(abs(dot(p)), 4).as("m"), lit(p).as("p"))): _*)
+    val flips = slice(array_sort(margins), 1, t)
+    // 2^p via exact double pow (shiftleft needs a literal shift); the
+    // oracle mirrors with 2 ** p
+    val probes = concat(
+      array(col("bucket")),
+      transform(flips, f =>
+        col("bucket").bitwiseXOR(pow(lit(2.0d), f.getField("p")).cast("int"))))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), explode(probes).as("bucket"))
+    e.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), Seq("bucket"))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .select(col("vec_id"), col("label").cast("int").as("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Corpus-scale kNN join: the path [[knnJoin]]'s fail-loud guard
     * points at when the query set is itself corpus-sized and cannot
     * broadcast. Both sides LSH-bucket ([[withBucket]] — md5-derived
