@@ -99,6 +99,11 @@ object SparkEntry {
     // real Lloyd k-means training: broadcast centroid model, one
     // (cl, pos) partial-sum shuffle per round
     "q169_kmeans_lloyd"    -> ((s, d) => SimilarityOps.kmeansLloyd(s, d)),
+    // IVF with the LEARNED codebook: train -> index -> probe, the
+    // whole chain hash-replayable (q46's proper form)
+    "q184_ivf_learned"     -> ((s, d) => SimilarityOps.ivfLearnedTopK(s, d)),
+    // windowed conversion funnel: each step within 1h of the previous
+    "q183_funnel_windowed" -> ((s, d) => RelationalExt.funnelWindowed(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
     // margin-guided multi-probe LSH: t+1 buckets instead of the full
     // Hamming-1 ball, probe set derived in-plan
@@ -521,14 +526,17 @@ object SparkEntry {
     * centroid rebuild; the final select re-assigns against the last
     * centroids. Means are exact (float32 inputs summed in double —
     * the q87/q162 argument), so every round is hash-exact. */
-  private lazy val kmeansOracleSql: String = {
-    val k = 8; val iters = 3
-    def dist(cte: String) =
-      s"""list_sum(list_transform(range(1, len(e.emb) + 1),
-         |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])))""".stripMargin
+  private def kmeansDistSql: String =
+    s"""list_sum(list_transform(range(1, len(e.emb) + 1),
+       |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])))""".stripMargin
+
+  /** Shared Lloyd stage chain (q169/q184): `WITH e, flat, c0 …
+    * c{iters−1}, df, fin` where `fin` holds the final (vec_id,
+    * cluster, raw d2) assignment against the trained centroids. */
+  private def kmeansStagesSql(k: Int, iters: Int): String = {
     val rounds = (1 until iters).map { r =>
       s"""d$r AS MATERIALIZED (
-         |  SELECT e.vec_id, c.cl, ${dist(s"c${r - 1}")} AS d2
+         |  SELECT e.vec_id, c.cl, $kmeansDistSql AS d2
          |  FROM e CROSS JOIN c${r - 1} c),
          |a$r AS MATERIALIZED (
          |  SELECT vec_id, cl FROM (
@@ -542,7 +550,8 @@ object SparkEntry {
          |    GROUP BY a.cl, f.pos) GROUP BY cl)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  SELECT vec_id, CAST(label AS INTEGER) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |flat AS MATERIALIZED (
        |  SELECT vec_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v
@@ -550,13 +559,41 @@ object SparkEntry {
        |c0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cent FROM e WHERE vec_id < $k),
        |$rounds,
        |df AS MATERIALIZED (
-       |  SELECT e.vec_id, c.cl, ${dist(s"c${iters - 1}")} AS d2
-       |  FROM e CROSS JOIN c${iters - 1} c)
-       |SELECT vec_id, cl AS cluster, round(d2, 6) AS d2 FROM (
-       |  SELECT vec_id, cl, d2,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
-       |  FROM df) WHERE rk = 1 ORDER BY vec_id""".stripMargin
+       |  SELECT e.vec_id, c.cl, $kmeansDistSql AS d2
+       |  FROM e CROSS JOIN c${iters - 1} c),
+       |fin AS MATERIALIZED (
+       |  SELECT vec_id, cl AS cluster, d2 FROM (
+       |    SELECT vec_id, cl, d2,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+       |    FROM df) WHERE rk = 1)""".stripMargin
   }
+
+  private lazy val kmeansOracleSql: String =
+    s"""${kmeansStagesSql(8, 3)}
+       |SELECT vec_id, cluster, round(d2, 6) AS d2 FROM fin ORDER BY vec_id""".stripMargin
+
+  /** q184 oracle: the Lloyd chain + the query's nprobe nearest learned
+    * centroids + exact cosine top-k within the probed lists. */
+  private lazy val ivfLearnedOracleSql: String =
+    s"""${kmeansStagesSql(8, 3)},
+       |probes AS (
+       |  SELECT cl FROM (
+       |    SELECT c.cl, row_number() OVER (ORDER BY $kmeansDistSql, c.cl) AS rk
+       |    FROM (SELECT * FROM e WHERE vec_id = 0) e CROSS JOIN c2 c) t
+       |  WHERE rk <= 2),
+       |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT f.vec_id, e.label, e.emb, q.q_emb
+       |  FROM fin f JOIN e ON e.vec_id = f.vec_id, q
+       |  WHERE f.vec_id <> 0 AND f.cluster IN (SELECT cl FROM probes)),
+       |s AS (
+       |  SELECT vec_id, label,
+       |    round(
+       |      list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * q_emb[i])) /
+       |      (sqrt(list_sum(list_transform(range(1, len(emb) + 1), i -> emb[i] * emb[i]))) *
+       |       sqrt(list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] * q_emb[i])))), 4) AS cos
+       |  FROM cand)
+       |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
   private lazy val bruteTopKOracleCte: String =
     """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
@@ -1393,6 +1430,32 @@ object SparkEntry {
         |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q168_mmr_rerank" -> mmrOracleSql,
     "q169_kmeans_lloyd" -> kmeansOracleSql,
+    "q184_ivf_learned" -> ivfLearnedOracleSql,
+    // q183: q117's stage CTEs with the 1-hour conversion window on
+    // each step; stack mirrored as UNION ALL, rates round(n/prev, 4)
+    "q183_funnel_windowed" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |    AND e.ts <= v.t_view + INTERVAL 1 HOUR GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |  JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |    AND e.ts <= c.t_click + INTERVAL 1 HOUR GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM v) AS nv,
+        |             (SELECT count(*) FROM c) AS nc,
+        |             (SELECT count(*) FROM p) AS np)
+        |SELECT '1_view' AS stage, nv AS n_users, CAST(1.0 AS DOUBLE) AS conv_from_prev FROM n
+        |UNION ALL
+        |SELECT '2_click', nc, round(CAST(nc AS DOUBLE) / nv, 4) FROM n
+        |UNION ALL
+        |SELECT '3_purchase', np, round(CAST(np AS DOUBLE) / nc, 4) FROM n
+        |ORDER BY stage""".stripMargin,
     // q155: three q29-style exact legs (query vectors 0/1/2, top-100
     // each, cos rounded at 4 with vec_id tie-break), pivoted to rank
     // columns and fused left-to-right as 1/(60+rank) with absent legs

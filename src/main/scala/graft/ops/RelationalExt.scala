@@ -542,6 +542,45 @@ object RelationalExt {
       .crossJoin(purchase.agg(count(lit(1)).as("n_purchase")))
   }
 
+  /** q183: conversion funnel with a TIME WINDOW — view → click →
+    * purchase where each step must land within `windowExpr` of the
+    * previous one (q117 is the unconstrained form; real funnels are
+    * windowed, otherwise a purchase six months after a view counts as
+    * a conversion). Long-form output with per-stage user counts and
+    * the step conversion rate.
+    *
+    * Exactness: timestamps compare exactly (interval arithmetic is
+    * integer microseconds on both engines); rates are ratios of exact
+    * longs rounded at 4. Scale: the q117 shape — one aggregation per
+    * stage on user_id with the previous stage's (user, ts) joined in;
+    * each stage's frame shrinks, and the final assembly is three
+    * one-row aggregates crossed and stacked. */
+  def funnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val hour = expr("INTERVAL 1 HOUR")
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val click = ev.join(view, Seq("user_id"))
+      .filter(col("event_type") === "click" &&
+        col("ts") > col("t_view") && col("ts") <= col("t_view") + hour)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val purchase = ev.join(click, Seq("user_id"))
+      .filter(col("event_type") === "purchase" &&
+        col("ts") > col("t_click") && col("ts") <= col("t_click") + hour)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    view.agg(count(lit(1)).as("nv"))
+      .crossJoin(click.agg(count(lit(1)).as("nc")))
+      .crossJoin(purchase.agg(count(lit(1)).as("np")))
+      .select(expr(
+        """stack(3,
+          | '1_view', nv, CAST(1.0 AS DOUBLE),
+          | '2_click', nc, round(CAST(nc AS DOUBLE) / nv, 4),
+          | '3_purchase', np, round(CAST(np AS DOUBLE) / nc, 4))
+          | AS (stage, n_users, conv_from_prev)""".stripMargin))
+      .orderBy(col("stage"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their
     * first event (the cohort), counted in each later week they were
     * active — the retention triangle.

@@ -928,51 +928,68 @@ object SimilarityOps {
   def kmeansLloyd(spark: SparkSession, dir: String, k: Int = 8,
                   iters: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    lloydAssign(spark, e, lloydCentroids(spark, e, k, iters))
+      .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("d2"))
+      .orderBy(col("vec_id"))
+  }
 
+  /** Nearest-centroid assignment against a trained model. The model
+    * rides as DATA (one broadcast row holding the cl-ordered array of
+    * (cl, centroid) structs), NOT as plan literals: literal centroids
+    * change the generated code every round, and Janino-recompiling
+    * the k×dim expression tree per round cost more than all the
+    * arithmetic (measured 25+ s at sf0.1 vs ~2 s for this form — same
+    * trap as a struct `least`, which additionally falls out of
+    * codegen entirely). With the model as data the plan/code shape is
+    * identical across rounds (codegen cache hit); only the broadcast
+    * leaf changes.
+    *
+    * The per-row argmin folds the centroid array IN cl ORDER keeping
+    * the strictly-smaller d2 — the identical lowest-cl tie rule as
+    * the oracle's ORDER BY d2, cl; d2 itself is the q87/q162
+    * zip_with+aggregate fixed-order fold. */
+  private[ops] def lloydAssign(spark: SparkSession, e: DataFrame,
+                               cents: Seq[(Long, Array[Double])]): DataFrame = {
     import spark.implicits._
+    val centsDf = Seq(Tuple1(cents.map { case (cl, c) => (cl, c.toSeq) }))
+      .toDF("cents")
+    e.crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), col("embedding"),
+        lloydBest.getField("cl").as("cluster"), lloydBest.getField("d2").as("d2"))
+  }
 
-    // The centroid model rides as DATA (one broadcast row holding the
-    // cl-ordered array of (cl, centroid) structs), NOT as plan
-    // literals: literal centroids change the generated code every
-    // round, and Janino-recompiling the k×dim expression tree per
-    // round cost more than all the arithmetic (measured 25+ s at
-    // sf0.1 vs ~2 s for this form — same trap as a struct `least`,
-    // which additionally falls out of codegen entirely). With the
-    // model as data the plan/code shape is identical across rounds
-    // (codegen cache hit); only the broadcast leaf changes.
-    //
-    // The per-row argmin folds the centroid array IN cl ORDER keeping
-    // the strictly-smaller d2 — the identical lowest-cl tie rule as
-    // the oracle's ORDER BY d2, cl; d2 itself is the q87/q162
-    // zip_with+aggregate fixed-order fold.
-    def withBest(cents: Seq[(Long, Array[Double])]): DataFrame = {
-      val centsDf = Seq(Tuple1(cents.map { case (cl, c) => (cl, c.toSeq) }))
-        .toDF("cents")
-      val d2 = (c: Column) => aggregate(
-        zip_with(col("embedding"), c, (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
-        lit(0.0d), (acc, v) => acc + v)
-      val scored = transform(col("cents"), s =>
-        struct(d2(s.getField("_2")).as("d2"), s.getField("_1").as("cl")))
-      val best = aggregate(scored,
-        struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl")),
-        (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
-      e.crossJoin(broadcast(centsDf))
-        .select(col("vec_id"), col("embedding"),
-          best.getField("cl").as("cluster"), best.getField("d2").as("d2"))
-    }
+  /** The (d2, cl) argmin fold over a `cents` array column — shared by
+    * assignment and the q184 probe-selection (which sorts the same
+    * scored array instead of folding it). */
+  private def lloydScored: Column = {
+    val d2 = (c: Column) => aggregate(
+      zip_with(col("embedding"), c, (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+      lit(0.0d), (acc, v) => acc + v)
+    transform(col("cents"), s =>
+      struct(d2(s.getField("_2")).as("d2"), s.getField("_1").as("cl")))
+  }
 
+  private def lloydBest: Column = aggregate(lloydScored,
+    struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl")),
+    (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
+
+  /** The Lloyd training loop: seed from the first k vectors, `iters`
+    * assignment passes with an update after each but the last; the
+    * k×dim model is collected per round (bounded MODEL STATE, the
+    * q159 per-round-collect rule). Centroid update WITHOUT a
+    * posexplode: one codegen'd per-dim sum column each (map-side
+    * partials, no Generate — an exploded form re-evaluates the
+    * inlined argmin per exploded ROW, the shingleRows CollapseProject
+    * trap, measured ~3× slower). */
+  private[ops] def lloydCentroids(spark: SparkSession, e: DataFrame, k: Int,
+                                  iters: Int): Seq[(Long, Array[Double])] = {
     var cents: Seq[(Long, Array[Double])] =
       e.filter(col("vec_id") < k).orderBy(col("vec_id"))
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
     val dim = cents.head._2.length
-
     for (_ <- 1 until iters) {
-      // Centroid update WITHOUT a posexplode: one codegen'd per-dim
-      // sum column each (map-side partials, no Generate — an exploded
-      // form re-evaluates the inlined argmin per exploded ROW, the
-      // shingleRows CollapseProject trap, measured ~3× slower).
-      val sums = withBest(cents)
+      val sums = lloydAssign(spark, e, cents)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"),
           (0 until dim).map(i =>
@@ -984,9 +1001,52 @@ object SimilarityOps {
         (r.getLong(0), Array.tabulate(dim)(i => r.getDouble(i + 2) / n))
       }.toSeq
     }
-    withBest(cents)
-      .select(col("vec_id"), col("cluster"), round(col("d2"), 6).as("d2"))
-      .orderBy(col("vec_id"))
+    cents
+  }
+
+  /** q184: IVF with a LEARNED codebook, end to end — q169's Lloyd
+    * training produces the coarse centroids, every vector is assigned
+    * to its nearest learned centroid (the inverted lists), the query
+    * probes its `nprobe` nearest lists, and the exact cosine top-k is
+    * served from those lists only. This is the proper form of what
+    * q46 can only envelope-gate (mllib KMeans is seed-opaque): the
+    * deterministic trainer makes the ENTIRE train→index→probe chain
+    * hash-replayable in DuckDB — the one ANN architecture here where
+    * the oracle checks the learned model, the index AND the serve.
+    *
+    * Probe selection is IN-PLAN: the query row's scored (d2, cl)
+    * array is array_sort'ed and sliced to nprobe (no driver collect);
+    * candidates gate on array_contains against that one broadcast
+    * row. Scale: training is q169 (per-round bounded model state);
+    * assignment is the narrow broadcast-model map; the serve reads
+    * candidates ∈ probed lists — nprobe/k of the corpus, the IVF
+    * contract — then TakeOrderedAndProject. Approximate BY CONTRACT:
+    * a neighbor assigned outside the probed lists is unseen. */
+  def ivfLearnedTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                     k: Int = 10, nprobe: Int = 2, kClusters: Int = 8,
+                     iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val cents = lloydCentroids(spark,
+      e.select(col("vec_id"), col("embedding")), kClusters, iters)
+    val centsDf = Seq(Tuple1(cents.map { case (cl, c) => (cl, c.toSeq) }))
+      .toDF("cents")
+    val probes = e.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(centsDf))
+      .select(col("embedding").as("q_emb"),
+        transform(slice(array_sort(lloydScored), 1, nprobe),
+          s => s.getField("cl")).as("probe_cls"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        lloydBest.getField("cl").as("cluster"))
+      .crossJoin(broadcast(probes))
+      .filter(array_contains(col("probe_cls"), col("cluster")))
+      .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
+      .select(col("vec_id"), col("label").cast("int").as("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
   }
 
   def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
