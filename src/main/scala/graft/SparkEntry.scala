@@ -104,6 +104,11 @@ object SparkEntry {
     "q184_ivf_learned"     -> ((s, d) => SimilarityOps.ivfLearnedTopK(s, d)),
     // windowed conversion funnel: each step within 1h of the previous
     "q183_funnel_windowed" -> ((s, d) => RelationalExt.funnelWindowed(s, d)),
+    // daily p50/p95 per event_type, exact PERCENTILE_DISC selection
+    "q185_daily_percentiles" -> ((s, d) => RelationalExt.dailyValuePercentiles(s, d)),
+    // last-touch attribution: purchases to the most recent preceding
+    // click, 1h-window flag
+    "q186_attribution"     -> ((s, d) => RelationalExt.lastTouchAttribution(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
     // margin-guided multi-probe LSH: t+1 buckets instead of the full
     // Hamming-1 ball, probe set derived in-plan
@@ -1382,6 +1387,35 @@ object SparkEntry {
         |SELECT source, CAST(n AS BIGINT) AS n_terms,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
         |FROM s ORDER BY source""".stripMargin,
+    // q185: rank-and-select at ceil(p·n) — discrete selection of an
+    // observed value, no interpolation arithmetic to disagree on
+    "q185_daily_percentiles" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, day, value,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, day) AS n
+        |  FROM b)
+        |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n_events,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95
+        |FROM r GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+    // q186: LOCF carry of the last click ts over (ts, event_id) order,
+    // purchases filtered afterwards, 1h attribution flag
+    "q186_attribution" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    last(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_click
+        |  FROM events)
+        |SELECT event_id, user_id, ts, t_click,
+        |  (t_click IS NOT NULL AND t_click >= ts - INTERVAL 1 HOUR) AS attributed
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     // q27: full cross-engine SimHash. The 60-bit token hash is one
     // big-endian hex window of md5 parsed to BIGINT (same
     // construction as q75's base hashes) — 60 bits keeps the value

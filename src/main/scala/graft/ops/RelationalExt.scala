@@ -581,6 +581,34 @@ object RelationalExt {
       .orderBy(col("stage"))
   }
 
+  /** q185: daily value percentiles per event type (exact
+    * PERCENTILE_DISC semantics — the p50/p95 dashboard every
+    * operations team keeps): rank rows within (type, day) by value
+    * and SELECT the data value at position ⌈p·n⌉. Discrete selection
+    * on purpose: it returns an actual observed value, so the result
+    * is hash-exact cross-engine with no interpolation arithmetic
+    * (Spark's `percentile` interpolates, engines disagree in ulps —
+    * the same reason q42 rounds). ⌈p·n⌉ is computed identically on
+    * both engines (p·n is one IEEE multiply). One (type, day) window
+    * shuffle + one aggregation. */
+  def dailyValuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val grp = Window.partitionBy(col("event_type"), col("day"))
+    val w = grp.orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        to_date(col("ts")).as("day"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy(col("event_type"), col("day"))
+      .agg(
+        max(col("n")).as("n_events"),
+        max(when(col("rn") === ceil(col("n") * lit(0.5d)).cast("long"),
+          col("value"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * lit(0.95d)).cast("long"),
+          col("value"))).as("p95"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their
     * first event (the cohort), counted in each later week they were
     * active — the retention triangle.
@@ -964,6 +992,34 @@ object RelationalExt {
         ZOrder.zValue(
           ZOrder.quantize(col("o_custkey"), col("mc")),
           ZOrder.quantize(col("o_days"), col("md"))).as("zkey"))
+  }
+
+  /** q186: last-touch attribution — each purchase attributed to the
+    * user's most recent PRECEDING click, flagged whether it landed
+    * inside the 1-hour attribution window (the marketing-analytics
+    * primitive; q34/q154's as-of joins match across TABLES, this is
+    * the within-stream form every clickstream warehouse runs).
+    *
+    * One user-partitioned window ordered (ts, event_id) — the
+    * same-timestamp tie is broken deterministically — carrying the
+    * last click timestamp via `last(…, ignoreNulls)` over the
+    * preceding-rows frame (the q145 LOCF shape); purchases filter
+    * afterwards, so the window sees every event but the output is
+    * purchase-sized. Timestamp arithmetic is exact integer
+    * microseconds on both engines. */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_click",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("t_click"),
+        (col("t_click").isNotNull &&
+          col("t_click") >= col("ts") - expr("INTERVAL 1 HOUR")).as("attributed"))
+      .orderBy(col("event_id"))
   }
 
   /** q174: hourly event-rate anomaly detection — per (event_type,

@@ -52,6 +52,45 @@ class SignalStatsSpec extends AnyFunSuite {
     assert(byQuality.exists { case (_, ds) => ds.map(_._4).distinct.size > 1 })
   }
 
+  test("daily percentiles: discrete selection matches a driver-side sort; p50 <= p95") {
+    val got = RelationalExt.dailyValuePercentiles(spark, sf)
+      .as[(String, java.sql.Date, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val raw = Tables.events(spark, sf)
+      .select($"event_type", org.apache.spark.sql.functions.to_date($"ts").as("day"), $"value")
+      .as[(String, java.sql.Date, Double)].collect()
+      .groupBy(r => (r._1, r._2))
+    got.foreach { case (et, day, n, p50, p95) =>
+      val vals = raw((et, day)).map(_._3).sorted
+      assert(n == vals.length)
+      assert(p50 == vals(math.ceil(n * 0.5).toLong.toInt - 1), s"p50 at ($et,$day)")
+      assert(p95 == vals(math.ceil(n * 0.95).toLong.toInt - 1), s"p95 at ($et,$day)")
+      assert(p50 <= p95)
+    }
+  }
+
+  test("attribution: flags match a driver-side replay; both outcomes occur") {
+    val got = RelationalExt.lastTouchAttribution(spark, sf)
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .as[(Long, Long, String, java.sql.Timestamp)].collect()
+      .groupBy(_._2)
+    got.foreach { case (id, user, ts, tClick, attributed) =>
+      val stream = ev(user).sortBy(e => (e._4.getTime, e._1))
+      val prior = stream.takeWhile(e =>
+        e._4.getTime < ts.getTime || (e._4.getTime == ts.getTime && e._1 < id))
+      val want = prior.filter(_._3 == "click").lastOption.map(_._4)
+      assert(tClick == want, s"t_click mismatch for purchase $id")
+      val wantFlag = want.exists(t => ts.getTime - t.getTime <= 3600L * 1000L)
+      assert(attributed == wantFlag, s"flag mismatch for purchase $id")
+    }
+    assert(got.exists(_._5) && got.exists(!_._5),
+      "attribution window never discriminated on this corpus")
+  }
+
   test("event-rate anomalies: z-scores match a driver-side recompute; flags non-vacuous") {
     val hourly = Tables.events(spark, sf)
       .groupBy($"event_type", org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"))
