@@ -109,6 +109,11 @@ object SparkEntry {
     // last-touch attribution: purchases to the most recent preceding
     // click, 1h-window flag
     "q186_attribution"     -> ((s, d) => RelationalExt.lastTouchAttribution(s, d)),
+    // DAU / trailing-7-day WAU / stickiness via the x7 day expansion
+    "q187_dau_wau"         -> ((s, d) => RelationalExt.dauWau(s, d)),
+    // right-to-be-forgotten audit: anti-join retention cross-checked
+    // by an independent in-plan predicate
+    "q188_deletion_audit"  -> ((s, d) => RelationalExt.deletionAudit(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
     // margin-guided multi-probe LSH: t+1 buckets instead of the full
     // Hamming-1 ball, probe set derived in-plan
@@ -1416,6 +1421,42 @@ object SparkEntry {
         |  (t_click IS NOT NULL AND t_click >= ts - INTERVAL 1 HOUR) AS attributed
         |FROM w WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    // q187: distinct (user, day) expanded to its 7 covered days for
+    // the trailing distinct count; window days without an anchor day
+    // in the data are excluded (semi join)
+    "q187_dau_wau" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM active GROUP BY day),
+        |cover AS (
+        |  SELECT a.user_id, CAST(a.day + INTERVAL (j) DAY AS DATE) AS day
+        |  FROM active a, (SELECT unnest(range(7)) AS j) r),
+        |wau AS (
+        |  SELECT c.day, count(DISTINCT c.user_id) AS wau FROM cover c
+        |  WHERE c.day IN (SELECT day FROM active) GROUP BY c.day)
+        |SELECT w.day, coalesce(d.dau, 0) AS dau, w.wau,
+        |  round(CAST(coalesce(d.dau, 0) AS DOUBLE) / w.wau, 4) AS stickiness
+        |FROM wau w LEFT JOIN dau d ON d.day = w.day
+        |ORDER BY w.day""".stripMargin,
+    // q188: roster as a list, retention via NOT IN, the clean flag
+    // re-derived from the modulo predicate — both engines assert TRUE
+    "q188_deletion_audit" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |roster AS (SELECT DISTINCT user_id FROM ev WHERE user_id % 50 = 0),
+        |del AS (
+        |  SELECT day, count(*) AS n_delete FROM ev
+        |  WHERE user_id IN (SELECT user_id FROM roster) GROUP BY day),
+        |ret AS (
+        |  SELECT day, count(*) AS n_retain,
+        |    sum(CASE WHEN user_id % 50 = 0 THEN 1 ELSE 0 END) AS n_leaked
+        |  FROM ev WHERE user_id NOT IN (SELECT user_id FROM roster) GROUP BY day)
+        |SELECT r.day, coalesce(d.n_delete, 0) AS n_delete, r.n_retain,
+        |  (r.n_leaked = 0) AS clean
+        |FROM ret r LEFT JOIN del d ON d.day = r.day
+        |ORDER BY r.day""".stripMargin,
     // q27: full cross-engine SimHash. The 60-bit token hash is one
     // big-endian hex window of md5 parsed to BIGINT (same
     // construction as q75's base hashes) — 60 bits keeps the value

@@ -1022,6 +1022,75 @@ object RelationalExt {
       .orderBy(col("event_id"))
   }
 
+  /** q187: DAU / WAU / stickiness — daily active users, trailing
+    * 7-day active users, and their ratio per day (the engagement
+    * triple every product dashboard leads with). The trailing
+    * distinct count is NOT a window function (distinct-over-range
+    * isn't expressible as one): each active (user, day) row is
+    * expanded map-side to the 7 target days it keeps the user active
+    * for, then one countDistinct per target day — the explode is a
+    * fixed ×7 (the q58 sliding-window device), and rows are already
+    * collapsed to distinct (user, day) FIRST so the expansion is
+    * bounded by active-pairs, not raw events. Days with activity only
+    * in their trailing window (no DAU) still appear, dau = 0. */
+  def dauWau(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = active.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = active
+      .select(col("user_id"), explode(sequence(
+        col("day"), date_add(col("day"), 6))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      // the expansion manufactures up to 6 days past the last real
+      // one; an outer day roster would count windows with no anchor —
+      // restrict to days that exist in the data
+      .join(active.select(col("day")).distinct(), Seq("day"), "left_semi")
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        round(coalesce(col("dau"), lit(0L)).cast("double") / col("wau"), 4)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  /** q188: deletion-propagation audit (the right-to-be-forgotten
+    * pass): given a deletion roster — here the deterministic
+    * user_id ≡ 0 (mod 50) slice standing in for a request list — the
+    * per-day count of events that must go versus stay, with the
+    * retained row count and an in-plan `clean` flag proving the
+    * retained slice contains NO rostered user (the oracle asserts
+    * every flag TRUE). The audit is what compliance actually signs
+    * off on: not "we deleted", but "what remains provably contains
+    * none of them". One broadcast-roster anti/semi pair over a single
+    * corpus scan shape; at 100 TB the roster is a broadcast (request
+    * lists are small) and the rewrite is a partition-level anti-join
+    * write (the q105 dynamic-overwrite path). */
+  def deletionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"))
+    // the roster is a FRAME (as a real request list would be), and
+    // retention is an anti-join against it; the `clean` flag then
+    // re-checks the anti-join's output with the INDEPENDENT predicate
+    // form — two mechanisms must agree, so a join-semantics bug (null
+    // keys, broadcast pruning) surfaces as a FALSE flag, not silence
+    val roster = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 50L === 0L)
+    val deleted = ev.join(roster, Seq("user_id"), "left_semi")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_delete"))
+    val retained = ev.join(roster, Seq("user_id"), "left_anti")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_retain"),
+        sum(when(col("user_id") % 50L === 0L, 1L).otherwise(0L)).as("n_leaked"))
+    retained.join(deleted, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_delete"), lit(0L)).as("n_delete"),
+        col("n_retain"),
+        (col("n_leaked") === 0L).as("clean"))
+      .orderBy(col("day"))
+  }
+
   /** q174: hourly event-rate anomaly detection — per (event_type,
     * hour) z-scores of the event count against that type's hourly
     * distribution, with an |z| ≥ `zThresh` flag. The ingest-telemetry

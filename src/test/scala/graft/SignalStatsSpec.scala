@@ -91,6 +91,42 @@ class SignalStatsSpec extends AnyFunSuite {
       "attribution window never discriminated on this corpus")
   }
 
+  test("DAU/WAU: trailing distinct matches a driver-side recompute; dau <= wau") {
+    val got = RelationalExt.dauWau(spark, sf)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val active = Tables.events(spark, sf)
+      .select($"user_id", org.apache.spark.sql.functions.to_date($"ts").as("day"))
+      .distinct().as[(Long, java.sql.Date)].collect()
+    val days = active.map(_._2).distinct
+    got.foreach { case (day, dau, wau, st) =>
+      val d = day.toLocalDate
+      val wantDau = active.count(_._2.toLocalDate == d)
+      val wantWau = active.filter { case (_, ad) =>
+        val a = ad.toLocalDate
+        !a.isAfter(d) && !a.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length
+      assert(dau == wantDau && wau == wantWau, s"$day: ($dau,$wau) want ($wantDau,$wantWau)")
+      assert(dau <= wau)
+      assert(st == BigDecimal(dau.toDouble / wau)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.map(_._1.toLocalDate).toSet == days.map(_.toLocalDate).toSet)
+  }
+
+  test("deletion audit: every day clean, deletions non-vacuous, naive retention as negative control") {
+    val got = RelationalExt.deletionAudit(spark, sf)
+      .as[(java.sql.Date, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._4), "a retained slice leaked a rostered user")
+    assert(got.map(_._2).sum > 0, "deletion roster matched nothing — vacuous audit")
+    // negative control: a 'retention' that forgets the roster entirely
+    // must show leaks under the same independent predicate
+    val naiveLeaks = Tables.events(spark, sf)
+      .filter($"user_id" % 50 === 0).count()
+    assert(naiveLeaks == got.map(_._2).sum)
+  }
+
   test("event-rate anomalies: z-scores match a driver-side recompute; flags non-vacuous") {
     val hourly = Tables.events(spark, sf)
       .groupBy($"event_type", org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"))
