@@ -114,6 +114,10 @@ object SparkEntry {
     // right-to-be-forgotten audit: anti-join retention cross-checked
     // by an independent in-plan predicate
     "q188_deletion_audit"  -> ((s, d) => RelationalExt.deletionAudit(s, d)),
+    // equi-depth histogram: exact rank-selected boundaries + counts
+    "q189_equidepth_hist"  -> ((s, d) => RelationalExt.equiDepthHistogram(s, d)),
+    // REGR_SLOPE/intercept/r2 per source with order-fixed folds
+    "q190_group_regression" -> ((s, d) => RelationalExt.groupRegression(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
     // margin-guided multi-probe LSH: t+1 buckets instead of the full
     // Hamming-1 ball, probe set derived in-plan
@@ -1457,6 +1461,57 @@ object SparkEntry {
         |  (r.n_leaked = 0) AS clean
         |FROM ret r LEFT JOIN del d ON d.day = r.day
         |ORDER BY r.day""".stripMargin,
+    // q189: boundaries at the exact observed rank-⌈i·n/k⌉ values;
+    // bucket = first boundary ≥ v (list_position on the flag list —
+    // a different mechanism than Spark's fold computing the same int)
+    "q189_equidepth_hist" -> {
+      val ranks = (1 to 8).map(i =>
+        s"rn = CAST(ceil((n * CAST($i AS DOUBLE)) / 8) AS BIGINT)").mkString(" OR ")
+      s"""WITH o AS (SELECT o_totalprice AS v FROM orders),
+        |n AS (SELECT count(*) AS n FROM o),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM o),
+        |b AS (SELECT rn, max(v) AS bound FROM r, n
+        |      WHERE $ranks GROUP BY rn),
+        |bl AS (SELECT list(bound ORDER BY rn) AS bounds FROM b),
+        |a AS (
+        |  SELECT CAST(coalesce(
+        |    list_position(list_transform(bl.bounds, bd -> o.v <= bd), true) - 1,
+        |    7) AS INTEGER) AS bucket
+        |  FROM o, bl)
+        |SELECT bucket, count(*) AS n_rows FROM a
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+    // q190: the q21 quality CTE; all five regression sums fold in
+    // doc_id order; slope/intercept/r2 as fixed IEEE trees
+    "q190_group_regression" ->
+      s"""WITH q AS (SELECT doc_id, source,
+        |  CAST(n_chars AS DOUBLE) AS x,
+        | ${TextOps.roundAtSql(
+             "least(nc / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / nc * 10.0, 1.0)) * 0.2", 6)} AS y
+        |FROM (SELECT doc_id, source, n_chars,
+        |  CAST(length(text) AS DOUBLE) AS nc,
+        |  CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |  CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        | FROM documents) t),
+        |s AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    list_sum(list(x ORDER BY doc_id)) AS sx,
+        |    list_sum(list(y ORDER BY doc_id)) AS sy,
+        |    list_sum(list(x * y ORDER BY doc_id)) AS sxy,
+        |    list_sum(list(x * x ORDER BY doc_id)) AS sxx,
+        |    list_sum(list(y * y ORDER BY doc_id)) AS syy
+        |  FROM q GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  ${TextOps.roundAtSql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS slope,
+        |  ${TextOps.roundAtSql(
+             "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS intercept,
+        |  ${TextOps.roundAtSql(
+             "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / " +
+             "((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
+        |FROM s ORDER BY source""".stripMargin,
     // q27: full cross-engine SimHash. The 60-bit token hash is one
     // big-endian hex window of md5 parsed to BIGINT (same
     // construction as q75's base hashes) — 60 bits keeps the value

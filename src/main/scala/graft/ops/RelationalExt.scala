@@ -1091,6 +1091,93 @@ object RelationalExt {
       .orderBy(col("day"))
   }
 
+  /** q189: equi-DEPTH histogram of order totalprice — the
+    * optimizer-statistics companion to q56's equal-width form: k
+    * buckets of (near-)equal row count with exact quantile
+    * boundaries. Boundary b_i is the OBSERVED value at rank
+    * ⌈i·n/k⌉ (the q185 discrete-selection rule — no interpolation,
+    * hash-exact), and rows land in bucket min{i : v ≤ b_i} so the
+    * histogram is reproducible from its boundary list alone (what a
+    * real optimizer persists). Two passes: one rank window for the
+    * boundaries (k rows out), one broadcast-boundaries narrow scan
+    * for the counts. */
+  def equiDepthHistogram(spark: SparkSession, dir: String,
+                         k: Int = 8): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_totalprice").as("v"))
+    val w = Window.orderBy(col("v"))
+    val n = o.agg(count(lit(1)).as("n"))
+    // rank window over a single global order: acceptable here because
+    // the windowed frame collapses to k boundary ROWS immediately (at
+    // 100 TB the swap-in is approxQuantile's G-K sketch or the q185
+    // per-group form; the exact global sort is the oracle-checkable
+    // reference this query exists to pin)
+    val ranked = o.withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(n))
+    val bounds = ranked
+      .filter((1 to k).map(i =>
+        col("rn") === ceil(col("n") * lit(i.toDouble) / k).cast("long"))
+        .reduce(_ || _))
+      .groupBy(col("rn")).agg(max(col("v")).as("bound"))
+      .orderBy(col("rn"))
+      .select(collect_list(col("bound")).as("bounds"))
+    o.crossJoin(broadcast(bounds))
+      .select(aggregate(
+        col("bounds"),
+        struct(lit(k - 1).cast("int").as("b"), lit(0).cast("int").as("i")),
+        (acc, bd) => struct(
+          when(col("v") <= bd && acc.getField("b") === lit(k - 1),
+            acc.getField("i")).otherwise(acc.getField("b")).as("b"),
+          (acc.getField("i") + 1).as("i")),
+        acc => acc.getField("b")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q190: per-group regression aggregates — slope, intercept and r²
+    * of quality on document length per source (the SQL REGR_* family,
+    * computed the engine-portable way): every sum folds the group's
+    * (x, y) pairs in doc_id ORDER (the q177 sorted-fold convention) —
+    * engine regr_slope/corr implementations accumulate in
+    * engine-chosen order and can never hash-match. x is the exact
+    * n_chars long, y the shared rounded-at-6 quality score;
+    * slope/intercept/r² are fixed IEEE trees rounded at 6. One
+    * aggregation; per-group arrays bounded by group size. */
+  def groupRegression(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("double").as("x"),
+        TextOps.qualityCol.as("y"))
+    def fsum(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(col("ts"), lit(0.0d), (acc, t) => acc + f(t))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        array_sort(collect_list(struct(col("doc_id"), col("x"), col("y")))).as("ts"))
+      .select(col("source"), col("n").cast("bigint").as("n_docs"),
+        TextOps.roundAt(
+          (col("n") * fsum(t => t.getField("x") * t.getField("y")) -
+            fsum(_.getField("x")) * fsum(_.getField("y"))) /
+          (col("n") * fsum(t => t.getField("x") * t.getField("x")) -
+            fsum(_.getField("x")) * fsum(_.getField("x"))), 6).as("slope"),
+        TextOps.roundAt(
+          (fsum(_.getField("y")) -
+            ((col("n") * fsum(t => t.getField("x") * t.getField("y")) -
+              fsum(_.getField("x")) * fsum(_.getField("y"))) /
+             (col("n") * fsum(t => t.getField("x") * t.getField("x")) -
+               fsum(_.getField("x")) * fsum(_.getField("x")))) *
+            fsum(_.getField("x"))) / col("n"), 6).as("intercept"),
+        TextOps.roundAt(
+          ((col("n") * fsum(t => t.getField("x") * t.getField("y")) -
+            fsum(_.getField("x")) * fsum(_.getField("y"))) *
+           (col("n") * fsum(t => t.getField("x") * t.getField("y")) -
+             fsum(_.getField("x")) * fsum(_.getField("y")))) /
+          ((col("n") * fsum(t => t.getField("x") * t.getField("x")) -
+            fsum(_.getField("x")) * fsum(_.getField("x"))) *
+           (col("n") * fsum(t => t.getField("y") * t.getField("y")) -
+             fsum(_.getField("y")) * fsum(_.getField("y")))), 6).as("r2"))
+      .orderBy(col("source"))
+  }
+
   /** q174: hourly event-rate anomaly detection — per (event_type,
     * hour) z-scores of the event count against that type's hourly
     * distribution, with an |z| ≥ `zThresh` flag. The ingest-telemetry

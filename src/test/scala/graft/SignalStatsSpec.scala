@@ -127,6 +127,50 @@ class SignalStatsSpec extends AnyFunSuite {
     assert(naiveLeaks == got.map(_._2).sum)
   }
 
+  test("equi-depth histogram: buckets are near-equal depth and cover every row") {
+    val got = RelationalExt.equiDepthHistogram(spark, sf)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val n = Tables.orders(spark, sf).count()
+    assert(got.map(_._2).sum == n, "histogram dropped rows")
+    assert(got.map(_._1).toSeq == (0 until got.length))
+    // equal depth up to boundary ties: no bucket deviates from n/k by
+    // more than the largest tie run could force
+    val ideal = n.toDouble / 8
+    got.foreach { case (b, c) =>
+      assert(math.abs(c - ideal) <= ideal * 0.5, s"bucket $b depth $c vs ideal $ideal")
+    }
+  }
+
+  test("group regression: matches a driver-side least squares; r2 in [0,1]") {
+    val got = RelationalExt.groupRegression(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val docs = TextOps.qualityQuantileNorm(spark, sf) // doc_id, source, quality
+      .as[(Long, String, Double, Double)].collect()
+    val lens = Tables.documents(spark, sf).select($"doc_id", $"n_chars")
+      .as[(Long, Long)].collect().toMap
+    // mirror TextOps.roundAt literally: floor(x·10^6 + 0.5)/10^6
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { case (src, nDocs, slope, intercept, r2) =>
+      val pts = docs.filter(_._2 == src).sortBy(_._1)
+        .map(d => (lens(d._1).toDouble, d._3))
+      assert(nDocs == pts.length)
+      val n = pts.length.toDouble
+      val sx = pts.foldLeft(0.0)(_ + _._1)
+      val sy = pts.foldLeft(0.0)(_ + _._2)
+      val sxy = pts.foldLeft(0.0)((a, p) => a + p._1 * p._2)
+      val sxx = pts.foldLeft(0.0)((a, p) => a + p._1 * p._1)
+      val syy = pts.foldLeft(0.0)((a, p) => a + p._2 * p._2)
+      val wSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(slope == r6(wSlope), s"$src slope")
+      assert(intercept == r6((sy - wSlope * sx) / n), s"$src intercept")
+      val wR2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(r2 == r6(wR2), s"$src r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
   test("event-rate anomalies: z-scores match a driver-side recompute; flags non-vacuous") {
     val hourly = Tables.events(spark, sf)
       .groupBy($"event_type", org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"))
