@@ -408,4 +408,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan(df).contains("ObjectHashAggregate"),
       "min_by merge fell out of codegen aggregation")
   }
+
+  test("padding waste: corpus rows ride range partitions; only partition summaries funnel") {
+    // the q179 scale claim as a plan fact: the two-phase prefix sum
+    // range-partitions the CORPUS rows (never a single-task global
+    // window over them); the only SinglePartition exchanges are the
+    // offset windows over the O(partitions) per-partition summaries —
+    // bounded rows by construction, one per strategy
+    val p = plan(graft.ops.TextOps.paddingWaste(TestSpark.spark, TestSpark.sf))
+    assert(p.contains("rangepartitioning"),
+      "expected the range-partitioned two-phase prefix sum")
+    val singles = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(singles <= 2,
+      s"more SinglePartition exchanges ($singles) than the two summary offset windows")
+    // and the summary funnels sit downstream of an aggregation (the
+    // per-partition totals), not on raw corpus rows
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("learned IVF: the serve is a broadcast-model narrow map ending in a partial top-k") {
+    val df = graft.ops.SimilarityOps.ivfLearnedTopK(TestSpark.spark, TestSpark.sf)
+    val p = plan(df)
+    // the centroid model and probe row reach the corpus as broadcasts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "centroid model is not broadcast")
+    // serve ends in a partial top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      "learned-IVF serve planned a global sort")
+    // the corpus embeddings never shuffle: no hashpartitioning
+    // exchange carries the embedding column
+    val carried = p.linesIterator.filter(_.contains("hashpartitioning"))
+      .exists(_.contains("embedding"))
+    assert(!carried, "corpus embeddings travel through a shuffle in the IVF serve")
+  }
+
+  test("DAU/WAU: one aggregation tree per count, expansion is map-side") {
+    val p = plan(graft.ops.RelationalExt.dauWau(TestSpark.spark, TestSpark.sf))
+    // the ×7 day expansion must be a Generate over the collapsed
+    // distinct (user, day) rows — never over raw events
+    assert(p.contains("Generate"), "day expansion missing")
+    assert(p.contains("HashAggregate"), "distinct collapse missing")
+  }
 }
