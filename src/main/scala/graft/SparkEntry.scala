@@ -118,6 +118,10 @@ object SparkEntry {
     "q189_equidepth_hist"  -> ((s, d) => RelationalExt.equiDepthHistogram(s, d)),
     // REGR_SLOPE/intercept/r2 per source with order-fixed folds
     "q190_group_regression" -> ((s, d) => RelationalExt.groupRegression(s, d)),
+    // shuffle-skew audit: Gini of the key distribution + top keys
+    "q191_skew_audit"      -> ((s, d) => RelationalExt.skewAudit(s, d)),
+    // join-cardinality profile: exact output size from count tables
+    "q192_join_cardinality" -> ((s, d) => RelationalExt.joinCardinalityProfile(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
     // margin-guided multi-probe LSH: t+1 buckets instead of the full
     // Hamming-1 ball, probe set derived in-plan
@@ -1512,6 +1516,49 @@ object SparkEntry {
              "((n * sxy - sx * sy) * (n * sxy - sx * sy)) / " +
              "((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
         |FROM s ORDER BY source""".stripMargin,
+    // q191: exact-long rank×count Gini + top-5 heavy keys
+    "q191_skew_audit" ->
+      s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, cnt,
+        |        row_number() OVER (ORDER BY cnt, user_id) AS rk FROM c),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        max(cnt) AS max_mult, CAST(sum(rk * cnt) AS BIGINT) AS s_rank FROM r),
+        |t AS (SELECT user_id, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, user_id) AS rank FROM c)
+        |SELECT t.rank, t.user_id, t.cnt,
+        |  ${TextOps.roundAtSql("CAST(t.cnt AS DOUBLE) / s.n_rows", 6)} AS share,
+        |  s.n_keys, s.n_rows, s.max_mult,
+        |  ${TextOps.roundAtSql(
+             "2.0 * s.s_rank / (s.n_keys * s.n_rows) - " +
+             "CAST(s.n_keys + 1 AS DOUBLE) / s.n_keys", 6)} AS gini
+        |FROM t, s WHERE t.rank <= 5 ORDER BY t.rank""".stripMargin,
+    // q192: per-key count tables joined — exact join output size
+    "q192_join_cardinality" ->
+      """WITH oc AS (SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |cc AS (SELECT c_custkey AS k, count(*) AS c FROM customer GROUP BY 1),
+        |lo AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |oo AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |e1 AS (
+        |  SELECT 'orders.custkey=customer.custkey' AS edge,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM oc) AS rows_left,
+        |    (SELECT count(*) FROM oc) AS ndv_left,
+        |    (SELECT max(c) FROM oc) AS max_mult_left,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM cc) AS rows_right,
+        |    (SELECT count(*) FROM cc) AS ndv_right,
+        |    (SELECT max(c) FROM cc) AS max_mult_right,
+        |    (SELECT count(*) FROM oc JOIN cc USING (k)) AS n_matched_keys,
+        |    (SELECT CAST(coalesce(sum(oc.c * cc.c), 0) AS BIGINT)
+        |     FROM oc JOIN cc USING (k)) AS join_rows),
+        |e2 AS (
+        |  SELECT 'lineitem.orderkey=orders.orderkey' AS edge,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM lo), (SELECT count(*) FROM lo),
+        |    (SELECT max(c) FROM lo),
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM oo), (SELECT count(*) FROM oo),
+        |    (SELECT max(c) FROM oo),
+        |    (SELECT count(*) FROM lo JOIN oo USING (k)),
+        |    (SELECT CAST(coalesce(sum(lo.c * oo.c), 0) AS BIGINT)
+        |     FROM lo JOIN oo USING (k)))
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2 ORDER BY edge""".stripMargin,
     // q27: full cross-engine SimHash. The 60-bit token hash is one
     // big-endian hex window of md5 parsed to BIGINT (same
     // construction as q75's base hashes) — 60 bits keeps the value

@@ -1178,6 +1178,79 @@ object RelationalExt {
       .orderBy(col("source"))
   }
 
+  /** q191: shuffle-skew audit of a join/aggregation key — the
+    * diagnose-BEFORE-salting tool (q68 is the cure; this is the
+    * diagnosis): per-key row counts summarized as the Gini
+    * coefficient of the key distribution plus the top-5 heaviest
+    * keys with their load share. Gini uses the rank formulation
+    * `2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n` over counts ranked ascending —
+    * every sum is EXACT LONG arithmetic (rank×count products), so
+    * there is no float fold order to coordinate; the final ratio is
+    * one fixed IEEE tree rounded at 6.
+    *
+    * Scale: the per-key aggregation is one corpus shuffle with
+    * map-side partials; everything after operates on the KEY
+    * DISTRIBUTION (keys-sized, not corpus-sized) — the rank window
+    * and summary run over key rows only. */
+  def skewAudit(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt"), col("user_id"))
+    val summary = counts
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_mult"),
+        sum(col("rk") * col("cnt")).as("s_rank"))
+      .select(col("n_keys"), col("n_rows"), col("max_mult"),
+        TextOps.roundAt(
+          lit(2.0d) * col("s_rank") / (col("n_keys") * col("n_rows")) -
+            (col("n_keys") + 1L).cast("double") / col("n_keys"), 6).as("gini"))
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+      .crossJoin(broadcast(summary))
+      .select(col("rank"), col("user_id"), col("cnt"),
+        TextOps.roundAt(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        col("n_keys"), col("n_rows"), col("max_mult"), col("gini"))
+      .orderBy(col("rank"))
+  }
+
+  /** q192: join-cardinality profile — for each candidate join edge,
+    * the numbers an optimizer (or an engineer sizing a shuffle)
+    * needs BEFORE running it: per-side row counts and key NDVs, max
+    * key multiplicities, and the EXACT join output cardinality
+    * Σ_k cl(k)·cr(k) computed from the two per-key count tables
+    * (counts-sized join, never the fact tables). All exact longs —
+    * the products and sums are integer arithmetic, associative, no
+    * float coordination needed. Profiles the two orders/customer
+    * edges the TPC-H-ish schema actually joins on. */
+  def joinCardinalityProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(name: String, l: DataFrame, r: DataFrame): DataFrame = {
+      val lc = l.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("cl"))
+      val rc = r.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("cr"))
+      val joined = lc.join(rc, Seq("k"))
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("join_rows"),
+          count(lit(1)).as("n_matched_keys"))
+      lc.agg(count(lit(1)).as("ndv_left"), sum(col("cl")).as("rows_left"),
+          max(col("cl")).as("max_mult_left"))
+        .crossJoin(rc.agg(count(lit(1)).as("ndv_right"), sum(col("cr")).as("rows_right"),
+          max(col("cr")).as("max_mult_right")))
+        .crossJoin(joined)
+        .select(lit(name).as("edge"), col("rows_left"), col("ndv_left"),
+          col("max_mult_left"), col("rows_right"), col("ndv_right"),
+          col("max_mult_right"), col("n_matched_keys"), col("join_rows"))
+    }
+    profile("orders.custkey=customer.custkey",
+      Tables.orders(spark, dir).select(col("o_custkey")),
+      Tables.customer(spark, dir).select(col("c_custkey")))
+      .unionByName(profile("lineitem.orderkey=orders.orderkey",
+        Tables.lineitem(spark, dir).select(col("l_orderkey")),
+        Tables.orders(spark, dir).select(col("o_orderkey"))))
+      .orderBy(col("edge"))
+  }
+
   /** q174: hourly event-rate anomaly detection — per (event_type,
     * hour) z-scores of the event count against that type's hourly
     * distribution, with an |z| ≥ `zThresh` flag. The ingest-telemetry

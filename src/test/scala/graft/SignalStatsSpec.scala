@@ -171,6 +171,42 @@ class SignalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("skew audit: Gini matches a driver-side recompute and sits in [0,1)") {
+    val got = RelationalExt.skewAudit(spark, sf)
+      .as[(Long, Long, Long, Double, Long, Long, Long, Double)].collect()
+    assert(got.length == 5)
+    val counts = Tables.events(spark, sf).groupBy($"user_id").count()
+      .as[(Long, Long)].collect().sortBy(c => (c._2, c._1))
+    val n = counts.length.toLong
+    val total = counts.map(_._2).sum
+    val sRank = counts.zipWithIndex.map { case ((_, c), i) => (i + 1).toLong * c }.sum
+    val wantGini = math.floor(
+      (2.0 * sRank / (n * total) - (n + 1).toDouble / n) * 1e6 + 0.5) / 1e6
+    got.foreach { case (_, _, _, _, nk, nr, mm, gini) =>
+      assert(nk == n && nr == total)
+      assert(mm == counts.map(_._2).max)
+      assert(gini == wantGini)
+      assert(gini >= 0.0 && gini < 1.0)
+    }
+    // top keys really are the heaviest, in (cnt desc, key) order
+    val wantTop = counts.sortBy(c => (-c._2, c._1)).take(5).map(_._1).toSeq
+    assert(got.sortBy(_._1).map(_._2).toSeq == wantTop)
+  }
+
+  test("join-cardinality profile: predicted join_rows equals the actual join count") {
+    val got = RelationalExt.joinCardinalityProfile(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._9).toMap
+    val actualOC = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        $"o_custkey" === $"c_custkey").count()
+    val actualLO = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        $"l_orderkey" === $"o_orderkey").count()
+    assert(got("orders.custkey=customer.custkey") == actualOC)
+    assert(got("lineitem.orderkey=orders.orderkey") == actualLO)
+  }
+
   test("event-rate anomalies: z-scores match a driver-side recompute; flags non-vacuous") {
     val hourly = Tables.events(spark, sf)
       .groupBy($"event_type", org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"))
