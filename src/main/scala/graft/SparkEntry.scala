@@ -120,6 +120,8 @@ object SparkEntry {
     "q190_group_regression" -> ((s, d) => RelationalExt.groupRegression(s, d)),
     // shuffle-skew audit: Gini of the key distribution + top keys
     "q191_skew_audit"      -> ((s, d) => RelationalExt.skewAudit(s, d)),
+    // per-rule kill + unique-kill counts over the q144 Gopher gates
+    "q193_gopher_ablation" -> ((s, d) => TextOps.gopherAblation(s, d)),
     // join-cardinality profile: exact output size from count tables
     "q192_join_cardinality" -> ((s, d) => RelationalExt.joinCardinalityProfile(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
@@ -1559,6 +1561,41 @@ object SparkEntry {
         |    (SELECT CAST(coalesce(sum(lo.c * oo.c), 0) AS BIGINT)
         |     FROM lo JOIN oo USING (k)))
         |SELECT * FROM e1 UNION ALL SELECT * FROM e2 ORDER BY edge""".stripMargin,
+    // q193: the q144 base-measure CTE; per rule a UNION ALL branch
+    // with fail / unique-fail conditional sums (program-generated so
+    // rule text can never drift from q144's)
+    "q193_gopher_ablation" -> {
+      val flags = Seq(
+        "f_alpha_words" -> "(alpha_words * 5 >= n_words * 4)",
+        "f_bullet_lines" -> "(bullet_lines * 10 <= n_lines * 9)",
+        "f_ellipsis_lines" -> "(ell_lines * 10 <= n_lines * 3)",
+        "f_mean_word_len" -> "(nonspace >= n_words * 3 AND nonspace <= n_words * 10)",
+        "f_stopwords" -> "(stops >= 2)",
+        "f_symbol_ratio" -> "(sym * 10 <= n_words)",
+        "f_word_count" -> "(n_words >= 50 AND n_words <= 100000)")
+      val keep = flags.map(_._2).mkString(" AND ")
+      val rows = flags.map { case (n, e) =>
+        val others = flags.filter(_._1 != n).map(_._2).mkString(" AND ")
+        s"""SELECT '$n' AS rule,
+           |  CAST(sum(CASE WHEN NOT $e THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+           |  CAST(sum(CASE WHEN NOT $e AND $others THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_fail,
+           |  count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN $keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+           |FROM t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\\s+')) AS n_words,
+        |  len(string_split(text, chr(10))) AS n_lines,
+        |  length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+        |  len(regexp_extract_all(text, '${TextOps.AlphaWordPattern}')) AS alpha_words,
+        |  len(regexp_extract_all(text, '${TextOps.SymbolPattern}')) AS sym,
+        |  len(regexp_extract_all(text, '${TextOps.BulletLinePattern}')) AS bullet_lines,
+        |  len(regexp_extract_all(text, '${TextOps.EllipsisLinePattern}')) AS ell_lines,
+        |  len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS stops
+        | FROM documents)
+        |$rows
+        |ORDER BY rule""".stripMargin
+    },
     // q27: full cross-engine SimHash. The 60-bit token hash is one
     // big-endian hex window of md5 parsed to BIGINT (same
     // construction as q75's base hashes) — 60 bits keeps the value

@@ -322,8 +322,16 @@ object DedupOps {
     * anywhere. */
   def nearDupWeighted(spark: SparkSession, dir: String,
                       threshold: Double = 0.6): DataFrame = {
+    // dg feeds BOTH the idf dim and the blocked pair build; a lazy
+    // localCheckpoint materializes the shingle pass once instead of
+    // twice (measured 5.2 s → the q25-family ~1.2 s per pass — the
+    // whole regex+window shingle chain was the duplicated cost). The
+    // cached rows are (doc_id, md5) pairs — the explicit
+    // cache-vs-recompute tradeoff a 100 TB run tunes; recompute is
+    // one conf flip away (drop the checkpoint).
     val dg = shingleRows(spark, dir)
       .select(col("doc_id"), md5(col("s")).as("m")).distinct()
+      .localCheckpoint(false)
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val idf = dg.groupBy(col("m")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))

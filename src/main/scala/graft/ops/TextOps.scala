@@ -768,6 +768,37 @@ object TextOps {
   private[ops] def gopherKeepCol: Column =
     gopherFlagCols.map(_._2).reduce(_ && _)
 
+  /** q193: filter-ablation report over the q144 Gopher rules — per
+    * rule, how many documents it rejects (`n_fail`) and how many it
+    * rejects ALONE (`n_unique_fail`: every other rule passes, so
+    * dropping this one rule would admit exactly those docs). The
+    * standard before-you-tune-a-threshold analysis: a rule with high
+    * n_fail but zero unique kills is redundant with the others, and a
+    * rule carrying most unique kills is the one whose threshold
+    * deserves scrutiny. One corpus pass evaluates all seven flags;
+    * the 14 conditional sums aggregate with map-side partials and the
+    * 7-row long form is a stack over the one-row totals. Exact longs
+    * end to end. */
+  def gopherAblation(spark: SparkSession, dir: String): DataFrame = {
+    val flags = gopherFlagCols
+    val aggs = flags.flatMap { case (name, f) =>
+      val others = flags.filter(_._1 != name).map(_._2).reduce(_ && _)
+      Seq(
+        sum(when(!f, 1L).otherwise(0L)).as(s"fail_$name"),
+        sum(when(!f && others, 1L).otherwise(0L)).as(s"uniq_$name"))
+    } ++ Seq(count(lit(1)).as("n_docs"),
+      sum(when(gopherKeepCol, 1L).otherwise(0L)).as("n_keep"))
+    val stack = flags.map { case (name, _) =>
+      s"'$name', fail_$name, uniq_$name" }.mkString(",\n ")
+    Tables.documents(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_docs"), col("n_keep"), expr(
+        s"stack(${flags.size},\n $stack) AS (rule, n_fail, n_unique_fail)"))
+      .select(col("rule"), col("n_fail"), col("n_unique_fail"),
+        col("n_docs"), col("n_keep"))
+      .orderBy(col("rule"))
+  }
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val words = size(split(col("text"), "\\s+")).cast("bigint")
     Tables.documents(spark, dir).select(

@@ -207,6 +207,28 @@ class SignalStatsSpec extends AnyFunSuite {
     assert(got("lineitem.orderkey=orders.orderkey") == actualLO)
   }
 
+  test("gopher ablation: counts recompute from q144's per-doc flags; unique <= fail") {
+    val abl = TextOps.gopherAblation(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(abl.length == 7)
+    val rules = abl.map(_._1).toSeq
+    // q144 emits one boolean column per rule — recompute the ablation
+    // from those per-doc flags (an independent path through the code)
+    val perDoc = TextOps.gopherRules(spark, sf).collect().map { r =>
+      rules.map(n => n -> r.getBoolean(r.fieldIndex(n))).toMap
+    }
+    abl.foreach { case (rule, nFail, nUniq, nDocs, nKeep) =>
+      assert(nDocs == perDoc.length)
+      assert(nFail == perDoc.count(d => !d(rule)), s"$rule n_fail")
+      assert(nUniq == perDoc.count(d => !d(rule) && d.filterNot(_._1 == rule).values.forall(identity)),
+        s"$rule n_unique_fail")
+      assert(nKeep == perDoc.count(_.values.forall(identity)))
+      assert(nUniq <= nFail)
+    }
+    // the report is non-degenerate: some rule actually kills uniquely
+    assert(abl.exists(_._3 > 0))
+  }
+
   test("event-rate anomalies: z-scores match a driver-side recompute; flags non-vacuous") {
     val hourly = Tables.events(spark, sf)
       .groupBy($"event_type", org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("hour"))
