@@ -122,6 +122,8 @@ object SparkEntry {
     "q191_skew_audit"      -> ((s, d) => RelationalExt.skewAudit(s, d)),
     // per-rule kill + unique-kill counts over the q144 Gopher gates
     "q193_gopher_ablation" -> ((s, d) => TextOps.gopherAblation(s, d)),
+    // contamination triage by source: q88's verdicts rolled up
+    "q194_decontam_by_source" -> ((s, d) => CurationOps.decontaminationBySource(s, d)),
     // join-cardinality profile: exact output size from count tables
     "q192_join_cardinality" -> ((s, d) => RelationalExt.joinCardinalityProfile(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
@@ -3116,6 +3118,37 @@ object SparkEntry {
         | coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
         |LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
+    // q194: the q88 CTEs + a source rollup; rates rounded at 6
+    "q194_decontam_by_source" ->
+      s"""WITH w AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, greatest(len(words) - 7, 0)),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 8), ' '))) AS gram
+        |  FROM w),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hits
+        |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 7) t
+        |  LEFT JOIN ev ON t.gram = ev.gram
+        |  GROUP BY t.doc_id),
+        |per AS (
+        |  SELECT d.doc_id, d.source,
+        |    coalesce(h.n_grams, 0) AS n_grams,
+        |    coalesce(h.n_hits, 0) AS n_hits,
+        |    coalesce(h.n_hits, 0) > 0 AS contaminated
+        |  FROM (SELECT doc_id, source FROM documents WHERE doc_id % 10 <> 7) d
+        |  LEFT JOIN hits h ON d.doc_id = h.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  ${TextOps.roundAtSql(
+             "CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS doc_rate,
+        |  ${TextOps.roundAtSql(
+             "CAST(sum(n_hits) AS DOUBLE) / greatest(sum(n_grams), 1)", 6)} AS gram_rate
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "q89_dup_spans" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -100,6 +100,33 @@ object CurationOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** q194: contamination rollup by source — the per-doc q88 verdicts
+    * aggregated to (source): docs, contaminated docs, contamination
+    * rate, and the gram-level hit fraction. The triage view a team
+    * reads FIRST (which feed is leaking the eval suite decides
+    * whether to fix a scraper or drop a source); the per-doc table is
+    * the drill-down. Composition: [[decontamination]]'s output joined
+    * to the column-pruned (doc_id, source) projection, one tiny
+    * rollup; exact longs, rates rounded at 6. */
+  def decontaminationBySource(spark: SparkSession, dir: String,
+                              k: Int = 8): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    decontamination(spark, dir, k)
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_hits")).as("n_hits"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        TextOps.roundAt(col("n_contaminated").cast("double") / col("n_docs"), 6)
+          .as("doc_rate"),
+        TextOps.roundAt(col("n_hits").cast("double") /
+          greatest(col("n_grams"), lit(1L)), 6).as("gram_rate"))
+      .orderBy(col("source"))
+  }
+
   /** [[decontamination]] against SEVERAL eval suites in ONE corpus
     * pass: the suite-tagged union of eval gram sets broadcasts as one
     * dimension, each corpus gram position left-joins it once, and the
