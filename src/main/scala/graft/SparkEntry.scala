@@ -552,10 +552,16 @@ object SparkEntry {
     s"""list_sum(list_transform(range(1, len(e.emb) + 1),
        |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])))""".stripMargin
 
-  /** Shared Lloyd stage chain (q169/q184): `WITH e, flat, c0 …
+  /** Shared Lloyd stage chain (q169/q184/q162): `WITH e, flat, c0 …
     * c{iters−1}, df, fin` where `fin` holds the final (vec_id,
-    * cluster, raw d2) assignment against the trained centroids. */
-  private def kmeansStagesSql(k: Int, iters: Int): String = {
+    * cluster, raw d2) assignment against the trained centroids.
+    * [[kmeansStagesBody]] returns the CTE list WITHOUT the leading
+    * `WITH` so callers needing `WITH RECURSIVE` (q162's CC) can
+    * prepend their own keyword; `kExpr` is a SQL expression so k can
+    * be DATA-DEPENDENT (q162's corpus-proportional k = ⌈n/target⌉ —
+    * the oracle computes the same k from the same table the Spark
+    * side counts). */
+  private def kmeansStagesBody(kExpr: String, iters: Int): String = {
     val rounds = (1 until iters).map { r =>
       s"""d$r AS MATERIALIZED (
          |  SELECT e.vec_id, c.cl, $kmeansDistSql AS d2
@@ -571,14 +577,14 @@ object SparkEntry {
          |    FROM a$r a JOIN flat f ON f.vec_id = a.vec_id
          |    GROUP BY a.cl, f.pos) GROUP BY cl)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, CAST(label AS INTEGER) AS label,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |flat AS MATERIALIZED (
        |  SELECT vec_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v
        |  FROM e),
-       |c0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cent FROM e WHERE vec_id < $k),
+       |c0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cent FROM e WHERE vec_id < ($kExpr)),
        |$rounds,
        |df AS MATERIALIZED (
        |  SELECT e.vec_id, c.cl, $kmeansDistSql AS d2
@@ -589,6 +595,9 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
        |    FROM df) WHERE rk = 1)""".stripMargin
   }
+
+  private def kmeansStagesSql(k: Int, iters: Int): String =
+    "WITH " + kmeansStagesBody(k.toString, iters)
 
   private lazy val kmeansOracleSql: String =
     s"""${kmeansStagesSql(8, 3)}
@@ -940,28 +949,19 @@ object SparkEntry {
         |                        THEN 1.0 ELSE -1.0 END))) * 0.25 * 1000000 + 0.5) / 1000000 AS y
         |FROM e, (SELECT unnest(range(0, 16)) AS j) r
         |ORDER BY vec_id, rdim""".stripMargin,
-    // q162: q87's assignment CTEs + within-cluster pair cosines +
-    // q61's recursive min-label CC + the keep-the-atypical window;
-    // both cosines rounded at 4 and every DECISION compares the
-    // rounded value (q40 convention)
+    // q162: the q169 Lloyd chain with DATA-DEPENDENT corpus-
+    // proportional k = max(2, ⌈n/64⌉) (computed by the SQL itself
+    // from the same table the Spark side counts) + within-cluster
+    // pair cosines + q61's recursive min-label CC + the
+    // keep-the-atypical window; both cosines rounded at 4 and every
+    // DECISION compares the rounded value (q40 convention)
     "q162_semdedup" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-        |  FROM embeddings),
-        |flat AS (
-        |  SELECT label AS clabel,
-        |    unnest(range(0, len(emb))) AS pos,
-        |    unnest(emb) AS v
-        |  FROM e),
-        |cm AS (SELECT clabel, pos, avg(v) AS m FROM flat GROUP BY 1, 2),
-        |cent AS (SELECT clabel, list(m ORDER BY pos) AS cent FROM cm GROUP BY 1),
-        |ad AS (
-        |  SELECT e.vec_id, e.emb, c.clabel,
-        |    list_sum(list_transform(range(1, len(e.emb) + 1),
-        |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
-        |  FROM e CROSS JOIN cent c),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk FROM ad),
-        |asg AS (SELECT vec_id, clabel, emb FROM rk WHERE rk = 1),
+      s"""WITH RECURSIVE ${kmeansStagesBody(
+            "SELECT greatest(2, CAST(ceil(CAST(count(*) AS DOUBLE) / 64) AS BIGINT)) FROM embeddings", 3)},
+        |cent AS (SELECT cl AS clabel, cent FROM c2),
+        |asg AS (
+        |  SELECT f.vec_id, f.cluster AS clabel, e.emb
+        |  FROM fin f JOIN e ON e.vec_id = f.vec_id),
         |sc AS (
         |  SELECT a.vec_id, a.clabel, a.emb,
         |    round(
@@ -984,7 +984,7 @@ object SparkEntry {
         |g AS (
         |  SELECT s.vec_id, s.clabel, coalesce(l.grp, s.vec_id) AS grp, s.cos_c
         |  FROM sc s LEFT JOIN lbl l ON l.vec_id = s.vec_id)
-        |SELECT vec_id, CAST(clabel AS INTEGER) AS clabel, grp, cos_c,
+        |SELECT vec_id, clabel, grp, cos_c,
         |  (row_number() OVER (PARTITION BY grp ORDER BY cos_c, vec_id)) = 1 AS kept
         |FROM g ORDER BY vec_id""".stripMargin,
     // q26: the xxhash production LSH, gated on equality with the
@@ -1282,9 +1282,13 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // q172: (doc, word) exact counts -> per-term (n/N)·ln(n/N) ->
     // negated left-fold sum in word order (≡ Spark's subtraction
-    // chain — IEEE negation is exact, the q161 convention)
+    // chain — IEEE negation is exact, the q161 convention). The final
+    // rounding is roundAtSql ↔ Spark's roundAt (one shared formula,
+    // q149 convention) — which also normalizes the −0.0 a
+    // single-distinct-word doc's negated zero-sum would otherwise
+    // emit (floor(−0.0·1e6 + 0.5)/1e6 = +0.0 on both engines).
     "q172_token_entropy" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
         |  FROM documents),
@@ -1301,7 +1305,7 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  CAST(coalesce(tot.nt, 0) AS BIGINT) AS n_words,
         |  CAST(coalesce(tot.nd, 0) AS BIGINT) AS n_distinct,
-        |  round(coalesce(per.h_raw, 0.0), 6) AS entropy
+        |  ${TextOps.roundAtSql("coalesce(per.h_raw, 0.0)", 6)} AS entropy
         |FROM documents d
         |LEFT JOIN tot ON tot.doc_id = d.doc_id
         |LEFT JOIN per ON per.doc_id = d.doc_id
@@ -1321,7 +1325,8 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
         | FROM documents) t)
         |SELECT doc_id, source, quality,
-        |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS q_rank
+        |  ${TextOps.roundAtSql(
+             "percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)", 6)} AS q_rank
         |FROM q ORDER BY doc_id""".stripMargin,
     // q174: exact hourly counts -> per-type mean and textbook
     // variance from exact Σx/Σx² (no engine stddev function — their
@@ -1334,9 +1339,10 @@ object SparkEntry {
         |s AS (
         |  SELECT event_type,
         |    CAST(sum(n_events) AS DOUBLE) / count(*) AS mu,
-        |    sqrt((CAST(sum(n_events * n_events) AS DOUBLE) -
+        |    CASE WHEN count(*) <= 1 THEN 0.0
+        |         ELSE sqrt((CAST(sum(n_events * n_events) AS DOUBLE) -
         |          CAST(sum(n_events) AS DOUBLE) * CAST(sum(n_events) AS DOUBLE) / count(*)) /
-        |         (count(*) - 1)) AS sd
+        |         (count(*) - 1)) END AS sd
         |  FROM h GROUP BY event_type)
         |SELECT h.event_type, h.hour, h.n_events,
         |  round(CASE WHEN s.sd = 0.0 THEN 0.0
@@ -1348,14 +1354,14 @@ object SparkEntry {
     // q175: exact vocab counts + TTR; in_envelope is an IN-PLAN gate
     // the oracle asserts TRUE (the q124 exact-gated-sketch pattern)
     "q175_vocab_richness" ->
-      """WITH w AS (
+      s"""WITH w AS (
         |  SELECT doc_id,
         |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS word
         |  FROM documents)
         |SELECT d.source,
         |  count(*) AS n_words,
         |  count(DISTINCT w.word) AS vocab_ndv,
-        |  round(CAST(count(DISTINCT w.word) AS DOUBLE) / count(*), 6) AS ttr,
+        |  ${TextOps.roundAtSql("CAST(count(DISTINCT w.word) AS DOUBLE) / count(*)", 6)} AS ttr,
         |  TRUE AS in_envelope
         |FROM w JOIN documents d ON d.doc_id = w.doc_id
         |WHERE w.word <> ''

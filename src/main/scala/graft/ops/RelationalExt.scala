@@ -1113,13 +1113,17 @@ object RelationalExt {
     // reference this query exists to pin)
     val ranked = o.withColumn("rn", row_number().over(w).cast("long"))
       .crossJoin(broadcast(n))
+    // bounds are ascending by construction (v at a larger rank ≥ v at
+    // a smaller one), so array_sort of the unordered collect_list IS
+    // the rank order — collect_list after orderBy is NOT contractually
+    // order-preserving across the final aggregation shuffle, and an
+    // out-of-order bounds array would silently mis-assign buckets
     val bounds = ranked
       .filter((1 to k).map(i =>
         col("rn") === ceil(col("n") * lit(i.toDouble) / k).cast("long"))
         .reduce(_ || _))
       .groupBy(col("rn")).agg(max(col("v")).as("bound"))
-      .orderBy(col("rn"))
-      .select(collect_list(col("bound")).as("bounds"))
+      .select(array_sort(collect_list(col("bound"))).as("bounds"))
     o.crossJoin(broadcast(bounds))
       .select(aggregate(
         col("bounds"),
@@ -1263,7 +1267,11 @@ object RelationalExt {
     * are then fixed IEEE expression trees both engines share — no
     * engine stddev function is used precisely because sample/pop
     * conventions and accumulation orders differ across engines. An
-    * all-constant type (sd = 0) yields z = 0 rather than ±∞. z is
+    * all-constant type (sd = 0) yields z = 0 rather than ±∞, and a
+    * single-bucket type (n = 1, where (n−1) = 0 makes Spark's
+    * non-ANSI divide return NULL but DuckDB's double divide return
+    * NaN) is guarded EXPLICITLY to sd = 0 on both engines — engine
+    * divide-by-zero conventions are never relied on. z is
     * rounded at 6 for output; the flag compares the RAW z.
     *
     * Scale: one (type, hour) aggregation with map-side partials, one
@@ -1280,9 +1288,10 @@ object RelationalExt {
         sum(col("n_events") * col("n_events")).as("s2"))
       .select(col("event_type"),
         (col("s1").cast("double") / col("nb")).as("mu"),
-        sqrt((col("s2").cast("double") -
-          col("s1").cast("double") * col("s1").cast("double") / col("nb")) /
-          (col("nb") - 1L)).as("sd"))
+        when(col("nb") <= 1L, lit(0.0d))
+          .otherwise(sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("nb")) /
+            (col("nb") - 1L))).as("sd"))
     val z = when(col("sd") === 0.0d, lit(0.0d))
       .otherwise((col("n_events").cast("double") - col("mu")) / col("sd"))
     hourly.join(broadcast(stats), Seq("event_type"))

@@ -534,16 +534,11 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"legs are not partial top-k:\n$p")
   }
 
-  test("SemDeDup matches a full driver-side recompute (assignment, groups, keepers)") {
+  test("SemDeDup matches a full driver-side recompute (Lloyd training, assignment, groups, keepers)") {
     val e = Tables.embeddings(spark, sf)
-      .select($"vec_id", $"embedding", $"label").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble), r.getInt(2)))
-    // centroids per label (mean per dimension, double)
-    val cents = e.groupBy(_._3).map { case (l, g) =>
-      val dim = g.head._2.length
-      l -> Array.tabulate(dim)(d => g.map(_._2(d)).sum / g.length)
-    }
-    // nearest-centroid assignment, (d2, clabel) tie-break
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }; s
@@ -554,8 +549,24 @@ class SimilarityDedupSpec extends AnyFunSuite {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
-    val assigned = e.toSeq.map { case (id, emb, _) =>
-      val cl = cents.toSeq.map { case (l, c) => (d2(emb, c), l) }.min._2
+    // sequential Lloyd reference (the KMeansSpec shape) with the
+    // operator's corpus-proportional k = max(2, ⌈n/64⌉), seeds
+    // vec_id < k, 3 rounds, (d2, cl) ties to the lowest cluster id
+    val k = math.max(2L, (e.length + 63L) / 64L)
+    var cents: Seq[(Long, Array[Double])] =
+      e.filter(_._1 < k).map { case (id, emb) => (id, emb) }.toSeq
+    for (_ <- 1 until 3) {
+      val asg = e.map { case (_, emb) =>
+        (cents.map { case (cl, c) => (d2(emb, c), cl) }.minBy(x => (x._1, x._2))._2, emb)
+      }
+      cents = asg.groupBy(_._1).toSeq.sortBy(_._1).map { case (cl, g) =>
+        val dim = g.head._2.length
+        (cl, Array.tabulate(dim)(d => g.map(_._2(d)).sum / g.length))
+      }
+    }
+    val centMap = cents.toMap
+    val assigned = e.toSeq.map { case (id, emb) =>
+      val cl = cents.map { case (c, cv) => (d2(emb, cv), c) }.minBy(x => (x._1, x._2))._2
       (id, emb, cl)
     }
     // within-cluster dup pairs at the ROUNDED threshold
@@ -574,7 +585,7 @@ class SimilarityDedupSpec extends AnyFunSuite {
     }
     val grpOf = assigned.map(v => v._1 -> find(v._1)).toMap
     // keeper per group: lowest ROUNDED centroid cosine, then vec_id
-    val cosC = assigned.map { case (id, emb, cl) => id -> r4(cos(emb, cents(cl))) }.toMap
+    val cosC = assigned.map { case (id, emb, cl) => id -> r4(cos(emb, centMap(cl))) }.toMap
     val keeper = assigned.groupBy(v => grpOf(v._1)).map { case (g, ms) =>
       g -> ms.map(v => (cosC(v._1), v._1)).min._2
     }
@@ -582,7 +593,7 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(got.length == e.length)
     got.foreach { r =>
       val id = r.getLong(0)
-      assert(r.getInt(1) == assigned.find(_._1 == id).get._3, s"clabel of $id")
+      assert(r.getLong(1) == assigned.find(_._1 == id).get._3, s"clabel of $id")
       assert(r.getLong(2) == grpOf(id), s"group of $id")
       assert(r.getDouble(3) == cosC(id), s"cos_c of $id")
       assert(r.getBoolean(4) == (keeper(grpOf(id)) == id), s"kept of $id")
