@@ -373,31 +373,61 @@ object DedupOps {
     * (clique) or keep-the-chain-ends (drift) is the right
     * survivorship policy.
     *
-    * Algorithm: the classic two-path join on a<b ordered edges —
-    * e(a,b) ⋈ e(b,c) gives a<b<c wedges, a semi join against e(a,c)
-    * closes them; each triangle then credits its three corners via
-    * one explode + aggregation. The edge list is lazily checkpointed
-    * so the three join legs share ONE near-dup computation instead of
-    * re-running q25 per leg.
+    * Algorithm: DEGREE-ORDERED two-path join (Suri & Vassilvitskii's
+    * MR-triangle result, the Schank node-iterator order): each
+    * undirected edge is oriented toward its higher-(degree, id)
+    * endpoint — a total order, so the orientation is acyclic and a
+    * triangle x≺y≺z appears as EXACTLY the wedge (x→y, y→z) closed
+    * by the semi join against (x→z); each triangle then credits its
+    * three corners via one explode + aggregation. The edge list is
+    * lazily checkpointed so the degree pass and the three join legs
+    * share ONE near-dup computation instead of re-running q25 per
+    * leg.
     *
-    * Scale: edges are the post-blocking VERIFIED pair set (≪ corpus);
-    * the wedge join is bounded by Σ deg(b)² over hub nodes — at
-    * 100 TB the standard upgrade is degree-ordering each edge toward
-    * its higher-degree endpoint first (cuts the bound to O(m^1.5),
-    * Suri & Vassilvitskii's MR-triangle result) and the same
-    * [[nearDupNgramCapped]] stop-bucket cap already bounds the
-    * degree a boilerplate hub can reach. */
+    * Scale: edges are the post-blocking VERIFIED pair set (≪ corpus),
+    * and the orientation is what survives a boilerplate hub: a node's
+    * OUT-degree is bounded by √(2m) (its out-neighbors all have ≥ its
+    * degree, so a d-out node implies ≥ d²/2 edges), which cuts the
+    * wedge join from the naive Σ deg(hub)² to O(m^1.5) — a 10⁴-degree
+    * hub generates ZERO path wedges (all its edges point in), where
+    * the id-ordered naive form generates ~deg²/4 (TriangleSpec pins
+    * both numbers on a synthetic star). Cost of the ordering: one
+    * node-degree aggregation + two edge⋈degree joins — edge-sized,
+    * never corpus-sized. */
   def triangleCounts(spark: SparkSession, dir: String,
-                     threshold: Double = 0.5): DataFrame = {
-    val e = nearDupNgram(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
-    val wedges = e.toDF("a", "b").join(e.toDF("b", "c"), "b")
-    val tris = wedges.join(e.toDF("a", "c"), Seq("a", "c"), "left_semi")
+                     threshold: Double = 0.5): DataFrame =
+    triangleCorners(
+      nearDupNgram(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  /** Orient each undirected a<b edge u→v toward its higher-(degree,
+    * id) endpoint. The (degree, id) pair is a TOTAL order over nodes,
+    * so the oriented graph is acyclic and every node's out-degree is
+    * ≤ √(2m) — the bound the triangle wedge join rides on. */
+  private[graft] def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("nd"))
+      .groupBy(col("nd")).agg(count(lit(1)).as("dg"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    edges
+      .join(deg.select(col("nd").as("doc_a"), col("dg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("nd").as("doc_b"), col("dg").as("db")), Seq("doc_b"))
+      .select(
+        when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("v"))
+  }
+
+  /** Per-corner triangle credits of an undirected a<b edge set, via
+    * the degree-ordered wedge join (see [[triangleCounts]]). */
+  private[graft] def triangleCorners(edges: DataFrame): DataFrame = {
+    val o = orientByDegree(edges.localCheckpoint(false)).localCheckpoint(false)
+    val wedges = o.toDF("a", "b").join(o.toDF("b", "c"), "b")
+    val tris = wedges.join(o.toDF("a", "c"), Seq("a", "c"), "left_semi")
     tris
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("doc_id"))
   }
 
   /** Duplicate clusters: connected components over the near-dup pair

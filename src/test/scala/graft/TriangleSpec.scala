@@ -43,6 +43,38 @@ class TriangleSpec extends AnyFunSuite {
       s"chain leaked a triangle: $got")
   }
 
+  test("degree ordering collapses a 10^4-degree star's wedge set (the O(m^1.5) bound)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val d = 10000
+    val hub = (d / 2).toLong
+    // a<b star edges with the hub in the MIDDLE of the id range — the
+    // worst case for the naive id-ordered two-path join (in(hub) and
+    // out(hub) are both ~d/2, so it materializes ~d²/4 wedge rows);
+    // plus one spoke triangle (1,2,3) so correctness stays non-vacuous
+    val star = (0L until d.toLong).filter(_ != hub)
+      .map(s => if (s < hub) (s, hub) else (hub, s))
+    val extra = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (star ++ extra).toDF("doc_a", "doc_b")
+    // the naive bound, measured: id-ordered wedges through the hub
+    val naive = edges.toDF("a", "b").join(edges.toDF("b", "c"), "b").count()
+    assert(naive >= (d.toLong / 2 - 1L) * (d.toLong / 2 - 1L),
+      s"star no longer exercises the naive blow-up (wedges=$naive)")
+    // the degree-ordered form: every star edge points INTO the hub
+    // (max degree), so the hub contributes ZERO path wedges
+    val o = DedupOps.orientByDegree(edges).cache()
+    val orderedWedges = o.toDF("a", "b").join(o.toDF("b", "c"), "b").count()
+    assert(orderedWedges <= 16L,
+      s"degree ordering failed to collapse the hub (wedges=$orderedWedges vs naive=$naive)")
+    assert(o.filter(col("u") === hub).count() == 0L, "hub kept out-edges")
+    // and the counts are still exact: 4 triangles (1,2,3) + one per
+    // extra edge with the hub — every corner of each credited once
+    val got = DedupOps.triangleCorners(edges)
+      .as[(Long, Long)].collect().toMap
+    o.unpersist()
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, hub -> 3L),
+      s"triangle credits wrong: $got")
+  }
+
   test("real data: the verified triangle population is non-vacuous and consistent") {
     val tri = DedupOps.triangleCounts(spark, sf).as[(Long, Long)].collect()
     // total corner credits are divisible by 3 (every triangle has 3)
