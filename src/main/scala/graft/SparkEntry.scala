@@ -124,6 +124,22 @@ object SparkEntry {
     "q193_gopher_ablation" -> ((s, d) => TextOps.gopherAblation(s, d)),
     // contamination triage by source: q88's verdicts rolled up
     "q194_decontam_by_source" -> ((s, d) => CurationOps.decontaminationBySource(s, d)),
+    // q195–q197: the flagship O5–O13 hydro dataflow under the DuckDB
+    // hash gate (struct_pack/list twins) — reads the repo-committed
+    // WaterML fixture parquet by absolute path on BOTH engines (see
+    // graft.pipeline.HydroFixture); the sf `dir` is ignored
+    "q195_hydro_features"  -> ((s, _) =>
+      graft.pipeline.HydroPipeline.toFeatures(
+        s.read.parquet(graft.pipeline.HydroFixture.FixtureFile))),
+    "q196_hydro_merged"    -> ((s, _) =>
+      graft.pipeline.HydroPipeline.mergeSites(
+        graft.pipeline.HydroPipeline.toFeatures(
+          s.read.parquet(graft.pipeline.HydroFixture.FixtureFile)))),
+    "q197_hydro_collection" -> ((s, _) =>
+      graft.pipeline.HydroPipeline.toFeatureCollection(
+        graft.pipeline.HydroPipeline.mergeSites(
+          graft.pipeline.HydroPipeline.toFeatures(
+            s.read.parquet(graft.pipeline.HydroFixture.FixtureFile))))),
     // join-cardinality profile: exact output size from count tables
     "q192_join_cardinality" -> ((s, d) => RelationalExt.joinCardinalityProfile(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
@@ -625,6 +641,61 @@ object SparkEntry {
        |       sqrt(list_sum(list_transform(range(1, len(q_emb) + 1), i -> q_emb[i] * q_emb[i])))), 4) AS cos
        |  FROM cand)
        |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** q195–q197 shared CTEs: the hydro fixture read + the toFeatures
+    * projection (feat) and the per-site merge (merged), built with
+    * struct_pack/list in EXACTLY the Spark struct field order —
+    * nested values are compared as rendered dicts, so field order is
+    * part of the contract. */
+  private lazy val hydroFeaturesCte: String =
+    s"""WITH t AS (SELECT * FROM read_parquet('${graft.pipeline.HydroFixture.FixtureFile}')),
+       |tv AS (SELECT t.*, t."values"[1]."value"[1] AS v0 FROM t),
+       |feat AS (
+       |  SELECT 'Feature' AS type,
+       |    struct_pack(type := 'Point',
+       |      coordinates := [t.sourceInfo.geoLocation.geogLocation.longitude,
+       |                      t.sourceInfo.geoLocation.geogLocation.latitude]) AS geometry,
+       |    struct_pack(
+       |      record := 'usgs-water',
+       |      id := t.name,
+       |      site := coalesce(t.sourceInfo.siteName, 'undefined'),
+       |      srs := coalesce(t.sourceInfo.geoLocation.geogLocation.srs, 'undefined'),
+       |      siteCode := t.sourceInfo.siteCode[1]."value",
+       |      variables := [CASE WHEN t.v0 IS NOT NULL THEN struct_pack(
+       |          variableCode := coalesce(t.variable.variableCode[1]."value", 'undefined'),
+       |          variableUnit := coalesce(t.variable.unit.unitAbbreviation, 'undefined'),
+       |          noDataValue := coalesce(CAST(t.variable.noDataValue AS VARCHAR), 'undefined'),
+       |          "value" := t.v0."value",
+       |          "timeStamp" := t.v0.dateTime)
+       |        ELSE struct_pack(variableCode := NULL::VARCHAR, variableUnit := NULL::VARCHAR,
+       |          noDataValue := NULL::VARCHAR, "value" := NULL::VARCHAR,
+       |          "timeStamp" := NULL::VARCHAR)
+       |        END]) AS properties
+       |  FROM tv t)""".stripMargin
+
+  private lazy val hydroMergedCte: String =
+    """fv AS (
+      |  SELECT properties.siteCode AS siteCode, geometry,
+      |    properties.record AS record, properties.site AS site,
+      |    properties.srs AS srs,
+      |    properties.variables[1] AS var0,
+      |    properties.variables[1].variableCode AS vc,
+      |    properties.id || chr(1) ||
+      |      coalesce(properties.variables[1]."value", '') || chr(1) ||
+      |      coalesce(properties.variables[1].timeStamp, '') AS okey
+      |  FROM feat
+      |  WHERE properties.variables[1].variableCode IN ('00060', '00065')),
+      |merged AS (
+      |  SELECT siteCode,
+      |    min_by(geometry, okey) AS geometry,
+      |    struct_pack(
+      |      record := min_by(record, okey),
+      |      site := min_by(site, okey),
+      |      srs := min_by(srs, okey),
+      |      siteCode := siteCode,
+      |      streamFlow := min_by(var0, okey) FILTER (WHERE vc = '00060'),
+      |      gageHeight := min_by(var0, okey) FILTER (WHERE vc = '00065')) AS properties
+      |  FROM fv GROUP BY siteCode)""".stripMargin
 
   private lazy val bruteTopKOracleCte: String =
     """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
@@ -3155,6 +3226,32 @@ object SparkEntry {
         |  ${TextOps.roundAtSql(
              "CAST(sum(n_hits) AS DOUBLE) / greatest(sum(n_grams), 1)", 6)} AS gram_rate
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+    // q195: toFeatures replayed with struct_pack/list — field order
+    // matches the Spark struct construction exactly (dict-key order
+    // is part of the compare); 'undefined' coalescing, the v0 guard
+    // and the [lon, lat] coordinates array are the O5–O7 semantics
+    "q195_hydro_features" ->
+      s"""$hydroFeaturesCte
+        |SELECT type, geometry, properties FROM feat""".stripMargin,
+    // q196: the O11 merge — min_by over the (id, value, timeStamp)
+    // ordering-key HEAD (the engine's xxhash64 metadata tail has no
+    // DuckDB twin; HydroFixture asserts the head is tie-free at
+    // generation time, making head-only ordering winner-equivalent),
+    // per-branch winners via FILTER, one group per siteCode
+    "q196_hydro_merged" ->
+      s"""$hydroFeaturesCte,
+        |$hydroMergedCte
+        |SELECT geometry, properties FROM merged""".stripMargin,
+    // q197: the O13 collect-to-one — features listed in siteCode
+    // order inside one FeatureCollection row
+    "q197_hydro_collection" ->
+      s"""$hydroFeaturesCte,
+        |$hydroMergedCte
+        |SELECT list(struct_pack(type := 'Feature',
+        |         properties := properties, geometry := geometry)
+        |       ORDER BY properties.siteCode) AS data
+        |FROM merged
+        |WHERE geometry IS NOT NULL AND properties IS NOT NULL""".stripMargin,
     "q89_dup_spans" ->
       """WITH w AS (
         |  SELECT doc_id,
