@@ -91,8 +91,37 @@ object Bench {
       if (markerIds.remove(e.jobId)) barriersSeen += 1
   }
 
+  /** 1/5/15-min loadavg triple from /proc/loadavg, or all -1 where
+    * unavailable (non-Linux). Box-load telemetry exists because
+    * BENCH_r07/r08/r09/r15 artifacts were contaminated by host
+    * contention and each cost a judge round of adjudication — a
+    * reading taken on a loaded box should say so itself. */
+  private def loadAvg(): Seq[Double] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).map(_.toDouble).toSeq
+      finally src.close()
+    } catch { case _: Exception => Seq(-1.0, -1.0, -1.0) }
+
+  /** Cumulative CPU seconds of THIS JVM (all threads). Paired with
+    * wall time: on an idle 32-thread box cpu/wall sits well above 1
+    * for a parallel workload; external load steals cores, pushing the
+    * ratio down while wall time inflates — a low ratio plus high
+    * loadavg marks a contaminated artifact. */
+  private def procCpuSec(): Double = {
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    os match {
+      case sun: com.sun.management.OperatingSystemMXBean =>
+        sun.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg()
+    val wallStart = System.nanoTime()
+    val cpuStart = procCpuSec()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val broadcastMb = sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "10").toLong
     val spark = SparkSession.builder()
@@ -260,9 +289,23 @@ object Bench {
     // START of the one big line; every driver artifact recorded
     // `parsed: null` and, once per-query byte maps landed, the tail
     // showed only the all-zero spill map.)
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir","slope_ref":"${slopeDir.getOrElse("")}","slope":$slp,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}"""
+    // box-load self-identification (VERDICT r16 item 8): loadavg at
+    // start/end, this JVM's cpu/wall ratio over the whole run, and a
+    // one-word verdict. Heuristic: the bench should own the box — a
+    // 1-min loadavg well above our own parallelism, or a cpu/wall
+    // ratio below 1.5 on a local[32] run, means cores were stolen and
+    // min-estimator times are upper bounds, not measurements.
+    val loadEnd = loadAvg()
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val cpuSec = { val c = procCpuSec(); if (c >= 0 && cpuStart >= 0) c - cpuStart else -1.0 }
+    val cpuWall = if (cpuSec > 0 && wallSec > 0) math.round(cpuSec / wallSec * 100) / 100.0 else -1.0
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    val contended = (loadEnd.head > nCpus * 1.25) || (cpuWall >= 0 && cpuWall < 1.5)
+    def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
+    val boxJson = s""""box":{"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"wall_sec":${math.round(wallSec * 100) / 100.0},"proc_cpu_sec":${math.round(cpuSec * 100) / 100.0},"cpu_wall_ratio":$cpuWall,"ncpus":$nCpus,"contended":$contended}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir",$boxJson,"slope_ref":"${slopeDir.getOrElse("")}","slope":$slp,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}"""
     println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"reps":$reps,"estimator":"min","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"reps":$reps,"estimator":"min","sf":"$sfDir",$boxJson}""")
     // The driver captures only a bounded stdout TAIL: in round 15 that
     // truncation dropped 100 of 158 per-query numbers from the BENCH
     // artifact, blinding round-over-round comparison. So the full

@@ -798,8 +798,13 @@ object DedupOps {
     // checkpoint the INPUT once: nodes and edges both derive from it,
     // and without this the caller's pair plan (a whole near-dup
     // candidate+verify run for dedupClustersStar) evaluates twice —
-    // measured ~1.1 s of q97's round-12 cost at sf0.1
-    val p = pairs.localCheckpoint()
+    // measured ~1.1 s of q97's round-12 cost at sf0.1. LAZY since
+    // round 17: the setup-probe job below is the first action through
+    // it, so it materializes there instead of in a standalone job —
+    // one fewer job per CC invocation, ×3 for q143's fold chain,
+    // whose median/min gap is pure per-job scheduler-latency
+    // amplification (VERDICT r16 item 4).
+    val p = pairs.localCheckpoint(false)
     // nodes/edges both derive from the checkpointed input, so their own
     // checkpoints are LAZY: edges materializes inside the setup-probe
     // job below, nodes inside the final labeling join — two fewer
