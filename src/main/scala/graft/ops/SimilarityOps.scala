@@ -250,6 +250,28 @@ object SimilarityOps {
     graft.sources.Formats.writeBucketed(assigned, table, "clabel", buckets)
   }
 
+  /** Streaming-ingest append: assign an arriving (vec_id, label,
+    * embedding) batch against a SUPPLIED frozen codebook — never the
+    * batch's own statistics; an arriving batch must not move the
+    * centroids it is judged and filed against — and append it into
+    * `table`'s bucket layout ([[graft.sources.Formats.appendBucketed]]
+    * — history is never rewritten or reshuffled). This is the write
+    * half of the foreachBatch ingest loop whose read half is
+    * [[embeddingAdmissionOf]]: admit the micro-batch against the
+    * standing index, append the admitted vectors, and the index the
+    * NEXT micro-batch is judged against now includes them — the
+    * evolving-index contract StreamingMultimodalSpec proves equal to a
+    * sequential batch replay and to a frozen-codebook rebuild. Append
+    * mode creates the table when absent, so a rebuild is this method
+    * applied to the full corpus in one call. */
+  def appendIvfIndexOf(batch: DataFrame, codebook: DataFrame,
+                       table: String, buckets: Int = 8): Unit = {
+    val assigned = batch.crossJoin(broadcast(codebook))
+      .withColumn("clabel", ivfDists.getItem(0).getField("clabel"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("clabel"))
+    graft.sources.Formats.appendBucketed(assigned, table, "clabel", buckets)
+  }
+
   /** Probe a [[writeIvfIndex]]-persisted index with BUCKET PRUNING:
     * the nprobe nearest coarse labels are resolved first (one tiny
     * codebook-sized job collected to the driver — KBs of index state,

@@ -33,6 +33,73 @@ class SkewSpec extends AnyFunSuite {
     assert(Skew.saltedJoin(hot, dim, $"k", $"j", 8).count() == 1000)
   }
 
+  test("property: AQE's runtime skew split and the manual salt agree row-for-row under synthetic hot keys") {
+    // VERDICT r16 item 7: the two skew weapons must be INTERCHANGEABLE
+    // on output — AQE's split is a physical re-read of an oversized
+    // shuffle partition, the salt is a logical key rewrite, and
+    // neither may change the join's multiset. Randomized hot-key
+    // layouts (hot key id, hotness share, tail width vary per trial)
+    // pin that as a property, not a single lucky example.
+    //
+    // When each wins (the division of labor the scale notes claim):
+    //  - AQE wins by DEFAULT: no plan rewrite, engages only when a
+    //    partition actually exceeds the threshold at runtime, zero
+    //    cost when the data turns out balanced. It needs a sort-merge
+    //    join under adaptive execution — and splits PARTITIONS, so
+    //    every sub-read still carries the full hot key against the
+    //    same build rows (fine for joins; useless for a downstream
+    //    single-key aggregation, which re-concentrates).
+    //  - The salt wins when the operator is outside AQE's reach: a
+    //    shuffle-hash/broadcast-ineligible join shape it declines, an
+    //    iterative loop where the same hot key re-concentrates every
+    //    round (connectedComponentsStar's min-attach — the q97 case),
+    //    or streaming state. It costs factor× replication of the
+    //    other side unconditionally, which is why it's opt-in
+    //    (saltThreshold) rather than always-on.
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val hotKey = 1L + rnd.nextInt(50)
+      val hotShare = 6 + rnd.nextInt(4)            // 60–90% of rows hot
+      val tail = 500 + rnd.nextInt(4500)
+      val n = 20000
+      val left = (1 to n).map { i =>
+        (if (i % 10 < hotShare) hotKey else 1L + rnd.nextInt(tail), "x" * 64)
+      }.toDF("k", "pay")
+      val right = (1L to 5000L).map(j => (j, j * 2)).toDF("j", "w")
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        df.select($"k", $"w").as[(Long, Long)].collect().toSeq.sorted
+      // leg 1: AQE skew split, thresholds scaled to test data
+      val confs = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (c, _) => c -> spark.conf.getOption(c) }
+      confs.foreach { case (c, v) => spark.conf.set(c, v) }
+      val (aqe, aqePlan) = try {
+        val j = left.join(right, $"k" === $"j")
+        // materialize through the join's OWN QueryExecution (canon's
+        // select would build a fresh one and leave this un-adapted)
+        val rows = j.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq.sorted
+        (rows, j.queryExecution.executedPlan.toString)
+      } finally saved.foreach {
+        case (c, Some(v)) => spark.conf.set(c, v)
+        case (c, None)    => spark.conf.unset(c)
+      }
+      assert(aqePlan.contains("skew=true"),
+        s"trial $trial: AQE skew-join did not engage (hotShare=$hotShare)")
+      // leg 2: manual salt, default session confs
+      val salted = canon(Skew.saltedJoin(left, right, $"k", $"j", factor = 8))
+      assert(salted == aqe,
+        s"trial $trial: salted and AQE-split join outputs diverge " +
+          s"(${salted.length} vs ${aqe.length} rows, hotKey=$hotKey)")
+      assert(aqe.nonEmpty && aqe.count(_._1 == hotKey) > aqe.length / 2,
+        s"trial $trial fixture: hot key must dominate the output")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime (the engine-native salting)") {
     // The complement of Skew.saltedJoin: at 100 TB the FIRST line of
     // defense against a hot join key is AQE's skew-join rule, which

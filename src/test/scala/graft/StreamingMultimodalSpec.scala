@@ -334,6 +334,110 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF ingest: per-micro-batch admit + append evolves the index; fold equals sequential replay and frozen-codebook rebuild") {
+    // the q180 append path as a LIVE ingest loop (VERDICT r16 item 6):
+    // each micro-batch is admitted against the CURRENT index
+    // (embeddingAdmissionOf), its admitted vectors are appended into
+    // the bucket layout (appendIvfIndexOf, frozen codebook), and the
+    // index the NEXT micro-batch is judged against includes them.
+    // Unlike the frozen-index admission twin above, verdicts here
+    // legitimately DEPEND on batch order — so the contract proven is
+    // (a) the streaming plumbing equals a sequential batch replay of
+    // the same chops, (b) a cross-batch duplicate is caught BY the
+    // evolved state (its best match is an appended vector, which no
+    // standing-index probe could return), and (c) the evolved index
+    // equals a one-call frozen-codebook rebuild of the same rows.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val e = Tables.embeddings(spark, sf)
+    val standing = e.filter(pmod($"vec_id", lit(5)) =!= 4)
+    val arriving = e.filter(pmod($"vec_id", lit(5)) === 4)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect().sortBy(_._1)
+    val maxId = e.agg(max($"vec_id")).head().getLong(0)
+    // b2 carries an exact clone of a b1 vector under a fresh id: its
+    // best match MUST be the b1 original (cos 1.0) — a row that is
+    // only reachable through the append, never the standing index.
+    // The source must be a vector b1's admission will ADMIT (a dup'd
+    // b1 vector is never appended), so pick it with a pure admission
+    // pre-pass against the initial index — same function, no state.
+    val (b1, b2base) = arriving.splitAt(arriving.length / 2)
+    val codebook = SimilarityOps.ivfCodebook(standing).cache()
+    spark.sql("DROP TABLE IF EXISTS ivf_ing_pre")
+    SimilarityOps.writeIvfIndexOf(standing, "ivf_ing_pre", buckets = 8)
+    val preAdmitted = SimilarityOps.embeddingAdmissionOf(
+        b1.toSeq.toDF("vec_id", "label", "embedding").select($"vec_id", $"embedding"),
+        codebook, spark.table("ivf_ing_pre"))
+      .filter(!$"is_dup").select($"vec_id").as[Long].collect().toSet
+    assert(preAdmitted.nonEmpty, "fixture: batch 1 must admit at least one vector")
+    val source = b1.find(r => preAdmitted.contains(r._1)).get
+    val clone = (maxId + 1, source._2, source._3)
+    val b2 = b2base :+ clone
+    def ingest(tbl: String,
+               feed: (Seq[(Long, Int, Array[Float])] => Unit) => Unit): Map[Long, (Boolean, Long, Double)] = {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      SimilarityOps.writeIvfIndexOf(standing, tbl, buckets = 8)
+      val verdicts = scala.collection.mutable.Map.empty[Long, (Boolean, Long, Double)]
+      feed { chunk =>
+        val batch = chunk.toDF("vec_id", "label", "embedding")
+        val v = SimilarityOps.embeddingAdmissionOf(
+          batch.select($"vec_id", $"embedding"), codebook, spark.table(tbl)).collect()
+        verdicts.synchronized {
+          verdicts ++= v.map(r => r.getLong(0) -> ((r.getBoolean(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
+        }
+        val admitted = v.filter(!_.getBoolean(1)).map(_.getLong(0)).toSet
+        val adm = batch.filter($"vec_id".isin(admitted.toSeq: _*))
+        if (admitted.nonEmpty)
+          SimilarityOps.appendIvfIndexOf(adm, codebook, tbl, buckets = 8)
+      }
+      verdicts.toMap
+    }
+    // streaming plumbing: MemoryStream chops drive the same step
+    val streamed = ingest("ivf_ing_stream", { step =>
+      val input = MemoryStream[(Long, Int, Array[Float])]
+      val q = input.toDF().toDF("vec_id", "label", "embedding").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          step(batch.select($"vec_id", $"label", $"embedding")
+            .as[(Long, Int, Array[Float])].collect().toSeq)
+          ()
+        }.start()
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    })
+    // sequential replay of the identical chops, no streaming machinery
+    val sequential = ingest("ivf_ing_seq", { step => step(b1.toSeq); step(b2.toSeq) })
+    assert(streamed == sequential,
+      "streamed and sequential evolving-index ingest verdicts diverge")
+    // the cross-batch duplicate was caught by the EVOLVED state: dup,
+    // cos 1.0, matched to the b1 original — which is not in the
+    // standing index, so only the append can have served it
+    val cv = streamed(clone._1)
+    assert(cv._1 && cv._3 == 1.0 && cv._2 == source._1,
+      s"clone verdict $cv did not match its batch-1 original ${source._1}")
+    assert(!sequential(source._1)._1, "fixture: the clone's original must itself be admitted")
+    // evolved index == one-call frozen-codebook rebuild of the same rows
+    val admittedIds = streamed.filter(!_._2._1).keySet
+    spark.sql("DROP TABLE IF EXISTS ivf_ing_rebuild")
+    val allRows = standing.select($"vec_id", $"label", $"embedding")
+      .unionByName((b1 ++ b2).filter(r => admittedIds.contains(r._1))
+        .toSeq.toDF("vec_id", "label", "embedding"))
+    SimilarityOps.appendIvfIndexOf(allRows, codebook, "ivf_ing_rebuild", buckets = 8)
+    def contents(t: String) = spark.table(t)
+      .select($"vec_id", $"clabel").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(contents("ivf_ing_stream") == contents("ivf_ing_rebuild"),
+      "append-evolved index diverges from the frozen-codebook rebuild")
+    assert(contents("ivf_ing_stream") == contents("ivf_ing_seq"),
+      "streamed and sequential index contents diverge")
+    // fixture sanity: verdicts mixed, so admission actually filtered
+    assert(streamed.values.exists(_._1) && streamed.values.exists(!_._1))
+  }
+
   test("media near-dup equals a driver-side brute force — banding loses no pair (pigeonhole recall)") {
     // independent recomputation: decode every payload with the stub
     // kernel directly, quantize to levels, brute-force ALL pairs at
