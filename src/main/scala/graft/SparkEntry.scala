@@ -66,6 +66,8 @@ object SparkEntry {
     // hourly event-rate z-score anomalies per event_type (volume
     // telemetry; q157 watches content drift)
     "q174_event_rate_anomaly" -> ((s, d) => RelationalExt.eventRateAnomaly(s, d)),
+    // median/MAD modified z — the burst-immune complement of q174
+    "q199_robust_anomaly"  -> ((s, d) => RelationalExt.robustRateAnomaly(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -85,6 +87,9 @@ object SparkEntry {
     // per-node triangle counts on the near-dup graph: clique vs
     // hub-and-spoke discrimination the CC labels can't make
     "q171_dup_triangles"   -> ((s, d) => DedupOps.triangleCounts(s, d)),
+    // local clustering coefficient: q171's triangle credits normalized
+    // by the wedge count — clique-vs-hub comparable across degrees
+    "q198_clustering_coef" -> ((s, d) => DedupOps.clusteringCoefficients(s, d)),
     "q26_neardup_minhash"  -> ((s, d) => DedupOps.nearDupMinHash(s, d)),
     "q27_neardup_simhash"  -> ((s, d) => DedupOps.nearDupSimHash(s, d)),
     "q28_neardup_embedding"-> ((s, d) => DedupOps.nearDupEmbedding(s, d)),
@@ -962,6 +967,47 @@ object SparkEntry {
         |corners AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
         |SELECT doc_id, count(*) AS n_triangles
         |FROM corners GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q198: the q171 chain + a degree CTE; the coefficient is one
+    // division of exact-long casts under the shared roundAt formula
+    "q198_clustering_coef" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |e AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5),
+        |tri AS (
+        |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.doc_a = e1.doc_b
+        |  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |corners AS (SELECT unnest([a, b, c]) AS doc_id FROM tri),
+        |tric AS (SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id),
+        |deg AS (
+        |  SELECT doc_id, count(*) AS degree
+        |  FROM (SELECT unnest([doc_a, doc_b]) AS doc_id FROM e)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.degree,
+        |  coalesce(t.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN d.degree >= 2
+        |    THEN ${TextOps.roundAtSql(
+                 "CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE) / " +
+                   "CAST(d.degree * (d.degree - 1) AS DOUBLE)", 6)}
+        |    ELSE 0.0 END AS clust_coef
+        |FROM deg d LEFT JOIN tric t USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q161: full model replay — exact counts, one ln per distinct
     // (doc, bigram) mirrored literal-for-literal, per-doc fold in
     // (w1, w2) order (q158 convention), band on the RAW avg-NLL
@@ -1422,6 +1468,45 @@ object SparkEntry {
         |       ELSE abs((CAST(h.n_events AS DOUBLE) - s.mu) / s.sd) >= 2.0 END AS is_anomaly
         |FROM h JOIN s ON s.event_type = h.event_type
         |ORDER BY h.event_type, h.hour""".stripMargin,
+    // q199: both medians via the q185 rank-⌈n/2⌉ discrete selection —
+    // every med/MAD/deviation an exact long, z one fixed IEEE tree,
+    // flag on the raw value, MAD=0 guarded to z=0
+    "q199_robust_anomaly" ->
+      s"""WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT h.*,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n_events, hour) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nb
+        |  FROM h),
+        |m AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(nb * 0.5) AS BIGINT) THEN n_events END) AS med
+        |  FROM r GROUP BY event_type),
+        |d AS (
+        |  SELECT h.event_type, h.hour, h.n_events, m.med,
+        |    abs(h.n_events - m.med) AS dev
+        |  FROM h JOIN m USING (event_type)),
+        |r2 AS (
+        |  SELECT d.*,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev, hour) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nb
+        |  FROM d),
+        |md AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(nb * 0.5) AS BIGINT) THEN dev END) AS mad
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, d.hour, d.n_events, d.med, md.mad,
+        |  ${TextOps.roundAtSql(
+             "CASE WHEN md.mad = 0 THEN 0.0 ELSE " +
+               "0.6745 * CAST(d.n_events - d.med AS DOUBLE) / CAST(md.mad AS DOUBLE) END", 6)} AS robust_z,
+        |  CASE WHEN md.mad = 0 THEN FALSE
+        |       ELSE abs(0.6745 * CAST(d.n_events - d.med AS DOUBLE) / CAST(md.mad AS DOUBLE)) >= 3.5
+        |       END AS is_anomaly
+        |FROM d JOIN md USING (event_type)
+        |ORDER BY d.event_type, d.hour""".stripMargin,
     // q175: exact vocab counts + TTR; in_envelope is an IN-PLAN gate
     // the oracle asserts TRUE (the q124 exact-gated-sketch pattern)
     "q175_vocab_richness" ->

@@ -400,6 +400,45 @@ object DedupOps {
       nearDupNgram(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
+  /** q198: per-node local clustering coefficient on the near-dup
+    * graph — C(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the [0,1] measure of
+    * how clique-like each node's neighborhood is. [[triangleCounts]]
+    * gives the raw triangle credits; normalizing by the wedge count
+    * makes nodes COMPARABLE across degrees, which is what the
+    * survivorship policy actually needs: a template hub touching 50
+    * docs that don't match each other scores ~0 (keep the chain —
+    * they're drift, not copies) while a 5-doc mutual-copy clique
+    * scores 1.0 at a fraction of the triangle count (collapse to one
+    * survivor). Degree-1 nodes have no wedge to close and score 0.
+    *
+    * Exactness: T and deg are exact longs, the coefficient is ONE
+    * division of exact-long casts (bit-identical cross-engine) under
+    * the boundary-safe roundAt.
+    *
+    * Scale: the near-dup pair build is shared across the degree pass
+    * and all three triangle legs via one lazy checkpoint; everything
+    * downstream is edge-sized (degree aggregation, the O(m^1.5)
+    * degree-ordered wedge join, one left join of two node-sized
+    * aggregates). */
+  def clusteringCoefficients(spark: SparkSession, dir: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupNgram(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val tri = triangleCorners(pairs)
+    deg.join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          TextOps.roundAt(
+            (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double") /
+              (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clust_coef"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Orient each undirected a<b edge u→v toward its higher-(degree,
     * id) endpoint. The (degree, id) pair is a TOTAL order over nodes,
     * so the oriented graph is acyclic and every node's out-degree is

@@ -1277,6 +1277,59 @@ object RelationalExt {
     * Scale: one (type, hour) aggregation with map-side partials, one
     * tiny per-type stats table broadcast back — the corpus shuffles
     * once. */
+  /** q199: ROBUST hourly event-rate anomalies per type — the
+    * median/MAD modified z-score (Iglewicz & Hoaglin 1993,
+    * z = 0.6745·(x − med)/MAD, flag |z| ≥ 3.5) companion to
+    * [[eventRateAnomaly]]'s mean/sd form. The difference is why both
+    * exist: a traffic SPIKE inflates the mean and sd it is judged
+    * against (masking — one 10× hour can drag the z of a 5× hour
+    * under threshold), while the median and MAD ignore it; conversely
+    * the robust form flags harder in heavy-tailed streams, so the
+    * operational playbook is sd for well-behaved volumes, MAD when
+    * the stream has bursts — exactly when anomaly detection matters.
+    *
+    * Exactness: hourly counts, both medians (count median and
+    * deviation median) and every |x − med| are EXACT LONGS — the
+    * medians use q185's PERCENTILE_DISC rank-⌈n/2⌉ selection, so no
+    * interpolation arithmetic exists anywhere; the z is one fixed
+    * IEEE tree (0.6745 · cast / cast) with the flag on the RAW value
+    * and MAD = 0 (constant-rate types, singleton buckets) guarded to
+    * z = 0 on both engines.
+    *
+    * Scale: the corpus shuffles ONCE into (type, hour) counts (lazily
+    * checkpointed — both median passes and the output reuse it); the
+    * two rank windows run over the bucket table (types × hours, tiny)
+    * and the med/MAD dims broadcast back. */
+  def robustRateAnomaly(spark: SparkSession, dir: String,
+                        zThresh: Double = 3.5): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(false)
+    val grp = Window.partitionBy(col("event_type"))
+    def discMedian(df: DataFrame, value: String, alias: String): DataFrame = {
+      val w = grp.orderBy(col(value), col("hour"))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nb", count(lit(1)).over(grp))
+        .groupBy(col("event_type"))
+        .agg(max(when(col("rn") === ceil(col("nb") * lit(0.5d)).cast("long"),
+          col(value))).as(alias))
+    }
+    val med = discMedian(hourly, "n_events", "med")
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("n_events") - col("med")))
+    val mad = discMedian(dev, "dev", "mad")
+    val z = when(col("mad") === 0L, lit(0.0d))
+      .otherwise(lit(0.6745d) * (col("n_events") - col("med")).cast("double") /
+        col("mad").cast("double"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("med"), col("mad"),
+        TextOps.roundAt(z, 6).as("robust_z"),
+        (abs(z) >= zThresh).as("is_anomaly"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   def eventRateAnomaly(spark: SparkSession, dir: String,
                        zThresh: Double = 2.0): DataFrame = {
     val hourly = Tables.events(spark, dir)

@@ -34,6 +34,56 @@ class SignalStatsSpec extends AnyFunSuite {
     assert(got(1)._4 < got(0)._4)
   }
 
+  test("robust anomaly (q199): driver recompute parity; a spike the mean/sd masks is flagged") {
+    import org.apache.spark.sql.functions.col
+    // parity on the real corpus: exact-long median/MAD recompute
+    val got = RelationalExt.robustRateAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    assert(got.nonEmpty)
+    val byType = got.toSeq.groupBy(_._1._1)
+    def discMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s(math.ceil(s.length * 0.5).toInt - 1)
+    }
+    byType.foreach { case (tpe, rows) =>
+      val counts = rows.map(_._2._1)
+      val med = discMedian(counts)
+      val mad = discMedian(counts.map(c => math.abs(c - med)))
+      rows.foreach { case ((_, _), (n, gm, gmad, z, flag)) =>
+        assert(gm == med && gmad == mad, s"$tpe med/MAD mismatch")
+        val zRaw = if (mad == 0L) 0.0 else 0.6745 * (n - med).toDouble / mad.toDouble
+        assert(z == math.floor(zRaw * 1e6 + 0.5) / 1e6, s"$tpe z mismatch")
+        assert(flag == (mad != 0L && math.abs(zRaw) >= 3.5), s"$tpe flag mismatch")
+      }
+    }
+    // the discriminating case (why MAD exists next to q174's sd): one
+    // synthetic type with 32 quiet hours (~11 events) and TEN 1000-
+    // event spikes — enough spike mass that the sd they inflate
+    // swallows their own mean/sd z (≈1.8 < 2.0, MASKED), while the
+    // median (11) and MAD (1) ignore them entirely (robust z ≈ 667)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mad").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 42).flatMap { h =>
+      val n = if (h >= 32) 1000 else 10 + (h % 3)
+      (0 until n).map(i =>
+        (h.toLong * 1000 + i, new java.sql.Timestamp(base + h * 3600L * 1000),
+          1L, "burst", 0.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val robust = RelationalExt.robustRateAnomaly(spark, dir).collect()
+      .filter(_.getLong(2) == 1000L)
+    assert(robust.nonEmpty && robust.forall(_.getBoolean(6)),
+      "robust z failed to flag the spikes")
+    val meansd = RelationalExt.eventRateAnomaly(spark, dir).collect()
+      .filter(_.getLong(2) == 1000L)
+    assert(meansd.nonEmpty && meansd.forall(!_.getBoolean(4)),
+      "fixture: the spikes must MASK themselves under mean/sd for the " +
+        "discrimination to be demonstrated")
+  }
+
   test("quantile normalization: per-source ranks span [0,1] and are monotone in quality") {
     val rows = TextOps.qualityQuantileNorm(spark, sf)
       .as[(Long, String, Double, Double)].collect()

@@ -43,6 +43,65 @@ class TriangleSpec extends AnyFunSuite {
       s"chain leaked a triangle: $got")
   }
 
+  test("clustering coefficient: 1.0 across a clique, 0 on a chain, hub ~0 (q198)") {
+    // the same synthetic corpus as the triangle test, plus the
+    // discrimination q198 exists for: every clique member scores 1.0
+    // (all wedges closed), chain members score 0 (no wedge closes),
+    // and the coefficient — unlike the raw triangle count — is
+    // degree-normalized, so the numbers are comparable across nodes
+    val body = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val clique = Seq(
+      (1L, body + " one"), (2L, body + " two"),
+      (3L, body + " three"), (4L, body + " four"))
+    val half1 = "uniform victor whiskey xray yankee zulu apple berry cedar dates"
+    val half2 = "eagle fable grape house igloo jolly koala lemon mango night"
+    val half3 = "ocean piano queen rover sugar tiger umbra vowel wagon xenon"
+    val chain = Seq(
+      (10L, half1 + " " + half2),
+      (11L, half2 + " " + half3),
+      (12L, half3 + " " + half1.split(" ").take(2).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    (clique ++ chain).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.clusteringCoefficients(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(got(id) == ((3L, 3L, 1.0)), s"clique corner $id: ${got(id)}")
+    }
+    // the chain pairs never VERIFY at 0.5 (adjacent Jaccard ~0.29 —
+    // two half-shared docs can't reach 0.5), so its nodes are absent:
+    // the coefficient table covers the near-dup GRAPH, not the corpus
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"unexpected nodes: ${got.keySet}")
+
+    // real-corpus parity: an independent driver-side adjacency-set
+    // recompute over the verified edge list must agree row-for-row
+    // (covers degree-1 nodes and open wedges the synthetic lacks)
+    val real = DedupOps.clusteringCoefficients(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(real.nonEmpty)
+    val edges = DedupOps.nearDupNgram(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))
+      .as[(Long, Long)].collect()
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    assert(real.keySet == adj.keySet, "node roster diverges from the edge list")
+    real.foreach { case (id, (dg, tri, coef)) =>
+      val nbrs = adj(id)
+      assert(dg == nbrs.size.toLong, s"degree mismatch for $id")
+      val t = nbrs.toSeq.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }
+      assert(tri == t.toLong, s"triangle mismatch for $id")
+      val want = if (dg >= 2) math.floor(2.0 * t / (dg * (dg - 1)) * 1e6 + 0.5) / 1e6 else 0.0
+      assert(coef == want, s"coefficient mismatch for $id")
+      assert(coef >= 0.0 && coef <= 1.0)
+    }
+    // non-vacuity: degree-1 nodes exist and score 0 (no wedge to close)
+    assert(real.exists { case (_, (dg, _, c)) => dg == 1L && c == 0.0 })
+  }
+
   test("degree ordering collapses a 10^4-degree star's wedge set (the O(m^1.5) bound)") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val d = 10000
