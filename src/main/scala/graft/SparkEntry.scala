@@ -68,6 +68,11 @@ object SparkEntry {
     "q174_event_rate_anomaly" -> ((s, d) => RelationalExt.eventRateAnomaly(s, d)),
     // median/MAD modified z — the burst-immune complement of q174
     "q199_robust_anomaly"  -> ((s, d) => RelationalExt.robustRateAnomaly(s, d)),
+    // binning-free exact KS distance between source quality CDFs
+    "q200_ks_distance"     -> ((s, d) => TextOps.ksSourceDistance(s, d)),
+    // epoch budget: token-budget allocation via the α=0.5 mixture,
+    // flagging sources past the ~4-epoch repetition cliff
+    "q201_epoch_budget"    -> ((s, d) => CurationOps.epochBudget(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -1507,6 +1512,48 @@ object SparkEntry {
         |       END AS is_anomaly
         |FROM d JOIN md USING (event_type)
         |ORDER BY d.event_type, d.hour""".stripMargin,
+    // q200: the q21 quality CTE keyed per (source, rounded q) — exact
+    // long ECDF numerators, one two-divide IEEE tree per gap, max is
+    // order-free
+    "q200_ks_distance" ->
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        |  FROM documents),
+        |qd AS (
+        |  SELECT source,
+        |    ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} AS q
+        |  FROM t),
+        |pv AS (SELECT source, q, count(*) AS c FROM qd GROUP BY 1, 2),
+        |-- count(*), not sum(c): DuckDB sum(BIGINT) is DECIMAL and
+        |-- would dtype-mismatch Spark's long
+        |n AS (SELECT source, count(*) AS n FROM qd GROUP BY 1),
+        |prs AS (
+        |  SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b, b.n AS n_b
+        |  FROM n a JOIN n b ON a.source < b.source),
+        |contrib AS (
+        |  SELECT p.src_a, p.src_b, p.n_a, p.n_b, v.q,
+        |    sum(CASE WHEN v.source = p.src_a THEN v.c ELSE 0 END) AS ca,
+        |    sum(CASE WHEN v.source = p.src_b THEN v.c ELSE 0 END) AS cb
+        |  FROM prs p JOIN pv v ON v.source = p.src_a OR v.source = p.src_b
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |cum AS (
+        |  SELECT src_a, src_b, n_a, n_b, q,
+        |    sum(ca) OVER (PARTITION BY src_a, src_b ORDER BY q) AS cuma,
+        |    sum(cb) OVER (PARTITION BY src_a, src_b ORDER BY q) AS cumb
+        |  FROM contrib)
+        |SELECT src_a, src_b, n_a, n_b,
+        |  ${TextOps.roundAtSql(
+             "max(abs(CAST(cuma AS DOUBLE) / CAST(n_a AS DOUBLE) - " +
+               "CAST(cumb AS DOUBLE) / CAST(n_b AS DOUBLE)))", 6)} AS ks
+        |FROM cum GROUP BY src_a, src_b, n_a, n_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // q175: exact vocab counts + TTR; in_envelope is an IN-PLAN gate
     // the oracle asserts TRUE (the q124 exact-gated-sketch pattern)
     "q175_vocab_richness" ->
@@ -4310,6 +4357,29 @@ object SparkEntry {
         |FROM documents d JOIN th ON d.source = th.source
         |WHERE ('0x' || substr(md5('mix_' || CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
         |      < th.thresh""".stripMargin,
+    // q201: exact long token counts, the q94 source-sorted denominator
+    // fold, floored allocation, flag on the raw epochs ratio
+    "q201_epoch_budget" ->
+      s"""WITH toks AS (
+        |  SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |dims AS (
+        |  SELECT list_sum(list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY source)) AS denom,
+        |    CAST(sum(n_tokens) AS BIGINT) AS total
+        |  FROM toks),
+        |a AS (
+        |  SELECT t.source, t.n_tokens,
+        |    sqrt(CAST(t.n_tokens AS DOUBLE)) / d.denom AS share_raw,
+        |    CAST(floor(4.0 * CAST(d.total AS DOUBLE) *
+        |      (sqrt(CAST(t.n_tokens AS DOUBLE)) / d.denom)) AS BIGINT) AS alloc
+        |  FROM toks t, dims d)
+        |SELECT source, n_tokens,
+        |  ${TextOps.roundAtSql("share_raw", 6)} AS share,
+        |  alloc AS alloc_tokens,
+        |  ${TextOps.roundAtSql("CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)} AS epochs,
+        |  CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 4.0 AS over_cap
+        |FROM a ORDER BY source""".stripMargin,
     // q87: the IVF mechanism under the oracle — codebook = per-label
     // centroids (both engines average the same doubles), assignment =
     // argmin of the sequential (x−c)² fold with (d2, label) tie-break,

@@ -418,6 +418,48 @@ object CurationOps {
       .select(col("doc_id"), col("source"), col("thresh"))
   }
 
+  /** q201: epoch/repetition budget report — given a total training
+    * token budget (`budgetMult` × the corpus's token count) allocated
+    * across sources by the α=0.5 temperature mixture ([[mixtureSample]]'s
+    * rule, on TOKENS instead of docs), how many EPOCHS over each
+    * source does its allocation imply, and which sources cross the
+    * ~4-epoch repetition cliff (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models": value decays rapidly past ~4
+    * repeats)? This is the planning table a data-constrained run
+    * reads before training: an `over_cap` source needs more data or a
+    * smaller mixture share, BEFORE the tokens are spent.
+    *
+    * Exactness: per-source token counts are exact longs; the mixture
+    * denominator is the source-sorted fold (q94's device); share,
+    * allocation (floored to a long) and epochs are fixed IEEE trees
+    * with the flag on the RAW ratio.
+    *
+    * Scale: one corpus aggregation to source-level token counts; the
+    * rest is arithmetic on the sources-sized dim (broadcast). */
+  def epochBudget(spark: SparkSession, dir: String,
+                  budgetMult: Double = 4.0, epochCap: Double = 4.0): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), "\\s+")).cast("long")).as("n_tokens"))
+    val dims = toks.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("source"),
+          sqrt(col("n_tokens").cast("double")).as("w")))),
+        lit(0.0), (acc, s) => acc + s.getField("w")).as("denom"),
+      sum(col("n_tokens")).as("total"))
+    val share = sqrt(col("n_tokens").cast("double")) / col("denom")
+    val alloc = floor(lit(budgetMult) * col("total").cast("double") * share)
+      .cast("bigint")
+    val epochs = alloc.cast("double") / col("n_tokens").cast("double")
+    toks.crossJoin(broadcast(dims))
+      .select(col("source"), col("n_tokens"),
+        TextOps.roundAt(share, 6).as("share"),
+        alloc.as("alloc_tokens"),
+        TextOps.roundAt(epochs, 4).as("epochs"),
+        (epochs > lit(epochCap)).as("over_cap"))
+      .orderBy(col("source"))
+  }
+
   /** Train/test split-leakage audit: assign every document to a split
     * by md5 hash (deterministic, engine-independent — the q57
     * convention), then report every verified near-dup pair that

@@ -968,6 +968,55 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q200: pairwise two-sample Kolmogorov–Smirnov distance between
+    * sources on the quality distribution — KS = max_x |F_a(x) −
+    * F_b(x)| over the empirical CDFs. The EXACT-distance companion to
+    * q157's PSI drift monitor: PSI needs a binning (and saturates on
+    * disjoint supports), KS is binning-free, bounded in [0,1], and
+    * sensitive anywhere the CDFs separate — the standard "are these
+    * two sources drawing from the same quality distribution" test
+    * run before mixing corpora (the D statistic; the p-value is a
+    * driver-side closed form the caller applies to n_a·n_b/(n_a+n_b)).
+    *
+    * Exactness: per-(source, quality) counts and both cumulative
+    * sums are exact longs (quality is the shared rounded-at-6 q21
+    * score, so grouping keys agree cross-engine); each CDF gap is the
+    * identical two-divide IEEE tree, and max over doubles is
+    * order-free — hash-exact under the output roundAt.
+    *
+    * Scale: the corpus collapses FIRST to distinct (source, quality)
+    * counts (one aggregation — the only corpus-sized shuffle); the
+    * pair expansion multiplies that collapsed table by the source-
+    * PAIR dimension (sources are a handful; the broadcast non-equi
+    * join is dim-sized), and the per-pair ECDF window runs over
+    * values-sized partitions. */
+  def ksSourceDistance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perVal = Tables.documents(spark, dir)
+      .select(col("source"), qualityCol.as("q"))
+      .groupBy(col("source"), col("q")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val n = perVal.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val prs = n.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(n.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    val contrib = perVal.join(broadcast(prs),
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("q"))
+      .agg(
+        sum(when(col("source") === col("src_a"), col("c")).otherwise(lit(0L))).as("ca"),
+        sum(when(col("source") === col("src_b"), col("c")).otherwise(lit(0L))).as("cb"))
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("q"))
+    contrib
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("d", abs(col("cuma").cast("double") / col("n_a").cast("double") -
+        col("cumb").cast("double") / col("n_b").cast("double")))
+      .groupBy(col("src_a"), col("src_b"), col("n_a"), col("n_b"))
+      .agg(roundAt(max(col("d")), 6).as("ks"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** q175: per-source vocabulary richness with an HLL sketch twin —
     * exact distinct-word count and type-token ratio per source, plus
     * an in-plan envelope flag asserting the approx_count_distinct

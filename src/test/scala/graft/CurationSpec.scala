@@ -423,6 +423,43 @@ class CurationSpec extends AnyFunSuite {
     sample.unpersist()
   }
 
+  test("epoch budget (q201): driver recompute parity; temperature mixture makes epochs decrease in source size") {
+    val got = CurationOps.epochBudget(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got.nonEmpty)
+    // independent recompute from raw per-source token counts
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), "\\s+")).cast("long").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (s, vs) => s -> vs.map(_._2).sum }
+    val denom = toks.toSeq.sortBy(_._1).map { case (_, n) => math.sqrt(n.toDouble) }
+      .foldLeft(0.0)(_ + _)
+    val total = toks.values.sum
+    got.foreach { case (s, n, share, alloc, epochs, over) =>
+      assert(n == toks(s), s"$s token count")
+      val shareRaw = math.sqrt(n.toDouble) / denom
+      assert(share == math.floor(shareRaw * 1e6 + 0.5) / 1e6, s"$s share")
+      val allocWant = math.floor(4.0 * total.toDouble * shareRaw).toLong
+      assert(alloc == allocWant, s"$s alloc")
+      val e = alloc.toDouble / n.toDouble
+      assert(epochs == math.floor(e * 1e4 + 0.5) / 1e4, s"$s epochs")
+      assert(over == (e > 4.0), s"$s over_cap")
+    }
+    // the α=0.5 rule's point: smaller sources are repeated MORE —
+    // epochs strictly decrease as source size grows (ties aside)
+    val bySize = got.sortBy(_._2).toSeq
+    bySize.sliding(2).foreach {
+      case Seq(a, b) if a._2 < b._2 =>
+        assert(a._5 >= b._5, s"epochs not monotone: $a vs $b")
+      case _ =>
+    }
+    // the total allocation spends (floor-rounding aside) the budget
+    val spent = got.map(_._4).sum.toDouble
+    assert(math.abs(spent - 4.0 * total) <= got.length,
+      s"allocation $spent strays from budget ${4.0 * total}")
+  }
+
   test("lexical diversity matches a driver-side recompute on every doc") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()

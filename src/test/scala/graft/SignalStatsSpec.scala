@@ -84,6 +84,46 @@ class SignalStatsSpec extends AnyFunSuite {
         "discrimination to be demonstrated")
   }
 
+  test("KS distance (q200): driver ECDF recompute parity; identical distributions score 0") {
+    import org.apache.spark.sql.functions.col
+    val got = TextOps.ksSourceDistance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got.nonEmpty)
+    // independent driver-side recompute: per-source sorted quality
+    // samples, ECDF gap maximized over the union of observed values
+    val q = TextOps.qualityScore(spark, sf)
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("quality")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (s, vs) => s -> vs.map(_._2).sorted }
+    got.foreach { case ((a, b), ks) =>
+      val (xa, xb) = (q(a), q(b))
+      val pts = (xa ++ xb).distinct.sorted
+      val want = pts.map { x =>
+        math.abs(xa.count(_ <= x).toDouble / xa.length -
+          xb.count(_ <= x).toDouble / xb.length)
+      }.max
+      assert(ks == math.floor(want * 1e6 + 0.5) / 1e6, s"($a,$b): ks=$ks want=$want")
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+    // ordered pairs only, full pair coverage
+    val srcs = q.keySet
+    assert(got.keySet == (for (a <- srcs; b <- srcs if a < b) yield (a, b)).toSet)
+    // identical distributions -> 0: two synthetic sources with the
+    // same texts must land at exactly 0.0 (the CDFs coincide)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    val texts = Seq("alpha beta gamma delta", "one two three, four five!",
+      "the quick brown fox jumps over the lazy dog")
+    texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong, t, "en", "sA", t.length.toLong),
+        (100L + i, t, "en", "sB", t.length.toLong))
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val zero = TextOps.ksSourceDistance(spark, dir).collect()
+    assert(zero.length == 1 && zero.head.getDouble(4) == 0.0,
+      s"identical sources must score exactly 0: ${zero.toSeq}")
+  }
+
   test("quantile normalization: per-source ranks span [0,1] and are monotone in quality") {
     val rows = TextOps.qualityQuantileNorm(spark, sf)
       .as[(Long, String, Double, Double)].collect()
