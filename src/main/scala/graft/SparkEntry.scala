@@ -73,6 +73,12 @@ object SparkEntry {
     // epoch budget: token-budget allocation via the α=0.5 mixture,
     // flagging sources past the ~4-epoch repetition cliff
     "q201_epoch_budget"    -> ((s, d) => CurationOps.epochBudget(s, d)),
+    // cluster topic cards: top TF-IDF terms per learned k-means
+    // cluster — the "what did the clustering find" readout
+    "q202_cluster_topics"  -> ((s, d) => SimilarityOps.clusterTopics(s, d)),
+    // detector-selection audit: pair-set Jaccard between the three
+    // text near-dup methods (blocking recall vs metric divergence)
+    "q203_method_agreement" -> ((s, d) => DedupOps.methodAgreement(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -629,6 +635,36 @@ object SparkEntry {
     s"""${kmeansStagesSql(8, 3)}
        |SELECT vec_id, cluster, round(d2, 6) AS d2 FROM fin ORDER BY vec_id""".stripMargin
 
+  /** q202 oracle: the Lloyd chain + q59's TF-IDF at cluster
+    * granularity (tf over member docs via the doc_id = vec_id bridge,
+    * df = clusters containing the term, ln((K+1)/(df+1)) + 1). */
+  private lazy val clusterTopicsOracleSql: String =
+    s"""${kmeansStagesSql(8, 3)},
+       |wc AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ')) AS word
+       |    FROM documents) t WHERE word <> ''),
+       |asg AS (SELECT vec_id AS doc_id, cluster FROM fin),
+       |cw AS (
+       |  SELECT a.cluster, w.word, count(*) AS tf
+       |  FROM wc w JOIN asg a USING (doc_id) GROUP BY 1, 2),
+       |dfx AS (SELECT word, count(*) AS df FROM cw GROUP BY 1),
+       |nc AS (SELECT count(DISTINCT cluster) AS ncl FROM asg),
+       |scored AS (
+       |  SELECT cw.cluster, cw.word, cw.tf,
+       |    cw.tf * (ln((nc.ncl + 1.0) / (dfx.df + 1.0)) + 1.0) AS score_raw
+       |  FROM cw JOIN dfx USING (word) CROSS JOIN nc),
+       |ranked AS (
+       |  SELECT cluster, word, tf, score_raw,
+       |    CAST(row_number() OVER (PARTITION BY cluster
+       |      ORDER BY score_raw DESC, word) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT cluster, rnk, word, tf,
+       |  ${graft.ops.TextOps.roundAtSql("score_raw", 6)} AS score
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY cluster, rnk""".stripMargin
+
   /** q184 oracle: the Lloyd chain + the query's nprobe nearest learned
     * centroids + exact cosine top-k within the probed lists. */
   private lazy val ivfLearnedOracleSql: String =
@@ -735,6 +771,80 @@ object SparkEntry {
     * the digest (chars 17-31 and 1-15; DuckDB parses '0x...' straight
     * to BIGINT, the exact twin of Spark's conv(substr(hex),16,10)),
     * 8 three-row band buckets. */
+  /** q25's oracle, factored so q203's agreement matrix can embed the
+    * identical chain as a derived table. */
+  private lazy val ngramPairsOracleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(words) - 3, 0) + 1),
+      |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+      |        FROM documents) w),
+      |keyed AS (
+      |  SELECT doc_id, sh,
+      |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+      |  FROM docs),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+
+  /** q27's oracle, factored for the same q203 reuse. */
+  private lazy val simHashPairsOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 17, 15))::BIGINT AS h
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS b
+      |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i)
+      |  GROUP BY doc_id, i),
+      |sh AS (
+      |  SELECT doc_id,
+      |    bit_or(CASE WHEN b > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  /** q203 oracle: the three near-dup chains embedded verbatim as
+    * derived tables (nested WITH — each keeps its own CTE namespace),
+    * pair-set sizes/intersections as exact longs, agreement = Jaccard
+    * over PAIR SETS with a 0-denominator guard. */
+  private lazy val methodAgreementOracleSql: String =
+    s"""WITH ng AS MATERIALIZED (SELECT doc_a, doc_b FROM ($ngramPairsOracleSql) t),
+       |mh AS MATERIALIZED (SELECT doc_a, doc_b FROM ($minHashMd5OracleSql) t),
+       |sh2 AS MATERIALIZED (SELECT doc_a, doc_b FROM ($simHashPairsOracleSql) t),
+       |a AS (
+       |  SELECT 'minhash' AS method, doc_a, doc_b FROM mh
+       |  UNION ALL SELECT 'ngram', doc_a, doc_b FROM ng
+       |  UNION ALL SELECT 'simhash', doc_a, doc_b FROM sh2),
+       |counts AS (SELECT method, count(*) AS n FROM a GROUP BY 1),
+       |prs AS (
+       |  SELECT c1.method AS method_a, c1.n AS n_a, c2.method AS method_b, c2.n AS n_b
+       |  FROM counts c1 JOIN counts c2 ON c1.method < c2.method),
+       |ib AS (
+       |  SELECT x.method AS method_a, y.method AS method_b, count(*) AS n_both
+       |  FROM a x JOIN a y
+       |    ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b AND x.method < y.method
+       |  GROUP BY 1, 2)
+       |SELECT p.method_a, p.method_b, p.n_a, p.n_b,
+       |  coalesce(i.n_both, 0) AS n_both,
+       |  ${graft.ops.TextOps.roundAtSql(
+            "CASE WHEN p.n_a + p.n_b - coalesce(i.n_both, 0) = 0 THEN 0.0 " +
+              "ELSE CAST(coalesce(i.n_both, 0) AS DOUBLE) / " +
+              "CAST(p.n_a + p.n_b - coalesce(i.n_both, 0) AS DOUBLE) END", 6)} AS agreement
+       |FROM prs p LEFT JOIN ib i USING (method_a, method_b)
+       |ORDER BY p.method_a, p.method_b""".stripMargin
+
   private lazy val minHashMd5OracleSql: String = {
     val P = "2147483647"
     val h1 = s"(('0x' || substr(md5(s), 17, 15))::BIGINT % $P)"
@@ -1285,25 +1395,7 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
         | min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
-    "q25_neardup_ngram" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(words) - 3, 0) + 1),
-        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
-        |  FROM (SELECT doc_id,
-        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
-        |        FROM documents) w),
-        |keyed AS (
-        |  SELECT doc_id, sh,
-        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
-        |  FROM docs),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+    "q25_neardup_ngram" -> ngramPairsOracleSql,
     // q164: q25's shingle + min-md5-blocking CTEs verbatim, verified
     // on containment |A∩B|/min(|A|,|B|) instead of Jaccard; both
     // metrics rounded at 4, keep decision on rounded containment
@@ -1816,26 +1908,7 @@ object SparkEntry {
     // purpose: by pigeonhole the 4×15-bit banding finds EXACTLY the
     // pairs at Hamming ≤ 3, so the all-pairs form is semantically
     // identical and trivial at oracle scale.
-    "q27_neardup_simhash" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
-        |  FROM documents),
-        |th AS (
-        |  SELECT doc_id, ('0x' || substr(md5(tok), 17, 15))::BIGINT AS h
-        |  FROM toks),
-        |bits AS (
-        |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS b
-        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i)
-        |  GROUP BY doc_id, i),
-        |sh AS (
-        |  SELECT doc_id,
-        |    bit_or(CASE WHEN b > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS simhash
-        |  FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q27_neardup_simhash" -> simHashPairsOracleSql,
     "q28_neardup_embedding" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
@@ -1855,6 +1928,8 @@ object SparkEntry {
         |SELECT vec_id, label, cos FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "q168_mmr_rerank" -> mmrOracleSql,
     "q169_kmeans_lloyd" -> kmeansOracleSql,
+    "q202_cluster_topics" -> clusterTopicsOracleSql,
+    "q203_method_agreement" -> methodAgreementOracleSql,
     "q184_ivf_learned" -> ivfLearnedOracleSql,
     // q183: q117's stage CTEs with the 1-hour conversion window on
     // each step; stack mirrored as UNION ALL, rates round(n/prev, 4)

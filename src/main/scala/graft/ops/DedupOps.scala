@@ -400,6 +400,59 @@ object DedupOps {
       nearDupNgram(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
+  /** q203: near-dup METHOD agreement matrix — pairwise Jaccard
+    * between the verified pair SETS of the three text detectors
+    * (q25 shingle-Jaccard with min-md5 blocking, q26 MinHash-LSH
+    * banding, q27 SimHash Hamming ≤ 3): |A∩B| / |A∪B| per method
+    * pair, with the raw set sizes. The detector-selection audit run
+    * before trusting any single method at scale: q25 and q26 verify
+    * the SAME metric through different blocking (disagreement = pairs
+    * one blocking scheme missed — pure recall difference), while q27
+    * measures a different similarity entirely (disagreement = metric
+    * divergence, bit-flip distance vs set overlap). Low agreement on
+    * a new corpus means the cheap method is NOT a safe stand-in for
+    * the expensive one there.
+    *
+    * Exactness: pair sets are canonical (doc_a < doc_b) rows, sizes
+    * and intersections exact longs, agreement one guarded division
+    * under roundAt.
+    *
+    * Scale: each detector's pair build is its own bounded candidate
+    * pipeline (never all-pairs); the union is pair-sized and lazily
+    * checkpointed so the counts pass and the intersection self-join
+    * share one materialization. The intersection joins pair-keyed
+    * (doc_a, doc_b) rows — pair-sized shuffle. At 100 TB the pair
+    * sets would be persisted once and this matrix read from them;
+    * recomputing here keeps the query self-contained. */
+  def methodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val all = nearDupNgram(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit("ngram").as("method"))
+      .unionByName(nearDupMinHashMd5(spark, dir)
+        .select(col("doc_a"), col("doc_b"), lit("minhash").as("method")))
+      .unionByName(nearDupSimHash(spark, dir)
+        .select(col("doc_a"), col("doc_b"), lit("simhash").as("method")))
+      .localCheckpoint(false)
+    val counts = all.groupBy(col("method")).agg(count(lit(1)).as("n"))
+    val prs = counts.select(col("method").as("method_a"), col("n").as("n_a"))
+      .crossJoin(counts.select(col("method").as("method_b"), col("n").as("n_b")))
+      .filter(col("method_a") < col("method_b"))
+    val ib = all.select(col("doc_a"), col("doc_b"), col("method").as("method_a"))
+      .join(all.select(col("doc_a"), col("doc_b"), col("method").as("method_b")),
+        Seq("doc_a", "doc_b"))
+      .filter(col("method_a") < col("method_b"))
+      .groupBy(col("method_a"), col("method_b")).agg(count(lit(1)).as("n_both"))
+    val nBoth = coalesce(col("n_both"), lit(0L))
+    val denom = col("n_a") + col("n_b") - nBoth
+    prs.join(ib, Seq("method_a", "method_b"), "left")
+      .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
+        nBoth.as("n_both"),
+        TextOps.roundAt(
+          when(denom === 0L, lit(0.0))
+            .otherwise(nBoth.cast("double") / denom.cast("double")), 6)
+          .as("agreement"))
+      .orderBy(col("method_a"), col("method_b"))
+  }
+
   /** q198: per-node local clustering coefficient on the near-dup
     * graph — C(v) = 2·T(v) / (deg(v)·(deg(v)−1)), the [0,1] measure of
     * how clique-like each node's neighborhood is. [[triangleCounts]]

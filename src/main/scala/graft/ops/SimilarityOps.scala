@@ -972,6 +972,57 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** q202: cluster topic cards — the human-readable label for each
+    * learned k-means cluster: its top-`topK` TF-IDF terms, where the
+    * "documents" of the TF-IDF are the CLUSTERS (tf = term count over
+    * the cluster's member docs, df = number of clusters containing
+    * the term, idf = ln((K+1)/(df+1)) + 1, q59's smoothing). The
+    * standard "what did the clustering find" readout: embeddings
+    * cluster by geometry (q169), and this maps each geometric cluster
+    * back to the vocabulary that distinguishes it — corpus-wide
+    * boilerplate appears in every cluster (df = K ⇒ idf floor) while
+    * cluster-specific terms rank top. Runs on the documents↔embeddings
+    * 1:1 doc_id = vec_id bridge.
+    *
+    * Exactness: deterministic Lloyd assignments ([[kmeansLloyd]],
+    * oracle-replayed), exact-long tf/df, one mirrored ln per distinct
+    * (cluster, word) with (score desc, word) ties — q59's conventions
+    * at cluster granularity.
+    *
+    * Scale: one corpus-sized word explode joined to assignments on
+    * doc_id (equi-shuffle), collapsing immediately to (cluster, word)
+    * counts — cluster-vocabulary-sized, shared by the df aggregation
+    * and the scoring via a lazy checkpoint; the cluster count rides
+    * as a broadcast one-row dim and the rank window partitions k
+    * ways. */
+  def clusterTopics(spark: SparkSession, dir: String, k: Int = 8,
+                    iters: Int = 3, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = kmeansLloyd(spark, dir, k, iters)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val words = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // spread the explode (wordRows form)
+      .select(col("doc_id"),
+        explode(graft.functions.TextNorm.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val cw = words.join(assign, "doc_id")
+      .groupBy(col("cluster"), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dfreq = cw.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val ncl = assign.agg(countDistinct(col("cluster")).as("ncl"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score_raw").desc, col("word"))
+    cw.join(broadcast(dfreq), "word")
+      .crossJoin(broadcast(ncl))
+      .withColumn("score_raw",
+        col("tf") * (log((col("ncl") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .select(col("cluster"), col("rnk"), col("word"), col("tf"),
+        graft.ops.TextOps.roundAt(col("score_raw"), 6).as("score"))
+      .orderBy(col("cluster"), col("rnk"))
+  }
+
   /** Nearest-centroid assignment against a trained model. The model
     * rides as DATA (one broadcast row holding the cl-ordered array of
     * (cl, centroid) structs), NOT as plan literals: literal centroids

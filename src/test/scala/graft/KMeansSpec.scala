@@ -69,4 +69,71 @@ class KMeansSpec extends AnyFunSuite {
     // and the clustering is non-degenerate: more than one cluster survives
     assert(got.values.toSet.size > 1)
   }
+
+  test("cluster topic cards (q202): driver TF-IDF recompute parity; ubiquitous terms rank below exclusive ones") {
+    import org.apache.spark.sql.functions.col
+    val got = SimilarityOps.clusterTopics(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // ranks are exactly 1..n per cluster, scores non-increasing
+    got.groupBy(_._1).values.foreach { g =>
+      val srt = g.sortBy(_._2)
+      assert(srt.map(_._2).toSeq == (1L to g.length.toLong).toSeq)
+      srt.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 >= b._5, s"scores out of order: $a $b")
+        case _ =>
+      }
+    }
+    // independent recompute from assignments + normalized words
+    val assign = SimilarityOps.kmeansLloyd(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextNorm.words(col("text")).as("w"))
+      .as[(Long, Seq[String])].collect()
+    val cw = words.flatMap { case (d, ws) =>
+      ws.filter(_.nonEmpty).map(w => (assign(d), w))
+    }.groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val dfx = cw.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size }
+    val ncl = assign.values.toSet.size
+    val expect = cw.keys.groupBy(_._1).map { case (cl, keys) =>
+      cl -> keys.toSeq
+        .map { case (_, w) =>
+          val s = cw((cl, w)) * (math.log((ncl + 1.0) / (dfx(w) + 1.0)) + 1.0)
+          (w, cw((cl, w)), s)
+        }
+        .sortBy { case (w, _, s) => (-s, w) }.take(5)
+    }
+    got.groupBy(_._1).foreach { case (cl, g) =>
+      val e = expect(cl)
+      g.sortBy(_._2).zip(e).foreach { case ((_, _, w, tf, sc), (ew, etf, es)) =>
+        assert(w == ew && tf == etf, s"cluster $cl: ($w,$tf) vs ($ew,$etf)")
+        assert(sc == math.floor(es * 1e6 + 0.5) / 1e6, s"cluster $cl $w score")
+      }
+    }
+    // discrimination, constructed (the sf corpus shares its whole
+    // vocabulary across clusters, so no real-data term separates):
+    // two well-separated embedding groups whose docs each carry a
+    // group-exclusive word — idf must put the exclusive word at rank
+    // 1 above the corpus-wide filler despite the filler's presence
+    val dir = java.nio.file.Files.createTempDirectory("graft-topics").toString
+    val groupA = Seq(0L, 2L, 4L)
+    val emb = (0L to 5L).map { id =>
+      val e = if (groupA.contains(id)) Array(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (id, e, if (groupA.contains(id)) 0 else 1)
+    }
+    emb.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (0L to 5L).map { id =>
+      val t = if (groupA.contains(id)) "shared shared apple apple apple"
+        else "shared shared banana banana banana"
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cards = SimilarityOps.clusterTopics(spark, dir, k = 2, iters = 2, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val rank1 = cards.filter(_._2 == 1L).map(_._3).toSet
+    assert(rank1 == Set("apple", "banana"),
+      s"exclusive terms must out-rank the ubiquitous filler: ${cards.toSeq}")
+  }
 }

@@ -9,6 +9,33 @@ class SimilarityDedupSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
   import spark.implicits._
 
+  test("method agreement (q203): set arithmetic matches the collected pair sets") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    val sets = Map(
+      "ngram" -> pairs(DedupOps.nearDupNgram(spark, sf)),
+      "minhash" -> pairs(DedupOps.nearDupMinHashMd5(spark, sf)),
+      "simhash" -> pairs(DedupOps.nearDupSimHash(spark, sf)))
+    val got = DedupOps.methodAgreement(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet ==
+      Set(("minhash", "ngram"), ("minhash", "simhash"), ("ngram", "simhash")))
+    got.foreach { case ((a, b), (na, nb, nBoth, agr)) =>
+      assert(na == sets(a).size.toLong && nb == sets(b).size.toLong, s"($a,$b) sizes")
+      val inter = sets(a).intersect(sets(b)).size.toLong
+      assert(nBoth == inter, s"($a,$b) intersection")
+      val want = if (na + nb - inter == 0) 0.0
+        else inter.toDouble / (na + nb - inter).toDouble
+      assert(agr == math.floor(want * 1e6 + 0.5) / 1e6, s"($a,$b) agreement")
+      assert(agr >= 0.0 && agr <= 1.0 && nBoth <= math.min(na, nb))
+    }
+    // non-vacuity: the same-metric pair (ngram vs minhash, both exact
+    // Jaccard >= 0.5 through different blocking) overlaps at all
+    assert(got(("minhash", "ngram"))._3 > 0L,
+      "same-metric detectors share no pairs - fixture degenerate")
+  }
+
   test("label-codebook IVF agrees with brute force on returned cosines") {
     val bf = SimilarityOps.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap
