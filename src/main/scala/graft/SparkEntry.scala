@@ -79,6 +79,10 @@ object SparkEntry {
     // detector-selection audit: pair-set Jaccard between the three
     // text near-dup methods (blocking recall vs metric divergence)
     "q203_method_agreement" -> ((s, d) => DedupOps.methodAgreement(s, d)),
+    // decile lift table: q147's learned margin vs the heuristic label
+    "q204_quality_lift"    -> ((s, d) => TextOps.qualityLiftTable(s, d)),
+    // top-k centroid-distance outliers: the embedding-quality audit
+    "q205_embedding_outliers" -> ((s, d) => SimilarityOps.embeddingOutliers(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -2858,6 +2862,64 @@ object SparkEntry {
         |      CAST((('0x' || substr(md5(w), 1, 8))::BIGINT % 256) AS VARCHAR)),
         |      1, 8))::BIGINT % 2001) - 1000))) AS BIGINT) AS score
         | FROM documents) t""".stripMargin,
+    // q204: q147's margin CTE + the q21 quality label, deterministic
+    // (score, doc_id) global rank, integer-division deciles (// ↔ div)
+    "q204_quality_lift" ->
+      s"""WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(regexp_split_to_array(text, '\\s+'),
+        |      w -> ((('0x' || substr(md5('w_' ||
+        |        CAST((('0x' || substr(md5(w), 1, 8))::BIGINT % 256) AS VARCHAR)),
+        |        1, 8))::BIGINT % 2001) - 1000))) AS BIGINT) AS score
+        |  FROM documents),
+        |lb AS (
+        |  SELECT doc_id,
+        |    ${TextOps.roundAtSql(
+             "least(n_chars / 500.0, 1.0) * 0.5 + " +
+             "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+             "(1.0 - least(punct / n_chars * 10.0, 1.0)) * 0.2", 6)} >= 0.5 AS label
+        |  FROM (SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+        |   FROM documents) t),
+        |j AS (SELECT sc.doc_id, sc.score, lb.label FROM sc JOIN lb USING (doc_id)),
+        |r AS (
+        |  SELECT j.*, row_number() OVER (ORDER BY score, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM j),
+        |d AS (SELECT ((rn - 1) * 10) // n + 1 AS decile, score, label FROM r)
+        |SELECT decile, count(*) AS n_docs,
+        |  ${TextOps.roundAtSql(
+             "CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS mean_score,
+        |  ${TextOps.roundAtSql(
+             "CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS DOUBLE) / " +
+               "CAST(count(*) AS DOUBLE)", 6)} AS pos_rate
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q205: exact per-dim centroid means, index-order distance fold,
+    // rank on the raw d2 with vec_id ties
+    "q205_embedding_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(label AS INTEGER) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |flat AS (
+        |  SELECT vec_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v
+        |  FROM e),
+        |c AS (
+        |  SELECT list(m ORDER BY pos) AS cent
+        |  FROM (SELECT pos, avg(v) AS m FROM flat GROUP BY pos) t),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, len(e.emb) + 1),
+        |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i]))) AS d2
+        |  FROM e CROSS JOIN c)
+        |SELECT rank, vec_id, label, round(d2, 6) AS d2 FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY d2 DESC, vec_id) AS BIGINT) AS rank,
+        |    vec_id, label, d2
+        |  FROM d) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // q148: each gate is its certifying oracle's fragment verbatim —
     // quality/lang from q78, the seven rules from q144, keepers from
     // q77, the contamination hits from q88

@@ -972,6 +972,44 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** q205: embedding-space outliers — the `k` vectors farthest (L2²)
+    * from the corpus centroid, ranked. The embedding-quality audit
+    * run before any cosine machinery is trusted: truncated downloads,
+    * all-zero rows, wrong-model shards and mojibake docs all land in
+    * the far tail of the centroid distance, and eyeballing the top-k
+    * is how they're caught (top-K, not a p95 flag, on purpose — the
+    * exact global percentile would gather 5% of the corpus, while an
+    * exact top-k is a distributed TakeOrdered of k rows).
+    *
+    * Exactness: the centroid is the exact per-dim mean (float32
+    * summed in double headroom — order-independent, the q169/q87
+    * property), the distance the fixed-order fold both engines
+    * replay, ranking on the RAW distance with vec_id ties.
+    *
+    * Scale: one posexplode aggregation builds the dim-sized centroid
+    * (broadcast back as ONE row); distances are a zero-exchange
+    * narrow map; TakeOrderedAndProject keeps k rows per partition
+    * before the k-row merge. */
+  def embeddingOutliers(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+    val cent = e.select(posexplode(col("embedding")))
+      .groupBy(col("pos")).agg(avg(col("col").cast("double")).as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cent"))
+    e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        aggregate(zip_with(col("embedding"), col("cent"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (a, v) => a + v).as("d2"))
+      .orderBy(col("d2").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("d2").desc, col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"), round(col("d2"), 6).as("d2"))
+      .orderBy(col("rank"))
+  }
+
   /** q202: cluster topic cards — the human-readable label for each
     * learned k-means cluster: its top-`topK` TF-IDF terms, where the
     * "documents" of the TF-IDF are the CLUSTERS (tf = term count over

@@ -1017,6 +1017,52 @@ object TextOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q204: decile lift table for the hashed-feature linear quality
+    * model (q147) against the heuristic quality label — the standard
+    * model-validation readout before a learned filter replaces a
+    * rule-based one: rank all docs by the model's margin, cut into
+    * `bins` rank-deciles, and report each decile's empirical
+    * positive-label rate (label = blended heuristic quality ≥ 0.5).
+    * A model with ranking power shows pos_rate rising across deciles;
+    * a flat table says the scores carry no signal for this target —
+    * q147's md5-hashed weights are untrained, so flat is exactly the
+    * honest readout here, and the table is how a real pipeline would
+    * catch an untrained/mis-loaded weight vector BEFORE filtering a
+    * corpus with it.
+    *
+    * Exactness: margins and all counts are exact longs; the rank is
+    * deterministic ((score, doc_id) order); decile = ((rn−1)·bins)
+    * div n + 1 in INTEGER arithmetic on both engines (Spark `div` ↔
+    * DuckDB `//` — the q179 floor-vs-truncate gotcha has no room to
+    * appear); the two per-decile ratios are single divisions under
+    * roundAt.
+    *
+    * Scale: the global ordinal is [[RelationalExt.globalRunningSum]]'s
+    * two-phase distributed prefix sum — no single-task global window;
+    * the doc count rides as a broadcast one-row dim; the rollup is
+    * bins-sized. */
+  def qualityLiftTable(spark: SparkSession, dir: String, bins: Int = 10): DataFrame = {
+    val scored = linearQuality(spark, dir).select(col("doc_id"), col("score"))
+    val labeled = Tables.documents(spark, dir)
+      .select(col("doc_id"), (qualityCol >= lit(0.5)).as("label"))
+    val j = scored.join(labeled, "doc_id")
+    val withRn = RelationalExt.globalRunningSum(
+      j, Seq(col("score"), col("doc_id")), lit(1L), "rn")
+    val nDf = scored.agg(count(lit(1)).as("n"))
+    withRn.crossJoin(broadcast(nDf))
+      .withColumn("decile", expr(s"((rn - 1) * $bins) div n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("sum_score"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("decile"), col("n_docs"),
+        roundAt(col("sum_score").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_score"),
+        roundAt(col("n_pos").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pos_rate"))
+      .orderBy(col("decile"))
+  }
+
   /** q175: per-source vocabulary richness with an HLL sketch twin —
     * exact distinct-word count and type-token ratio per source, plus
     * an in-plan envelope flag asserting the approx_count_distinct

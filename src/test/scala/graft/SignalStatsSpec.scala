@@ -34,6 +34,67 @@ class SignalStatsSpec extends AnyFunSuite {
     assert(got(1)._4 < got(0)._4)
   }
 
+  test("quality lift table (q204): driver recompute parity; deciles partition the corpus") {
+    import org.apache.spark.sql.functions.col
+    val got = TextOps.qualityLiftTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val docs = TextOps.linearQuality(spark, sf)
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // labels from the heuristic quality
+    val labels = TextOps.qualityScore(spark, sf)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1) >= 0.5)).toMap
+    val n = docs.size
+    val ranked = docs.toSeq.sortBy { case (id, s) => (s, id) }.zipWithIndex
+    val byDecile = ranked.groupBy { case (_, i) => i.toLong * 10 / n + 1 }
+    assert(got.map(_._1).toSet == byDecile.keySet)
+    got.foreach { case (dec, nDocs, meanScore, posRate) =>
+      val members = byDecile(dec)
+      assert(nDocs == members.size.toLong, s"decile $dec size")
+      val ms = members.map(_._1._2).sum.toDouble / members.size
+      assert(meanScore == math.floor(ms * 1e6 + 0.5) / 1e6, s"decile $dec mean")
+      val pr = members.count(m => labels(m._1._1)).toDouble / members.size
+      assert(posRate == math.floor(pr * 1e6 + 0.5) / 1e6, s"decile $dec rate")
+    }
+    assert(got.map(_._2).sum == n.toLong, "deciles must partition the corpus")
+  }
+
+  test("embedding outliers (q205): top-k matches a driver recompute; an injected corrupt vector ranks first") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.ops.SimilarityOps.embeddingOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.length == 20 && got.map(_._1).toSeq == (1L to 20L))
+    // driver recompute: exact centroid + L2^2, same ordering
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dim = all.head._2.length
+    val cent = (0 until dim).map(i =>
+      all.map(_._2(i).toDouble).sum / all.length)
+    val dists = all.map { case (id, v) =>
+      id -> (0 until dim).foldLeft(0.0)((a, i) =>
+        a + (v(i).toDouble - cent(i)) * (v(i).toDouble - cent(i)))
+    }
+    val want = dists.sortBy { case (id, d) => (-d, id) }.take(20)
+    got.zip(want).foreach { case ((_, gid, gd2), (wid, wd2)) =>
+      assert(gid == wid, s"outlier order: $gid vs $wid")
+      assert(gd2 == math.round(wd2 * 1e6) / 1e6 ||
+        gd2 == math.floor(wd2 * 1e6 + 0.5) / 1e6, s"d2 for $gid")
+    }
+    // a corrupted shard's vector (huge magnitude) must surface at rank 1
+    val dir = java.nio.file.Files.createTempDirectory("graft-out").toString
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = all.take(50).map { case (id, v) => (id, v, 0) } :+
+      ((9999L, Array.fill(dim)(100.0f), 0))
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = graft.ops.SimilarityOps.embeddingOutliers(spark, dir, k = 3).collect()
+    assert(top.head.getLong(1) == 9999L,
+      "the corrupted vector must rank as the #1 outlier")
+  }
+
   test("robust anomaly (q199): driver recompute parity; a spike the mean/sd masks is flagged") {
     import org.apache.spark.sql.functions.col
     // parity on the real corpus: exact-long median/MAD recompute
