@@ -83,6 +83,12 @@ object SparkEntry {
     "q204_quality_lift"    -> ((s, d) => TextOps.qualityLiftTable(s, d)),
     // top-k centroid-distance outliers: the embedding-quality audit
     "q205_embedding_outliers" -> ((s, d) => SimilarityOps.embeddingOutliers(s, d)),
+    // IR eval harness: precision@10 / MRR / nDCG@10 of the exact
+    // ranking under binary label relevance
+    "q206_retrieval_metrics" -> ((s, d) => SimilarityOps.retrievalMetrics(s, d)),
+    // cross-source vocabulary overlap: exact ∩/Jaccard + HLL
+    // inclusion-exclusion envelope-gated in-plan
+    "q207_vocab_overlap"   -> ((s, d) => TextOps.vocabOverlapSketch(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -1665,6 +1671,32 @@ object SparkEntry {
         |FROM w JOIN documents d ON d.doc_id = w.doc_id
         |WHERE w.word <> ''
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // q207: exact distinct (source, word) arithmetic; the sketch leg
+    // is envelope-gated in-plan (TRUE here — the q175 pattern)
+    "q207_vocab_overlap" ->
+      s"""WITH sv AS (
+        |  SELECT DISTINCT d.source, w.word
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ')) AS word
+        |        FROM documents) w
+        |  JOIN documents d ON d.doc_id = w.doc_id
+        |  WHERE w.word <> ''),
+        |ps AS (SELECT source, count(*) AS v FROM sv GROUP BY 1),
+        |prs AS (
+        |  SELECT a.source AS src_a, a.v AS v_a, b.source AS src_b, b.v AS v_b
+        |  FROM ps a JOIN ps b ON a.source < b.source),
+        |bt AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, count(*) AS v_both
+        |  FROM sv x JOIN sv y ON x.word = y.word AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.v_a, p.v_b,
+        |  coalesce(bt.v_both, 0) AS v_both,
+        |  ${TextOps.roundAtSql(
+             "CAST(coalesce(bt.v_both, 0) AS DOUBLE) / " +
+               "CAST(p.v_a + p.v_b - coalesce(bt.v_both, 0) AS DOUBLE)", 6)} AS vocab_jacc,
+        |  TRUE AS in_envelope
+        |FROM prs p LEFT JOIN bt USING (src_a, src_b)
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
     // q176: first-occurrence credit per word + window prefix sums
     // (exact longs; Spark side uses the distributed two-phase form)
     "q176_vocab_growth" ->
@@ -3568,6 +3600,57 @@ object SparkEntry {
         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
         |  FROM s)
         |SELECT q_id, vec_id, label, cos, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    // q206: the q91 ranking chain at k=10 + exact-long relevance,
+    // rank-ordered DCG fold (list(... ORDER BY rnk) ↔ sorted
+    // aggregate), guarded ideal-DCG fold, single-division metrics
+    "q206_retrieval_metrics" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(label AS INTEGER) AS label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS q_emb
+        |      FROM e WHERE vec_id < 20),
+        |s AS (
+        |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * q.q_emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * e.emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(q.q_emb) + 1), i -> q.q_emb[i] * q.q_emb[i])))), 4) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM s),
+        |h AS (
+        |  SELECT q_id, q_label, rnk,
+        |    CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel
+        |  FROM r WHERE rnk <= 10),
+        |lc AS (SELECT label AS lbl, count(*) AS n_lbl FROM e GROUP BY 1),
+        |pq AS (
+        |  SELECT q_id, q_label,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel,
+        |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+        |    list_sum(list(CAST(rel AS DOUBLE) * ln(2.0) / ln(CAST(rnk AS DOUBLE) + 1.0)
+        |      ORDER BY rnk)) AS dcg
+        |  FROM h GROUP BY 1, 2),
+        |w AS (
+        |  SELECT pq.*, least(lc.n_lbl - 1, 10) AS m
+        |  FROM pq JOIN lc ON lc.lbl = pq.q_label),
+        |i AS (
+        |  SELECT w.*,
+        |    CASE WHEN m >= 1 THEN
+        |      list_sum(list_transform(range(1, m + 1),
+        |        x -> ln(2.0) / ln(CAST(x AS DOUBLE) + 1.0)))
+        |    ELSE 0.0 END AS idcg
+        |  FROM w)
+        |SELECT q_id, q_label, n_rel,
+        |  ${TextOps.roundAtSql("CAST(n_rel AS DOUBLE) / 10.0", 6)} AS precision,
+        |  ${TextOps.roundAtSql(
+             "CASE WHEN first_rel IS NULL THEN 0.0 " +
+               "ELSE 1.0 / CAST(first_rel AS DOUBLE) END", 6)} AS mrr,
+        |  ${TextOps.roundAtSql(
+             "CASE WHEN idcg = 0.0 THEN 0.0 ELSE dcg / idcg END", 6)} AS ndcg
+        |FROM i ORDER BY q_id""".stripMargin,
     "q92_incremental_dedup" ->
       """WITH idx AS (
         |  SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,

@@ -972,6 +972,68 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** q206: retrieval quality metrics — precision@k, MRR and nDCG@k
+    * for the exact cosine ranking ([[knnJoin]]) over the standing
+    * query set, with binary relevance = label match. The IR eval
+    * harness every retrieval stack runs on a labeled slice before an
+    * index change ships: the exact ranking is the reference the ANN
+    * variants (q30/q181/q184) are graded against, and these are the
+    * numbers that grading reports.
+    *
+    * Exactness: relevance and ranks are exact longs; the DCG is a
+    * RANK-ORDERED fold (collect + array_sort + aggregate — the
+    * q158/q177 sorted-fold convention) of rel·ln2/ln(rank+1) terms
+    * with the engines' ln parity (q161 convention); the ideal DCG
+    * folds over least(|label| − 1, k) positions with an m = 0 guard
+    * (Spark's `sequence(1, 0)` DESCENDS — it is never evaluated
+    * unguarded); precision and MRR are single divisions. All three
+    * rounded at 6.
+    *
+    * Scale: the per-query top-k comes from [[knnJoin]]'s bounded-heap
+    * combiner (one corpus pass, ≤ partitions × k rows per query into
+    * the rank exchange); query labels and per-label corpus counts are
+    * broadcast dims; the metric rollup is queries-sized. */
+  def retrievalMetrics(spark: SparkSession, dir: String,
+                       nQueries: Long = 20L, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qLabels = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("label").cast("int").as("q_label"))
+    val labCounts = e.groupBy(col("label").cast("int").as("lbl"))
+      .agg(count(lit(1)).as("n_lbl"))
+    val ln2 = log(lit(2.0))
+    val hits = knnJoin(spark, dir, nQueries, k)
+      .join(broadcast(qLabels), Seq("q_id"))
+      .withColumn("rel",
+        when(col("label") === col("q_label"), lit(1L)).otherwise(lit(0L)))
+    val perQ = hits.groupBy(col("q_id"), col("q_label"))
+      .agg(
+        sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"),
+        aggregate(
+          array_sort(collect_list(struct(col("rnk"), col("rel")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("rel").cast("double") * ln2 /
+            log(s.getField("rnk").cast("double") + lit(1.0))).as("dcg"))
+    val withM = perQ
+      .join(broadcast(labCounts), col("q_label") === col("lbl"))
+      .withColumn("m", least(col("n_lbl") - 1L, lit(k.toLong)))
+      .withColumn("idcg",
+        when(col("m") >= 1L,
+          aggregate(sequence(lit(1L), col("m")), lit(0.0),
+            (acc, i) => acc + ln2 / log(i.cast("double") + lit(1.0))))
+          .otherwise(lit(0.0)))
+    withM.select(col("q_id"), col("q_label"), col("n_rel"),
+        TextOps.roundAt(col("n_rel").cast("double") / lit(k.toDouble), 6)
+          .as("precision"),
+        TextOps.roundAt(
+          when(col("first_rel").isNull, lit(0.0))
+            .otherwise(lit(1.0) / col("first_rel").cast("double")), 6).as("mrr"),
+        TextOps.roundAt(
+          when(col("idcg") === 0.0, lit(0.0))
+            .otherwise(col("dcg") / col("idcg")), 6).as("ndcg"))
+      .orderBy(col("q_id"))
+  }
+
   /** q205: embedding-space outliers — the `k` vectors farthest (L2²)
     * from the corpus centroid, ranked. The embedding-quality audit
     * run before any cosine machinery is trusted: truncated downloads,

@@ -1017,6 +1017,61 @@ object TextOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q207: cross-source vocabulary overlap, exact + sketch-gated —
+    * per source pair: exact shared-vocabulary size |Vₐ∩Vᵦ| and
+    * vocabulary Jaccard, plus an in-plan envelope flag asserting that
+    * the HLL inclusion–exclusion estimate (skₐ + skᵦ − sk_union, the
+    * only way to intersect sketches) lands within its error bound.
+    * The corpus-merging companion to q165's doc-level dup matrix:
+    * vocabulary overlap says how much NEW language a source brings,
+    * BEFORE paying for doc-level dedup between them. The sketch path
+    * is the 100 TB path (three mergeable HLLs per pair vs a distinct
+    * self-join); the exact-gated pattern (q124/q175) keeps it
+    * correctness-anchored — and the envelope is honest about
+    * inclusion–exclusion's known weakness: each of the THREE sketches
+    * errs proportionally to ITS OWN cardinality, so the bound is
+    * 4·rsd·(|Vₐ|+|Vᵦ|+|V∪|) — union-scale, not intersection-scale; a
+    * small intersection of two big vocabularies is where the sketch
+    * estimate is proportionally worst.
+    *
+    * Scale: the corpus collapses once to distinct (source, word); the
+    * exact intersection is a word-keyed self-join emitting ≤ C(s,2)
+    * rows per word (sources are a handful); the pair-union sketch
+    * rides the q200 broadcast pair-dim expansion over the collapsed
+    * vocab rows. */
+  def vocabOverlapSketch(spark: SparkSession, dir: String,
+                         rsd: Double = 0.02): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val sv = wordRows(spark, dir).join(src, Seq("doc_id"))
+      .select(col("source"), col("word")).distinct()
+      .localCheckpoint(false)
+    val perSrc = sv.groupBy(col("source"))
+      .agg(count(lit(1)).as("v"), approx_count_distinct(col("word"), rsd).as("sk"))
+    val prs = perSrc.select(col("source").as("src_a"), col("v").as("v_a"), col("sk").as("sk_a"))
+      .crossJoin(perSrc.select(col("source").as("src_b"), col("v").as("v_b"), col("sk").as("sk_b")))
+      .filter(col("src_a") < col("src_b"))
+    val both = sv.select(col("source").as("src_a"), col("word"))
+      .join(sv.select(col("source").as("src_b"), col("word")), Seq("word"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("v_both"))
+    val skUnion = sv.join(broadcast(prs.select(col("src_a"), col("src_b"))),
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(approx_count_distinct(col("word"), rsd).as("sk_union"))
+    val vBoth = coalesce(col("v_both"), lit(0L))
+    val union = col("v_a") + col("v_b") - vBoth
+    val skBoth = col("sk_a") + col("sk_b") - col("sk_union")
+    prs.join(both, Seq("src_a", "src_b"), "left")
+      .join(skUnion, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("v_a"), col("v_b"),
+        vBoth.as("v_both"),
+        roundAt(vBoth.cast("double") / union.cast("double"), 6).as("vocab_jacc"),
+        (abs(skBoth - vBoth) <=
+          greatest(lit(1.0), lit(4 * rsd) * (col("v_a") + col("v_b") + union)))
+          .as("in_envelope"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** q204: decile lift table for the hashed-feature linear quality
     * model (q147) against the heuristic quality label — the standard
     * model-validation readout before a learned filter replaces a

@@ -36,6 +36,55 @@ class SimilarityDedupSpec extends AnyFunSuite {
       "same-metric detectors share no pairs - fixture degenerate")
   }
 
+  test("retrieval metrics (q206): driver recompute parity; perfect clusters score 1.0 across the board") {
+    val got = SimilarityOps.retrievalMetrics(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.size == 20)
+    // driver recompute from the exact knnJoin ranking
+    val hits = SimilarityOps.knnJoin(spark, sf, 20L, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(4)))
+    val qLab = Tables.embeddings(spark, sf).filter($"vec_id" < 20)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val labN = Tables.embeddings(spark, sf).groupBy($"label").count()
+      .as[(Int, Long)].collect().toMap
+    val ln2 = math.log(2.0)
+    got.foreach { case (q, (nRel, prec, mrr, ndcg)) =>
+      val mine = hits.filter(_._1 == q).sortBy(_._3)
+      val rels = mine.map { case (_, l, rnk) => (rnk, if (l == qLab(q)) 1L else 0L) }
+      assert(nRel == rels.map(_._2).sum, s"q$q n_rel")
+      assert(prec == math.floor(nRel / 10.0 * 1e6 + 0.5) / 1e6, s"q$q precision")
+      val first = rels.find(_._2 == 1L).map(_._1)
+      val wantMrr = first.map(1.0 / _).getOrElse(0.0)
+      assert(mrr == math.floor(wantMrr * 1e6 + 0.5) / 1e6, s"q$q mrr")
+      val dcg = rels.foldLeft(0.0) { case (a, (rnk, rel)) =>
+        a + rel.toDouble * ln2 / math.log(rnk + 1.0)
+      }
+      val m = math.min(labN(qLab(q)) - 1, 10L)
+      val idcg = (1L to m).foldLeft(0.0)((a, i) => a + ln2 / math.log(i + 1.0))
+      val wantN = if (idcg == 0.0) 0.0 else dcg / idcg
+      assert(ndcg == math.floor(wantN * 1e6 + 0.5) / 1e6, s"q$q ndcg")
+      Seq(prec, mrr, ndcg).foreach(v => assert(v >= 0.0 && v <= 1.0))
+      assert((nRel > 0L) == (mrr > 0.0))
+    }
+    // perfect-retrieval anchor: two orthogonal 12-vector clusters —
+    // every query's top-10 is all-relevant, so all metrics pin 1.0
+    // (dcg and idcg are the identical fold, hence ratio EXACTLY 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ir").toString
+    (0L until 24L).map { id =>
+      val e = if (id % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      (id, e, (id % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val perfect = SimilarityOps.retrievalMetrics(spark, dir).collect()
+    assert(perfect.length == 20)
+    perfect.foreach { r =>
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0,
+        s"perfect cluster scored ${r.toSeq}")
+    }
+  }
+
   test("label-codebook IVF agrees with brute force on returned cosines") {
     val bf = SimilarityOps.bruteForceTopK(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap

@@ -30,6 +30,27 @@ class VocabStatsSpec extends AnyFunSuite {
     assert(got.forall(_._5), "an HLL estimate left the 4-rsd envelope")
   }
 
+  test("vocab overlap (q207): exact set arithmetic matches a driver recompute; every sketch in envelope") {
+    val vocab = docs.groupBy(_._3)
+      .map { case (s, ds) => s -> ds.flatMap(d => normWords(d._2)).toSet }
+    val got = TextOps.vocabOverlapSketch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))))
+      .toMap
+    val srcs = vocab.keySet
+    assert(got.keySet == (for (a <- srcs; b <- srcs if a < b) yield (a, b)).toSet)
+    got.foreach { case ((a, b), (va, vb, both, jacc, env)) =>
+      assert(va == vocab(a).size.toLong && vb == vocab(b).size.toLong, s"($a,$b) sizes")
+      val inter = vocab(a).intersect(vocab(b)).size.toLong
+      assert(both == inter, s"($a,$b) intersection")
+      val want = inter.toDouble / vocab(a).union(vocab(b)).size.toDouble
+      assert(jacc == math.floor(want * 1e6 + 0.5) / 1e6, s"($a,$b) jaccard")
+      assert(env, s"($a,$b) sketch out of envelope")
+    }
+    // overlap is non-vacuous on this corpus (shared vocabulary exists)
+    assert(got.values.exists(_._3 > 0L))
+  }
+
   test("vocab growth: prefix sums match, curve is monotone and concave-ish (n_new bounded by n_tokens)") {
     val rows = TextOps.vocabGrowth(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
