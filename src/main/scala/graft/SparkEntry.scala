@@ -89,6 +89,10 @@ object SparkEntry {
     // cross-source vocabulary overlap: exact ∩/Jaccard + HLL
     // inclusion-exclusion envelope-gated in-plan
     "q207_vocab_overlap"   -> ((s, d) => TextOps.vocabOverlapSketch(s, d)),
+    // semantic source drift: pairwise centroid L2/cos matrix
+    "q208_source_drift_emb" -> ((s, d) => SimilarityOps.sourceEmbeddingDrift(s, d)),
+    // arrival-process health: exact inter-event gap percentiles
+    "q209_event_gaps"      -> ((s, d) => RelationalExt.eventGapPercentiles(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -1671,6 +1675,51 @@ object SparkEntry {
         |FROM w JOIN documents d ON d.doc_id = w.doc_id
         |WHERE w.word <> ''
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    // q209: integer-microsecond gaps (unix_micros ↔ epoch_us), q185
+    // discrete rank selection — every output an exact long
+    "q209_event_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type, event_id,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+        |  FROM events),
+        |f AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+        |r AS (
+        |  SELECT f.*,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY gap_us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM f)
+        |SELECT event_type, max(n) AS n_gaps,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN gap_us END) AS p50_us,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN gap_us END) AS p95_us,
+        |  max(gap_us) AS max_us
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q208: per-source exact double centroids, index-order L2/cos
+    // folds, one sqrt/divide tree each under roundAt
+    "q208_source_drift_emb" ->
+      s"""WITH e AS (
+        |  SELECT d.source,
+        |    list_transform(em.embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id),
+        |flat AS (
+        |  SELECT source, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v
+        |  FROM e),
+        |c AS (
+        |  SELECT source, list(m ORDER BY pos) AS cent
+        |  FROM (SELECT source, pos, avg(v) AS m FROM flat GROUP BY 1, 2) t
+        |  GROUP BY source),
+        |prs AS (
+        |  SELECT a.source AS src_a, a.cent AS ca, b.source AS src_b, b.cent AS cb
+        |  FROM c a JOIN c b ON a.source < b.source)
+        |SELECT src_a, src_b,
+        |  ${TextOps.roundAtSql(
+             "sqrt(list_sum(list_transform(range(1, len(ca) + 1), " +
+               "i -> (ca[i] - cb[i]) * (ca[i] - cb[i]))))", 6)} AS l2,
+        |  ${TextOps.roundAtSql(
+             "list_sum(list_transform(range(1, len(ca) + 1), i -> ca[i] * cb[i])) / " +
+               "(sqrt(list_sum(list_transform(range(1, len(ca) + 1), i -> ca[i] * ca[i]))) * " +
+               "sqrt(list_sum(list_transform(range(1, len(cb) + 1), i -> cb[i] * cb[i]))))", 6)} AS cos
+        |FROM prs ORDER BY src_a, src_b""".stripMargin,
     // q207: exact distinct (source, word) arithmetic; the sketch leg
     // is envelope-gated in-plan (TRUE here — the q175 pattern)
     "q207_vocab_overlap" ->

@@ -1277,6 +1277,49 @@ object RelationalExt {
     * Scale: one (type, hour) aggregation with map-side partials, one
     * tiny per-type stats table broadcast back — the corpus shuffles
     * once. */
+  /** q209: inter-event time-gap percentiles per event type — p50 /
+    * p95 / max of the gaps between consecutive events of a type, in
+    * exact integer microseconds. The arrival-process companion to
+    * q185 (VALUE percentiles) and q174/q199 (hourly VOLUME): a
+    * growing p95 gap is the earliest sign a producer is stalling,
+    * visible long before an hourly bucket goes empty.
+    *
+    * Exactness: gaps are differences of integer-microsecond
+    * timestamps (unix_micros ↔ epoch_us); both percentiles use the
+    * q185 rank-⌈p·n⌉ discrete selection, so every output is an exact
+    * long.
+    *
+    * Scale: one event_type window for the lag (the corpus's only
+    * shuffle — same partitioning reused by the rank window and the
+    * final aggregation, one Exchange total), types-sized output. */
+  def eventGapPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val wLag = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(wLag))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        // NTZ → TIMESTAMP is value-preserving under the pinned-UTC
+        // session, making unix_micros ≡ DuckDB's epoch_us on the
+        // same naive instants
+        (unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("prev").cast("timestamp"))).as("gap_us"))
+    val grp = Window.partitionBy(col("event_type"))
+    val wRank = grp.orderBy(col("gap_us"), col("event_id"))
+    gaps
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        max(when(col("rn") === ceil(col("n") * lit(0.5d)).cast("long"),
+          col("gap_us"))).as("p50_us"),
+        max(when(col("rn") === ceil(col("n") * lit(0.95d)).cast("long"),
+          col("gap_us"))).as("p95_us"),
+        max(col("gap_us")).as("max_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** q199: ROBUST hourly event-rate anomalies per type — the
     * median/MAD modified z-score (Iglewicz & Hoaglin 1993,
     * z = 0.6745·(x − med)/MAD, flag |z| ≥ 3.5) companion to

@@ -972,6 +972,48 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** q208: cross-source embedding drift — the pairwise L2 and cosine
+    * distance matrix between per-source embedding CENTROIDS (via the
+    * documents↔embeddings doc_id = vec_id bridge). Completes the
+    * source-comparison suite: q200 compares QUALITY distributions,
+    * q207 VOCABULARY, q165 literal duplication — this compares where
+    * sources sit in semantic space, the "is this crawl actually
+    * different content or the same content re-hosted" readout before
+    * paying for cross-source dedup (far centroids ⇒ skip the
+    * expensive pairwise pass between those sources).
+    *
+    * Exactness: centroids are exact per-dim double means (the q169
+    * float32-in-double-headroom property); distances and cosine are
+    * index-order folds, one sqrt/divide tree each, rounded at 6.
+    *
+    * Scale: one posexplode aggregation to (source, pos) means — the
+    * only corpus-sized work; the matrix is a self-join of the
+    * sources-sized centroid dim. */
+  def sourceEmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val cents = Tables.embeddings(spark, dir)
+      .join(src, Seq("vec_id"))
+      .select(col("source"), posexplode(col("embedding")))
+      .groupBy(col("source"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"))
+      .groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cent"))
+    val prs = cents.select(col("source").as("src_a"), col("cent").as("ca"))
+      .crossJoin(cents.select(col("source").as("src_b"), col("cent").as("cb")))
+      .filter(col("src_a") < col("src_b"))
+    def fold(f: (Column, Column) => Column): Column =
+      aggregate(zip_with(col("ca"), col("cb"), f), lit(0.0), (a, v) => a + v)
+    val dot = fold((x, y) => x * y)
+    val na = aggregate(col("ca"), lit(0.0), (a, v) => a + v * v)
+    val nb = aggregate(col("cb"), lit(0.0), (a, v) => a + v * v)
+    prs.select(col("src_a"), col("src_b"),
+      TextOps.roundAt(sqrt(fold((x, y) => (x - y) * (x - y))), 6).as("l2"),
+      TextOps.roundAt(dot / (sqrt(na) * sqrt(nb)), 6).as("cos"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** q206: retrieval quality metrics — precision@k, MRR and nDCG@k
     * for the exact cosine ranking ([[knnJoin]]) over the standing
     * query set, with binary relevance = label match. The IR eval

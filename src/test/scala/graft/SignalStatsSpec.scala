@@ -34,6 +34,31 @@ class SignalStatsSpec extends AnyFunSuite {
     assert(got(1)._4 < got(0)._4)
   }
 
+  test("event gaps (q209): exact-microsecond recompute parity; p50 <= p95 <= max") {
+    import org.apache.spark.sql.functions.col
+    val got = RelationalExt.eventGapPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2)))
+    ev.groupBy(_._1).foreach { case (tpe, rows) =>
+      def us(t: java.time.LocalDateTime): Long = {
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      }
+      val sorted = rows.sortBy(r => (us(r._2), r._3))
+      val gaps = sorted.sliding(2).collect { case Array(a, b) => us(b._2) - us(a._2) }.toSeq.sorted
+      val (n, p50, p95, mx) = got(tpe)
+      assert(n == gaps.length.toLong, s"$tpe gap count")
+      assert(p50 == gaps(math.ceil(gaps.length * 0.5).toInt - 1), s"$tpe p50")
+      assert(p95 == gaps(math.ceil(gaps.length * 0.95).toInt - 1), s"$tpe p95")
+      assert(mx == gaps.max, s"$tpe max")
+      assert(p50 <= p95 && p95 <= mx)
+    }
+  }
+
   test("quality lift table (q204): driver recompute parity; deciles partition the corpus") {
     import org.apache.spark.sql.functions.col
     val got = TextOps.qualityLiftTable(spark, sf).collect()

@@ -36,6 +36,31 @@ class SimilarityDedupSpec extends AnyFunSuite {
       "same-metric detectors share no pairs - fixture degenerate")
   }
 
+  test("source embedding drift (q208): centroid matrix matches a driver recompute; metric axioms hold") {
+    val got = SimilarityOps.sourceEmbeddingDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.nonEmpty)
+    val rows = Tables.embeddings(spark, sf)
+      .join(Tables.documents(spark, sf).select($"doc_id".as("vec_id"), $"source"), "vec_id")
+      .select($"source", $"embedding").as[(String, Array[Float])].collect()
+    val cents = rows.groupBy(_._1).map { case (s, vs) =>
+      val dim = vs.head._2.length
+      s -> (0 until dim).map(i => vs.map(_._2(i).toDouble).sum / vs.length).toArray
+    }
+    got.foreach { case ((a, b), (l2, cos)) =>
+      val (ca, cb) = (cents(a), cents(b))
+      val wl2 = math.sqrt(ca.indices.foldLeft(0.0)((s, i) =>
+        s + (ca(i) - cb(i)) * (ca(i) - cb(i))))
+      val dot = ca.indices.foldLeft(0.0)((s, i) => s + ca(i) * cb(i))
+      val na = math.sqrt(ca.indices.foldLeft(0.0)((s, i) => s + ca(i) * ca(i)))
+      val nb = math.sqrt(cb.indices.foldLeft(0.0)((s, i) => s + cb(i) * cb(i)))
+      assert(l2 == math.floor(wl2 * 1e6 + 0.5) / 1e6, s"($a,$b) l2")
+      assert(cos == math.floor(dot / (na * nb) * 1e6 + 0.5) / 1e6, s"($a,$b) cos")
+      assert(l2 >= 0.0 && cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+  }
+
   test("retrieval metrics (q206): driver recompute parity; perfect clusters score 1.0 across the board") {
     val got = SimilarityOps.retrievalMetrics(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
