@@ -93,6 +93,8 @@ object SparkEntry {
     "q208_source_drift_emb" -> ((s, d) => SimilarityOps.sourceEmbeddingDrift(s, d)),
     // arrival-process health: exact inter-event gap percentiles
     "q209_event_gaps"      -> ((s, d) => RelationalExt.eventGapPercentiles(s, d)),
+    // incremental k-means: mergeable (cl, n, Σx) state folded per batch
+    "q210_kmeans_refresh"  -> ((s, d) => SimilarityOps.kmeansRefresh(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -644,6 +646,90 @@ object SparkEntry {
 
   private def kmeansStagesSql(k: Int, iters: Int): String =
     "WITH " + kmeansStagesBody(k.toString, iters)
+
+  /** q210 oracle: the incremental k-means refresh replayed as
+    * unrolled CTE stages — bootstrap Lloyd rounds on the first third,
+    * that third's sufficient statistics (cl, n, per-dim Σx), then two
+    * refresh stages each assigning a batch against the CURRENT state
+    * centroids (Σx/n) and ADDING its statistics into the state; the
+    * final centroid is one division per dim under the floor-form
+    * rounding. Mirrors SimilarityOps.kmeansRefresh stage for stage
+    * (batch-order state addition, left-join + coalesce for clusters a
+    * batch never touched). */
+  private lazy val kmeansRefreshOracleSql: String = {
+    def dist(eTbl: String, cTbl: String) =
+      s"""list_sum(list_transform(range(1, len(e.emb) + 1),
+         |      i -> (e.emb[i] - c.cent[i]) * (e.emb[i] - c.cent[i])))""".stripMargin
+    // one assignment stage: argmin of eTbl's vectors against cTbl
+    def assign(tag: String, eTbl: String, cTbl: String) =
+      s"""${tag}d AS MATERIALIZED (
+         |  SELECT e.vec_id, c.cl, ${dist(eTbl, cTbl)} AS d2
+         |  FROM $eTbl e CROSS JOIN $cTbl c),
+         |${tag}a AS MATERIALIZED (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT vec_id, cl,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |    FROM ${tag}d) WHERE rk = 1)""".stripMargin
+    // per-cluster sufficient statistics of an assignment
+    def st(tag: String, aTbl: String, flatTbl: String) =
+      s"""${tag}n AS (SELECT cl, count(*) AS n FROM $aTbl GROUP BY 1),
+         |${tag}s AS (
+         |  SELECT a.cl, f.pos, sum(f.v) AS s
+         |  FROM $aTbl a JOIN $flatTbl f USING (vec_id) GROUP BY 1, 2),
+         |$tag AS MATERIALIZED (
+         |  SELECT n.cl, n.n, (SELECT list(s ORDER BY pos) FROM ${tag}s s2
+         |                     WHERE s2.cl = n.cl) AS sums
+         |  FROM ${tag}n n)""".stripMargin
+    // state + batch statistics -> new state (clusters untouched by the
+    // batch pass through; a batch can never mint a new cluster)
+    def fold(outTbl: String, stTbl: String, batchTbl: String) =
+      s"""$outTbl AS MATERIALIZED (
+         |  SELECT st.cl, st.n + coalesce(b.n, 0) AS n,
+         |    list_transform(range(1, len(st.sums) + 1),
+         |      i -> st.sums[i] + coalesce(b.sums[i], 0.0)) AS sums
+         |  FROM $stTbl st LEFT JOIN $batchTbl b ON b.cl = st.cl)""".stripMargin
+    def cent(outTbl: String, stTbl: String) =
+      s"""$outTbl AS MATERIALIZED (
+         |  SELECT cl, list_transform(sums, s -> s / n) AS cent FROM $stTbl)""".stripMargin
+    val bootRounds = (1 to 2).map { r =>
+      s"""${assign(s"br$r", "e0", s"bc${r - 1}")},
+         |bc$r AS MATERIALIZED (
+         |  SELECT cl, list(m ORDER BY pos) AS cent FROM (
+         |    SELECT a.cl, f.pos, avg(f.v) AS m
+         |    FROM br${r}a a JOIN flat0 f USING (vec_id)
+         |    GROUP BY a.cl, f.pos) t GROUP BY cl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |nn AS (SELECT (max(vec_id) + 1) // 3 AS third, max(vec_id) + 1 AS total FROM e),
+       |e0 AS MATERIALIZED (SELECT e.vec_id, e.emb FROM e, nn WHERE vec_id < third),
+       |e1 AS MATERIALIZED (SELECT e.vec_id, e.emb FROM e, nn
+       |  WHERE vec_id >= third AND vec_id < 2 * third),
+       |e2 AS MATERIALIZED (SELECT e.vec_id, e.emb FROM e, nn
+       |  WHERE vec_id >= 2 * third AND vec_id < total),
+       |flat0 AS MATERIALIZED (
+       |  SELECT vec_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM e0),
+       |flat1 AS MATERIALIZED (
+       |  SELECT vec_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM e1),
+       |flat2 AS MATERIALIZED (
+       |  SELECT vec_id, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM e2),
+       |bc0 AS MATERIALIZED (SELECT vec_id AS cl, emb AS cent FROM e0 WHERE vec_id < 8),
+       |$bootRounds,
+       |${assign("f0", "e0", "bc2")},
+       |${st("st0", "f0a", "flat0")},
+       |${cent("cent1", "st0")},
+       |${assign("f1", "e1", "cent1")},
+       |${st("stb1", "f1a", "flat1")},
+       |${fold("state1", "st0", "stb1")},
+       |${cent("cent2", "state1")},
+       |${assign("f2", "e2", "cent2")},
+       |${st("stb2", "f2a", "flat2")},
+       |${fold("state2", "state1", "stb2")}
+       |SELECT cl AS cluster, n AS n_members,
+       |  list_transform(sums, s -> floor(s / n * 1000000 + 0.5) / 1000000) AS centroid
+       |FROM state2 ORDER BY cluster""".stripMargin
+  }
 
   private lazy val kmeansOracleSql: String =
     s"""${kmeansStagesSql(8, 3)}
@@ -2015,6 +2101,7 @@ object SparkEntry {
     "q169_kmeans_lloyd" -> kmeansOracleSql,
     "q202_cluster_topics" -> clusterTopicsOracleSql,
     "q203_method_agreement" -> methodAgreementOracleSql,
+    "q210_kmeans_refresh" -> kmeansRefreshOracleSql,
     "q184_ivf_learned" -> ivfLearnedOracleSql,
     // q183: q117's stage CTEs with the 1-hour conversion window on
     // each step; stack mirrored as UNION ALL, rates round(n/prev, 4)

@@ -1236,6 +1236,72 @@ object SimilarityOps {
     cents
   }
 
+  /** q210: incremental (mini-batch) k-means refresh — the TRAINING-
+    * STATE member of the incremental family (q92/q110/q180 maintain
+    * indexes per batch; q143 maintains clusters; this maintains the
+    * MODEL). The centroid state is the mergeable sufficient-statistic
+    * triple (cl, n, Σx per dim): bootstrap = the q169 Lloyd loop on
+    * the first third of the corpus plus that third's statistics; each
+    * later batch is assigned against the CURRENT state centroids
+    * (Σx/n) and its per-cluster (count, per-dim sums) are ADDED into
+    * the state — history is never rescanned, which is the point at
+    * 100 TB: the full Lloyd retrain reads the corpus iters× per
+    * refresh, this reads each arriving batch once. The standard
+    * sequential mini-batch k-means trade (Sculley 2010): refreshed
+    * centroids chase the data with batch-order-dependent drift
+    * instead of re-converging globally — the spec quantifies that
+    * drift against a full retrain.
+    *
+    * Exactness: per-dim batch sums are exact (float32 in double
+    * headroom — order-independent, the q169 property); counts are
+    * longs; state folding adds exact values in batch order; the
+    * output centroid is one division per dim under the floor-form
+    * rounding. The oracle replays bootstrap, both refreshes and the
+    * state algebra as unrolled CTE stages.
+    *
+    * Scale: every collect is k-row model state (the q159/q169
+    * per-round-collect rule); each batch is touched once by one
+    * broadcast-model assignment pass + one (cluster)-keyed partial
+    * aggregation. The split bounds (max vec_id thirds) cost one
+    * 1-row probe job — driver orchestration, like the training loop
+    * itself. */
+  def kmeansRefresh(spark: SparkSession, dir: String, k: Int = 8,
+                    iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val dim = Tables.embeddingDim(spark, dir)
+    val total = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    val third = total / 3
+    def slice(lo: Long, hi: Long): DataFrame =
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    def stats(df: DataFrame, cs: Seq[(Long, Array[Double])]): Array[(Long, Long, Array[Double])] =
+      lloydAssign(spark, df, cs)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")): _*)
+        .orderBy(col("cluster"))
+        .collect() // k rows — model state, never corpus data
+        .map(r => (r.getLong(0), r.getLong(1),
+          Array.tabulate(dim)(i => r.getDouble(i + 2))))
+    val boot = lloydCentroids(spark, slice(0L, third), k, iters)
+    val state = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Array[Double])]
+    stats(slice(0L, third), boot).foreach { case (cl, n, s) => state(cl) = (n, s) }
+    Seq((third, 2 * third), (2 * third, total)).foreach { case (lo, hi) =>
+      val cur = state.toSeq.sortBy(_._1).map { case (cl, (n, s)) =>
+        (cl, s.map(_ / n))
+      }
+      stats(slice(lo, hi), cur).foreach { case (cl, n, s) =>
+        val (n0, s0) = state(cl)
+        state(cl) = (n0 + n, Array.tabulate(dim)(i => s0(i) + s(i)))
+      }
+    }
+    state.toSeq.sortBy(_._1).map { case (cl, (n, s)) =>
+      (cl, n, s.map(v => math.floor(v / n * 1e6 + 0.5) / 1e6).toSeq)
+    }.toDF("cluster", "n_members", "centroid")
+      .orderBy(col("cluster"))
+  }
+
   /** q184: IVF with a LEARNED codebook, end to end — q169's Lloyd
     * training produces the coarse centroids, every vector is assigned
     * to its nearest learned centroid (the inverted lists), the query

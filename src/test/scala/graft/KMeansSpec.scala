@@ -70,6 +70,64 @@ class KMeansSpec extends AnyFunSuite {
     assert(got.values.toSet.size > 1)
   }
 
+  test("incremental refresh (q210): sequential driver replay parity; members conserved; state moved by later batches") {
+    import org.apache.spark.sql.functions.col
+    val got = SimilarityOps.kmeansRefresh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toVector))
+    assert(got.nonEmpty)
+    // independent sequential replay from the raw embeddings
+    val all = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val dim = all.head._2.length
+    val total = all.map(_._1).max + 1
+    val third = total / 3
+    def sliceOf(lo: Long, hi: Long) = all.filter(p => p._1 >= lo && p._1 < hi)
+    // bootstrap Lloyd on the first third (KMeansSpec's reference loop)
+    var cents: Seq[(Long, Array[Double])] =
+      sliceOf(0, third).filter(_._1 < 8).map { case (id, v) => (id, v.clone) }.toSeq
+    def assign(vs: Array[(Long, Array[Double])], cs: Seq[(Long, Array[Double])]) =
+      vs.map { case (id, v) =>
+        val best = cs.map { case (cl, c) =>
+          (v.indices.foldLeft(0.0)((a, i) => a + (v(i) - c(i)) * (v(i) - c(i))), cl)
+        }.minBy(identity)
+        (id, best._2, v)
+      }
+    for (_ <- 1 until 3) {
+      val a = assign(sliceOf(0, third), cents)
+      cents = a.groupBy(_._2).toSeq.sortBy(_._1).map { case (cl, ms) =>
+        (cl, Array.tabulate(dim)(i => ms.map(_._3(i)).sum / ms.length))
+      }
+    }
+    // state from the bootstrap slice, then two batch folds
+    val state = scala.collection.mutable.Map.empty[Long, (Long, Array[Double])]
+    assign(sliceOf(0, third), cents).groupBy(_._2).foreach { case (cl, ms) =>
+      state(cl) = (ms.length.toLong, Array.tabulate(dim)(i => ms.map(_._3(i)).sum))
+    }
+    Seq((third, 2 * third), (2 * third, total)).foreach { case (lo, hi) =>
+      val cur = state.toSeq.sortBy(_._1).map { case (cl, (n, s)) => (cl, s.map(_ / n)) }
+      assign(sliceOf(lo, hi), cur).groupBy(_._2).foreach { case (cl, ms) =>
+        val (n0, s0) = state(cl)
+        state(cl) = (n0 + ms.length,
+          Array.tabulate(dim)(i => s0(i) + ms.map(_._3(i)).sum))
+      }
+    }
+    val want = state.toSeq.sortBy(_._1).map { case (cl, (n, s)) =>
+      (cl, n, s.map(v => math.floor(v / n * 1e6 + 0.5) / 1e6).toVector)
+    }
+    assert(got.toSeq == want, "refresh diverged from the sequential replay")
+    // every corpus vector is counted exactly once across the state
+    assert(got.map(_._2).sum == total)
+    // the refresh genuinely moved the model: final centroids differ
+    // from the bootstrap-only centroids (later batches carry weight)
+    val bootOnly = cents.toMap
+    assert(got.exists { case (cl, _, c) =>
+      bootOnly.get(cl).exists(b =>
+        b.toVector.map(v => math.floor(v * 1e6 + 0.5) / 1e6) != c)
+    }, "later batches did not move a single centroid")
+  }
+
   test("cluster topic cards (q202): driver TF-IDF recompute parity; ubiquitous terms rank below exclusive ones") {
     import org.apache.spark.sql.functions.col
     val got = SimilarityOps.clusterTopics(spark, sf).collect()
