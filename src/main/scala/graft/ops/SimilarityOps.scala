@@ -1265,6 +1265,53 @@ object SimilarityOps {
     * aggregation. The split bounds (max vec_id thirds) cost one
     * 1-row probe job — driver orchestration, like the training loop
     * itself. */
+  /** Per-cluster sufficient statistics (cl, n, per-dim Σx) of a
+    * (vec_id, embedding) frame assigned against given centroids —
+    * the k-row model-state read both the bootstrap and every
+    * refresh step share. */
+  private def kmeansStats(spark: SparkSession, df: DataFrame,
+                          cs: Seq[(Long, Array[Double])],
+                          dim: Int): Array[(Long, Long, Array[Double])] =
+    lloydAssign(spark, df, cs)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")): _*)
+      .orderBy(col("cluster"))
+      .collect() // k rows — model state, never corpus data
+      .map(r => (r.getLong(0), r.getLong(1),
+        Array.tabulate(dim)(i => r.getDouble(i + 2))))
+
+  /** Bootstrap the mergeable centroid state from a corpus slice: the
+    * q169 Lloyd loop trains the centroids, then the slice's own
+    * sufficient statistics become the initial (cl, n, Σx) state. */
+  def kmeansStateBootstrap(spark: SparkSession, df: DataFrame, k: Int,
+                           iters: Int, dim: Int): Seq[(Long, Long, Array[Double])] = {
+    val boot = lloydCentroids(spark, df, k, iters)
+    kmeansStats(spark, df, boot, dim).toSeq
+  }
+
+  /** One mini-batch refresh step: assign `batch` against the CURRENT
+    * state centroids (Σx/n) and ADD its per-cluster statistics into
+    * the state. Public as the streaming-ingest fold body: a
+    * foreachBatch loop calling this per micro-batch maintains the
+    * identical state a sequential batch replay produces
+    * (StreamingMultimodalSpec proves it). */
+  def kmeansStateRefresh(spark: SparkSession,
+                         state: Seq[(Long, Long, Array[Double])],
+                         batch: DataFrame,
+                         dim: Int): Seq[(Long, Long, Array[Double])] = {
+    val sorted = state.sortBy(_._1)
+    val cur = sorted.map { case (cl, n, s) => (cl, s.map(_ / n)) }
+    val m = scala.collection.mutable.LinkedHashMap(
+      sorted.map(t => t._1 -> ((t._2, t._3))): _*)
+    kmeansStats(spark, batch, cur, dim).foreach { case (cl, n, s) =>
+      val (n0, s0) = m(cl)
+      m(cl) = (n0 + n, Array.tabulate(dim)(i => s0(i) + s(i)))
+    }
+    m.toSeq.map { case (cl, (n, s)) => (cl, n, s) }
+  }
+
   def kmeansRefresh(spark: SparkSession, dir: String, k: Int = 8,
                     iters: Int = 3): DataFrame = {
     import spark.implicits._
@@ -1274,29 +1321,11 @@ object SimilarityOps {
     val third = total / 3
     def slice(lo: Long, hi: Long): DataFrame =
       e.filter(col("vec_id") >= lo && col("vec_id") < hi)
-    def stats(df: DataFrame, cs: Seq[(Long, Array[Double])]): Array[(Long, Long, Array[Double])] =
-      lloydAssign(spark, df, cs)
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n"),
-          (0 until dim).map(i =>
-            sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")): _*)
-        .orderBy(col("cluster"))
-        .collect() // k rows — model state, never corpus data
-        .map(r => (r.getLong(0), r.getLong(1),
-          Array.tabulate(dim)(i => r.getDouble(i + 2))))
-    val boot = lloydCentroids(spark, slice(0L, third), k, iters)
-    val state = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Array[Double])]
-    stats(slice(0L, third), boot).foreach { case (cl, n, s) => state(cl) = (n, s) }
+    var state = kmeansStateBootstrap(spark, slice(0L, third), k, iters, dim)
     Seq((third, 2 * third), (2 * third, total)).foreach { case (lo, hi) =>
-      val cur = state.toSeq.sortBy(_._1).map { case (cl, (n, s)) =>
-        (cl, s.map(_ / n))
-      }
-      stats(slice(lo, hi), cur).foreach { case (cl, n, s) =>
-        val (n0, s0) = state(cl)
-        state(cl) = (n0 + n, Array.tabulate(dim)(i => s0(i) + s(i)))
-      }
+      state = kmeansStateRefresh(spark, state, slice(lo, hi), dim)
     }
-    state.toSeq.sortBy(_._1).map { case (cl, (n, s)) =>
+    state.sortBy(_._1).map { case (cl, n, s) =>
       (cl, n, s.map(v => math.floor(v / n * 1e6 + 0.5) / 1e6).toSeq)
     }.toDF("cluster", "n_members", "centroid")
       .orderBy(col("cluster"))

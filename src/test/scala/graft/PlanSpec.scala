@@ -449,4 +449,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "day expansion missing")
     assert(p.contains("HashAggregate"), "distinct collapse missing")
   }
+
+  test("embedding outliers: broadcast centroid, TakeOrdered top-k, embeddings never shuffle") {
+    val p = plan(SimilarityOps.embeddingOutliers(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "corpus centroid is not broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "outlier top-k planned a global sort")
+    val carried = p.linesIterator.filter(_.contains("hashpartitioning"))
+      .exists(_.contains("embedding"))
+    assert(!carried, "embeddings travel through a shuffle in the outlier scan")
+  }
+
+  test("KS distance: the source-pair dim broadcasts; the corpus collapses before expanding") {
+    val p = plan(TextOps.ksSourceDistance(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "pair dim is not broadcast")
+    // the pair expansion operates on collapsed (source, q) counts: an
+    // aggregate sits BELOW the broadcast join in the plan
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(aggIdx >= 0, "corpus collapse missing")
+  }
+
+  test("source embedding drift: one posexplode aggregation, matrix join on the sources-sized dim") {
+    val p = plan(SimilarityOps.sourceEmbeddingDrift(spark, sf))
+    assert(p.contains("Generate"), "posexplode missing")
+    // the centroid matrix self-join must not carry embedding arrays
+    // through a hashpartitioning exchange
+    val carried = p.linesIterator.filter(_.contains("hashpartitioning"))
+      .exists(_.contains("embedding"))
+    assert(!carried, "raw embeddings shuffle in the drift matrix")
+  }
+
+  test("event gaps: one corpus hash exchange — lag, rank and rollup reuse the event_type partitioning") {
+    val p = plan(graft.ops.RelationalExt.eventGapPercentiles(spark, sf))
+    // exactly ONE hashpartitioning exchange (the event_type shuffle
+    // shared by both windows and the partial aggregation); the only
+    // other exchange is the final types-sized output sort
+    val hashEx = p.linesIterator
+      .count(l => l.contains("hashpartitioning(event_type"))
+    assert(hashEx == 1, s"expected 1 event_type hash exchange, found $hashEx:\n$p")
+    assert(p.contains("Window"), "window machinery missing")
+  }
 }

@@ -438,6 +438,50 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed.values.exists(_._1) && streamed.values.exists(!_._1))
   }
 
+  test("streaming k-means state refresh via foreachBatch: folded training state is batch-identical") {
+    // the q210 refresh loop as a LIVE ingest: the mergeable
+    // (cl, n, Σx) centroid state folds arriving micro-batches via
+    // kmeansStateRefresh, and the streamed fold must equal the batch
+    // operator's state exactly (same chop — refresh is batch-order-
+    // dependent BY DESIGN; the twin proves the streaming plumbing
+    // adds nothing, the q167/q121 mergeable-state contract applied to
+    // MODEL state)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.SimilarityOps
+    val e = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val dim = Tables.embeddingDim(spark, sf)
+    val total = e.agg(max($"vec_id")).head().getLong(0) + 1L
+    val third = total / 3
+    var state = SimilarityOps.kmeansStateBootstrap(
+      spark, e.filter($"vec_id" < third), 8, 3, dim)
+    val arriving = e.filter($"vec_id" >= third)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (b1, b2) = arriving.partition(_._1 < 2 * third)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state.synchronized {
+          state = SimilarityOps.kmeansStateRefresh(spark, state,
+            batch.select($"vec_id", $"embedding"), dim)
+        }
+        ()
+      }.start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    def render(st: Seq[(Long, Long, Array[Double])]) =
+      st.sortBy(_._1).map { case (cl, n, s) =>
+        (cl, n, s.map(v => math.floor(v / n * 1e6 + 0.5) / 1e6).toVector)
+      }
+    val batchRun = SimilarityOps.kmeansRefresh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toVector)).toSeq
+    assert(render(state) == batchRun,
+      "streamed training-state fold diverged from the batch refresh")
+    assert(render(state).map(_._2).sum == total, "members not conserved")
+  }
+
   test("media near-dup equals a driver-side brute force — banding loses no pair (pigeonhole recall)") {
     // independent recomputation: decode every payload with the stub
     // kernel directly, quantize to levels, brute-force ALL pairs at
