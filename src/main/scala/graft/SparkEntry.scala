@@ -95,6 +95,12 @@ object SparkEntry {
     "q209_event_gaps"      -> ((s, d) => RelationalExt.eventGapPercentiles(s, d)),
     // incremental k-means: mergeable (cl, n, Σx) state folded per batch
     "q210_kmeans_refresh"  -> ((s, d) => SimilarityOps.kmeansRefresh(s, d)),
+    // eval sampler: per-length-stratum hash quota — the subset's
+    // length distribution matches the corpus by construction
+    "q211_matched_sample"  -> ((s, d) => CurationOps.matchedEvalSample(s, d)),
+    // dedup ROI: cluster-size histogram + bytes saved under
+    // keep-the-minimum survivorship
+    "q212_dedup_roi"       -> ((s, d) => DedupOps.dedupRoi(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -871,6 +877,37 @@ object SparkEntry {
     * the digest (chars 17-31 and 1-15; DuckDB parses '0x...' straight
     * to BIGINT, the exact twin of Spark's conv(substr(hex),16,10)),
     * 8 three-row band buckets. */
+  /** q61's recursive-CC oracle chain (shingle pairs → symmetric edges
+    * → transitive closure → min-member labels in `clus`), factored so
+    * q212's ROI rollup can extend the identical chain. Callers
+    * prepend `WITH RECURSIVE`. */
+  private lazy val dedupClustersCteBody: String =
+    """docs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(words) - 3, 0) + 1),
+      |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+      |        FROM documents) w),
+      |keyed AS (
+      |  SELECT doc_id, sh,
+      |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+      |  FROM docs),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+      |dup AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.5),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+      |          UNION SELECT doc_b, doc_a FROM dup),
+      |reach AS (SELECT a, b FROM edges
+      |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |clus AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS cluster
+      |  FROM reach GROUP BY a)""".stripMargin
+
   /** q25's oracle, factored so q203's agreement matrix can embed the
     * identical chain as a derived table. */
   private lazy val ngramPairsOracleSql: String =
@@ -2470,30 +2507,47 @@ object SparkEntry {
         |SELECT bigram, count(*) AS n
         |FROM pairs GROUP BY bigram HAVING count(*) >= 3""".stripMargin,
     "q61_dedup_clusters" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(
-        |      range(0, greatest(len(words) - 3, 0) + 1),
-        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
-        |  FROM (SELECT doc_id,
-        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
-        |        FROM documents) w),
-        |keyed AS (
-        |  SELECT doc_id, sh,
-        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
-        |  FROM docs),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
-        |dup AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.5),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
-        |          UNION SELECT doc_b, doc_a FROM dup),
-        |reach AS (SELECT a, b FROM edges
-        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS doc_id, least(a, min(b)) AS cluster
-        |FROM reach GROUP BY a""".stripMargin,
+      s"""WITH RECURSIVE $dedupClustersCteBody
+        |SELECT doc_id, cluster FROM clus""".stripMargin,
+    // q212: the q61 CC chain + n_chars rollup; keeper = the doc whose
+    // id equals its (minimum-member) cluster label
+    "q212_dedup_roi" ->
+      s"""WITH RECURSIVE $dedupClustersCteBody,
+        |cd AS (
+        |  SELECT c.cluster, c.doc_id, d.n_chars
+        |  FROM clus c JOIN documents d USING (doc_id)),
+        |per AS (
+        |  SELECT cluster, count(*) AS sz,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars,
+        |    max(CASE WHEN doc_id = cluster THEN n_chars END) AS kept
+        |  FROM cd GROUP BY cluster)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(chars - kept) AS BIGINT) AS saved_chars,
+        |  ${TextOps.roundAtSql(
+             "CAST(sum(chars - kept) AS DOUBLE) / CAST(sum(chars) AS DOUBLE)", 6)} AS saved_frac
+        |FROM per GROUP BY sz ORDER BY sz""".stripMargin,
+    // q211: global equi-depth length bins (integer-division rank
+    // device), per-bin smallest-md5 quota — exact longs throughout
+    "q211_matched_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_chars, ((rn - 1) * 8) // n + 1 AS bin FROM r),
+        |h AS (SELECT b.*,
+        |    ('0x' || substr(md5('ev_' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |  FROM b),
+        |k AS (
+        |  SELECT h.*,
+        |    row_number() OVER (PARTITION BY bin ORDER BY hv, doc_id) AS hrk,
+        |    count(*) OVER (PARTITION BY bin) AS bn
+        |  FROM h)
+        |SELECT bin, doc_id, n_chars FROM k
+        |WHERE hrk <= greatest(1, bn // 10)
+        |ORDER BY bin, doc_id""".stripMargin,
     "q63_array_funcs" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -460,6 +460,45 @@ object CurationOps {
       .orderBy(col("source"))
   }
 
+  /** q211: matched-distribution eval sampler — draw a ~1/`frac`
+    * evaluation subset whose LENGTH distribution matches the corpus
+    * by construction: rank-bin the corpus into `bins` equi-depth
+    * length bins (the q204 integer-division device over the two-phase
+    * global ordinal) and keep each bin's `⌊bin_n/frac⌋` (≥ 1)
+    * smallest md5-hashed members. A naive hash sample matches
+    * marginals only in expectation; an eval set sampled per stratum
+    * matches them exactly — the difference between an eval set that
+    * represents the corpus and one that under-weights long documents
+    * (the classic eval-set bias, since long docs are few but carry
+    * the tokens). Hash membership = reproducible, no RNG (q57/q94
+    * convention).
+    *
+    * Scale: the global ordinal is the two-phase distributed prefix
+    * sum; bins are equi-depth BY CONSTRUCTION so the per-bin hash-
+    * rank window is balanced — no skewed partition exists to worry
+    * about. */
+  def matchedEvalSample(spark: SparkSession, dir: String,
+                        bins: Int = 8, frac: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val withRn = RelationalExt.globalRunningSum(
+      d, Seq(col("n_chars"), col("doc_id")), lit(1L), "rn")
+    val nDf = d.agg(count(lit(1)).as("n"))
+    val hv = conv(substring(
+      md5(concat(lit("ev_"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("bin")).orderBy(col("hv"), col("doc_id"))
+    val grp = Window.partitionBy(col("bin"))
+    withRn.crossJoin(broadcast(nDf))
+      .withColumn("bin", expr(s"((rn - 1) * $bins) div n + 1"))
+      .withColumn("hv", hv)
+      .withColumn("hrk", row_number().over(w).cast("long"))
+      .withColumn("bn", count(lit(1)).over(grp))
+      .filter(col("hrk") <= greatest(lit(1L), expr(s"bn div $frac")))
+      .select(col("bin"), col("doc_id"), col("n_chars"))
+      .orderBy(col("bin"), col("doc_id"))
+  }
+
   /** Train/test split-leakage audit: assign every document to a split
     * by md5 hash (deterministic, engine-independent — the q57
     * convention), then report every verified near-dup pair that

@@ -400,6 +400,43 @@ object DedupOps {
       nearDupNgram(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
+  /** q212: dedup ROI report — the cluster-size histogram of the
+    * near-dup clustering with the BYTES it saves: per cluster size s,
+    * how many clusters, how many docs, their total characters, and
+    * the characters REMOVED under keep-the-minimum survivorship
+    * (total minus the keeper's — the cluster label IS the minimum
+    * member, so the keeper is the doc whose id equals its label).
+    * This is the report that justifies (or kills) a dedup pass before
+    * it runs at 100 TB: saved_frac × corpus bytes is the training-
+    * token refund, and the size histogram says whether it comes from
+    * a few giant boilerplate clusters (cheap to handle with a
+    * blocklist) or a long tail of pairs (needs the full pipeline).
+    *
+    * Exactness: sizes/chars are exact longs; saved_frac is one
+    * guarded division under roundAt. Scale: rides q61's clustering
+    * (bounded candidate build + CC); everything after is
+    * cluster-sized rollups. */
+  def dedupRoi(spark: SparkSession, dir: String,
+               threshold: Double = 0.5): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val per = dedupClusters(spark, dir, threshold)
+      .join(d, "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("sz"),
+        sum(col("n_chars")).as("chars"),
+        max(when(col("doc_id") === col("cluster"), col("n_chars"))).as("kept"))
+    per.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("chars") - col("kept")).as("saved_chars"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("total_chars"), col("saved_chars"),
+        TextOps.roundAt(col("saved_chars").cast("double") /
+          col("total_chars").cast("double"), 6).as("saved_frac"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** q203: near-dup METHOD agreement matrix — pairwise Jaccard
     * between the verified pair SETS of the three text detectors
     * (q25 shingle-Jaccard with min-md5 blocking, q26 MinHash-LSH

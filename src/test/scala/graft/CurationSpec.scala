@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{CurationOps, SimilarityOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, SimilarityOps, TextOps}
 
 /** Cross-validation specs for the corpus-curation operators (q88-q92):
   * each invariant is recomputed independently (driver-side Scala over
@@ -421,6 +421,63 @@ class CurationSpec extends AnyFunSuite {
     val p = CurationOps.weightedSample(spark, sf, k).queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"top-k is not partial:\n$p")
     sample.unpersist()
+  }
+
+  test("matched eval sample (q211): per-stratum quotas exact; selection matches a driver recompute") {
+    val got = CurationOps.matchedEvalSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // driver recompute of the whole pipeline
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect()
+    val n = d.length
+    val binned = d.sortBy { case (id, len) => (len, id) }.zipWithIndex
+      .map { case ((id, len), i) => (id, len, i.toLong * 8 / n + 1) }
+    def hv(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ev_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val want = binned.groupBy(_._3).toSeq.flatMap { case (bin, members) =>
+      val quota = math.max(1L, members.length.toLong / 10)
+      members.sortBy(m => (hv(m._1), m._1)).take(quota.toInt)
+        .map(m => (bin, m._1, m._2))
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want, "sample diverged from the driver recompute")
+    // every stratum contributes its exact quota -> the sample's
+    // length distribution matches the corpus across bins
+    val perBin = got.groupBy(_._1).map { case (b, g) => b -> g.length }
+    val quotas = binned.groupBy(_._3).map { case (b, ms) =>
+      b -> math.max(1, ms.length / 10)
+    }
+    assert(perBin == quotas, s"per-bin quotas violated: $perBin vs $quotas")
+  }
+
+  test("dedup ROI (q212): rollup matches the collected clustering; savings bounded and non-vacuous") {
+    val got = DedupOps.dedupRoi(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val chars = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect().toMap
+    val clus = DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val per = clus.groupBy(_._2).map { case (cl, ms) =>
+      val cs = ms.map(m => chars(m._1))
+      (cl, ms.length.toLong, cs.sum, chars(cl))
+    }
+    val want = per.groupBy(_._2).toSeq.map { case (sz, g) =>
+      val total = g.map(_._3).sum
+      val saved = g.map(t => t._3 - t._4).sum
+      (sz, g.size.toLong, g.map(_._2).sum, total, saved,
+        math.floor(saved.toDouble / total.toDouble * 1e6 + 0.5) / 1e6)
+    }.sortBy(_._1)
+    assert(got.toSeq == want, "ROI rollup diverged from the collected clustering")
+    // every clustered doc counted once; clusters have >= 2 members
+    // (every CC node has an edge partner); savings strictly positive
+    assert(got.map(_._3).sum == clus.length.toLong)
+    assert(got.forall(_._1 >= 2L))
+    assert(got.forall(r => r._5 > 0L && r._5 < r._4))
   }
 
   test("epoch budget (q201): driver recompute parity; temperature mixture makes epochs decrease in source size") {
