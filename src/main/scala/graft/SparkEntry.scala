@@ -101,6 +101,10 @@ object SparkEntry {
     // dedup ROI: cluster-size histogram + bytes saved under
     // keep-the-minimum survivorship
     "q212_dedup_roi"       -> ((s, d) => DedupOps.dedupRoi(s, d)),
+    // lang-ID confidence: sorted top-2 evidence counts + margin flag
+    "q213_lang_margin"     -> ((s, d) => TextOps.langIdMargin(s, d)),
+    // per-cluster source-mix entropy: self-dup vs syndication verdict
+    "q214_cluster_sources" -> ((s, d) => DedupOps.clusterSourceEntropy(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -2528,6 +2532,50 @@ object SparkEntry {
         |  ${TextOps.roundAtSql(
              "CAST(sum(chars - kept) AS DOUBLE) / CAST(sum(chars) AS DOUBLE)", 6)} AS saved_frac
         |FROM per GROUP BY sz ORDER BY sz""".stripMargin,
+    // q213: q22's count columns sorted desc — margin on pure evidence
+    // mass, prediction keeps the precedence-tie rule verbatim
+    "q213_lang_margin" ->
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN zh > 0 THEN 'zh'
+        |         WHEN de > en AND de > es AND de > fr THEN 'de'
+        |         WHEN es > en AND es > fr THEN 'es'
+        |         WHEN fr > en THEN 'fr'
+        |         ELSE 'en' END AS lang_pred,
+        |    list_reverse(list_sort([zh, en, es, de, fr])) AS s
+        |  FROM (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '${TextOps.CjkPattern}')) AS BIGINT) AS zh,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS BIGINT) AS en,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.EsStops}')) AS BIGINT) AS es,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.DeStops}')) AS BIGINT) AS de,
+        |    CAST(len(regexp_extract_all(lower(text), '${TextOps.FrStops}')) AS BIGINT) AS fr
+        |   FROM documents) t)
+        |SELECT doc_id, lang_pred, s[1] AS top_hits, s[2] AS second_hits,
+        |  s[1] - s[2] AS margin, s[1] - s[2] < 3 AS is_ambiguous
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q214: the q61 chain + per-(cluster, source) counts, q172's
+    // negated ordered-fold entropy, roundAt normalizing -0.0
+    "q214_cluster_sources" ->
+      s"""WITH RECURSIVE $dedupClustersCteBody,
+        |cs AS (
+        |  SELECT c.cluster, d.source, count(*) AS c
+        |  FROM clus c JOIN documents d USING (doc_id)
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT cluster, CAST(sum(c) AS BIGINT) AS sz, count(*) AS n_sources
+        |  FROM cs GROUP BY cluster),
+        |terms AS (
+        |  SELECT cs.cluster, cs.source,
+        |    (CAST(cs.c AS DOUBLE) / tot.sz) * ln(CAST(cs.c AS DOUBLE) / tot.sz) AS term
+        |  FROM cs JOIN tot USING (cluster)),
+        |per AS (
+        |  SELECT cluster, -(list_sum(list(term ORDER BY source))) AS h_raw
+        |  FROM terms GROUP BY cluster)
+        |SELECT t.cluster, t.sz, t.n_sources,
+        |  ${TextOps.roundAtSql("per.h_raw", 6)} AS src_entropy,
+        |  t.n_sources > 1 AS is_cross_source
+        |FROM tot t JOIN per USING (cluster)
+        |ORDER BY t.cluster""".stripMargin,
     // q211: global equi-depth length bins (integer-division rank
     // device), per-bin smallest-md5 quota — exact longs throughout
     "q211_matched_sample" ->

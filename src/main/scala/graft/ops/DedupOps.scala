@@ -437,6 +437,40 @@ object DedupOps {
       .orderBy(col("cluster_size"))
   }
 
+  /** q214: source-mix entropy per near-dup cluster — for each q61
+    * cluster, the Shannon entropy of its members' SOURCE distribution
+    * (mirrored-ln, source-ordered fold — the q172 convention) plus a
+    * cross-source flag. The q165 drill-down: q165 says which source
+    * PAIRS share near-dups in aggregate; this says whether each
+    * individual cluster is one source duplicating itself (entropy 0 —
+    * a scraper re-crawling its own pages; fix the scraper) or content
+    * syndicated across sources (high entropy — needs the cross-source
+    * dedup pass q208's centroid matrix decides on).
+    *
+    * Exactness: counts exact longs, one ln per (cluster, source), the
+    * fold in source order, roundAt normalizing the all-one-source
+    * −0.0 case on both engines. Scale: rides q61; rollups are
+    * cluster-sized, the per-cluster term list is bounded by the
+    * source dimension. */
+  def clusterSourceEntropy(spark: SparkSession, dir: String,
+                           threshold: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val cs = dedupClusters(spark, dir, threshold)
+      .join(src, "doc_id")
+      .groupBy(col("cluster"), col("source")).agg(count(lit(1)).as("c"))
+    cs.groupBy(col("cluster"))
+      .agg(sum(col("c")).as("sz"), count(lit(1)).as("n_sources"),
+        array_sort(collect_list(struct(col("source"), col("c")))).as("terms"))
+      .select(col("cluster"), col("sz"), col("n_sources"),
+        TextOps.roundAt(
+          aggregate(col("terms"), lit(0.0d), (acc, t) => {
+            val p = t.getField("c").cast("double") / col("sz")
+            acc - p * log(p)
+          }), 6).as("src_entropy"),
+        (col("n_sources") > 1L).as("is_cross_source"))
+      .orderBy(col("cluster"))
+  }
+
   /** q203: near-dup METHOD agreement matrix — pairwise Jaccard
     * between the verified pair SETS of the three text detectors
     * (q25 shingle-Jaccard with min-md5 blocking, q26 MinHash-LSH

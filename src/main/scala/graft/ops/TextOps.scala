@@ -127,6 +127,38 @@ object TextOps {
       .otherwise("en")
   }
 
+  /** q213: language-ID confidence margin — q22's five stopword/CJK
+    * hit counts with the top-two SORTED counts and their gap, plus an
+    * `is_ambiguous` flag (margin < 3). The prediction itself keeps
+    * q22's precedence-tie rule verbatim; the margin uses the pure
+    * sorted counts, because confidence is about evidence mass, not
+    * tie-break order. The curation use: low-margin docs are the
+    * mixed-language / code-switched tail that breaks per-language
+    * tokenizers and quality models — route them to review instead of
+    * trusting the argmax (the fasttext-confidence-threshold pattern
+    * from CCNet, on the n-gram heuristic).
+    *
+    * Exactness: all counts exact longs; margin a long difference;
+    * flag on the exact margin. Scale: a pure narrow map on the scan —
+    * zero exchanges. */
+  def langIdMargin(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val counts = array(
+      nMatches(col("text"), CjkPattern),
+      nMatches(t, EnStops),
+      nMatches(t, EsStops),
+      nMatches(t, DeStops),
+      nMatches(t, FrStops))
+    val sorted = reverse(array_sort(counts))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), langPredCol.as("lang_pred"),
+      element_at(sorted, 1).as("top_hits"),
+      element_at(sorted, 2).as("second_hits"),
+      (element_at(sorted, 1) - element_at(sorted, 2)).as("margin"),
+      (element_at(sorted, 1) - element_at(sorted, 2) < lit(3L)).as("is_ambiguous"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Normalized-content fingerprint: lowercase, strip non-alnum to
     * single spaces, md5. Exact-dup detection key that survives
     * whitespace/punctuation/case edits; distributable as a pure map

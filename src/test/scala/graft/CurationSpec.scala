@@ -423,6 +423,47 @@ class CurationSpec extends AnyFunSuite {
     sample.unpersist()
   }
 
+  test("lang margin (q213): sorted evidence recompute; prediction identical to q22; flags consistent") {
+    val got = TextOps.langIdMargin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val pred = TextOps.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, lp, top, second, margin, amb) =>
+      assert(lp == pred(id), s"doc $id: prediction diverges from q22")
+      assert(top >= second && margin == top - second)
+      assert(amb == (margin < 3))
+    }
+    // both confident and ambiguous docs exist on this corpus
+    assert(got.exists(_._6) && got.exists(!_._6))
+  }
+
+  test("cluster source entropy (q214): driver recompute; single-source clusters score exactly 0.0") {
+    val got = DedupOps.clusterSourceEntropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.nonEmpty)
+    val src = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val clus = DedupOps.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clus.groupBy(_._2)
+    got.foreach { case (cl, sz, nSrc, h, cross) =>
+      val members = byCluster(cl).map(m => src(m._1))
+      assert(sz == members.length.toLong && nSrc == members.distinct.length.toLong)
+      val counts = members.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length)
+      val want = counts.foldLeft(0.0) { (acc, c) =>
+        val p = c.toDouble / sz
+        acc - p * math.log(p)
+      }
+      assert(h == math.floor(want * 1e6 + 0.5) / 1e6, s"cluster $cl entropy")
+      assert(cross == (nSrc > 1L))
+      if (nSrc == 1L) assert(h == 0.0 && !(h.toString == "-0.0"),
+        s"cluster $cl: single-source entropy must be a normalized 0.0")
+      assert(h >= 0.0)
+    }
+  }
+
   test("matched eval sample (q211): per-stratum quotas exact; selection matches a driver recompute") {
     val got = CurationOps.matchedEvalSample(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
