@@ -105,6 +105,11 @@ object SparkEntry {
     "q213_lang_margin"     -> ((s, d) => TextOps.langIdMargin(s, d)),
     // per-cluster source-mix entropy: self-dup vs syndication verdict
     "q214_cluster_sources" -> ((s, d) => DedupOps.clusterSourceEntropy(s, d)),
+    // signal-redundancy audit: per-source Pearson matrix of the
+    // cheap quality signals (ordered-fold sums, q190 convention)
+    "q216_signal_corr"     -> ((s, d) => TextOps.signalCorrelation(s, d)),
+    // first-view → first-purchase latency percentiles, exact micros
+    "q215_conversion_latency" -> ((s, d) => RelationalExt.conversionLatency(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -881,6 +886,51 @@ object SparkEntry {
     * the digest (chars 17-31 and 1-15; DuckDB parses '0x...' straight
     * to BIGINT, the exact twin of Spark's conv(substr(hex),16,10)),
     * 8 three-row band buckets. */
+  /** q216 oracle: the q190 ordered-fold device generalized — per
+    * source, every Σx/Σx²/Σxy is a doc_id-ordered list_sum; each of
+    * the 10 signal pairs emits one long-form row with a guarded
+    * Pearson r. Program-generated from the same signal list as the
+    * Spark side. */
+  private lazy val signalCorrelationOracleSql: String = {
+    val sigs = Seq("x1" -> "chars", "x2" -> "tokens", "x3" -> "punct_ratio",
+      "x4" -> "stop_ratio", "x5" -> "quality")
+    val pairIdx = for { i <- sigs.indices; j <- sigs.indices if i < j } yield (i, j)
+    val sums = (sigs.flatMap { case (c, _) => Seq(
+        s"list_sum(list($c ORDER BY doc_id)) AS s_$c",
+        s"list_sum(list($c * $c ORDER BY doc_id)) AS s_${c}_$c")
+      } ++ pairIdx.map { case (i, j) =>
+        s"list_sum(list(${sigs(i)._1} * ${sigs(j)._1} ORDER BY doc_id)) " +
+          s"AS s_${sigs(i)._1}_${sigs(j)._1}"
+      }).mkString(",\n    ")
+    val pairSelects = pairIdx.map { case (i, j) =>
+      val (a, an) = sigs(i)
+      val (b, bn) = sigs(j)
+      val num = s"(n * s_${a}_$b - s_$a * s_$b)"
+      val den = s"(sqrt(n * s_${a}_$a - s_$a * s_$a) * " +
+        s"sqrt(n * s_${b}_$b - s_$b * s_$b))"
+      s"SELECT source, '$an' AS sig_a, '$bn' AS sig_b, " +
+        s"${TextOps.roundAtSql(s"CASE WHEN $den = 0.0 THEN 0.0 ELSE $num / $den END", 6)} AS r FROM s"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT doc_id, source,
+       |  nc AS x1, n_tokens AS x2, punct / nc AS x3, stops / n_tokens AS x4,
+       |  ${TextOps.roundAtSql(
+            "least(nc / 500.0, 1.0) * 0.5 + " +
+              "least(stops / n_tokens * 5.0, 1.0) * 0.3 + " +
+              "(1.0 - least(punct / nc * 10.0, 1.0)) * 0.2", 6)} AS x5
+       |FROM (SELECT doc_id, source,
+       |  CAST(length(text) AS DOUBLE) AS nc,
+       |  CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+       |  CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops
+       | FROM documents) t),
+       |s AS (
+       |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+       |    $sums
+       |  FROM q GROUP BY source)
+       |$pairSelects
+       |ORDER BY source, sig_a, sig_b""".stripMargin
+  }
+
   /** q61's recursive-CC oracle chain (shingle pairs → symmetric edges
     * → transitive closure → min-member labels in `clus`), factored so
     * q212's ROI rollup can extend the identical chain. Callers
@@ -2143,6 +2193,7 @@ object SparkEntry {
     "q202_cluster_topics" -> clusterTopicsOracleSql,
     "q203_method_agreement" -> methodAgreementOracleSql,
     "q210_kmeans_refresh" -> kmeansRefreshOracleSql,
+    "q216_signal_corr" -> signalCorrelationOracleSql,
     "q184_ivf_learned" -> ivfLearnedOracleSql,
     // q183: q117's stage CTEs with the 1-hour conversion window on
     // each step; stack mirrored as UNION ALL, rates round(n/prev, 4)
@@ -2532,6 +2583,28 @@ object SparkEntry {
         |  ${TextOps.roundAtSql(
              "CAST(sum(chars - kept) AS DOUBLE) / CAST(sum(chars) AS DOUBLE)", 6)} AS saved_frac
         |FROM per GROUP BY sz ORDER BY sz""".stripMargin,
+    // q215: first-view/first-purchase gates as min aggregations,
+    // integer-microsecond latency, q185 rank selection on ONE group
+    "q215_conversion_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t_view GROUP BY 1),
+        |l AS (
+        |  SELECT v.user_id, epoch_us(p.t_purchase) - epoch_us(v.t_view) AS lat_us
+        |  FROM v JOIN p USING (user_id)),
+        |r AS (
+        |  SELECT l.*, row_number() OVER (ORDER BY lat_us, user_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM l)
+        |SELECT max(n) AS n_conversions,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN lat_us END) AS p50_us,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN lat_us END) AS p95_us,
+        |  max(lat_us) AS max_us
+        |FROM r""".stripMargin,
     // q213: q22's count columns sorted desc — margin on pure evidence
     // mass, prediction keeps the precedence-tie rule verbatim
     "q213_lang_margin" ->

@@ -1320,6 +1320,45 @@ object RelationalExt {
       .orderBy(col("event_type"))
   }
 
+  /** q215: conversion latency percentiles — p50/p95/max microseconds
+    * from each user's FIRST view to their first purchase AFTER it
+    * (q117/q183's funnel semantics turned into a latency
+    * distribution; q209 measures the stream's arrival health, this
+    * measures the USER's journey). Exact integer-microsecond gaps
+    * (the q209 convention) and q185 rank-select percentiles — but
+    * over ONE global group, so the rank comes from the two-phase
+    * distributed ordinal ([[globalRunningSum]]), never a single-task
+    * global window: conversions are user-count-sized and a global
+    * Window.orderBy would funnel all of them through one task at
+    * 100 TB.
+    *
+    * Scale: two user-keyed aggregations (view min, gated purchase
+    * min) + one user-keyed join; the percentile machinery runs over
+    * the conversions-sized latency table, range-partitioned. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val purchase = ev.join(view, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    val lat = view.join(purchase, Seq("user_id"))
+      .select(col("user_id"),
+        (unix_micros(col("t_purchase").cast("timestamp")) -
+          unix_micros(col("t_view").cast("timestamp"))).as("lat_us"))
+    val withRn = globalRunningSum(
+      lat, Seq(col("lat_us"), col("user_id")), lit(1L), "rn")
+    val nDf = lat.agg(count(lit(1)).as("n"))
+    withRn.crossJoin(broadcast(nDf))
+      .agg(max(col("n")).as("n_conversions"),
+        max(when(col("rn") === ceil(col("n") * lit(0.5d)).cast("long"),
+          col("lat_us"))).as("p50_us"),
+        max(when(col("rn") === ceil(col("n") * lit(0.95d)).cast("long"),
+          col("lat_us"))).as("p95_us"),
+        max(col("lat_us")).as("max_us"))
+  }
+
   /** q199: ROBUST hourly event-rate anomalies per type — the
     * median/MAD modified z-score (Iglewicz & Hoaglin 1993,
     * z = 0.6745·(x − med)/MAD, flag |z| ≥ 3.5) companion to

@@ -1104,6 +1104,64 @@ object TextOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q216: per-source Pearson correlation matrix of the cheap quality
+    * signals (chars, tokens, punct_ratio, stop_ratio, blended
+    * quality) — the signal-redundancy audit run before combining
+    * filters: two signals correlated at |r| ≈ 1 within a source are
+    * one signal wearing two names (double-counting them in a blend
+    * overweights that axis), and a signal whose correlation with
+    * quality flips sign across sources can't carry a single global
+    * threshold. Long-form output (source, sig_a, sig_b, r).
+    *
+    * Exactness: the q190 convention — every Σx/Σxy/Σx² is a fold of
+    * the per-source doc_id-sorted struct list (engine corr() folds in
+    * engine order and can never hash-match); r is one fixed IEEE tree
+    * with a zero-variance guard, under roundAt.
+    *
+    * Scale: one aggregation per source collecting the signal structs
+    * (the q190 trade — the fold is source-bounded; sources too large
+    * to fold switch to exact-long scaled-integer sums, the q191
+    * device). */
+  def signalCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nTokens = size(split(col("text"), "\\s+")).cast("double")
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      nChars.as("c1"),
+      nTokens.as("c2"),
+      (nMatches(col("text"), PunctPattern).cast("double") / nChars).as("c3"),
+      (nMatches(t, EnStops).cast("double") / nTokens).as("c4"),
+      qualityCol.as("c5"))
+    val names = Seq("c1" -> "chars", "c2" -> "tokens", "c3" -> "punct_ratio",
+      "c4" -> "stop_ratio", "c5" -> "quality")
+    val grouped = docs.groupBy(col("source"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        array_sort(collect_list(struct(col("doc_id"), col("c1"), col("c2"),
+          col("c3"), col("c4"), col("c5")))).as("ts"))
+    def fsum(f: Column => Column): Column =
+      aggregate(col("ts"), lit(0.0d), (acc, x) => acc + f(x))
+    val pairIdx = for { i <- names.indices; j <- names.indices if i < j } yield (i, j)
+    val rCols = pairIdx.zipWithIndex.map { case ((i, j), p) =>
+      val (fa, fb) = (names(i)._1, names(j)._1)
+      val sx = fsum(_.getField(fa))
+      val sy = fsum(_.getField(fb))
+      val sxy = fsum(x => x.getField(fa) * x.getField(fb))
+      val sxx = fsum(x => x.getField(fa) * x.getField(fa))
+      val syy = fsum(x => x.getField(fb) * x.getField(fb))
+      val num = col("n") * sxy - sx * sy
+      val den = sqrt(col("n") * sxx - sx * sx) * sqrt(col("n") * syy - sy * sy)
+      roundAt(when(den === 0.0d, lit(0.0d)).otherwise(num / den), 6).as(s"r$p")
+    }
+    val stackArgs = pairIdx.zipWithIndex.map { case ((i, j), p) =>
+      s"'${names(i)._2}', '${names(j)._2}', r$p"
+    }.mkString(", ")
+    grouped.select((col("source") +: rCols): _*)
+      .selectExpr("source",
+        s"stack(${pairIdx.length}, $stackArgs) AS (sig_a, sig_b, r)")
+      .orderBy(col("source"), col("sig_a"), col("sig_b"))
+  }
+
   /** q204: decile lift table for the hashed-feature linear quality
     * model (q147) against the heuristic quality label — the standard
     * model-validation readout before a learned filter replaces a

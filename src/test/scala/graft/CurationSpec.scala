@@ -423,6 +423,48 @@ class CurationSpec extends AnyFunSuite {
     sample.unpersist()
   }
 
+  test("signal correlation (q216): matches a driver Pearson recompute; self-evident redundancies surface") {
+    val got = TextOps.signalCorrelation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    assert(got.nonEmpty && got.size == 200) // 20 sources x 10 pairs
+    // driver recompute from the raw signal values
+    val rows = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    def sig(text: String): Seq[Double] = {
+      val nc = text.length.toDouble
+      val nt = text.split("\\s+", -1).length.toDouble
+      val punct = TextOps.PunctPattern.r.findAllIn(text).length.toDouble
+      val stops = TextOps.EnStops.r.findAllIn(text.toLowerCase).length.toDouble
+      val q = math.floor((math.min(nc / 500.0, 1.0) * 0.5 +
+        math.min(stops / nt * 5.0, 1.0) * 0.3 +
+        (1.0 - math.min(punct / nc * 10.0, 1.0)) * 0.2) * 1e6 + 0.5) / 1e6
+      Seq(nc, nt, punct / nc, stops / nt, q)
+    }
+    val names = Seq("chars", "tokens", "punct_ratio", "stop_ratio", "quality")
+    rows.groupBy(_._2).foreach { case (src, ds) =>
+      val mat = ds.sortBy(_._1).map(d => sig(d._3))
+      val n = mat.length.toDouble
+      for (i <- names.indices; j <- names.indices if i < j) {
+        val xs = mat.map(_(i)); val ys = mat.map(_(j))
+        val sx = xs.sum; val sy = ys.sum
+        val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+        val sxx = xs.map(a => a * a).sum; val syy = ys.map(b => b * b).sum
+        val den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        val want = if (den == 0.0) 0.0 else (n * sxy - sx * sy) / den
+        val gotR = got((src, names(i), names(j)))
+        assert(math.abs(gotR - want) < 1e-4,
+          s"$src ${names(i)}~${names(j)}: $gotR vs $want")
+        assert(gotR >= -1.0 - 1e-9 && gotR <= 1.0 + 1e-9)
+      }
+    }
+    // chars~tokens must read as near-redundant in every source (both
+    // measure length) — the audit's canonical positive control
+    val ct = got.collect { case ((_, "chars", "tokens"), r) => r }
+    assert(ct.forall(_ > 0.9), s"chars~tokens correlation unexpectedly weak: $ct")
+  }
+
   test("lang margin (q213): sorted evidence recompute; prediction identical to q22; flags consistent") {
     val got = TextOps.langIdMargin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

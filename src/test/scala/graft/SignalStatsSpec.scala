@@ -34,6 +34,35 @@ class SignalStatsSpec extends AnyFunSuite {
     assert(got(1)._4 < got(0)._4)
   }
 
+  test("conversion latency (q215): driver funnel replay parity") {
+    import org.apache.spark.sql.functions.col
+    val r = RelationalExt.conversionLatency(spark, sf).collect().head
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getAs[java.time.LocalDateTime](2)))
+    def us(t: java.time.LocalDateTime): Long = {
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    val byUser = ev.groupBy(_._1)
+    val lats = byUser.toSeq.flatMap { case (u, rows) =>
+      val views = rows.filter(_._2 == "view").map(x => us(x._3))
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val ps = rows.filter(x => x._2 == "purchase" && us(x._3) > tv).map(x => us(x._3))
+        if (ps.isEmpty) None else Some((u, ps.min - tv))
+      }
+    }
+    val sorted = lats.sortBy(identity(_)._2) // by latency; ties immaterial to value select
+    val ordered = lats.sortBy { case (u, l) => (l, u) }.map(_._2)
+    assert(r.getLong(0) == lats.length.toLong)
+    assert(r.getLong(1) == ordered(math.ceil(ordered.length * 0.5).toInt - 1))
+    assert(r.getLong(2) == ordered(math.ceil(ordered.length * 0.95).toInt - 1))
+    assert(r.getLong(3) == ordered.max)
+    assert(sorted.nonEmpty)
+  }
+
   test("event gaps (q209): exact-microsecond recompute parity; p50 <= p95 <= max") {
     import org.apache.spark.sql.functions.col
     val got = RelationalExt.eventGapPercentiles(spark, sf).collect()
