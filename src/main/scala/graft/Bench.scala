@@ -163,11 +163,19 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
+    def dropCachedBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     queries.foreach { case (name, fn) =>
       try run(fn(spark, warmupDir)) catch {
         case e: Throwable =>
           System.err.println(s"warmup failed for $name on $warmupDir: ${e.getMessage}")
       }
+      // the warmup + slope passes run 2× the whole suite BEFORE the
+      // timed section — without this, every localCheckpoint block
+      // they pin is still resident when timing starts (see the timed
+      // loop's comment)
+      dropCachedBlocks()
     }
     // scale-slope reference: one timed pass per query at the sf0.01
     // sibling (post-warmup, so JIT/codegen cost is already paid). The
@@ -197,6 +205,7 @@ object Bench {
             System.err.println(s"slope reference failed for $name on $dir: ${e.getMessage}")
             false
         }
+        dropCachedBlocks()
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
       case None => Map.empty[String, Double]
@@ -245,6 +254,16 @@ object Bench {
         rep += 1
       }
       ioBarrier()
+      // Drop the query's leftover cached blocks before timing the
+      // next one: every localCheckpoint pins its RDD blocks for the
+      // SESSION's lifetime, so a 216-query × 3-rep run accumulates
+      // thousands of dead cached partitions — growing memory pressure
+      // and GC cost that lands on LATER queries (the round-17 full
+      // run read the untouched r16 query set uniformly ~1.26× slower
+      // than r16's artifact; per-query min times are supposed to be
+      // independent of suite position). Blocking=false: eviction is
+      // async, the next query's warm rep absorbs any residue.
+      dropCachedBlocks()
       // bytes are deterministic per run, so delta / successful reps =
       // one run's volume (the marker jobs move zero bytes). A query
       // with ANY failed rep reports -1: a partially-failed attempt's
