@@ -110,6 +110,12 @@ object SparkEntry {
     "q216_signal_corr"     -> ((s, d) => TextOps.signalCorrelation(s, d)),
     // first-view → first-purchase latency percentiles, exact micros
     "q215_conversion_latency" -> ((s, d) => RelationalExt.conversionLatency(s, d)),
+    // Poisson-bootstrap CI for per-source mean quality: one pass,
+    // B hash-derived replicate weights as extra aggregate columns
+    "q217_quality_bootstrap" -> ((s, d) => TextOps.qualityBootstrap(s, d)),
+    // simplified silhouette vs the k trained centroids: one
+    // broadcast-model corpus pass + k-sized rollup
+    "q218_silhouette"      -> ((s, d) => SimilarityOps.kmeansSilhouette(s, d)),
     // per-source exact vocab NDV + TTR, HLL sketch envelope-gated
     "q175_vocab_richness"  -> ((s, d) => TextOps.vocabRichnessSketch(s, d)),
     // Heaps-law vocabulary growth curve via first-occurrence agg +
@@ -750,6 +756,28 @@ object SparkEntry {
     s"""${kmeansStagesSql(8, 3)}
        |SELECT vec_id, cluster, round(d2, 6) AS d2 FROM fin ORDER BY vec_id""".stripMargin
 
+  /** q218 oracle: the Lloyd chain's `df` already holds EVERY
+    * (vec, centroid) distance, so the simplified silhouette is one
+    * min over the non-assigned clusters joined back to `fin`, the
+    * shared a/b/s IEEE tree under the floor-form integer scaling,
+    * and a k-sized rollup. */
+  private lazy val kmeansSilhouetteOracleSql: String =
+    s"""${kmeansStagesSql(8, 3)},
+       |oth AS (
+       |  SELECT d.vec_id, min(d.d2) AS bd2
+       |  FROM df d JOIN fin f ON d.vec_id = f.vec_id AND d.cl <> f.cluster
+       |  GROUP BY d.vec_id),
+       |sil AS (
+       |  SELECT f.cluster,
+       |    CAST(floor((CASE WHEN greatest(sqrt(f.d2), sqrt(o.bd2)) = 0.0 THEN 0.0
+       |      ELSE (sqrt(o.bd2) - sqrt(f.d2)) / greatest(sqrt(f.d2), sqrt(o.bd2)) END)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS si
+       |  FROM fin f JOIN oth o ON o.vec_id = f.vec_id)
+       |SELECT cluster, count(*) AS n_members,
+       |  ${TextOps.roundAtSql(
+            "CAST(sum(si) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)", 6)} AS mean_silhouette
+       |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+
   /** q202 oracle: the Lloyd chain + q59's TF-IDF at cluster
     * granularity (tf over member docs via the doc_id = vec_id bridge,
     * df = clusters containing the term, ln((K+1)/(df+1)) + 1). */
@@ -929,6 +957,61 @@ object SparkEntry {
        |  FROM q GROUP BY source)
        |$pairSelects
        |ORDER BY source, sig_a, sig_b""".stripMargin
+  }
+
+  /** q217 oracle: the Poisson bootstrap replayed column-for-column —
+    * the same md5 double-hash draws (h1 + b·h2 mod p, the q26/q75
+    * device), the same Poisson(1) threshold counts (thresholds
+    * interpolated from the SAME Scala Seq, so both engines compare
+    * identical IEEE doubles), exact-long weighted sums, and the
+    * sorted replicate-mean list reduced in sorted order (list_sort +
+    * list_sum ↔ array_sort + fold). */
+  private lazy val qualityBootstrapOracleSql: String = {
+    val reps = 64
+    val loIdx = math.ceil(0.025 * reps).toInt.max(1)
+    val hiIdx = math.ceil(0.975 * reps).toInt
+    def wExpr(b: Int): String = {
+      val u = s"(CAST((h1 + $b * h2) % 2147483647 AS DOUBLE) / 2147483647.0)"
+      TextOps.PoissonCdf.map(t => s"(CASE WHEN $u >= $t THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+    }
+    val wDefs = (1 to reps).map(b => s"${wExpr(b)} AS w$b").mkString(",\n    ")
+    val sums = (1 to reps).flatMap(b =>
+      Seq(s"sum(w$b) AS sw$b", s"sum(w$b * qint) AS swq$b")).mkString(",\n    ")
+    val meanList = (1 to reps).map(b =>
+      s"CASE WHEN sw$b = 0 THEN 0.0 ELSE CAST(swq$b AS DOUBLE) / " +
+        s"(CAST(sw$b AS DOUBLE) * 1000000.0) END").mkString(",\n      ")
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(floor((least(nc / 500.0, 1.0) * 0.5 +
+       |      least(stops / n_tokens * 5.0, 1.0) * 0.3 +
+       |      (1.0 - least(punct / nc * 10.0, 1.0)) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS qint,
+       |    CAST(concat('0x', substr(mhex, 17, 15)) AS BIGINT) % 2147483647 AS h1,
+       |    CAST(concat('0x', substr(mhex, 1, 15)) AS BIGINT) % 2147483647 AS h2
+       |  FROM (SELECT source,
+       |      CAST(length(text) AS DOUBLE) AS nc,
+       |      CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE) AS n_tokens,
+       |      CAST(len(regexp_extract_all(text, '${TextOps.PunctPattern}')) AS DOUBLE) AS punct,
+       |      CAST(len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS DOUBLE) AS stops,
+       |      md5('pb_' || CAST(doc_id AS VARCHAR)) AS mhex
+       |    FROM documents) t),
+       |w AS (SELECT source, qint,
+       |    $wDefs
+       |  FROM d),
+       |s AS (SELECT source, count(*) AS n, sum(qint) AS sq,
+       |    $sums
+       |  FROM w GROUP BY source),
+       |m AS (SELECT source, n, sq,
+       |    list_sort([$meanList]) AS ms
+       |  FROM s)
+       |SELECT source, n AS n_docs,
+       |  ${TextOps.roundAtSql("CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)", 6)} AS mean_q,
+       |  ${TextOps.roundAtSql(s"ms[$loIdx]", 6)} AS boot_lo,
+       |  ${TextOps.roundAtSql(s"ms[$hiIdx]", 6)} AS boot_hi,
+       |  ${TextOps.roundAtSql(
+             s"sqrt(greatest(0.0, (list_sum(list_transform(ms, x -> x * x)) - " +
+               s"list_sum(ms) * list_sum(ms) / $reps.0) / ${reps - 1}.0))", 6)} AS boot_se
+       |FROM m ORDER BY source""".stripMargin
   }
 
   /** q61's recursive-CC oracle chain (shingle pairs → symmetric edges
@@ -2194,6 +2277,8 @@ object SparkEntry {
     "q203_method_agreement" -> methodAgreementOracleSql,
     "q210_kmeans_refresh" -> kmeansRefreshOracleSql,
     "q216_signal_corr" -> signalCorrelationOracleSql,
+    "q217_quality_bootstrap" -> qualityBootstrapOracleSql,
+    "q218_silhouette" -> kmeansSilhouetteOracleSql,
     "q184_ivf_learned" -> ivfLearnedOracleSql,
     // q183: q117's stage CTEs with the 1-hour conversion window on
     // each step; stack mirrored as UNION ALL, rates round(n/prev, 4)

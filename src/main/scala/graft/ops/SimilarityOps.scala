@@ -972,6 +972,71 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** q218: simplified silhouette per cluster for the q169-trained
+    * k-means — the clustering-quality readout (did k fit the data?)
+    * computed the only way that survives 100 TB: the EXACT silhouette
+    * compares each point against every point (O(n²)); the simplified
+    * form (Hruschka et al.'s standard reduction, what ML libraries
+    * ship as their distributed silhouette) compares each point
+    * against the k CENTROIDS — a = distance to own centroid, b =
+    * nearest OTHER centroid, s = (b−a)/max(a,b) — making it one
+    * broadcast-model narrow map over the corpus plus a k-sized
+    * rollup. s ≈ 1 means tight, well-separated clusters; s ≤ 0 means
+    * the point sits closer to another centroid than its own (k too
+    * large, or Lloyd stuck).
+    *
+    * Exactness: per-row distances are the q169 fixed-index-order
+    * folds, a/b/s one shared IEEE tree; per-row s is floor-form
+    * scaled to an exact long (the q217/q191 device), so the
+    * per-cluster mean is an order-independent integer sum and one
+    * division. A degenerate max(a,b) = 0 (point == every centroid)
+    * reads s = 0 on both engines. Requires ≥ 2 surviving clusters
+    * (with one cluster "nearest other centroid" is undefined — the
+    * metric itself is, not just the query).
+    *
+    * Scale: the trained model broadcasts as data (the lloydAssign
+    * codegen-cache form); ONE corpus pass computes all k distances
+    * per row; the aggregation is k-sized with map-side partials. */
+  def kmeansSilhouette(spark: SparkSession, dir: String, k: Int = 8,
+                       iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = lloydCentroids(spark, e, k, iters)
+    val centsDf = Seq(Tuple1(cents.map { case (cl, c) => (cl, c.toSeq) }))
+      .toDF("cents")
+    val scored = e.crossJoin(broadcast(centsDf))
+      .select(col("vec_id"), lloydScored.as("scored"))
+      .select(col("vec_id"), col("scored"),
+        aggregate(col("scored"),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl")),
+          (acc, s) => when(s.getField("d2") < acc.getField("d2"), s)
+            .otherwise(acc)).as("best"))
+      // no OTHER surviving cluster (k collapsed to 1): the metric is
+      // undefined for the row — drop it, mirroring the oracle's inner
+      // join (NOT MaxValue, which would read as a perfect s = 1)
+      .select(col("vec_id"), col("best"),
+        filter(col("scored"),
+          s => s.getField("cl") =!= col("best").getField("cl")).as("others"))
+      .filter(size(col("others")) > 0)
+    val bd2 = aggregate(col("others"), lit(Double.MaxValue),
+      (acc, s) => when(s.getField("d2") < acc, s.getField("d2")).otherwise(acc))
+    val a = sqrt(col("best").getField("d2"))
+    val b = sqrt(col("bd2"))
+    val sRaw = when(greatest(a, b) === 0.0d, lit(0.0d))
+      .otherwise((b - a) / greatest(a, b))
+    scored
+      .select(col("best").getField("cl").as("cluster"), bd2.as("bd2"),
+        col("best"))
+      .select(col("cluster"),
+        floor(sRaw * lit(1e6) + lit(0.5)).cast("long").as("si"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("si")).as("ssum"))
+      .select(col("cluster"), col("n_members"),
+        TextOps.roundAt(col("ssum").cast("double") /
+          (col("n_members").cast("double") * lit(1e6)), 6).as("mean_silhouette"))
+      .orderBy(col("cluster"))
+  }
+
   /** q208: cross-source embedding drift — the pairwise L2 and cosine
     * distance matrix between per-source embedding CENTROIDS (via the
     * documents↔embeddings doc_id = vec_id bridge). Completes the

@@ -73,16 +73,22 @@ object TextOps {
     * [[corpusFilter]] gates on it — a second copy of the weights
     * would let a retune silently desynchronize the composed gate from
     * its component query while both still pass their own oracles. */
-  private[ops] def qualityCol: Column = {
+  /** The blend BEFORE the output rounding — [[qualityCol]] is its
+    * roundAt(·, 6); q217's bootstrap needs the same floor-form
+    * numerator (`floor(raw·10⁶+0.5)`) as an exact long, so the raw
+    * tree is shared rather than un-rounding the rounded double. */
+  private[ops] def qualityRawCol: Column = {
     val t = lower(col("text"))
     val nChars = length(col("text")).cast("double")
     val nTokens = size(split(col("text"), "\\s+")).cast("double")
     val punct = nMatches(col("text"), PunctPattern).cast("double")
     val stops = nMatches(t, EnStops).cast("double")
-    roundAt(least(nChars / lit(500.0), lit(1.0)) * 0.5 +
+    least(nChars / lit(500.0), lit(1.0)) * 0.5 +
       least(stops / nTokens * 5.0, lit(1.0)) * 0.3 +
-      (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2, 6)
+      (lit(1.0) - least(punct / nChars * 10.0, lit(1.0))) * 0.2
   }
+
+  private[ops] def qualityCol: Column = roundAt(qualityRawCol, 6)
 
   /** Quality scoring: length, punctuation density, stopword density,
     * and a blended 0..1 score — the standard cheap pre-filter before
@@ -1160,6 +1166,98 @@ object TextOps {
       .selectExpr("source",
         s"stack(${pairIdx.length}, $stackArgs) AS (sig_a, sig_b, r)")
       .orderBy(col("source"), col("sig_a"), col("sig_b"))
+  }
+
+  /** Modulus for the bootstrap's double-hashing replicate draws —
+    * the q26/q75 MinHash device (one md5 per row, replicate i's
+    * uniform from (h1 + i·h2) mod p). 2³¹−1 keeps i·h2 far inside
+    * long range for any sane replicate count. */
+  private[graft] val BootP = 2147483647L
+
+  /** Poisson(1) inverse-CDF thresholds (cumulative e⁻¹·Σ 1/k! for
+    * k = 0..8): a replicate weight is the count of thresholds ≤ u,
+    * i.e. the smallest k with u < CDF(k), capped at 9 (P ≈ 1e-7).
+    * Shared with the oracle generator — both engines compare the
+    * same IEEE doubles (Scala's Double.toString round-trips, so the
+    * interpolated SQL literal parses back to the identical bits). */
+  private[graft] val PoissonCdf: Seq[Double] = {
+    val pmf = (0 to 8).map(k => math.exp(-1.0) / (1 to k).product)
+    pmf.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** q217: Poisson-bootstrap confidence intervals for the per-source
+    * mean quality score — the uncertainty readout a pipeline needs
+    * before acting on a quality delta between sources (a 0.02 gap
+    * with overlapping CIs is noise, not a curation decision). The
+    * classical bootstrap resamples n rows B times — a non-starter at
+    * 100 TB; the Poisson bootstrap (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams") observes that each row's
+    * resample count is asymptotically iid Poisson(1), so replicate b
+    * just weights every row by a hash-derived Poisson draw: ONE pass,
+    * B weighted sums as extra AGGREGATE COLUMNS, zero data expansion,
+    * zero extra shuffles — B scales the map-side arithmetic, not the
+    * data.
+    *
+    * Determinism/exactness: draws are hash-derived (md5 double-hashing,
+    * the q26/q75 device — reproducible across engines and reruns, no
+    * RNG); each replicate's weighted sum is Σ w·qint over EXACT longs
+    * (qint = the floor-form 10⁶-scaled quality numerator, w ≤ 9), so
+    * every per-source sum is order-independent and hash-safe with no
+    * ordered fold — at w·qint ≤ 9·10⁶ the long headroom holds to
+    * ~10¹¹ rows per source; beyond that the sums switch to decimal
+    * (the q191 device). The B replicate means are sorted and reduced
+    * in sorted order (array_sort + fold ↔ list_sort + list_sum), so
+    * the CI bounds and the bootstrap se are fixed IEEE trees. A
+    * replicate that draws zero total weight (P ≈ e⁻ⁿ, impossible in
+    * practice) reads mean 0.0 on both engines rather than relying on
+    * engine divide-by-zero conventions.
+    *
+    * Scale: one narrow map (one md5 + B modmuls per row), one
+    * source-keyed aggregation with map-side partials carrying 2B+2
+    * columns; everything after is sources-sized. */
+  def qualityBootstrap(spark: SparkSession, dir: String,
+                       reps: Int = 64): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("source"),
+        floor(qualityRawCol * 1e6 + lit(0.5)).cast("long").as("qint"),
+        md5(concat(lit("pb_"), col("doc_id").cast("string"))).as("mhex"))
+      .select(col("source"), col("qint"),
+        pmod(conv(substring(col("mhex"), 17, 15), 16, 10).cast("long"),
+          lit(BootP)).as("h1"),
+        pmod(conv(substring(col("mhex"), 1, 15), 16, 10).cast("long"),
+          lit(BootP)).as("h2"))
+    val wCols = (1 to reps).map { b =>
+      val u = pmod(col("h1") + lit(b.toLong) * col("h2"), lit(BootP))
+        .cast("double") / lit(BootP.toDouble)
+      PoissonCdf.map(t => when(u >= lit(t), lit(1L)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"w$b")
+    }
+    val weighted = base.select((col("source") +: col("qint") +: wCols): _*)
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("qint")).as("sq")) ++
+      (1 to reps).flatMap(b => Seq(
+        sum(col(s"w$b")).as(s"sw$b"),
+        sum(col(s"w$b") * col("qint")).as(s"swq$b")))
+    val grouped = weighted.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val means = array_sort(array((1 to reps).map(b =>
+      when(col(s"sw$b") === 0L, lit(0.0d))
+        .otherwise(col(s"swq$b").cast("double") /
+          (col(s"sw$b").cast("double") * lit(1e6)))): _*))
+    val loIdx = math.ceil(0.025 * reps).toInt.max(1)
+    val hiIdx = math.ceil(0.975 * reps).toInt
+    val sm = aggregate(col("ms"), lit(0.0d), (a, x) => a + x)
+    val smm = aggregate(col("ms"), lit(0.0d), (a, x) => a + x * x)
+    val nB = lit(reps.toDouble)
+    val se = sqrt(greatest(lit(0.0d), (smm - sm * sm / nB) / (nB - lit(1.0))))
+    grouped
+      .select(col("source"), col("n").as("n_docs"),
+        roundAt(col("sq").cast("double") /
+          (col("n").cast("double") * lit(1e6)), 6).as("mean_q"),
+        means.as("ms"))
+      .select(col("source"), col("n_docs"), col("mean_q"),
+        roundAt(element_at(col("ms"), loIdx), 6).as("boot_lo"),
+        roundAt(element_at(col("ms"), hiIdx), 6).as("boot_hi"),
+        roundAt(se, 6).as("boot_se"))
+      .orderBy(col("source"))
   }
 
   /** q204: decile lift table for the hashed-feature linear quality

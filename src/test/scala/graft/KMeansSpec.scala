@@ -194,4 +194,62 @@ class KMeansSpec extends AnyFunSuite {
     assert(rank1 == Set("apple", "banana"),
       s"exclusive terms must out-rank the ubiquitous filler: ${cards.toSeq}")
   }
+
+  test("silhouette (q218): sf driver recompute parity; means in [-1, 1]; members conserved") {
+    val got = SimilarityOps.kmeansSilhouette(spark, sf, k = k, iters = iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._2).sum == vecs.size)
+    assert(got.forall(g => g._3 >= -1.0 && g._3 <= 1.0))
+    // independent recompute: rebuild the final centroids with the
+    // reference loop, then a/b/s per vector with the floor-form
+    // integer scaling and a per-cluster integer mean
+    var cents: Seq[(Long, Array[Double])] =
+      vecs.filter(_._1 < k).map { case (id, e) => (id, e) }
+    for (_ <- 1 until iters) {
+      val asg = vecs.map { case (id, e) =>
+        id -> cents.map { case (cl, c) => (d2(e, c), cl) }.minBy(x => (x._1, x._2))._2
+      }.toMap
+      cents = vecs.groupBy { case (id, _) => asg(id) }.toSeq.sortBy(_._1)
+        .map { case (cl, members) =>
+          val dim = members.head._2.length
+          (cl, Array.tabulate(dim)(i => members.map(_._2(i)).sum / members.size))
+        }
+    }
+    val si = vecs.map { case (_, e) =>
+      val scored = cents.map { case (cl, c) => (d2(e, c), cl) }
+      val (bestD2, bestCl) = scored.minBy(identity)
+      val a = math.sqrt(bestD2)
+      val b = math.sqrt(scored.filter(_._2 != bestCl).map(_._1).min)
+      val s = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      (bestCl, math.floor(s * 1e6 + 0.5).toLong)
+    }
+    val want = si.groupBy(_._1).toSeq.sortBy(_._1).map { case (cl, xs) =>
+      (cl, xs.size.toLong,
+        math.floor(xs.map(_._2).sum.toDouble / (xs.size * 1e6) * 1e6 + 0.5) / 1e6)
+    }
+    assert(got.toSeq.sortBy(_._1) == want)
+  }
+
+  test("silhouette (q218): far-separated blobs read near 1; single surviving cluster reads empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sil").toString
+    // two tight blobs 100 apart; seeds 0 and 1 land one in each
+    val emb = (0L to 19L).map { id =>
+      val base = if (id % 2 == 0) 0.0f else 100.0f
+      (id, Array(base + (id % 5) * 0.1f, base, base, base), (id % 2).toInt)
+    }
+    emb.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val s = SimilarityOps.kmeansSilhouette(spark, dir, k = 2, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(s.map(_._2).sum == 20L)
+    assert(s.forall(_._3 > 0.95), s.toSeq.toString)
+    // degenerate: identical vectors collapse to one surviving cluster;
+    // "nearest other centroid" is undefined, the result is empty (the
+    // metric is undefined, not zero)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-sil1").toString
+    (0L to 9L).map(id => (id, Array(1.0f, 2.0f, 3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    assert(SimilarityOps.kmeansSilhouette(spark, dir2, k = 4, iters = 2).isEmpty)
+  }
 }

@@ -460,4 +460,85 @@ class SignalStatsSpec extends AnyFunSuite {
     assert(got.exists(_._5), "no anomaly flagged — threshold never engages on this corpus")
     assert(got.exists(!_._5))
   }
+
+  test("quality bootstrap (q217): driver replay of the hash-Poisson machinery; CI brackets the point estimate") {
+    import org.apache.spark.sql.functions.{col, floor => sfloor, lit}
+    val got = TextOps.qualityBootstrap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, _, mean, lo, hi, se) =>
+      assert(lo <= hi && se >= 0.0, s"$src: degenerate CI ($lo, $hi, $se)")
+      assert(lo <= mean && mean <= hi,
+        s"$src: point estimate $mean outside its own bootstrap CI [$lo, $hi]")
+    }
+    // driver replay: take (source, qint) from the engine's own quality
+    // column (q21's oracle-verified score), then replay ONLY the new
+    // machinery — md5 double-hash draws, Poisson threshold weights,
+    // exact-long weighted sums, sorted-mean CI — in plain Scala
+    val qs = TextOps.qualityScore(spark, sf)
+      .select(col("doc_id"), sfloor(col("quality") * lit(1e6) + lit(0.5)).cast("long"))
+      .as[(Long, Long)].collect()
+    val srcOf = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    val p = 2147483647L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val cdf = {
+      val pmf = (0 to 8).map(k => math.exp(-1.0) / (1 to k).product)
+      pmf.scanLeft(0.0)(_ + _).tail
+    }
+    val reps = 64
+    val byScr = qs.map { case (id, qint) =>
+      val hex = md5hex(s"pb_$id")
+      val h1 = java.lang.Long.parseLong(hex.substring(16, 31), 16) % p
+      val h2 = java.lang.Long.parseLong(hex.substring(0, 15), 16) % p
+      val ws = (1 to reps).map { b =>
+        val u = ((h1 + b * h2) % p).toDouble / p
+        cdf.count(t => u >= t).toLong
+      }
+      (srcOf(id), qint, ws)
+    }.groupBy(_._1)
+    val want = byScr.map { case (src, rows) =>
+      val n = rows.length.toLong
+      val meanQ = math.floor(rows.map(_._2).sum.toDouble / (n * 1e6) * 1e6 + 0.5) / 1e6
+      val means = (0 until reps).map { bi =>
+        val sw = rows.map(_._3(bi)).sum
+        val swq = rows.map(r => r._3(bi) * r._2).sum
+        if (sw == 0L) 0.0 else swq.toDouble / (sw.toDouble * 1e6)
+      }.sorted
+      val lo = means(math.ceil(0.025 * reps).toInt.max(1) - 1)
+      val hi = means(math.ceil(0.975 * reps).toInt - 1)
+      val sm = means.foldLeft(0.0)(_ + _)
+      val smm = means.foldLeft(0.0)((a, x) => a + x * x)
+      val se = math.sqrt(math.max(0.0, (smm - sm * sm / reps) / (reps - 1)))
+      src -> ((n, meanQ, math.floor(lo * 1e6 + 0.5) / 1e6,
+        math.floor(hi * 1e6 + 0.5) / 1e6, math.floor(se * 1e6 + 0.5) / 1e6))
+    }
+    assert(got.length == want.size)
+    got.foreach { case (src, n, m, lo, hi, se) =>
+      assert(want(src) == ((n, m, lo, hi, se)), s"replay mismatch for $src")
+    }
+  }
+
+  test("quality bootstrap (q217): CI width shrinks ~1/sqrt(n) as a source grows") {
+    // same text distribution, one source 16x the other: the bigger
+    // source's CI must be decisively tighter (expected ratio 1/4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-boot").toString
+    val texts = (0 until 40).map(i => ("word " * (10 + (i * 7) % 90)).trim)
+    val small = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "small", t.length.toLong)
+    }
+    val big = (0 until 16).flatMap(r => texts.zipWithIndex.map { case (t, i) =>
+      ((1000 + r * 100 + i).toLong, t, "en", "big", t.length.toLong)
+    })
+    (small ++ big).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.qualityBootstrap(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(4) - r.getDouble(3))).toMap
+    assert(rows("big") > 0.0, "degenerate zero-width CI on the big source")
+    assert(rows("big") < rows("small") * 0.6,
+      s"width did not shrink: big=${rows("big")} small=${rows("small")}")
+  }
 }
