@@ -44,6 +44,10 @@ object SparkEntry {
     "q23_fingerprint"      -> ((s, d) => TextOps.fingerprints(s, d)),
     "q24_dedup_exact"      -> ((s, d) => DedupOps.dedupExact(s, d)),
     "q25_neardup_ngram"    -> ((s, d) => DedupOps.nearDupNgram(s, d)),
+    // exact-recall τ-Jaccard self-join via rare-first prefix
+    // filtering (SSJoin/PPJoin) — the guaranteed-recall counterpart
+    // of q25's probabilistic min-md5 blocking
+    "q219_prefix_join"     -> ((s, d) => DedupOps.prefixJoinNearDup(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1067,6 +1071,40 @@ object SparkEntry {
       |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
 
+  /** q219 oracle: the canonical shingle-set CTE, global (df, shingle)
+    * ordering, INTEGER prefix bound p = n − (3n+4)//5 + 1 and length
+    * filter 5·min ≥ 3·max (τ = 3/5 as a rational on both engines —
+    * no decimal-vs-double ceil divergence), then the q25 rounded-at-4
+    * Jaccard keep. Mirrors DedupOps.prefixJoinNearDup exactly. */
+  private lazy val prefixJoinOracleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(words) - 3, 0) + 1),
+      |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+      |        FROM documents) w),
+      |ds AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM docs),
+      |dfq AS (SELECT s, count(*) AS df FROM ds GROUP BY 1),
+      |pre AS (
+      |  SELECT ds.doc_id, ds.s, sz.n,
+      |    row_number() OVER (PARTITION BY ds.doc_id ORDER BY dfq.df, ds.s) AS rn
+      |  FROM ds JOIN dfq USING (s) JOIN sz USING (doc_id)),
+      |pref AS (SELECT doc_id, s, n FROM pre WHERE rn <= n - ((3 * n + 4) // 5) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+      |    AND least(a.n, b.n) * 5 >= greatest(a.n, b.n) * 3),
+      |verified AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    round(CAST(len(list_intersect(A.sh, B.sh)) AS DOUBLE) /
+      |          (len(A.sh) + len(B.sh) - len(list_intersect(A.sh, B.sh))), 4) AS jaccard
+      |  FROM cand c JOIN docs A ON A.doc_id = c.doc_a
+      |              JOIN docs B ON B.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6""".stripMargin
+
   /** q27's oracle, factored for the same q203 reuse. */
   private lazy val simHashPairsOracleSql: String =
     """WITH toks AS (
@@ -1670,6 +1708,7 @@ object SparkEntry {
         | min(doc_id) AS keeper, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
     "q25_neardup_ngram" -> ngramPairsOracleSql,
+    "q219_prefix_join" -> prefixJoinOracleSql,
     // q164: q25's shingle + min-md5-blocking CTEs verbatim, verified
     // on containment |A∩B|/min(|A|,|B|) instead of Jaccard; both
     // metrics rounded at 4, keep decision on rounded containment

@@ -199,6 +199,76 @@ object DedupOps {
                          threshold: Double = 0.5, maxBucket: Int = 3): DataFrame =
     jaccardVerify(bucketPairs(ngramBuckets(spark, dir), Some(maxBucket)), threshold)
 
+  /** q219: EXACT-RECALL τ-Jaccard self-join via prefix filtering
+    * (SSJoin/PPJoin, Chaudhuri 2006 / Xiao 2008) — the deterministic
+    * counterpart of [[nearDupNgram]]'s min-md5 blocking. The min-md5
+    * key is a 1-permutation MinHash: cheap, but it MISSES any
+    * qualifying pair whose minimum shingles differ (probabilistic
+    * recall ≈ J). Prefix filtering gives a recall GUARANTEE: order
+    * the shingle universe globally by (document frequency asc,
+    * shingle asc) — rarest first — and for a doc with n shingles keep
+    * only its first p = n − ⌈τ·n⌉ + 1 shingles under that order. Two
+    * sets with J ≥ τ share ≥ ⌈τ·max(na,nb)⌉ shingles, so they cannot
+    * avoid colliding inside both prefixes — every qualifying pair is
+    * generated (PrefixJoinSpec proves ⊇ [[nearDupNgram]] and
+    * brute-force equality), while the rare-first ordering keeps
+    * prefix buckets small: frequent (boilerplate) shingles are pushed
+    * OUT of prefixes, the exact-recall analog of the q138 stop-bucket
+    * cap.
+    *
+    * Cross-engine exactness: the prefix bound and the length filter
+    * are INTEGER arithmetic — τ is carried as the rational num/den
+    * (default 3/5), p = n − (num·n + den − 1) div den + 1 and the
+    * length prefilter den·min(na,nb) ≥ num·max(na,nb) (J ≥ τ forces
+    * it), so no engine's decimal-vs-double ceil can disagree; the
+    * ordering key (df, shingle string) is exact on both engines; the
+    * final Jaccard is the q25 rounded-at-4 convention with the keep
+    * decision on the rounded value.
+    *
+    * Scale: one shingle pass (the codegen'd [[shingleRows]] chain),
+    * one df aggregation (vocab-sized, map-side partials), one per-doc
+    * window on the doc_id shuffle the shingle chain already
+    * established, then the candidate join shuffles PREFIX rows only
+    * (a (1−τ) fraction of postings) on the shingle key — bucket
+    * volume is Σ prefix-df², bounded because prefixes hold the rare
+    * tail of the df distribution. Candidate dedup (a pair may share
+    * several prefix shingles) happens BEFORE the two doc_id-keyed
+    * set-fetch joins and the per-pair intersect verify. No stage is
+    * all-pairs; every shuffle key is data-determined and salable. */
+  def prefixJoinNearDup(spark: SparkSession, dir: String,
+                        num: Int = 3, den: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(num > 0 && den > 0 && num <= den, "tau = num/den must be in (0,1]")
+    val tau = num.toDouble / den
+    val ds = shingleRows(spark, dir).distinct()
+    val dfq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val ceilTauN = expr(s"($num * n + ${den - 1}) div $den")
+    val pref = ds.join(dfq, "s").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - ceilTauN + lit(1L))
+      .select(col("doc_id"), col("s"), col("n"))
+    val pa = pref.select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+    val pb = pref.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
+    val cand = pa.join(pb, "s")
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) * den >= greatest(col("na"), col("nb")) * num)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sets = ds.groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("s"))).as("sh"))
+    val joined = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    joined
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") /
+          (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q164: ASYMMETRIC containment near-dup — C(A,B) = |A∩B| /
     * min(|A|,|B|) over the word-3-gram shingle sets. Symmetric Jaccard
     * misses subset duplication (a short doc quoted wholesale inside a
