@@ -48,6 +48,9 @@ object SparkEntry {
     // filtering (SSJoin/PPJoin) — the guaranteed-recall counterpart
     // of q25's probabilistic min-md5 blocking
     "q219_prefix_join"     -> ((s, d) => DedupOps.prefixJoinNearDup(s, d)),
+    // k-core coreness of the dup graph via fixed-round h-index
+    // iteration — density triage for survivorship aggressiveness
+    "q220_coreness"        -> ((s, d) => DedupOps.corenessDupGraph(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1105,6 +1108,30 @@ object SparkEntry {
       |              JOIN docs B ON B.doc_id = c.doc_b)
       |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6""".stripMargin
 
+  /** q220 oracle: q25's pair chain as a derived table, symmetric
+    * edges, then the h-index iteration UNROLLED to the same fixed 6
+    * rounds the engine runs — fixed rounds make the hash gate
+    * independent of any convergence test (both engines emit the
+    * round-6 values, which CorenessSpec separately pins as the
+    * fixpoint). h over the asc-sorted neighbor list la (1-based i):
+    * h = Σ[la[i] ≥ len(la) − i + 1] — pure integers. */
+  private lazy val corenessOracleSql: String = {
+    val roundCtes = (1 to 6).map { r =>
+      s"""c$r AS (
+         |  SELECT u, CAST(list_sum(list_transform(la,
+         |      (x, i) -> CASE WHEN x >= len(la) - i + 1 THEN 1 ELSE 0 END)) AS BIGINT) AS c
+         |  FROM (SELECT e.u AS u, list(p.c ORDER BY p.c) AS la
+         |        FROM edges e JOIN c${r - 1} p ON p.u = e.v GROUP BY e.u) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS MATERIALIZED (SELECT doc_a, doc_b FROM ($ngramPairsOracleSql) t),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pr
+       |          UNION ALL SELECT doc_b, doc_a FROM pr),
+       |c0 AS (SELECT u, count(*) AS c FROM edges GROUP BY u),
+       |$roundCtes
+       |SELECT c0.u AS doc_id, c0.c AS degree, c6.c AS coreness
+       |FROM c0 JOIN c6 ON c6.u = c0.u ORDER BY doc_id""".stripMargin
+  }
+
   /** q27's oracle, factored for the same q203 reuse. */
   private lazy val simHashPairsOracleSql: String =
     """WITH toks AS (
@@ -1709,6 +1736,7 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "q25_neardup_ngram" -> ngramPairsOracleSql,
     "q219_prefix_join" -> prefixJoinOracleSql,
+    "q220_coreness" -> corenessOracleSql,
     // q164: q25's shingle + min-md5-blocking CTEs verbatim, verified
     // on containment |A∩B|/min(|A|,|B|) instead of Jaccard; both
     // metrics rounded at 4, keep decision on rounded containment

@@ -633,6 +633,63 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q220: k-core CORENESS of every node in the near-dup graph — the
+    * density measure that separates a spam/template cluster (high
+    * core: many mutually-near-dup docs) from incidental pairwise hits
+    * (coreness 1 chains). Production dedup uses it to pick which
+    * clusters get aggressive survivorship: a 2-core already means
+    * every member has ≥2 near-dup neighbors INSIDE the core.
+    *
+    * Algorithm: h-index iteration (Lü et al. 2016, "The H-index of a
+    * network node") — init c⁰(v) = degree, then c^{t+1}(v) = h-index
+    * of its neighbors' c^t; the sequence is non-increasing and
+    * converges to coreness. Chosen over direct peeling because each
+    * round is ONE edge join + ONE aggregation with NO driver-side
+    * per-k loop, and — decisive for the oracle — a FIXED round count
+    * is deterministic on both engines even before convergence, so the
+    * cross-engine hash gate never depends on a convergence test.
+    * `rounds` = 6 default; convergence needs ≤ the longest strictly-
+    * decreasing value chain (tiny on near-dup graphs — CorenessSpec
+    * pins rounds vs rounds+1 equality on real data, so 6 IS the
+    * fixpoint here, plus brute-force-peel equality on synthetics).
+    *
+    * Exactness: pure integer arithmetic — degrees, sorted neighbor
+    * lists, h = Σ[la[i] ≥ m−i] over the asc-sorted list — identical
+    * on both engines by construction.
+    *
+    * Scale: edges come from the blocked near-dup pass (≪ corpus);
+    * each round shuffles the edge list once on the neighbor key and
+    * once on the node key — the CC/PageRank cost shape. Neighbor
+    * lists are degree-bounded; a hub's list is its degree, the same
+    * bound every per-node aggregation in this family carries.
+    * Lineage is cut per round (localCheckpoint) so the loop cannot
+    * stack an unbounded plan. */
+  def corenessDupGraph(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5, rounds: Int = 6): DataFrame = {
+    val pairs = nearDupNgram(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(false)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("c"))
+    var c = deg
+    for (_ <- 1 to rounds) {
+      val nbr = edges.join(c.select(col("u").as("v"), col("c")), "v")
+        .groupBy(col("u"))
+        .agg(sort_array(collect_list(col("c"))).as("la"))
+      val m = size(col("la"))
+      c = nbr.select(col("u"),
+        aggregate(
+          transform(col("la"), (x, i) => when(x >= m - i, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (a, x) => a + x).as("c"))
+        .localCheckpoint(false)
+    }
+    deg.select(col("u"), col("c").as("degree"))
+      .join(c.select(col("u"), col("c").as("coreness")), "u")
+      .select(col("u").as("doc_id"), col("degree"), col("coreness"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Orient each undirected a<b edge u→v toward its higher-(degree,
     * id) endpoint. The (degree, id) pair is a TOTAL order over nodes,
     * so the oriented graph is acyclic and every node's out-degree is
