@@ -75,6 +75,9 @@ object SparkEntry {
     "q174_event_rate_anomaly" -> ((s, d) => RelationalExt.eventRateAnomaly(s, d)),
     // median/MAD modified z — the burst-immune complement of q174
     "q199_robust_anomaly"  -> ((s, d) => RelationalExt.robustRateAnomaly(s, d)),
+    // EWMA-smoothed rates: regime-tracking baseline, spikes judged
+    // against the PREVIOUS hour's smoothed value (ordered-fold parity)
+    "q221_ewma_rates"      -> ((s, d) => RelationalExt.ewmaRateSmoothing(s, d)),
     // binning-free exact KS distance between source quality CDFs
     "q200_ks_distance"     -> ((s, d) => TextOps.ksSourceDistance(s, d)),
     // epoch budget: token-budget allocation via the α=0.5 mixture,
@@ -1906,6 +1909,33 @@ object SparkEntry {
         |       ELSE abs((CAST(h.n_events AS DOUBLE) - s.mu) / s.sd) >= 2.0 END AS is_anomaly
         |FROM h JOIN s ON s.event_type = h.event_type
         |ORDER BY h.event_type, h.hour""".stripMargin,
+    // q221: hour-sorted parallel lists, EWMA as the identical
+    // left fold on both engines (list_reduce ↔ aggregate over the
+    // prefix slice, 1-based i), spike flag on raw doubles
+    "q221_ewma_rates" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type,
+        |    list(hour ORDER BY hour) AS hrs,
+        |    list(n_events ORDER BY hour) AS cnts,
+        |    list(CAST(n_events AS DOUBLE) ORDER BY hour) AS vals
+        |  FROM h GROUP BY event_type),
+        |e AS (
+        |  SELECT event_type,
+        |    unnest(hrs) AS hour,
+        |    unnest(cnts) AS n_events,
+        |    unnest(list_transform(vals, (x, i) ->
+        |      round(list_reduce(list_slice(vals, 1, i), (a, b) -> (a + b) / 2.0), 6))) AS ewma,
+        |    unnest(list_transform(vals, (x, i) ->
+        |      CASE WHEN i = 1 THEN 0.0
+        |           ELSE list_reduce(list_slice(vals, 1, i - 1), (a, b) -> (a + b) / 2.0) END)) AS prev
+        |  FROM g)
+        |SELECT event_type, hour, n_events, ewma,
+        |  (prev > 0.0 AND CAST(n_events AS DOUBLE) >= prev * 2.0) AS is_spike
+        |FROM e ORDER BY event_type, hour""".stripMargin,
     // q199: both medians via the q185 rank-⌈n/2⌉ discrete selection —
     // every med/MAD/deviation an exact long, z one fixed IEEE tree,
     // flag on the raw value, MAD=0 guarded to z=0

@@ -1412,6 +1412,56 @@ object RelationalExt {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q221: EWMA-smoothed hourly event rates per type — the online
+    * complement of [[eventRateAnomaly]] (global mean/sd) and
+    * [[robustRateAnomaly]] (median/MAD): both judge each hour against
+    * the WHOLE series, so a regime change (a feature launch doubling
+    * steady-state volume) permanently poisons their baselines, while
+    * the exponentially-weighted mean tracks it and flags only the
+    * transition hours. α = 1/2 (the recurrence e ← (x + e)/2, seeded
+    * with the first hour), spike = count ≥ `spikeFactor`× the
+    * PREVIOUS hour's EWMA — judged against the pre-spike baseline so
+    * the spike cannot mask itself.
+    *
+    * Determinism: EWMA is an ORDER-DEPENDENT fold, so both engines
+    * fold the identical hour-sorted list left-to-right — Spark
+    * `aggregate` over the prefix slice ↔ DuckDB `list_reduce` over
+    * `list_slice`, seeded identically (a 1-element reduce is the
+    * element; an empty-slice aggregate is the init) — one fixed IEEE
+    * tree per value. α = 1/2 makes every fold step an exact-scaling
+    * division. The flag compares RAW doubles (prev > 0 guards the
+    * seed hour); only the emitted ewma is rounded.
+    *
+    * Scale: the corpus collapses ONCE into (type, hour) counts; the
+    * per-type series array is TIME-bounded model state (hours per
+    * type), not corpus-bounded — the q185/q199 bucket-table shape.
+    * The per-element prefix fold is O(H²) inside that bounded state,
+    * a per-type scan cost, not a shuffle. */
+  def ewmaRateSmoothing(spark: SparkSession, dir: String,
+                        spikeFactor: Double = 2.0): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val arr = hourly.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("hour"), col("n_events")))).as("ts"))
+    val vals = transform(col("ts"), t => t.getField("n_events").cast("double"))
+    def foldPrefix(len: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(slice(vals, lit(2), len), element_at(vals, 1),
+        (a, x) => (a + x) / lit(2.0d))
+    val rows = transform(col("ts"), (t, i) => struct(
+      t.getField("hour").as("hour"),
+      t.getField("n_events").as("n_events"),
+      foldPrefix(i).as("ewma"),
+      when(i === 0, lit(0.0d)).otherwise(foldPrefix(i - 1)).as("prev")))
+    arr.select(col("event_type"), explode(rows).as("r"))
+      .select(col("event_type"), col("r.hour").as("hour"),
+        col("r.n_events").as("n_events"),
+        round(col("r.ewma"), 6).as("ewma"),
+        (col("r.prev") > 0.0d &&
+          col("r.n_events").cast("double") >= col("r.prev") * spikeFactor).as("is_spike"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   def eventRateAnomaly(spark: SparkSession, dir: String,
                        zThresh: Double = 2.0): DataFrame = {
     val hourly = Tables.events(spark, dir)

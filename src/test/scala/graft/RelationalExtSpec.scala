@@ -525,4 +525,28 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(gotFill == wantFill.toMap,
       s"user $u LOCF fill diverges from the sequential recompute")
   }
+
+  test("ewma: values match the sequential recurrence and spikes need prior baseline") {
+    val out = RelationalExt.ewmaRateSmoothing(spark, sf)
+    // recompute one event_type's series sequentially on the driver
+    val et = out.select(col("event_type")).limit(1).collect()(0).getString(0)
+    val series = out.filter(col("event_type") === et).orderBy(col("hour"))
+      .select(col("n_events"), col("ewma"), col("is_spike")).collect()
+    var e = 0.0d
+    series.zipWithIndex.foreach { case (r, i) =>
+      val x = r.getLong(0).toDouble
+      val prev = e
+      e = if (i == 0) x else (e + x) / 2.0
+      assert(math.abs(r.getDouble(1) - e) < 1e-6,
+        s"$et hour $i: ewma ${r.getDouble(1)} != recurrence $e")
+      val wantSpike = i > 0 && prev > 0.0 && x >= prev * 2.0
+      assert(r.getBoolean(2) == wantSpike, s"$et hour $i spike flag")
+    }
+    // the seed hour can never be a spike (no prior baseline)
+    import org.apache.spark.sql.expressions.Window
+    val first = out.withColumn("rn",
+      row_number().over(Window.partitionBy(col("event_type")).orderBy(col("hour"))))
+      .filter(col("rn") === 1 && col("is_spike"))
+    assert(first.count() == 0)
+  }
 }
