@@ -78,6 +78,12 @@ object SparkEntry {
     // EWMA-smoothed rates: regime-tracking baseline, spikes judged
     // against the PREVIOUS hour's smoothed value (ordered-fold parity)
     "q221_ewma_rates"      -> ((s, d) => RelationalExt.ewmaRateSmoothing(s, d)),
+    // daily new users (min-ts reduction) + cumulative curve via the
+    // two-phase distributed prefix sum
+    "q222_user_acquisition" -> ((s, d) => RelationalExt.userAcquisition(s, d)),
+    // CUSUM changepoint per type: |S_j| argmax from EXACT integer
+    // cumulatives (no ordered double fold anywhere)
+    "q223_cusum_changepoint" -> ((s, d) => RelationalExt.cusumChangepoint(s, d)),
     // binning-free exact KS distance between source quality CDFs
     "q200_ks_distance"     -> ((s, d) => TextOps.ksSourceDistance(s, d)),
     // epoch budget: token-budget allocation via the α=0.5 mixture,
@@ -1909,6 +1915,43 @@ object SparkEntry {
         |       ELSE abs((CAST(h.n_events AS DOUBLE) - s.mu) / s.sd) >= 2.0 END AS is_anomaly
         |FROM h JOIN s ON s.event_type = h.event_type
         |ORDER BY h.event_type, h.hour""".stripMargin,
+    // q222: first-seen reduction + running total; window sum cast to
+    // BIGINT (DuckDB window sums return HUGEINT)
+    "q222_user_acquisition" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+    // q223: S_j = C_j − j·Σx/n from exact integer cumulatives — one
+    // fixed IEEE tree per row; deterministic argmax (|S| desc, hour)
+    "q223_cusum_changepoint" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, hour, n_events,
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS j,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+        |    CAST(sum(n_events) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+        |  FROM h),
+        |s AS (
+        |  SELECT *, CAST(cum AS DOUBLE) -
+        |    CAST(j AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nb AS DOUBLE) AS cusum
+        |  FROM c),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum) DESC, hour) AS rn
+        |  FROM s)
+        |SELECT event_type, hour AS cp_hour, nb AS n_hours, j AS cp_rank,
+        |  round(abs(cusum), 6) AS max_abs_cusum, (cusum > 0.0) AS level_dropped
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // q221: hour-sorted parallel lists, EWMA as the identical
     // left fold on both engines (list_reduce ↔ aggregate over the
     // prefix slice, 1-based i), spike flag on raw doubles

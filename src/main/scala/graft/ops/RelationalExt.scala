@@ -1412,6 +1412,71 @@ object RelationalExt {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q222: user-acquisition curve — daily NEW users (first-ever event
+    * lands that day) plus the cumulative registered-user count. The
+    * growth readout every event pipeline reports first, and the exact
+    * computation is a textbook distinct-to-first-seen reduction:
+    * "users new on day D" is NOT countDistinct(day, user) minus
+    * anything — it is min(ts) per user, then a day rollup, so each
+    * user is counted exactly once, ever. Cumulative total rides
+    * [[globalRunningSum]]'s two-phase prefix sum — day-level rollups
+    * are time-bounded but a 100 TB deployment still never funnels the
+    * curve through one task.
+    *
+    * Exactness: all longs; day = date_trunc, the q118 convention. */
+  def userAcquisition(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      .select(date_trunc("day", col("first_ts")).as("day"))
+    val daily = firstSeen.groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    globalRunningSum(daily, Seq(col("day")), col("n_new"), "cum_users")
+      .select(col("day"), col("n_new"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** q223: CUSUM changepoint candidate per event type — where the
+    * hourly volume's level shifted, the question the q221 EWMA tracks
+    * but cannot localize. Classic CUSUM statistic S_j = Σ_{i≤j}(x_i −
+    * μ): a level change makes |S| peak AT the change (before it, all
+    * deviations share the pre-change sign; after, they reverse), so
+    * the report is each type's argmax_j |S_j| hour with its magnitude
+    * and position.
+    *
+    * Exactness device: S_j is NOT an ordered double fold — S_j =
+    * C_j − j·(Σx)/n with C_j the EXACT integer cumulative count and j
+    * the exact rank, so every S_j is ONE fixed IEEE tree over exact
+    * longs (cast(C) − cast(j)·cast(Σx)/cast(n), identical on both
+    * engines), and the argmax is deterministic via (|S| desc, hour
+    * asc) ordering. Singleton series yield S_1 = 0 — no guard needed.
+    *
+    * Scale: one corpus collapse into (type, hour) buckets; both
+    * windows and the argmax run over the time-bounded bucket table
+    * partitioned by type. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val grp = Window.partitionBy(col("event_type"))
+    val wOrd = grp.orderBy(col("hour"))
+    val c = hourly
+      .withColumn("cum", sum(col("n_events")).over(wOrd))
+      .withColumn("j", row_number().over(wOrd).cast("long"))
+      .withColumn("nb", count(lit(1)).over(grp))
+      .withColumn("sx", sum(col("n_events")).over(grp))
+    val s = c.withColumn("cusum",
+      col("cum").cast("double") -
+        col("j").cast("double") * col("sx").cast("double") / col("nb").cast("double"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("hour"))
+    s.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("hour").as("cp_hour"),
+        col("nb").as("n_hours"), col("j").as("cp_rank"),
+        round(abs(col("cusum")), 6).as("max_abs_cusum"),
+        (col("cusum") > 0.0d).as("level_dropped"))
+      .orderBy(col("event_type"))
+  }
+
   /** q221: EWMA-smoothed hourly event rates per type — the online
     * complement of [[eventRateAnomaly]] (global mean/sd) and
     * [[robustRateAnomaly]] (median/MAD): both judge each hour against

@@ -549,4 +549,36 @@ class RelationalExtSpec extends AnyFunSuite {
       .filter(col("rn") === 1 && col("is_spike"))
     assert(first.count() == 0)
   }
+
+  test("user acquisition: curve ends at total distinct users and n_new sums telescope") {
+    val out = RelationalExt.userAcquisition(spark, sf).orderBy(col("day")).collect()
+    val total = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(out.last.getLong(2) == total, "final cumulative != distinct users")
+    var run = 0L
+    out.foreach { r =>
+      run += r.getLong(1)
+      assert(r.getLong(2) == run, s"cumulative breaks at ${r.get(0)}")
+    }
+  }
+
+  test("cusum: a planted level shift is localized at the shift hour") {
+    // 10 hours at rate 2, then 10 hours at rate 8: |S| peaks at the
+    // last pre-shift hour (rank 10)
+    val rows = (0 until 20).flatMap { h =>
+      val n = if (h < 10) 2 else 8
+      (0 until n).map(i => (h.toLong * 100 + i,
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00"),
+        1L, "shift", 1.0, "{}"))
+    }
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cusum").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cp = RelationalExt.cusumChangepoint(spark, dir).collect()(0)
+    assert(cp.getLong(3) == 10L, s"cp_rank ${cp.getLong(3)} != 10")
+    // pre-shift hours sit BELOW the mean, so S peaks negative: the
+    // level rose — level_dropped must be false
+    assert(!cp.getBoolean(5), "level rose; level_dropped must be false")
+    assert(math.abs(cp.getDouble(4) - 30.0) < 1e-9, "peak |S| = 10*(5-2) = 30")
+  }
 }
