@@ -51,6 +51,9 @@ object SparkEntry {
     // k-core coreness of the dup graph via fixed-round h-index
     // iteration — density triage for survivorship aggressiveness
     "q220_coreness"        -> ((s, d) => DedupOps.corenessDupGraph(s, d)),
+    // product quantization + ADC: per-subspace learned codebooks,
+    // m LUT adds per candidate, exact rerank of the shortlist
+    "q224_pq_rerank"       -> ((s, d) => SimilarityOps.pqRerank(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -766,6 +769,65 @@ object SparkEntry {
        |SELECT cl AS cluster, n AS n_members,
        |  list_transform(sums, s -> floor(s / n * 1000000 + 0.5) / 1000000) AS centroid
        |FROM state2 ORDER BY cluster""".stripMargin
+  }
+
+  /** q224 oracle: the whole PQ pipeline replayed as unrolled CTEs —
+    * per-subspace slices, each subspace's Lloyd chain (first-k seeds,
+    * one avg update at iters=2, the (d2, cl)-rank assignment that
+    * mirrors the engine's strict-< fold), the query's m×k LUT, the
+    * fixed left-to-right ADC sum, the (adc, vec_id) shortlist and the
+    * exact-d2 rerank. m=4, k=4 over the 64-dim embeddings. */
+  private lazy val pqRerankOracleSql: String = {
+    val m = 8; val k = 8; val sub = 8; val shortlist = 50; val topK = 10
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform(range(1, len($v) + 1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    val perSub = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = s * sub + sub
+      s"""sub$s AS MATERIALIZED (SELECT vec_id, list_slice(emb, $lo, $hi) AS v FROM e),
+         |flat$s AS MATERIALIZED (
+         |  SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val FROM sub$s),
+         |c${s}_0 AS MATERIALIZED (SELECT vec_id AS cl, v AS cent FROM sub$s WHERE vec_id < $k),
+         |a${s}_1 AS MATERIALIZED (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT x.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${d2("x.v", "c.cent")}, c.cl) AS rk
+         |    FROM sub$s x CROSS JOIN c${s}_0 c) WHERE rk = 1),
+         |c${s}_1 AS MATERIALIZED (
+         |  SELECT cl, list(mv ORDER BY pos) AS cent FROM (
+         |    SELECT a.cl, f.pos, avg(f.val) AS mv
+         |    FROM a${s}_1 a JOIN flat$s f USING (vec_id) GROUP BY a.cl, f.pos) t
+         |  GROUP BY cl),
+         |af$s AS MATERIALIZED (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT x.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${d2("x.v", "c.cent")}, c.cl) AS rk
+         |    FROM sub$s x CROSS JOIN c${s}_1 c) WHERE rk = 1),
+         |lut$s AS MATERIALIZED (
+         |  SELECT c.cl, ${d2("q.v", "c.cent")} AS qd2
+         |  FROM c${s}_1 c CROSS JOIN (SELECT v FROM sub$s WHERE vec_id = 0) q)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until m).map(s => s"JOIN af$s ON af$s.vec_id = af0.vec_id").mkString(" ")
+    val codeCols = (0 until m).map(s => s"af$s.cl AS code$s").mkString(", ")
+    val lutJoin = (0 until m).map(s => s"JOIN lut$s l$s ON l$s.cl = c.code$s").mkString(" ")
+    val adcSum = (0 until m).map(s => s"l$s.qd2").mkString(" + ")
+    val codeOut = (0 until m).map(s => s"code$s").mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |$perSub,
+       |codes AS (SELECT af0.vec_id, $codeCols FROM af0 $codeJoin),
+       |adc AS (
+       |  SELECT c.vec_id, $codeOut, $adcSum AS adc
+       |  FROM codes c $lutJoin WHERE c.vec_id <> 0),
+       |short AS (SELECT * FROM adc ORDER BY adc, vec_id LIMIT $shortlist),
+       |qfull AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+       |ex AS (
+       |  SELECT s.vec_id, $codeOut, s.adc, ${d2("x.emb", "q.qe")} AS exact
+       |  FROM short s JOIN e x ON x.vec_id = s.vec_id CROSS JOIN qfull q)
+       |SELECT vec_id, $codeOut, round(adc, 6) AS approx_d2, round(exact, 6) AS d2
+       |FROM ex ORDER BY exact, vec_id LIMIT $topK""".stripMargin
   }
 
   private lazy val kmeansOracleSql: String =
@@ -1746,6 +1808,7 @@ object SparkEntry {
     "q25_neardup_ngram" -> ngramPairsOracleSql,
     "q219_prefix_join" -> prefixJoinOracleSql,
     "q220_coreness" -> corenessOracleSql,
+    "q224_pq_rerank" -> pqRerankOracleSql,
     // q164: q25's shingle + min-md5-blocking CTEs verbatim, verified
     // on containment |A∩B|/min(|A|,|B|) instead of Jaccard; both
     // metrics rounded at 4, keep decision on rounded containment

@@ -698,6 +698,82 @@ object SimilarityOps {
       .select(col("vec_id"), col("int_dot"), col("cos"))
   }
 
+  /** q224: product-quantization ADC retrieval (Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search") — the
+    * memory-scaling step beyond q81/q156's SCALAR int8 quantization:
+    * split the d-dim space into `m` subspaces, learn a small k-means
+    * codebook PER subspace (the q169 Lloyd loop on subvectors), and
+    * represent every vector by its m code ids — m·log₂k bits instead
+    * of d floats (64-dim float32 → 4 bytes at m=4,k=4: a 64×
+    * compression, and the knob a 100 TB corpus turns to keep its ANN
+    * index in memory). Retrieval is ASYMMETRIC distance computation:
+    * the query stays full-precision and its per-(subspace, centroid)
+    * squared distances form an m×k lookup table, so a candidate's
+    * approximate distance is just m LUT adds — no decode. The ADC
+    * shortlist then reranks exactly (the q156 two-stage shape).
+    *
+    * Exactness: training IS [[lloydCentroids]] per subspace (first-k
+    * seeds, per-dim exact sums, one division per dim); code
+    * assignment and the LUT share the argmin convention (strict <
+    * fold ≡ (d2, cl) rank over the cl-ascending codebook); the ADC
+    * sum is a FIXED left-to-right m-term add; shortlist and final
+    * ranks break ties on vec_id. The oracle replays every stage —
+    * per-subspace Lloyd rounds included — as unrolled CTEs.
+    *
+    * Scale: m driver-side training loops each collect only k×(d/m)
+    * model state per round; encode+ADC is ONE corpus pass against a
+    * broadcast (m·k)-row codebook literal ending in a bounded
+    * partial top-`shortlist` (TakeOrderedAndProject); the exact
+    * rerank touches `shortlist` rows. The corpus is never shuffled
+    * and never materialized decoded. */
+  def pqRerank(spark: SparkSession, dir: String, queryId: Long = 0L,
+               m: Int = 8, k: Int = 8, iters: Int = 2,
+               shortlist: Int = 50, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val dim = e.select(size(col("embedding"))).head.getInt(0) // 1-row probe
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cbs: Seq[(Long, Long, Seq[Double])] = (0 until m).flatMap { s =>
+      val subDf = e.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      lloydCentroids(spark, subDf, k, iters)
+        .sortBy(_._1)
+        .map { case (cl, c) => (s.toLong, cl, c.toSeq) }
+    }
+    val cbDf = Seq(Tuple1(cbs)).toDF("cbs")
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    def subSlice(v: Column, s: Int) = slice(v, s * sub + 1, sub)
+    def d2(a: Column, cent: Column) = aggregate(
+      zip_with(a, cent, (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+      lit(0.0d), (acc, v) => acc + v)
+    val per = (0 until m).map { s =>
+      val cands = filter(col("cbs"), t => t.getField("_1") === s)
+      val scoredS = transform(cands, t => struct(
+        d2(subSlice(col("embedding"), s), t.getField("_3")).as("d2"),
+        t.getField("_2").as("cl"),
+        d2(subSlice(col("q_emb"), s), t.getField("_3")).as("qd2")))
+      aggregate(scoredS,
+        struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl"), lit(0.0d).as("qd2")),
+        (acc, x) => when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
+    }
+    val approx = per.map(_.getField("qd2")).reduce(_ + _)
+    val codeCols = per.zipWithIndex.map { case (b, s) => b.getField("cl").as(s"code$s") }
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(cbDf)).crossJoin(broadcast(q))
+      .select(col("vec_id") +: col("embedding") +: col("q_emb") +:
+        codeCols :+ approx.as("adc"): _*)
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(shortlist)
+      .withColumn("exact", d2(col("embedding"), col("q_emb")))
+      .orderBy(col("exact"), col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"code$s")) :+
+        round(col("adc"), 6).as("approx_d2") :+
+        round(col("exact"), 6).as("d2"): _*)
+  }
+
   /** Multi-query rank fusion: an ensemble of query vectors retrieves
     * independently and the per-query rankings fuse by Reciprocal Rank
     * Fusion (Cormack, Clarke & Büttcher 2009: score = Σ 1/(rrfK +

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SimilarityOps
+
+/** q224 product quantization. The right-endpoint invariant mirrors
+  * RecallSweepSpec's IVF full-probe test: a shortlist as large as the
+  * corpus makes the ADC stage pure candidate ordering — the exact
+  * rerank must then EQUAL the exact L2 top-k row for row. At the
+  * production shortlist the recall against exact L2 is measured with
+  * a floor, and the codes must be well-formed (m columns in [0, k)). */
+class PqSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private val K = 10
+
+  private def exactL2TopK(queryId: Long, k: Int): Seq[Long] = {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("q_emb"),
+        (x, w) => (x.cast("double") - w.cast("double")) * (x.cast("double") - w.cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+    e.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+      .select(col("vec_id"), d2.as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  test("codes are well-formed: m code columns, every code in [0, k)") {
+    val out = SimilarityOps.pqRerank(spark, sf)
+    val codeCols = out.columns.filter(_.startsWith("code"))
+    assert(codeCols.length == 8)
+    val bad = out.filter(codeCols.map(c => col(c) < 0 || col(c) >= 8).reduce(_ || _))
+    assert(bad.count() == 0, "a code id escaped [0, k)")
+  }
+
+  test("corpus-wide shortlist makes PQ exact: equals the L2 top-k row for row") {
+    val n = Tables.embeddings(spark, sf).count().toInt
+    val full = SimilarityOps.pqRerank(spark, sf, shortlist = n, topK = K)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exactL2TopK(0L, K),
+      "full-shortlist PQ must reduce to the exact ranking")
+  }
+
+  test("production shortlist keeps recall@10 above the floor") {
+    val exact = exactL2TopK(0L, K).toSet
+    val pq = SimilarityOps.pqRerank(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = pq.intersect(exact).size.toDouble / K
+    assert(recall >= 0.7, s"PQ recall@10 = $recall under the 0.7 floor")
+  }
+
+  test("adc distances are non-negative and rerank order is by exact d2") {
+    val df = SimilarityOps.pqRerank(spark, sf)
+    val ai = df.columns.indexOf("approx_d2")
+    val di = df.columns.indexOf("d2")
+    val out = df.collect()
+    assert(out.forall(_.getDouble(ai) >= 0.0), "negative ADC distance")
+    val d2s = out.map(_.getDouble(di))
+    assert(d2s.sameElements(d2s.sorted), "output not ordered by exact d2")
+  }
+}
