@@ -54,6 +54,16 @@ object SparkEntry {
     // product quantization + ADC: per-subspace learned codebooks,
     // m LUT adds per candidate, exact rerank of the shortlist
     "q224_pq_rerank"       -> ((s, d) => SimilarityOps.pqRerank(s, d)),
+    // pairwise source unigram-LM KL (add-1 over the union vocab) —
+    // the lexical member of the source-comparison suite; per-word
+    // terms floor-scaled to 1e12 longs so the sum is order-free
+    "q225_source_kl"       -> ((s, d) => TextOps.sourceUnigramKL(s, d)),
+    // largest-remainder proportional quota sampling: sum(quota) = B
+    // exactly, md5-reproducible membership
+    "q226_quota_sample"    -> ((s, d) => CurationOps.quotaSample(s, d)),
+    // recency-weighted engagement: exact power-of-two decay weights
+    // summed as longs — no window, no sort
+    "q227_recency_score"   -> ((s, d) => RelationalExt.recencyEngagement(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1809,6 +1819,74 @@ object SparkEntry {
     "q219_prefix_join" -> prefixJoinOracleSql,
     "q220_coreness" -> corenessOracleSql,
     "q224_pq_rerank" -> pqRerankOracleSql,
+    // q225: dense S×V grid with add-1 smoothing, per-word term
+    // floor-scaled to a 1e12 fixed-point BIGINT so the per-pair sum
+    // is order-independent (the q218 device); single mirrored ln
+    "q225_source_kl" ->
+      s"""WITH ww AS (
+         |  SELECT source, word FROM (
+         |    SELECT source,
+         |      unnest(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ')) AS word
+         |    FROM documents) t WHERE word <> ''),
+         |c AS (SELECT source, word, count(*) AS n FROM ww GROUP BY 1, 2),
+         |t AS (SELECT source, sum(n) AS nt FROM c GROUP BY 1),
+         |vocab AS (SELECT DISTINCT word FROM c),
+         |v AS (SELECT count(*) AS vs FROM vocab),
+         |grid AS (
+         |  SELECT t.source, vocab.word, coalesce(c.n, 0) AS n, t.nt
+         |  FROM t CROSS JOIN vocab
+         |  LEFT JOIN c ON c.source = t.source AND c.word = vocab.word),
+         |p AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(a.n + 1 AS DOUBLE) / CAST(a.nt + v.vs AS DOUBLE) AS pa,
+         |    CAST(b.n + 1 AS DOUBLE) / CAST(b.nt + v.vs AS DOUBLE) AS pb
+         |  FROM grid a JOIN grid b ON a.word = b.word AND a.source <> b.source
+         |  CROSS JOIN v),
+         |s AS (
+         |  SELECT src_a, src_b, count(*) AS n_vocab,
+         |    sum(CAST(floor(pa * ln(pa / pb) * 1000000000000.0 + 0.5) AS BIGINT)) AS sc
+         |  FROM p GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_vocab,
+         |  ${TextOps.roundAtSql("CAST(sc AS DOUBLE) / 1000000000000.0", 6)} AS kl
+         |FROM s ORDER BY src_a, src_b""".stripMargin,
+    // q226: Hamilton apportionment in pure integer div/mod; seat and
+    // membership windows deterministically ordered
+    "q226_quota_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nn FROM c),
+        |qd AS (
+        |  SELECT source, n, (100 * n) // nn AS base, (100 * n) % nn AS rem
+        |  FROM c CROSS JOIN tot),
+        |lf AS (SELECT 100 - sum(base) AS extra FROM qd),
+        |quota AS (
+        |  SELECT source, base + CASE WHEN
+        |      row_number() OVER (ORDER BY rem DESC, source) <= lf.extra
+        |    THEN 1 ELSE 0 END AS quota
+        |  FROM qd CROSS JOIN lf),
+        |m AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('qs_' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT m.source, m.doc_id, m.rn AS pick_rank, CAST(q.quota AS BIGINT) AS quota
+        |FROM m JOIN quota q ON q.source = m.source
+        |WHERE m.rn <= q.quota ORDER BY m.source, m.rn""".stripMargin,
+    // q227: exact power-of-two decay weights summed as BIGINTs;
+    // date_diff arg order mirrors Spark's datediff(end, start)
+    "q227_recency_score" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+         |  FROM events),
+         |mx AS (SELECT max(day) AS mxd FROM ev),
+         |w AS (
+         |  SELECT user_id, day,
+         |    CASE WHEN date_diff('day', day, mx.mxd) <= 40
+         |      THEN CAST(pow(2.0, 40 - date_diff('day', day, mx.mxd)) AS BIGINT)
+         |      ELSE 0 END AS w
+         |  FROM ev CROSS JOIN mx)
+         |SELECT user_id, count(*) AS n_events, max(day) AS last_day,
+         |  ${TextOps.roundAtSql("CAST(sum(w) AS DOUBLE) / pow(2.0, 40)", 6)} AS score
+         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q164: q25's shingle + min-md5-blocking CTEs verbatim, verified
     // on containment |A∩B|/min(|A|,|B|) instead of Jaccard; both
     // metrics rounded at 4, keep decision on rounded containment

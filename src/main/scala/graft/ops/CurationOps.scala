@@ -1002,4 +1002,53 @@ object CurationOps {
           .otherwise("none"))
       .withColumn("admitted", flags.map(col).reduce(_ && _))
   }
+
+  /** q226: proportional quota sampling with LARGEST-REMAINDER
+    * apportionment (Hamilton's method) — allocate a fixed sample
+    * budget across sources exactly proportionally: base_i =
+    * ⌊B·n_i/N⌋, then the B − Σbase leftover seats go to the largest
+    * remainders (tie → source asc), so Σquota = B EXACTLY and every
+    * source is within one doc of its ideal share. The floor-and-
+    * redistribute step is what q82's per-stratum hash gate and q94's
+    * expectation-only mixture can't give: those hit quotas only in
+    * expectation, this hits the budget to the row — the contract an
+    * eval-set builder needs ("exactly 100 docs, source-proportional").
+    * Members are then the per-source `quota` smallest md5s — the
+    * q211 reproducible-membership device, no RNG.
+    *
+    * Exactness: apportionment is pure integer arithmetic (div/mod);
+    * the seat-assignment window and the membership window are both
+    * deterministically ordered (rem desc, source) / (md5, doc_id).
+    *
+    * Scale: apportionment runs entirely on the S-row source dim
+    * (model state — the unpartitioned window is S-sized by
+    * construction); membership is one per-source rank over a
+    * source-partitioned shuffle with the quota dim broadcast back. */
+  def quotaSample(spark: SparkSession, dir: String, budget: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("nn"))
+    val qd = counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        expr(s"($budget * n) div nn").as("base"),
+        expr(s"($budget * n) % nn").as("rem"))
+    val lf = qd.agg((lit(budget.toLong) - sum(col("base"))).as("extra"))
+    // S-row model dim: the unpartitioned window is bounded by the
+    // source count, never the corpus
+    val seats = Window.orderBy(col("rem").desc, col("source"))
+    val quota = qd.crossJoin(broadcast(lf))
+      .withColumn("rk", row_number().over(seats).cast("long"))
+      .select(col("source"), col("n").as("n_docs"),
+        (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L)).as("quota"))
+    val members = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    docs
+      .withColumn("hk", md5(concat(lit("qs_"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(members).cast("long"))
+      .join(broadcast(quota), "source")
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rn").as("pick_rank"), col("quota"))
+      .orderBy(col("source"), col("pick_rank"))
+  }
 }

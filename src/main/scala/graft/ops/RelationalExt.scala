@@ -1412,6 +1412,46 @@ object RelationalExt {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q227: recency-weighted user engagement — score = Σ 2^(−age_days)
+    * over each user's events, a half-life-of-one-day exponential
+    * decay: today's event counts 1, yesterday's ½, a week ago 1/128.
+    * The ranking signal activity pipelines feed to retention models —
+    * raw event counts overweight churned power users; this decays
+    * them, and the q186/q187 windows can't express a smooth decay.
+    *
+    * Exactness device: with base 2 and integer ages every weight is
+    * an exact power of two, so the per-user sum runs as EXACT LONGS —
+    * weight = 2^(horizon−age) as a long (pow(2, k) is exact in double
+    * for k ≤ 62 and the cast is exact), Σ order-independent, score =
+    * Σ/2^horizon one exact-scaling division. Events older than
+    * `horizon` days weigh 0 (also the overflow bound: Σ ≤ n_events ·
+    * 2^horizon must stay under 2^63 — horizon 40 leaves 2^22 ≈ 4M
+    * events per user of headroom; raise horizon → lower headroom,
+    * the documented trade).
+    *
+    * Scale: corpus max day is a 1-row broadcast dim; one user-keyed
+    * aggregation with map-side partials; no window, no sort. */
+  def recencyEngagement(spark: SparkSession, dir: String,
+                        horizon: Int = 40): DataFrame = {
+    require(horizon <= 62, "2^horizon must stay in long range")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val mx = ev.agg(max(col("day")).as("mxd"))
+    val weighted = ev.crossJoin(broadcast(mx))
+      .withColumn("age", datediff(col("mxd"), col("day")).cast("long"))
+      .withColumn("w",
+        when(col("age") <= horizon,
+          pow(lit(2.0d), (lit(horizon.toLong) - col("age")).cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+    weighted.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("day")).as("last_day"),
+        sum(col("w")).as("sw"))
+      .select(col("user_id"), col("n_events"), col("last_day"),
+        TextOps.roundAt(col("sw").cast("double") / math.pow(2.0, horizon), 6)
+          .as("score"))
+      .orderBy(col("user_id"))
+  }
+
   /** q222: user-acquisition curve — daily NEW users (first-ever event
     * lands that day) plus the cumulative registered-user count. The
     * growth readout every event pipeline reports first, and the exact

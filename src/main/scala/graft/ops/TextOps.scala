@@ -224,6 +224,61 @@ object TextOps {
       .filter(col("col") =!= "")
       .select(col("doc_id"), col("pos"), col("col").as("word"))
 
+  /** q225: pairwise KL divergence between SOURCE unigram language
+    * models — the lexical member of the source-comparison suite
+    * (q200 compares quality CDFs, q207 vocab sets, q208 embedding
+    * centroids; this compares the actual word DISTRIBUTIONS, the
+    * signal mixture-weight tuning reads). Add-1 smoothing over the
+    * union vocabulary so every word contributes to every ordered
+    * pair: P_s(w) = (n_s(w)+1)/(N_s+V), KL(a‖b) = Σ_w P_a ln(P_a/P_b)
+    * — asymmetric by design (KL(crawl‖wiki) ≠ KL(wiki‖crawl); both
+    * directions are emitted).
+    *
+    * Exactness device (the q218 floor-scaling): each word's term is
+    * one fixed IEEE tree over exact longs (counts, totals, V — the
+    * mirrored-ln convention for the single ln), then floor-scaled to
+    * an exact 1e12-fixed-point LONG so the per-pair Σ is an
+    * ORDER-INDEPENDENT integer sum — no sorted fold, no collect_list,
+    * nothing bounded by vocabulary size in memory. Long headroom:
+    * |term| ≤ ~1, so Σ stays exact to ~10⁶-word vocabularies per
+    * pair ×10⁶ magnitude — beyond that the sum column switches to
+    * decimal (the q191 device).
+    *
+    * Scale: one corpus pass to (source, word) counts; the dense
+    * S×V grid is vocab-distributed with the S-row totals broadcast;
+    * the pair join is word-keyed (S² rows per word, S bounded); the
+    * rollup is S²-sized. */
+  def sourceUnigramKL(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("source"), explode(TextNorm.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val counts = rows.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val totals = counts.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+    val vocab = counts.select(col("word")).distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val grid = vocab.crossJoin(broadcast(totals))
+      .join(counts, Seq("source", "word"), "left")
+      .select(col("source"), col("word"),
+        coalesce(col("n"), lit(0L)).as("n"), col("nt"))
+    val a = grid.select(col("word"), col("source").as("src_a"),
+      col("n").as("na"), col("nt").as("nta"))
+    val b = grid.select(col("word"), col("source").as("src_b"),
+      col("n").as("nb"), col("nt").as("ntb"))
+    val pa = (col("na") + lit(1L)).cast("double") / (col("nta") + col("v")).cast("double")
+    val pb = (col("nb") + lit(1L)).cast("double") / (col("ntb") + col("v")).cast("double")
+    val termScaled = floor(pa * log(pa / pb) * lit(1e12) + lit(0.5)).cast("long")
+    a.join(b, "word").filter(col("src_a") =!= col("src_b"))
+      .crossJoin(broadcast(vsize))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_vocab"), sum(termScaled).as("sc"))
+      .select(col("src_a"), col("src_b"), col("n_vocab"),
+        roundAt(col("sc").cast("double") / lit(1e12), 6).as("kl"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Top-5 tf-idf terms per document — the classic relevance ranking,
     * fully relational: tf = per-(doc,word) count, df = distinct-doc
     * count per word, idf = ln((N+1)/(df+1)) + 1 (smoothed), ranked per

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{CurationOps, RelationalExt, TextOps}
+
+/** Semantic gates for q225/q226/q227 beyond the oracle hash:
+  * KL's mathematical properties (non-negativity, zero iff identical,
+  * asymmetry present), Hamilton apportionment's exact-budget and
+  * within-one-seat guarantees, and the decay score's closed form. */
+class SourceStatsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("source KL: non-negative everywhere, zero only against itself (excluded)") {
+    val out = TextOps.sourceUnigramKL(spark, sf).collect()
+    assert(out.nonEmpty)
+    // Gibbs' inequality: KL >= 0 for any two distributions, and the
+    // smoothed distributions of two different sources can only
+    // coincide if their counts are identical word for word
+    out.foreach { r =>
+      assert(r.getDouble(3) >= 0.0,
+        s"KL(${r.getString(0)}||${r.getString(1)}) negative")
+    }
+    // both directions present and (generically) different
+    val m = out.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val asym = m.keys.count { case (a, b) => m((a, b)) != m((b, a)) }
+    assert(asym > 0, "KL matrix came out perfectly symmetric — suspicious")
+  }
+
+  test("quota sample: budget exact, per-source within one of ideal share") {
+    val out = CurationOps.quotaSample(spark, sf)
+    assert(out.count() == 100, "sum of quotas must hit the budget exactly")
+    val docs = Tables.documents(spark, sf).groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.values.sum.toDouble
+    val got = out.groupBy(col("source")).agg(count(lit(1)).as("q")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    docs.foreach { case (s, n) =>
+      val ideal = 100.0 * n / total
+      val q = got.getOrElse(s, 0L).toDouble
+      assert(math.abs(q - ideal) < 1.0 + 1e-9,
+        s"source $s: quota $q vs ideal $ideal breaks the within-one guarantee")
+    }
+    // membership is the smallest-md5 prefix per source: rank gaps impossible
+    val badRank = out.groupBy(col("source"))
+      .agg(max(col("pick_rank")).as("mx"), count(lit(1)).as("c"))
+      .filter(col("mx") =!= col("c"))
+    assert(badRank.count() == 0, "pick_rank must be gapless 1..quota")
+  }
+
+  test("recency score: closed form on a constructed user history") {
+    import spark.implicits._
+    val ts = (0 to 3).map(d => (d.toLong, java.sql.Timestamp.valueOf(
+      f"2024-02-${10 + d}%02d 12:00:00"), 7L, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("rec").toString
+    ts.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = RelationalExt.recencyEngagement(spark, dir).collect()(0)
+    // ages 3,2,1,0 days -> score = 1/8 + 1/4 + 1/2 + 1 = 1.875
+    assert(r.getLong(1) == 4L)
+    assert(math.abs(r.getDouble(3) - 1.875) < 1e-9,
+      s"score ${r.getDouble(3)} != 1.875")
+  }
+
+  test("recency score: events beyond the horizon weigh exactly zero") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 1L, "view", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("rec2").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = RelationalExt.recencyEngagement(spark, dir).collect()(0)
+    // the January event is 152 days old (> horizon 40): only the
+    // June event contributes, with weight 2^40/2^40 = 1
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+  }
+}
