@@ -64,6 +64,12 @@ object SparkEntry {
     // recency-weighted engagement: exact power-of-two decay weights
     // summed as longs — no window, no sort
     "q227_recency_score"   -> ((s, d) => RelationalExt.recencyEngagement(s, d)),
+    // corpus-prefix novelty: per-doc share of shingles first seen in
+    // an earlier doc — min-owner inverted index, two shuffles
+    "q228_novelty_curve"   -> ((s, d) => DedupOps.noveltyCurve(s, d)),
+    // co-occurrence lift over user baskets: the order-free complement
+    // of the q133 transition matrix
+    "q229_event_lift"      -> ((s, d) => RelationalExt.eventCooccurrence(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1819,6 +1825,45 @@ object SparkEntry {
     "q219_prefix_join" -> prefixJoinOracleSql,
     "q220_coreness" -> corenessOracleSql,
     "q224_pq_rerank" -> pqRerankOracleSql,
+    // q228: the canonical shingle-set CTE unnested, min-owner per
+    // shingle, seen-before rollup — all exact longs
+    "q228_novelty_curve" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len(words) - 3, 0) + 1),
+         |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ') AS words
+         |        FROM documents) w),
+         |ds AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+         |own AS (SELECT s, min(doc_id) AS owner FROM ds GROUP BY 1),
+         |pd AS (
+         |  SELECT ds.doc_id, count(*) AS n_shingles,
+         |    sum(CASE WHEN own.owner < ds.doc_id THEN 1 ELSE 0 END) AS n_seen
+         |  FROM ds JOIN own USING (s) GROUP BY 1)
+         |SELECT doc_id, n_shingles, CAST(n_seen AS BIGINT) AS n_seen,
+         |  ${TextOps.roundAtSql(
+               "1.0 - CAST(n_seen AS DOUBLE) / CAST(n_shingles AS DOUBLE)", 4)} AS novelty
+         |FROM pd ORDER BY doc_id""".stripMargin,
+    // q229: distinct (user, type) baskets; pair counts from a basket
+    // self-join; lift one fixed IEEE tree
+    "q229_event_lift" ->
+      s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         |tc AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+         |nn AS (SELECT count(DISTINCT user_id) AS nu FROM ut),
+         |pc AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+         |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+         |    AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, pc.n_ab,
+         |  ${TextOps.roundAtSql(
+               "(CAST(pc.n_ab AS DOUBLE) * nn.nu) / " +
+               "(CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE))", 4)} AS lift
+         |FROM pc JOIN tc ta ON ta.event_type = pc.type_a
+         |        JOIN tc tb ON tb.event_type = pc.type_b
+         |CROSS JOIN nn ORDER BY type_a, type_b""".stripMargin,
     // q225: dense S×V grid with add-1 smoothing, per-word term
     // floor-scaled to a 1e12 fixed-point BIGINT so the per-pair sum
     // is order-independent (the q218 device); single mirrored ln

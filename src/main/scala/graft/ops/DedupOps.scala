@@ -240,12 +240,19 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     require(num > 0 && den > 0 && num <= den, "tau = num/den must be in (0,1]")
     val tau = num.toDouble / den
-    val ds = shingleRows(spark, dir).distinct()
+    // ONE shingle materialization feeds all four consumers (df
+    // aggregation, prefix window, and both set fetches) — without the
+    // checkpoint the regex shingle chain re-runs per consumer and
+    // dominates runtime (the q182 shared-shingle lesson, re-measured
+    // here: 8.1 s → ~3 s at sf0.1)
+    val ds = shingleRows(spark, dir).distinct().localCheckpoint(false)
     val dfq = ds.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // n rides the SAME doc_id window partitioning the rank needs —
+    // no separate size aggregation + join
     val ceilTauN = expr(s"($num * n + ${den - 1}) div $den")
-    val pref = ds.join(dfq, "s").join(sz, "doc_id")
+    val pref = ds.join(dfq, "s")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n") - ceilTauN + lit(1L))
       .select(col("doc_id"), col("s"), col("n"))
@@ -630,6 +637,42 @@ object DedupOps {
             (lit(2L) * coalesce(col("n_triangles"), lit(0L))).cast("double") /
               (col("degree") * (col("degree") - 1)).cast("double"), 6))
           .otherwise(lit(0.0)).as("clust_coef"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q228: corpus-prefix novelty curve — for every doc (in doc_id =
+    * arrival order), the fraction of its distinct shingles whose
+    * FIRST occurrence is in an EARLIER doc. The training-order
+    * diagnostic between q90 (curriculum ordering) and q212 (dedup
+    * ROI): a corpus whose late docs are mostly already-seen shingles
+    * is re-teaching the model old text — the per-doc number says
+    * WHERE in the stream redundancy sets in, which a corpus-global
+    * dup rate can't.
+    *
+    * Computation is two exact integer passes, NOT a quadratic
+    * prefix-join: the first-occurrence owner of a shingle is
+    * min(doc_id) over its postings (one shingle-keyed aggregation);
+    * a doc's seen-before count is then just its shingles whose owner
+    * < doc_id (one join back, one doc-keyed rollup). Novelty =
+    * 1 − seen/n rounded at 4.
+    *
+    * Scale: the same two-shuffle inverted-index shape as q166 —
+    * shingle pass, min-owner aggregation with map-side partials,
+    * posting-keyed join back, doc rollup. No stage holds more than a
+    * posting list; the "prefix" is implicit in the min, never
+    * materialized. */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val ds = shingleRows(spark, dir).distinct().localCheckpoint(false)
+    val owner = ds.groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
+    val perDoc = ds.join(owner, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+    perDoc
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        TextOps.roundAt(lit(1.0d) -
+          col("n_seen").cast("double") / col("n_shingles").cast("double"), 4)
+          .as("novelty"))
       .orderBy(col("doc_id"))
   }
 

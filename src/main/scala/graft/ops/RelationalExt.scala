@@ -1412,6 +1412,44 @@ object RelationalExt {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q229: event-type co-occurrence lift over user baskets — for each
+    * unordered type pair, lift = N·n_ab/(n_a·n_b): > 1 means users
+    * who do one disproportionately do the other (the association
+    * signal behind "viewers convert", feature cross-sell, and the
+    * q133 transition matrix's order-free complement — transitions see
+    * a→b sequences, lift sees coincidence regardless of order).
+    *
+    * Exactness: all counts exact longs over DISTINCT (user, type)
+    * baskets; lift is one fixed IEEE tree under roundAt.
+    *
+    * Scale: the basket reduction is one distinct + one user-keyed
+    * aggregation; pairs come from exploding each user's own sorted
+    * type set (bounded by the type-universe size, the q25
+    * bucket-explode device — never a corpus self-join); the rollup
+    * output is type²-sized with the two type-count dims broadcast. */
+  def eventCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(false)
+    val tc = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val nu = ut.agg(countDistinct(col("user_id")).as("nu"))
+    val pairs = ut.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .select(explode(col("ts")).as("type_a"), col("ts"))
+      .select(col("type_a"),
+        explode(filter(col("ts"), t => t > col("type_a"))).as("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(tc.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(tc.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nu))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_ab"),
+        TextOps.roundAt(
+          (col("n_ab").cast("double") * col("nu")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 4).as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** q227: recency-weighted user engagement — score = Σ 2^(−age_days)
     * over each user's events, a half-life-of-one-day exponential
     * decay: today's event counts 1, yesterday's ½, a week ago 1/128.

@@ -492,4 +492,47 @@ class PlanSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 event_type hash exchange, found $hashEx:\n$p")
     assert(p.contains("Window"), "window machinery missing")
   }
+
+  test("prefix join: candidate generation joins on the shingle key — no cartesian anywhere") {
+    val p = plan(graft.ops.DedupOps.prefixJoinNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "prefix join must never degrade to a cartesian product")
+    // the prefix-posting self-join keys on the shingle column
+    assert(p.contains("hashpartitioning(s#") || p.contains("[s#"),
+      s"expected a shingle-keyed join:\n${p.take(2000)}")
+  }
+
+  test("pq rerank: codebook + query broadcast, both stages partial top-k, corpus never shuffles") {
+    val df = SimilarityOps.pqRerank(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), "shortlist must be a partial top-k")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "codebook/query must attach by broadcast")
+    // the embeddings scan side must not hash-exchange before the
+    // shortlist cut — only the bounded 50-row rerank may move
+    val preTopK = p.substring(0, p.indexOf("TakeOrderedAndProject"))
+    assert(!preTopK.contains("hashpartitioning(vec_id"),
+      "corpus shuffled before the ADC shortlist")
+  }
+
+  test("source KL: totals and vocab-size dims broadcast; the pair join keys on word") {
+    val p = plan(TextOps.sourceUnigramKL(spark, sf))
+    assert(p.contains("BroadcastExchange"), "S-row dims must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("recency score: no window, no sort — one user-keyed aggregation tree") {
+    val p = plan(graft.ops.RelationalExt.recencyEngagement(spark, sf))
+    assert(!p.contains("Window"), "decay sum must not need a window")
+    // exactly one corpus aggregation: partial + final over user_id
+    assert(p.contains("hashpartitioning(user_id"),
+      "expected the user_id aggregation exchange")
+  }
+
+  test("quota sample: apportionment windows run on the S-row dim; corpus ranks within source partitions") {
+    val p = plan(CurationOps.quotaSample(spark, sf))
+    assert(p.contains("hashpartitioning(source"),
+      "membership rank must partition by source")
+    assert(p.contains("BroadcastExchange"), "quota dim must broadcast back")
+  }
 }

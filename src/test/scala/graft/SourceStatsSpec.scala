@@ -63,6 +63,34 @@ class SourceStatsSpec extends AnyFunSuite {
       s"score ${r.getDouble(3)} != 1.875")
   }
 
+  test("novelty curve: first doc fully novel; seen-counts telescope to rows - vocab") {
+    val out = graft.ops.DedupOps.noveltyCurve(spark, sf)
+    val first = out.orderBy(col("doc_id")).limit(1).collect()(0)
+    assert(first.getDouble(3) == 1.0, "the earliest doc can never have seen anything")
+    // every shingle with p postings contributes exactly p-1 seen rows:
+    // sum(n_seen) = total posting rows - vocabulary size
+    val agg = out.agg(sum(col("n_seen")).as("s"), sum(col("n_shingles")).as("r"))
+      .collect()(0)
+    val docs = Tables.documents(spark, sf)
+    val vocab = docs.select(explode(graft.ops.DedupOps.shingles(col("text"))).as("s"))
+      .distinct().count()
+    assert(agg.getLong(0) == agg.getLong(1) - vocab,
+      s"telescoping identity broken: seen=${agg.getLong(0)} rows=${agg.getLong(1)} vocab=$vocab")
+  }
+
+  test("event lift: n_ab bounded by both margins; lift matches the hand formula") {
+    val out = RelationalExt.eventCooccurrence(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nu = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    out.foreach { r =>
+      val (na, nb, nab) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nab <= math.min(na, nb), "pair count exceeds a margin")
+      val want = math.floor(nab.toDouble * nu / (na.toDouble * nb) * 1e4 + 0.5) / 1e4
+      assert(math.abs(r.getDouble(5) - want) < 1e-9,
+        s"${r.getString(0)}/${r.getString(1)}: lift ${r.getDouble(5)} != $want")
+    }
+  }
+
   test("recency score: events beyond the horizon weigh exactly zero") {
     import spark.implicits._
     val rows = Seq(
