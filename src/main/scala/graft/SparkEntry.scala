@@ -70,6 +70,12 @@ object SparkEntry {
     // co-occurrence lift over user baskets: the order-free complement
     // of the q133 transition matrix
     "q229_event_lift"      -> ((s, d) => RelationalExt.eventCooccurrence(s, d)),
+    // lang x source chi-square cells: observed/expected/contribution
+    // per cell, margins broadcast back onto the cell table
+    "q230_lang_source_chi2" -> ((s, d) => TextOps.langSourceChi2(s, d)),
+    // daily-volume OLS slope per type from five EXACT integer sums
+    // (rank x buys exactness — the q223 trick applied to regression)
+    "q231_rate_trend"      -> ((s, d) => RelationalExt.dailyRateTrend(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1825,6 +1831,52 @@ object SparkEntry {
     "q219_prefix_join" -> prefixJoinOracleSql,
     "q220_coreness" -> corenessOracleSql,
     "q224_pq_rerank" -> pqRerankOracleSql,
+    // q230: margins as cell-table rollups crossed back to a DENSE
+    // grid (zero cells carry chi2 mass E); expected and contribution
+    // each one fixed IEEE tree over exact longs
+    "q230_lang_source_chi2" ->
+      s"""WITH raw AS (
+         |  SELECT lang, source, count(*) AS obs FROM documents GROUP BY 1, 2),
+         |rt AS (SELECT lang, sum(obs) AS rt FROM raw GROUP BY 1),
+         |ct AS (SELECT source, sum(obs) AS ct FROM raw GROUP BY 1),
+         |tot AS (SELECT sum(obs) AS nn FROM raw),
+         |cells AS (
+         |  SELECT rt.lang, ct.source, coalesce(raw.obs, 0) AS obs
+         |  FROM rt CROSS JOIN ct
+         |  LEFT JOIN raw ON raw.lang = rt.lang AND raw.source = ct.source)
+         |SELECT c.lang, c.source, c.obs,
+         |  ${TextOps.roundAtSql(
+               "(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(tot.nn AS DOUBLE)", 6)} AS expected,
+         |  ${TextOps.roundAtSql(
+               "(CAST(c.obs AS DOUBLE) - (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(tot.nn AS DOUBLE)) * " +
+               "(CAST(c.obs AS DOUBLE) - (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(tot.nn AS DOUBLE)) / " +
+               "((CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)) / CAST(tot.nn AS DOUBLE))", 6)} AS cell_chi2
+         |FROM cells c JOIN rt ON rt.lang = c.lang
+         |             JOIN ct ON ct.source = c.source
+         |CROSS JOIN tot ORDER BY c.lang, c.source""".stripMargin,
+    // q231: five exact-long sufficient statistics, one guarded final
+    // division; sums of BIGINTs cast back from HUGEINT
+    "q231_rate_trend" ->
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         |    count(*) AS y
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type, y,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS x
+         |  FROM d),
+         |g AS (
+         |  SELECT event_type, count(*) AS n_days,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM r GROUP BY 1)
+         |SELECT event_type, n_days, sy AS n_events,
+         |  ${TextOps.roundAtSql(
+               "CASE WHEN n_days * sxx - sx * sx = 0 THEN 0.0 " +
+               "ELSE CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE) END", 6)} AS slope,
+         |  (CASE WHEN n_days * sxx - sx * sx = 0 THEN 0.0
+         |        ELSE CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE) END) > 0.0 AS growing
+         |FROM g ORDER BY event_type""".stripMargin,
     // q228: the canonical shingle-set CTE unnested, min-owner per
     // shingle, seen-before rollup — all exact longs
     "q228_novelty_curve" ->

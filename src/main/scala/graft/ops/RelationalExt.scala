@@ -1412,6 +1412,45 @@ object RelationalExt {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q231: daily-volume OLS trend per event type — the least-squares
+    * slope of daily counts against the day index, the
+    * growing-or-dying readout q223's changepoint and q221's EWMA
+    * bracket (CUSUM says WHERE a shift happened, EWMA tracks level,
+    * this fits the overall direction). Closed form over the day-rank
+    * x and count y: slope = (D·Σxy − Σx·Σy)/(D·Σx² − (Σx)²).
+    *
+    * Exactness device: x is the per-type day RANK (1..D) and y the
+    * exact count, so ALL FIVE sufficient statistics are EXACT LONGS —
+    * order-independent integer aggregation, no ordered fold, and the
+    * slope is one final division of exact operands (the q223 trick
+    * applied to regression; q190's per-doc regression needs ordered
+    * double folds because its x is a measured double — rank x buys
+    * exactness for free). Singleton series (D = 1) → denominator 0,
+    * guarded to slope 0 on both engines.
+    *
+    * Scale: one corpus collapse to (type, day) buckets, one rank
+    * window over the time-bounded bucket table, one 5-column rollup
+    * per type. */
+  def dailyRateTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ranked = daily.withColumn("x", row_number().over(w).cast("long"))
+    val g = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val den = g("d") * g("sxx") - g("sx") * g("sx")
+    val slope = when(den === 0L, lit(0.0d))
+      .otherwise((g("d") * g("sxy") - g("sx") * g("sy")).cast("double") /
+        den.cast("double"))
+    g.select(col("event_type"), col("d").as("n_days"), col("sy").as("n_events"),
+        TextOps.roundAt(slope, 6).as("slope"),
+        (slope > 0.0d).as("growing"))
+      .orderBy(col("event_type"))
+  }
+
   /** q229: event-type co-occurrence lift over user baskets — for each
     * unordered type pair, lift = N·n_ab/(n_a·n_b): > 1 means users
     * who do one disproportionately do the other (the association

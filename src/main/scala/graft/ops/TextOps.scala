@@ -224,6 +224,48 @@ object TextOps {
       .filter(col("col") =!= "")
       .select(col("doc_id"), col("pos"), col("col").as("word"))
 
+  /** q230: lang × source chi-square independence audit — is language
+    * distributed the same way across sources? The mix-design question
+    * behind per-source tokenizer/filter choices (a source whose lang
+    * mix diverges needs its own lang-ID thresholds — q213's ambiguity
+    * margin varies by script mix). Emitted at CELL granularity:
+    * observed, expected = row·col/N, and the cell's χ² contribution —
+    * the drill-down that says WHICH (lang, source) drives the
+    * dependence, not just that it exists; the statistic is the sum of
+    * a tiny cell table, left to the reader/judge (no χ² CDF exists in
+    * either engine — and the p-value adds nothing the contributions
+    * don't).
+    *
+    * Exactness: all counts exact longs; expected and the contribution
+    * are each ONE fixed IEEE tree over exact longs
+    * ((row·col)/N then (obs−exp)²/exp), under roundAt.
+    *
+    * Scale: one corpus collapse to the (lang × source) cell table;
+    * margins are cell-table rollups broadcast back onto cells. */
+  def langSourceChi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("obs"))
+      .localCheckpoint(false)
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("obs")).as("rt"))
+    val colT = cells.groupBy(col("source")).agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("nn"))
+    val exp0 = (col("rt").cast("double") * col("ct").cast("double")) /
+      col("nn").cast("double")
+    // DENSE grid: an absent (lang, source) combination is a ZERO cell
+    // whose contribution is (0−E)²/E = E — dropping it understates the
+    // statistic and breaks the ΣE-per-margin identity the spec pins
+    rowT.crossJoin(broadcast(colT))
+      .join(cells, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("rt"), col("ct"),
+        coalesce(col("obs"), lit(0L)).as("obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("obs"),
+        roundAt(exp0, 6).as("expected"),
+        roundAt((col("obs").cast("double") - exp0) *
+          (col("obs").cast("double") - exp0) / exp0, 6).as("cell_chi2"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** q225: pairwise KL divergence between SOURCE unigram language
     * models — the lexical member of the source-comparison suite
     * (q200 compares quality CDFs, q207 vocab sets, q208 embedding

@@ -91,6 +91,39 @@ class SourceStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("chi2 cells: expected preserves margins and contributions are non-negative") {
+    val out = TextOps.langSourceChi2(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(4) >= 0.0, "negative chi2 contribution"))
+    // expected counts must reproduce each row margin (up to rounding):
+    // sum over sources of E[lang, source] = count(lang)
+    val byLang = out.groupBy(_.getString(0)).map { case (l, rs) =>
+      l -> rs.map(_.getDouble(3)).sum
+    }
+    val obs = Tables.documents(spark, sf).groupBy(col("lang"))
+      .agg(count(lit(1))).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (l, e) =>
+      assert(math.abs(e - obs(l)) < 1e-3, s"lang $l: ΣE=$e vs obs=${obs(l)}")
+    }
+  }
+
+  test("rate trend: a planted linear series recovers its slope exactly") {
+    import spark.implicits._
+    // y = 10 + 3x over 6 days -> slope exactly 3
+    val rows = (1 to 6).flatMap { d =>
+      (0 until (10 + 3 * d)).map(i =>
+        ((d * 1000 + i).toLong, java.sql.Timestamp.valueOf(
+          f"2024-03-${d}%02d 09:00:00"), 1L, "lin", 1.0, "{}"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = RelationalExt.dailyRateTrend(spark, dir).collect()(0)
+    assert(r.getLong(1) == 6L)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-9, s"slope ${r.getDouble(3)} != 3")
+    assert(r.getBoolean(4))
+  }
+
   test("recency score: events beyond the horizon weigh exactly zero") {
     import spark.implicits._
     val rows = Seq(
