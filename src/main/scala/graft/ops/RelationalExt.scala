@@ -1644,6 +1644,40 @@ object RelationalExt {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q221's streaming state: (event_type, n_hours, ewma), appendable
+    * per micro-batch of FINALIZED hourly buckets. Unlike the
+    * count/sum/index states of the q121/q167/q180 family this fold is
+    * ORDER-DEPENDENT, so the streaming contract is narrower and
+    * explicit: batches must arrive in hour order and carry whole
+    * hours (what a watermarked hourly aggregation emits on close) —
+    * under that contract appending batch-by-batch is bit-identical to
+    * the one-shot q221 fold, which StreamingMultimodalSpec proves
+    * across different chop points. Types absent from a batch pass
+    * through unchanged; a type's first batch seeds the EWMA with its
+    * first hour (the q221 convention). */
+  def ewmaStateAppend(state: DataFrame, batch: DataFrame): DataFrame = {
+    val arr = batch.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("hour"), col("n_events")))).as("ts"),
+        count(lit(1)).as("nb"))
+    val vals = transform(col("ts"), t => t.getField("n_events").cast("double"))
+    arr.join(state, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n_hours"), lit(0L)) + coalesce(col("nb"), lit(0L))).as("n_hours"),
+        when(col("ts").isNull, col("ewma"))
+          .when(col("ewma").isNull,
+            aggregate(slice(vals, lit(2), size(col("ts")) - 1),
+              element_at(vals, 1), (a, x) => (a + x) / lit(2.0d)))
+          .otherwise(
+            aggregate(vals, col("ewma"), (a, x) => (a + x) / lit(2.0d)))
+          .as("ewma"))
+  }
+
+  /** Empty EWMA state with the right schema, for bootstrap. */
+  def ewmaStateEmpty(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, Double)].toDF("event_type", "n_hours", "ewma")
+  }
+
   def eventRateAnomaly(spark: SparkSession, dir: String,
                        zThresh: Double = 2.0): DataFrame = {
     val hourly = Tables.events(spark, dir)

@@ -832,4 +832,61 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     // non-vacuity: both vocab hits and OOV tokens exist in the corpus
     assert(oneShot.exists(_._3 > 0) && oneShot.exists(r => r._3 < r._2))
   }
+
+  test("streaming EWMA state via foreachBatch: hour-ordered appends equal the one-shot fold") {
+    // q221's streaming twin — the first ORDER-DEPENDENT fold in the
+    // state family, so the contract is narrower than the mergeable
+    // counts/indexes: batches must arrive in hour order carrying whole
+    // hours (what a watermarked hourly agg emits on close). Under that
+    // contract the appended state must be BIT-identical to the batch
+    // q221's final smoothed value per type, whatever the chop points.
+    import graft.ops.RelationalExt
+    implicit val sqlCtx = spark.sqlContext
+    val hourly = Tables.events(spark, sf)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"hour", $"event_type") // global hour order for chopping
+      .select($"event_type", $"hour".cast("string").as("hour"), $"n_events")
+    val rows = hourly.as[(String, String, Long)].collect().toSeq
+    def runChopped(cuts: Seq[Int]): Map[String, Double] = {
+      var state = RelationalExt.ewmaStateEmpty(spark).localCheckpoint()
+      val input = MemoryStream[(String, String, Long)]
+      val q = input.toDF().toDF("event_type", "hour", "n_events").writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          state = RelationalExt.ewmaStateAppend(state,
+            batch.select($"event_type", $"hour".cast("timestamp").as("hour"), $"n_events"))
+            .localCheckpoint()
+          ()
+        }.start()
+      try {
+        var rest = rows
+        for (c <- cuts) {
+          val (b, r) = rest.splitAt(c); rest = r
+          if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+        }
+        if (rest.nonEmpty) { input.addData(rest); q.processAllAvailable() }
+      } finally q.stop()
+      state.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    }
+    // the batch query's LAST smoothed value per type (unrounded fold
+    // replayed: q221 rounds for output, so recompute the raw final)
+    val oneShot = runChopped(Seq(rows.length)) // single batch = pure batch fold
+    val a = runChopped(Seq(rows.length / 3, rows.length / 3))
+    val b = runChopped(Seq(rows.length / 7))
+    assert(a == oneShot, "EWMA state diverged across hour-aligned chop points")
+    assert(b == oneShot, "EWMA state depends on micro-batch boundaries")
+    // and the single-batch fold must agree with q221's final rows
+    val q221 = RelationalExt.ewmaRateSmoothing(spark, sf)
+    val last = q221.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+          .orderBy($"hour".desc)))
+      .filter($"rn" === 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    oneShot.foreach { case (t, e) =>
+      // last(t) is the rounded-at-6 emission of the same raw fold
+      assert(math.abs(e - last(t)) < 1e-6,
+        s"type $t: state $e vs q221 final ${last(t)}")
+    }
+  }
 }
