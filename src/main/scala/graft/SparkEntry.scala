@@ -76,6 +76,12 @@ object SparkEntry {
     // daily-volume OLS slope per type from five EXACT integer sums
     // (rank x buys exactness — the q223 trick applied to regression)
     "q231_rate_trend"      -> ((s, d) => RelationalExt.dailyRateTrend(s, d)),
+    // near-dup threshold sensitivity: pair count + mean Jaccard at
+    // four taus from ONE candidate build (1e4-scaled integer means)
+    "q232_threshold_sweep" -> ((s, d) => DedupOps.thresholdSweep(s, d)),
+    // per-user transition entropy: bot-vs-explorer segmentation from
+    // exact transition counts, 1e12-scaled order-free term sums
+    "q233_user_entropy"    -> ((s, d) => RelationalExt.userTransitionEntropy(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1831,6 +1837,54 @@ object SparkEntry {
     "q219_prefix_join" -> prefixJoinOracleSql,
     "q220_coreness" -> corenessOracleSql,
     "q224_pq_rerank" -> pqRerankOracleSql,
+    // q232: the q25 chain WITHOUT its threshold filter, swept by a
+    // 4-row tau literal; means from exact 1e4-scaled longs
+    "q232_threshold_sweep" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(0, greatest(len(words) - 3, 0) + 1),
+         |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ') AS words
+         |        FROM documents) w),
+         |keyed AS (
+         |  SELECT doc_id, sh,
+         |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+         |  FROM docs),
+         |pairs AS (
+         |  SELECT round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |         len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+         |tau AS (SELECT CAST(unnest([0.005, 0.01, 0.1, 0.5]) AS DOUBLE) AS tau),
+         |f AS (
+         |  SELECT t.tau, CAST(floor(p.jaccard * 10000 + 0.5) AS BIGINT) AS j4
+         |  FROM pairs p CROSS JOIN tau t WHERE p.jaccard >= t.tau)
+         |SELECT tau, count(*) AS n_pairs,
+         |  ${TextOps.roundAtSql(
+               "CAST(sum(j4) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)", 6)} AS mean_jaccard
+         |FROM f GROUP BY tau ORDER BY tau""".stripMargin,
+    // q233: lag window in (ts, event_id) order, exact transition
+    // counts, -(p·ln p) floor-scaled to 1e12 BIGINTs
+    "q233_user_entropy" ->
+      s"""WITH t AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |c AS (
+         |  SELECT user_id, prev, event_type, count(*) AS n
+         |  FROM t WHERE prev IS NOT NULL GROUP BY 1, 2, 3),
+         |w AS (SELECT *, sum(n) OVER (PARTITION BY user_id) AS nt FROM c),
+         |s AS (
+         |  SELECT user_id, CAST(max(nt) AS BIGINT) AS n_trans,
+         |    count(*) AS n_patterns,
+         |    sum(CAST(floor(-((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) *
+         |      ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))) * 1000000000000.0 + 0.5)
+         |      AS BIGINT)) AS sc
+         |  FROM w GROUP BY 1)
+         |SELECT user_id, n_trans, n_patterns,
+         |  ${TextOps.roundAtSql("CAST(sc AS DOUBLE) / 1000000000000.0", 6)} AS entropy
+         |FROM s ORDER BY user_id""".stripMargin,
     // q230: margins as cell-table rollups crossed back to a DENSE
     // grid (zero cells carry chi2 mass E); expected and contribution
     // each one fixed IEEE tree over exact longs

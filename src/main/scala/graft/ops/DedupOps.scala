@@ -640,6 +640,47 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q232: near-dup THRESHOLD sensitivity sweep — verified pair count
+    * and mean Jaccard at τ ∈ {0.005, 0.01, 0.1, 0.5} from ONE
+    * candidate build. The knob-tuning readout run before committing a
+    * dedup threshold: a pair count that cliffs between two τ values
+    * locates the corpus's similarity bands (here the default grid
+    * brackets BOTH modes of the bimodal candidate population — the
+    * ~0.01 blocking false-positive mass and the ~0.97 template band —
+    * so the cliff between 0.01 and 0.1 is the measured gap between
+    * them), while a flat curve says the choice is insensitive — and
+    * reading it from one build means the sweep costs one bucket
+    * shuffle, not four. Population = the q25 min-md5 blocked
+    * candidates (stated: the sweep measures sensitivity WITHIN the
+    * blocked population; q219 is the exact-recall complement).
+    *
+    * Exactness: the per-pair rounded-at-4 Jaccard is recovered as an
+    * EXACT 1e4-scaled long (floor(j·10⁴+0.5) — the rounded double is
+    * within 2⁻⁴⁴ of k/10⁴, so the floor is exact k), so mean_jaccard
+    * is an integer sum under one final division — order-independent,
+    * no double aggregation.
+    *
+    * Scale: candidate generation is q25's; the τ dimension is a
+    * 4-row broadcast literal; the rollup is τ-sized. */
+  def thresholdSweep(spark: SparkSession, dir: String,
+                     taus: Seq[Double] = Seq(0.005, 0.01, 0.1, 0.5)): DataFrame = {
+    import spark.implicits._
+    val pairs = bucketPairs(ngramBuckets(spark, dir))
+      .select(pairJaccard.as("jaccard"))
+      .localCheckpoint(false)
+    val tauDf = taus.map(t => Tuple1(t)).toDF("tau")
+    pairs.crossJoin(broadcast(tauDf))
+      .filter(col("jaccard") >= col("tau"))
+      .select(col("tau"),
+        floor(col("jaccard") * 1e4 + lit(0.5)).cast("long").as("j4"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("j4")).as("sj"))
+      .select(col("tau"), col("n_pairs"),
+        TextOps.roundAt(col("sj").cast("double") /
+          (col("n_pairs").cast("double") * 1e4), 6).as("mean_jaccard"))
+      .orderBy(col("tau"))
+  }
+
   /** q228: corpus-prefix novelty curve — for every doc (in doc_id =
     * arrival order), the fraction of its distinct shingles whose
     * FIRST occurrence is in an EARLIER doc. The training-order

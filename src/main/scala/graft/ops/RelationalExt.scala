@@ -1412,6 +1412,47 @@ object RelationalExt {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q233: per-user behavioral predictability — Shannon entropy of
+    * each user's first-order event-type TRANSITION distribution.
+    * q133's corpus transition matrix says what users do in aggregate;
+    * this scores each user: entropy 0 = a fully scripted loop (bot
+    * signature), high entropy = erratic exploration — the
+    * segmentation feature fraud and engagement models both consume.
+    *
+    * Exactness: transitions and their counts are exact longs (lag
+    * over the per-user (ts, event_id) order); each (prev→cur) term
+    * −p·ln p is one fixed IEEE tree (single mirrored ln) floor-scaled
+    * to a 1e12 LONG (the q225 device), so the per-user Σ is an
+    * order-independent integer sum. Single-event users have no
+    * transitions and drop (entropy undefined, mirrored by the
+    * oracle's inner grouping).
+    *
+    * Scale: ONE user-keyed shuffle feeds the lag window, the
+    * transition-count aggregation and the user rollup (same
+    * partitioning all the way down); nothing is held per user but
+    * its transition-type counts. */
+  def userTransitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("user_id"), col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val withTot = trans
+      .withColumn("nt", sum(col("n")).over(Window.partitionBy(col("user_id"))))
+    val p = col("n").cast("double") / col("nt").cast("double")
+    val termScaled = floor(-(p * log(p)) * lit(1e12) + lit(0.5)).cast("long")
+    withTot
+      .groupBy(col("user_id"))
+      .agg(max(col("nt")).as("n_trans"),
+        count(lit(1)).as("n_patterns"),
+        sum(termScaled).as("sc"))
+      .select(col("user_id"), col("n_trans"), col("n_patterns"),
+        TextOps.roundAt(col("sc").cast("double") / lit(1e12), 6).as("entropy"))
+      .orderBy(col("user_id"))
+  }
+
   /** q231: daily-volume OLS trend per event type — the least-squares
     * slope of daily counts against the day index, the
     * growing-or-dying readout q223's changepoint and q221's EWMA

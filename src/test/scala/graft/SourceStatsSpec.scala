@@ -124,6 +124,46 @@ class SourceStatsSpec extends AnyFunSuite {
     assert(r.getBoolean(4))
   }
 
+  test("threshold sweep: counts monotone non-increasing in tau; tau=0.5 matches q25") {
+    val out = graft.ops.DedupOps.thresholdSweep(spark, sf)
+      .orderBy(col("tau")).collect()
+    assert(out.length == 4)
+    out.sliding(2).foreach { w =>
+      assert(w(0).getLong(1) >= w(1).getLong(1),
+        "pair count must not grow as tau tightens")
+    }
+    val atHalf = out.find(_.getDouble(0) == 0.5).get.getLong(1)
+    val q25 = graft.ops.DedupOps.nearDupNgram(spark, sf).count()
+    assert(atHalf == q25, s"sweep at 0.5 ($atHalf) != q25 ($q25)")
+  }
+
+  test("user entropy: a scripted loop scores zero; bounds hold on real data") {
+    import spark.implicits._
+    // user 1 does view->buy->view->buy... over 10 events: 9
+    // transitions split 5 view->buy / 4 buy->view, so
+    // H = -(5/9 ln 5/9 + 4/9 ln 4/9); user 2 loops one
+    // self-transition -> H = 0
+    val rows = (0 until 10).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 1L,
+      if (i % 2 == 0) "view" else "buy", 1.0, "{}")) ++
+      (0 until 5).map(i => ((100 + i).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 01:${i}%02d:00"), 2L,
+        "ping", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("uent").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = RelationalExt.userTransitionEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val h59 = -(5.0 / 9 * math.log(5.0 / 9) + 4.0 / 9 * math.log(4.0 / 9))
+    assert(math.abs(got(1L) - h59) < 1e-5, s"alternator ${got(1L)} != $h59")
+    assert(got(2L) == 0.0, "self-loop user must score exactly zero")
+    // real data: 0 <= H <= ln(n_patterns)
+    val bad = RelationalExt.userTransitionEntropy(spark, sf)
+      .filter(col("entropy") < 0.0 ||
+        col("entropy") > log(col("n_patterns").cast("double")) + 1e-6)
+    assert(bad.count() == 0)
+  }
+
   test("recency score: events beyond the horizon weigh exactly zero") {
     import spark.implicits._
     val rows = Seq(
