@@ -82,6 +82,9 @@ object SparkEntry {
     // per-user transition entropy: bot-vs-explorer segmentation from
     // exact transition counts, 1e12-scaled order-free term sums
     "q233_user_entropy"    -> ((s, d) => RelationalExt.userTransitionEntropy(s, d)),
+    // IVF-PQ with residual encoding: learned coarse cells + per-cell
+    // query-residual ADC over probed cells only, exact rerank
+    "q234_ivf_pq"          -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -855,6 +858,82 @@ object SparkEntry {
        |  SELECT s.vec_id, $codeOut, s.adc, ${d2("x.emb", "q.qe")} AS exact
        |  FROM short s JOIN e x ON x.vec_id = s.vec_id CROSS JOIN qfull q)
        |SELECT vec_id, $codeOut, round(adc, 6) AS approx_d2, round(exact, 6) AS d2
+       |FROM ex ORDER BY exact, vec_id LIMIT $topK""".stripMargin
+  }
+
+  /** q234 oracle: the full IVF-PQ pipeline as unrolled CTEs — the
+    * shared coarse Lloyd chain (k=8, iters=2), residual construction
+    * against the trained coarse centroids, EIGHT per-subspace Lloyd
+    * chains over residual slices, per-cell query residuals, the
+    * probe-filtered ADC scoring (fixed left-to-right 8-term add), the
+    * (adc, vec_id) shortlist and the exact rerank. */
+  private lazy val ivfPqOracleSql: String = {
+    val m = 8; val kpq = 8; val sub = 8; val nprobe = 2
+    val shortlist = 30; val topK = 10
+    def d2(v: String, c: String) =
+      s"list_sum(list_transform(range(1, len($v) + 1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])))"
+    val perSub = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = s * sub + sub
+      s"""rsub$s AS MATERIALIZED (SELECT vec_id, list_slice(r, $lo, $hi) AS v FROM res),
+         |rflat$s AS MATERIALIZED (
+         |  SELECT vec_id, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val FROM rsub$s),
+         |pc${s}_0 AS MATERIALIZED (SELECT vec_id AS cl, v AS cent FROM rsub$s WHERE vec_id < $kpq),
+         |pa${s}_1 AS MATERIALIZED (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT x.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${d2("x.v", "c.cent")}, c.cl) AS rk
+         |    FROM rsub$s x CROSS JOIN pc${s}_0 c) WHERE rk = 1),
+         |pc${s}_1 AS MATERIALIZED (
+         |  SELECT cl, list(mv ORDER BY pos) AS cent FROM (
+         |    SELECT a.cl, f.pos, avg(f.val) AS mv
+         |    FROM pa${s}_1 a JOIN rflat$s f USING (vec_id) GROUP BY a.cl, f.pos) t
+         |  GROUP BY cl),
+         |pf$s AS MATERIALIZED (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT x.vec_id, c.cl,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${d2("x.v", "c.cent")}, c.cl) AS rk
+         |    FROM rsub$s x CROSS JOIN pc${s}_1 c) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val codeJoin = (1 until m).map(s => s"JOIN pf$s ON pf$s.vec_id = pf0.vec_id").mkString(" ")
+    val codeCols = (0 until m).map(s => s"pf$s.cl AS code$s").mkString(", ")
+    val pcJoin = (0 until m).map(s => s"JOIN pc${s}_1 pq$s ON pq$s.cl = cd.code$s").mkString(" ")
+    val adcSum = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = s * sub + sub
+      s"list_sum(list_transform(range(1, ${sub + 1}), i -> " +
+        s"(qr.qr[$lo + i - 1] - pq$s.cent[i]) * (qr.qr[$lo + i - 1] - pq$s.cent[i])))"
+    }.mkString(" + ")
+    val codeOut = (0 until m).map(s => s"code$s").mkString(", ")
+    s"""${kmeansStagesSql(8, 2)},
+       |res AS MATERIALIZED (
+       |  SELECT f.vec_id, f.cluster,
+       |    list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] - c.cent[i]) AS r
+       |  FROM fin f JOIN e USING (vec_id) JOIN c1 c ON c.cl = f.cluster),
+       |$perSub,
+       |qfull AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+       |probe AS (
+       |  SELECT cl FROM (
+       |    SELECT c.cl,
+       |      row_number() OVER (ORDER BY ${d2("q.qe", "c.cent")}, c.cl) AS rk
+       |    FROM c1 c CROSS JOIN qfull q) WHERE rk <= $nprobe),
+       |qr AS (
+       |  SELECT c.cl,
+       |    list_transform(range(1, len(q.qe) + 1), i -> q.qe[i] - c.cent[i]) AS qr
+       |  FROM c1 c CROSS JOIN qfull q),
+       |codes AS (
+       |  SELECT pf0.vec_id, f.cluster, $codeCols
+       |  FROM pf0 $codeJoin JOIN fin f ON f.vec_id = pf0.vec_id),
+       |adc AS (
+       |  SELECT cd.vec_id, cd.cluster, $codeOut, $adcSum AS adc
+       |  FROM codes cd JOIN qr ON qr.cl = cd.cluster $pcJoin
+       |  WHERE cd.cluster IN (SELECT cl FROM probe) AND cd.vec_id <> 0),
+       |short AS (SELECT * FROM adc ORDER BY adc, vec_id LIMIT $shortlist),
+       |ex AS (
+       |  SELECT s.vec_id, s.cluster, $codeOut, s.adc, ${d2("x.emb", "q.qe")} AS exact
+       |  FROM short s JOIN e x ON x.vec_id = s.vec_id CROSS JOIN qfull q)
+       |SELECT vec_id, cluster, $codeOut,
+       |  round(adc, 6) AS approx_d2, round(exact, 6) AS d2
        |FROM ex ORDER BY exact, vec_id LIMIT $topK""".stripMargin
   }
 
@@ -1837,6 +1916,7 @@ object SparkEntry {
     "q219_prefix_join" -> prefixJoinOracleSql,
     "q220_coreness" -> corenessOracleSql,
     "q224_pq_rerank" -> pqRerankOracleSql,
+    "q234_ivf_pq" -> ivfPqOracleSql,
     // q232: the q25 chain WITHOUT its threshold filter, swept by a
     // 4-row tau literal; means from exact 1e4-scaled longs
     "q232_threshold_sweep" ->

@@ -1356,10 +1356,13 @@ object SimilarityOps {
     * trap, measured ~3× slower). */
   private[ops] def lloydCentroids(spark: SparkSession, e: DataFrame, k: Int,
                                   iters: Int): Seq[(Long, Array[Double])] = {
+    // seeds read float OR double element types — q234 trains on
+    // RESIDUAL vectors, which are double arrays
     var cents: Seq[(Long, Array[Double])] =
       e.filter(col("vec_id") < k).orderBy(col("vec_id"))
         .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        .map(r => (r.getLong(0),
+          r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toArray)).toSeq
     val dim = cents.head._2.length
     for (_ <- 1 until iters) {
       val sums = lloydAssign(spark, e, cents)
@@ -1515,6 +1518,110 @@ object SimilarityOps {
       .select(col("vec_id"), col("label").cast("int").as("label"), col("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** q234: IVF-PQ — THE production large-scale ANN index (Jégou 2011
+    * §IV; the FAISS `IVFxx,PQyy` architecture), composing q184's
+    * learned coarse quantizer with q224's product quantization, with
+    * the real residual encoding: every vector is assigned to its
+    * nearest coarse centroid and its RESIDUAL (x − c_coarse) is what
+    * the m per-subspace codebooks quantize — residuals concentrate
+    * near zero so the same k per subspace spends its codes on a much
+    * tighter distribution than raw vectors (the reason production
+    * indexes encode residuals, and the piece q224 alone doesn't
+    * exercise). Serve: the query probes its `nprobe` nearest coarse
+    * cells; within probed cells candidates are ADC-scored — the
+    * query's PER-CELL residual (q − c_cell) against each candidate's
+    * code centroids — then the shortlist reranks exactly.
+    *
+    * Cross-engine exactness: coarse training is the q169 chain;
+    * subspace training is the q169 chain over residual slices (the
+    * oracle replays residual construction + all m chains as unrolled
+    * CTEs); code assignment/ADC share q224's strict-< argmin over
+    * cl-ascending codebooks; the ADC sum is a fixed left-to-right
+    * m-term add; every shortlist/rerank cut breaks ties on vec_id.
+    *
+    * Scale: training collects only model state (coarse k×d, then
+    * m×k×(d/m) — the q169 rule); the residual table is ONE corpus
+    * pass against the broadcast coarse model, checkpointed because m
+    * training loops iterate over it; the serve is a broadcast-model
+    * narrow map over PROBED CELLS ONLY ending in a bounded partial
+    * top-k; the exact rerank touches `shortlist` rows fetched back by
+    * id. Nothing corpus-sized shuffles. */
+  def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                kCoarse: Int = 8, coarseIters: Int = 2,
+                m: Int = 8, kPq: Int = 8, pqIters: Int = 2,
+                nprobe: Int = 2, shortlist: Int = 30, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val dim = Tables.embeddingDim(spark, dir)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val coarse = lloydCentroids(spark, e, kCoarse, coarseIters)
+    val coarseDf = Seq(Tuple1(coarse.map { case (cl, c) => (cl, c.toSeq) }))
+      .toDF("cents")
+    def centOfCluster(centsCol: Column, cl: Column): Column =
+      element_at(filter(centsCol, t => t.getField("_1") === cl), 1).getField("_2")
+    val res = e.crossJoin(broadcast(coarseDf))
+      .select(col("vec_id"), col("embedding"), col("cents"),
+        lloydBest.getField("cl").as("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("embedding"), centOfCluster(col("cents"), col("cluster")),
+          (x, c) => x.cast("double") - c).as("embedding"))
+      .localCheckpoint(false)
+    val pq: Seq[(Long, Long, Seq[Double])] = (0 until m).flatMap { s =>
+      lloydCentroids(spark,
+        res.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        kPq, pqIters)
+        .sortBy(_._1).map { case (cl, c) => (s.toLong, cl, c.toSeq) }
+    }
+    val pqDf = Seq(Tuple1(pq)).toDF("cbs")
+    val probes = e.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(coarseDf))
+      .select(col("embedding").as("q_emb"), col("cents").as("q_cents"),
+        transform(slice(array_sort(lloydScored), 1, nprobe),
+          s => s.getField("cl")).as("probe_cls"))
+    val cand = res.crossJoin(broadcast(pqDf)).crossJoin(broadcast(probes))
+      .filter(array_contains(col("probe_cls"), col("cluster")) &&
+        col("vec_id") =!= queryId)
+    val qres = zip_with(col("q_emb"),
+      centOfCluster(col("q_cents"), col("cluster")),
+      (x, c) => x.cast("double") - c)
+    def d2d(a: Column, b: Column) = aggregate(
+      zip_with(a, b, (x, w) => (x - w) * (x - w)), lit(0.0d), (acc, v) => acc + v)
+    val per = (0 until m).map { s =>
+      val cb = filter(col("cbs"), t => t.getField("_1") === s)
+      val scoredS = transform(cb, t => struct(
+        d2d(slice(col("embedding"), s * sub + 1, sub), t.getField("_3")).as("d2"),
+        t.getField("_2").as("cl"),
+        d2d(slice(qres, s * sub + 1, sub), t.getField("_3")).as("qd2")))
+      aggregate(scoredS,
+        struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl"), lit(0.0d).as("qd2")),
+        (acc, x) => when(x.getField("d2") < acc.getField("d2"), x).otherwise(acc))
+    }
+    val adc = per.map(_.getField("qd2")).reduce(_ + _)
+    val codeCols = per.zipWithIndex.map { case (b, s) => b.getField("cl").as(s"code$s") }
+    val short = cand
+      .select(col("vec_id") +: col("cluster") +: codeCols :+ adc.as("adc"): _*)
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(shortlist)
+    val qFull = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    val exact = aggregate(
+      zip_with(col("embedding"), col("qe"),
+        (x, w) => (x.cast("double") - w.cast("double")) * (x.cast("double") - w.cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+    short
+      .join(e, "vec_id")
+      .crossJoin(broadcast(qFull))
+      .withColumn("exact", exact)
+      .orderBy(col("exact"), col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id") +: col("cluster") +:
+        (0 until m).map(s => col(s"code$s")) :+
+        round(col("adc"), 6).as("approx_d2") :+
+        round(col("exact"), 6).as("d2"): _*)
   }
 
   def randomProjection(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {

@@ -52,6 +52,34 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"PQ recall@10 = $recall under the 0.7 floor")
   }
 
+  test("ivf-pq: full probe + corpus shortlist reduces to the exact L2 ranking") {
+    val n = Tables.embeddings(spark, sf).count().toInt
+    val full = SimilarityOps.ivfPqTopK(spark, sf,
+      nprobe = 8, shortlist = n, topK = K)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exactL2TopK(0L, K),
+      "probing every cell with a corpus-wide shortlist must be exact")
+  }
+
+  test("ivf-pq: production knobs keep recall@10 above the floor") {
+    val exact = exactL2TopK(0L, K).toSet
+    val got = SimilarityOps.ivfPqTopK(spark, sf).collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size.toDouble / K
+    assert(recall >= 0.6, s"IVF-PQ recall@10 = $recall under the 0.6 floor")
+  }
+
+  test("ivf-pq: candidates come only from probed cells and codes are in range") {
+    val out = SimilarityOps.ivfPqTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    val cells = out.map(_.getLong(1)).toSet
+    assert(cells.size <= 2, s"nprobe=2 but ${cells.size} cells in output")
+    val codeIdx = 2 until 10
+    out.foreach(r => codeIdx.foreach { i =>
+      val c = r.getLong(i)
+      assert(c >= 0 && c < 8, s"code $c out of range")
+    })
+  }
+
   test("adc distances are non-negative and rerank order is by exact d2") {
     val df = SimilarityOps.pqRerank(spark, sf)
     val ai = df.columns.indexOf("approx_d2")
