@@ -85,6 +85,9 @@ object SparkEntry {
     // IVF-PQ with residual encoding: learned coarse cells + per-cell
     // query-residual ADC over probed cells only, exact rerank
     "q234_ivf_pq"          -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
+    // tokenizer merge-budget ablation: fertility at 8 vs 16 merges —
+    // the vocab-size sensitivity audit, two q159-shape training loops
+    "q235_bpe_ablation"    -> ((s, d) => TextOps.bpeFertilityAblation(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1481,8 +1484,11 @@ object SparkEntry {
 
   /** q170 oracle: the q159 stage chain + word rows with a source
     * lookup; exact long counts, ratio rounded at 4. */
-  private lazy val bpeFertilityOracleSql: String =
-    s"""${bpeStagesSql(BpeMergeRounds)},
+  /** The q170 fertility oracle at a given merge budget — factored so
+    * q235's ablation can embed two budgets as nested derived tables
+    * (each keeps its own CTE namespace, the q203 device). */
+  private def bpeFertilityOracleAt(merges: Int): String =
+    s"""${bpeStagesSql(merges)},
       |wr AS (SELECT doc_id, word FROM (
       |  SELECT doc_id,
       |    unnest(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ')) AS word
@@ -1492,8 +1498,21 @@ object SparkEntry {
       |  round(CAST(sum(len(s.syms)) AS DOUBLE) / count(*), 4) AS fertility
       |FROM wr w
       |JOIN documents d ON d.doc_id = w.doc_id
-      |JOIN s$BpeMergeRounds s ON s.word = w.word
+      |JOIN s$merges s ON s.word = w.word
       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  private lazy val bpeFertilityOracleSql: String =
+    bpeFertilityOracleAt(BpeMergeRounds)
+
+  /** q235 oracle: the fertility chain replayed at BOTH merge budgets
+    * as nested derived tables, tagged and unioned. */
+  private lazy val bpeAblationOracleSql: String =
+    s"""WITH f8 AS MATERIALIZED (SELECT * FROM (${bpeFertilityOracleAt(8)}) t),
+       |f16 AS MATERIALIZED (SELECT * FROM (${bpeFertilityOracleAt(16)}) t)
+       |SELECT CAST(8 AS BIGINT) AS merges, source, n_words, n_tokens, fertility FROM f8
+       |UNION ALL
+       |SELECT CAST(16 AS BIGINT), source, n_words, n_tokens, fertility FROM f16
+       |ORDER BY merges, source""".stripMargin
 
   /** q178 oracle: the q159 stage chain; the round-trip flag is
     * asserted literally TRUE next to the exact token counts. */
@@ -1509,6 +1528,7 @@ object SparkEntry {
     "q159_bpe_merges" -> bpeMergesOracleSql,
     "q160_bpe_tokens" -> bpeTokensOracleSql,
     "q170_bpe_fertility" -> bpeFertilityOracleSql,
+    "q235_bpe_ablation" -> bpeAblationOracleSql,
     "q178_bpe_round_trip" -> bpeRoundTripOracleSql,
     // q179: row_number ordinals over both batching orders; floor()
     // for the batch id on both engines (Spark's long cast truncates,

@@ -1936,6 +1936,24 @@ object TextOps {
     * segmentation joins onto word rows — with the per-source rollup
     * joining the (doc_id, source) projection; exact long counts, the
     * one float is the final ratio rounded at 4. */
+  /** q235: tokenizer merge-budget ablation — [[bpeFertility]] at
+    * budgets {8, 16}, tagged and unioned. The vocabulary-size
+    * sensitivity readout: fertility's drop from one budget to the
+    * next is the marginal compression each extra merge buys PER
+    * SOURCE, and a source whose fertility barely improves with budget
+    * is one whose text the merge table wasn't learned on — the
+    * audit run before committing a vocab size. Cost is two training
+    * loops (each the q159 shape: corpus touched once, then
+    * vocabulary-sized rounds); the corpus word rollup is shared per
+    * leg. */
+  def bpeFertilityAblation(spark: SparkSession, dir: String,
+                           budgets: Seq[Int] = Seq(8, 16)): DataFrame =
+    budgets.map(b => bpeFertility(spark, dir, b)
+        .select(lit(b.toLong).as("merges"), col("source"),
+          col("n_words"), col("n_tokens"), col("fertility")))
+      .reduce(_ unionByName _)
+      .orderBy(col("merges"), col("source"))
+
   def bpeFertility(spark: SparkSession, dir: String, merges: Int = 16): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val (_, seg) = bpeLearnState(spark, docs, merges)

@@ -149,4 +149,21 @@ class BpeSpec extends AnyFunSuite {
     assert(jobs.get <= merges * 3 + 4,
       s"BPE learning ran ${jobs.get} scheduler jobs for $merges rounds")
   }
+
+  test("q235 ablation: fertility is monotone non-increasing in the merge budget") {
+    // every extra merge can only shorten segmentations (a merge
+    // replaces pairs, never splits), so per source the 16-merge
+    // fertility must be <= the 8-merge fertility
+    val out = graft.ops.TextOps.bpeFertilityAblation(TestSpark.spark, TestSpark.sf)
+      .collect()
+      .groupBy(_.getString(1))
+      .map { case (src, rs) =>
+        src -> rs.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+      }
+    assert(out.nonEmpty)
+    out.foreach { case (src, m) =>
+      assert(m(16L) <= m(8L) + 1e-9,
+        s"source $src: fertility rose with budget (${m(8L)} -> ${m(16L)})")
+    }
+  }
 }
