@@ -88,6 +88,9 @@ object SparkEntry {
     // tokenizer merge-budget ablation: fertility at 8 vs 16 merges —
     // the vocab-size sensitivity audit, two q159-shape training loops
     "q235_bpe_ablation"    -> ((s, d) => TextOps.bpeFertilityAblation(s, d)),
+    // decontamination n-gram-size ablation: flag rates at k=5/8/13 —
+    // the precision/recall curve behind the published 13-gram rules
+    "q236_decontam_ablation" -> ((s, d) => CurationOps.decontamAblation(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -864,6 +867,45 @@ object SparkEntry {
        |FROM ex ORDER BY exact, vec_id LIMIT $topK""".stripMargin
   }
 
+  /** One q236 ablation leg: the q88 chain at gram size k, rolled up
+    * to a single summary row. Embedded per k as nested derived
+    * tables. */
+  private def decontamSummaryAt(k: Int): String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' ') AS words
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(words) - ${k - 1}, 0)),
+       |      i -> array_to_string(list_slice(words, i + 1, i + $k), ' '))) AS gram
+       |  FROM w),
+       |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 7),
+       |hits AS (
+       |  SELECT t.doc_id, count(*) AS n_grams, count(ev.gram) AS n_hits
+       |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 10 <> 7) t
+       |  LEFT JOIN ev ON t.gram = ev.gram
+       |  GROUP BY t.doc_id),
+       |pd AS (
+       |  SELECT d.doc_id, coalesce(h.n_grams, 0) AS n_grams,
+       |    coalesce(h.n_hits, 0) AS n_hits
+       |  FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |  WHERE d.doc_id % 10 <> 7)
+       |SELECT CAST($k AS BIGINT) AS gram_n, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       |  ${TextOps.roundAtSql(
+            "CAST(sum(n_hits) AS DOUBLE) / CAST(greatest(sum(n_grams), 1) AS DOUBLE)", 6)} AS hit_rate
+       |FROM pd""".stripMargin
+
+  private lazy val decontamAblationOracleSql: String =
+    s"""WITH k5 AS MATERIALIZED (SELECT * FROM (${decontamSummaryAt(5)}) t),
+       |k8 AS MATERIALIZED (SELECT * FROM (${decontamSummaryAt(8)}) t),
+       |k13 AS MATERIALIZED (SELECT * FROM (${decontamSummaryAt(13)}) t)
+       |SELECT * FROM k5 UNION ALL SELECT * FROM k8 UNION ALL SELECT * FROM k13
+       |ORDER BY gram_n""".stripMargin
+
   /** q234 oracle: the full IVF-PQ pipeline as unrolled CTEs — the
     * shared coarse Lloyd chain (k=8, iters=2), residual construction
     * against the trained coarse centroids, EIGHT per-subspace Lloyd
@@ -1529,6 +1571,7 @@ object SparkEntry {
     "q160_bpe_tokens" -> bpeTokensOracleSql,
     "q170_bpe_fertility" -> bpeFertilityOracleSql,
     "q235_bpe_ablation" -> bpeAblationOracleSql,
+    "q236_decontam_ablation" -> decontamAblationOracleSql,
     "q178_bpe_round_trip" -> bpeRoundTripOracleSql,
     // q179: row_number ordinals over both batching orders; floor()
     // for the batch id on both engines (Spark's long cast truncates,

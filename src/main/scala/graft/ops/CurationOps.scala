@@ -100,6 +100,34 @@ object CurationOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** q236: decontamination n-gram-size ablation — the corpus-level
+    * contamination summary at k ∈ {5, 8, 13}: flagged docs, gram
+    * totals, hit totals, hit rate. The precision/recall trade behind
+    * every published decontamination rule (GPT-3's 13-gram vs The
+    * Pile's shorter variants): small k over-flags on common phrases,
+    * large k misses paraphrased leaks — the curve says where THIS
+    * corpus's flag rate cliffs, the number a team reads before
+    * committing a k. Three [[decontamination]] passes (each one
+    * gram build + broadcast-probe + rollup); the eval slice is the
+    * same deterministic doc_id residue in all legs, so rows are
+    * comparable across k.
+    *
+    * Exactness: all counts exact longs; rates one guarded division
+    * under roundAt. */
+  def decontamAblation(spark: SparkSession, dir: String,
+                       ks: Seq[Int] = Seq(5, 8, 13)): DataFrame =
+    ks.map { k =>
+      decontamination(spark, dir, k)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_hits")).as("total_hits"))
+        .select(lit(k.toLong).as("gram_n"), col("n_docs"), col("n_flagged"),
+          col("total_grams"), col("total_hits"),
+          TextOps.roundAt(col("total_hits").cast("double") /
+            greatest(col("total_grams"), lit(1L)).cast("double"), 6).as("hit_rate"))
+    }.reduce(_ unionByName _).orderBy(col("gram_n"))
+
   /** q194: contamination rollup by source — the per-doc q88 verdicts
     * aggregated to (source): docs, contaminated docs, contamination
     * rate, and the gram-level hit fraction. The triage view a team

@@ -1,4 +1,5 @@
 package graft
+// (q236 ablation monotonicity test appended at the end of this suite)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -755,5 +756,25 @@ class CurationSpec extends AnyFunSuite {
     val bands = got.values.map(_._3).toSeq.distinct.sorted
     assert(bands.contains("head") && bands.contains("middle") && bands.contains("tail"),
       s"a fluency band is empty at this SF: $bands")
+  }
+
+  test("q236 ablation: flag rate and hit rate are monotone non-increasing in gram size") {
+    // a k-gram hit contains a (k-1)-gram hit (any sub-gram of a
+    // matched gram also matches), so flagged docs and hit rates can
+    // only shrink as k grows; doc roster is k-independent
+    val rows = graft.ops.CurationOps.decontamAblation(TestSpark.spark, TestSpark.sf)
+      .orderBy(org.apache.spark.sql.functions.col("gram_n")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(5L, 8L, 13L))
+    assert(rows.map(_.getLong(1)).distinct.length == 1, "doc roster must not depend on k")
+    rows.sliding(2).foreach { w =>
+      // flagged DOCS are monotone (a k-gram hit contains a shorter-gram
+      // hit); the hit RATE is not a theorem — its denominator
+      // (len−k+1 grams/doc) shrinks with k too, so only doc flags are
+      // asserted
+      assert(w(0).getLong(2) >= w(1).getLong(2),
+        s"flagged docs rose with k: ${w(0).getLong(2)} -> ${w(1).getLong(2)}")
+    }
+    // non-vacuity: the smallest k actually flags something
+    assert(rows.head.getLong(2) > 0, "k=5 flagged nothing — ablation is vacuous")
   }
 }
