@@ -91,6 +91,9 @@ object SparkEntry {
     // decontamination n-gram-size ablation: flag rates at k=5/8/13 —
     // the precision/recall curve behind the published 13-gram rules
     "q236_decontam_ablation" -> ((s, d) => CurationOps.decontamAblation(s, d)),
+    // Markov removal-effect attribution: absorbing-chain conversion
+    // value, channels credited by indispensability (q186's complement)
+    "q237_removal_effect"  -> ((s, d) => RelationalExt.removalEffectAttribution(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -867,6 +870,70 @@ object SparkEntry {
        |FROM ex ORDER BY exact, vec_id LIMIT $topK""".stripMargin
   }
 
+  /** q237 oracle: journey truncation + transition counts, then the
+    * absorbing-chain value iteration UNROLLED — 80 rounds for the
+    * base chain and per removed channel (contraction ≈ 0.8/round), each round one tiny
+    * (state)-grouped CTE whose terms fold in ASCENDING TARGET order
+    * (list_sum over list(… ORDER BY t) ↔ the engine's foldLeft), so
+    * every double matches the engine's driver-side iteration
+    * bit-for-bit. */
+  private lazy val removalEffectOracleSql: String = {
+    val rounds = 80
+    val channels = Seq("click", "error", "signup", "view")
+    def roundCte(tag: String, r: Int, removed: Option[String]): String = {
+      val removedCase = removed.map(c => s"WHEN tp.t = '$c' THEN 0.0\n         ").getOrElse("")
+      s"""v$tag$r AS MATERIALIZED (
+         |  SELECT tp.s, list_sum(list(
+         |    CASE ${removedCase}WHEN tp.t = 'purchase' THEN tp.p * 1.0
+         |         WHEN tp.t = 'DROP' THEN 0.0
+         |         ELSE tp.p * coalesce(v.v, 0.0) END ORDER BY tp.t)) AS v
+         |  FROM tp LEFT JOIN v$tag${r - 1} v ON v.s = tp.t
+         |  GROUP BY tp.s)""".stripMargin
+    }
+    def chain(tag: String, removed: Option[String]): String =
+      (s"""v${tag}0 AS MATERIALIZED (SELECT s, 0.0 AS v FROM tot)""" +:
+        (1 to rounds).map(r => roundCte(tag, r, removed))).mkString(",\n")
+    val chains = (chain("b", None) +:
+      channels.map(c => chain(c, Some(c)))).mkString(",\n")
+    val rows = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  ${TextOps.roundAtSql(s"(SELECT v FROM vb$rounds WHERE s = 'START')", 6)} AS base_conv,
+         |  ${TextOps.roundAtSql(s"(SELECT v FROM v$c$rounds WHERE s = 'START')", 6)} AS removed_conv,
+         |  ${TextOps.roundAtSql(
+              s"CASE WHEN (SELECT v FROM vb$rounds WHERE s = 'START') > 0 THEN " +
+              s"((SELECT v FROM vb$rounds WHERE s = 'START') - (SELECT v FROM v$c$rounds WHERE s = 'START')) / " +
+              s"(SELECT v FROM vb$rounds WHERE s = 'START') ELSE 0.0 END", 6)} AS removal_effect""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, min(rn) AS fp FROM ev
+       |       WHERE event_type = 'purchase' GROUP BY 1),
+       |kept AS (
+       |  SELECT e.user_id, e.event_type, e.rn, fp.fp
+       |  FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id
+       |  WHERE fp.fp IS NULL OR e.rn <= fp.fp),
+       |wp AS (
+       |  SELECT user_id, event_type, fp,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY rn) AS krn,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS krd
+       |  FROM kept),
+       |tr0 AS (
+       |  SELECT prev AS s, event_type AS t FROM wp WHERE prev IS NOT NULL
+       |  UNION ALL SELECT 'START', event_type FROM wp WHERE krn = 1
+       |  UNION ALL SELECT event_type, 'DROP' FROM wp WHERE krd = 1 AND fp IS NULL),
+       |tr AS MATERIALIZED (SELECT s, t, count(*) AS n FROM tr0 GROUP BY 1, 2),
+       |tot AS MATERIALIZED (SELECT s, CAST(sum(n) AS BIGINT) AS nt FROM tr GROUP BY 1),
+       |tp AS MATERIALIZED (
+       |  SELECT tr.s, tr.t, CAST(tr.n AS DOUBLE) / CAST(tot.nt AS DOUBLE) AS p
+       |  FROM tr JOIN tot USING (s)),
+       |$chains
+       |$rows
+       |ORDER BY channel""".stripMargin
+  }
+
   /** One q236 ablation leg: the q88 chain at gram size k, rolled up
     * to a single summary row. Embedded per k as nested derived
     * tables. */
@@ -1572,6 +1639,7 @@ object SparkEntry {
     "q170_bpe_fertility" -> bpeFertilityOracleSql,
     "q235_bpe_ablation" -> bpeAblationOracleSql,
     "q236_decontam_ablation" -> decontamAblationOracleSql,
+    "q237_removal_effect" -> removalEffectOracleSql,
     "q178_bpe_round_trip" -> bpeRoundTripOracleSql,
     // q179: row_number ordinals over both batching orders; floor()
     // for the batch id on both engines (Spark's long cast truncates,

@@ -1412,6 +1412,93 @@ object RelationalExt {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q237: Markov removal-effect attribution (Anderl et al. 2016 —
+    * the data-driven attribution model behind GA4's) — how much of
+    * the conversion probability does each channel CARRY? Journeys are
+    * per-user event paths truncated at the first purchase; the
+    * transition matrix absorbs at PURCHASE (value 1) and DROP (end
+    * without purchase, value 0); conversion probability is the
+    * absorbing-chain value V(START); a channel's removal effect is
+    * the relative drop in V(START) when transitions INTO it are
+    * redirected to DROP — last-touch (q186) credits the final step,
+    * this credits indispensability.
+    *
+    * Architecture: the corpus collapses in ONE user-keyed shuffle
+    * (three windows + the pair build share the partitioning) into the
+    * (state, target) count matrix — BOUNDED MODEL STATE (≤ (types+1)
+    * ×(types+2) rows, the lloydCentroids collect rule); the value
+    * iteration (80 synchronous rounds — the per-round contraction is
+    * the non-absorbing transition mass ≈ 0.8, so 80 rounds leave a
+    * ~2e-8 residual; the spec pins the fixpoint) runs driver-side on that matrix exactly
+    * as the oracle replays it in SQL — per state, terms folded in
+    * ASCENDING TARGET ORDER (foldLeft ↔ list_sum over list(… ORDER BY
+    * t)), absorber targets contributing p·1.0 / 0.0, removed-channel
+    * terms contributing literal 0.0 — so every double is
+    * IEEE-identical across engines. Transition probabilities are one
+    * division of exact longs; outputs round at 6.
+    *
+    * Scale: the only corpus-sized work is the journey shuffle;
+    * everything after runs on the types-sized model. */
+  def removalEffectAttribution(spark: SparkSession, dir: String,
+                               rounds: Int = 80): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val firstP = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rn")).as("fp"))
+    val kept = ev.join(firstP, Seq("user_id"), "left")
+      .filter(col("fp").isNull || col("rn") <= col("fp"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val w2d = Window.partitionBy(col("user_id")).orderBy(col("rn").desc)
+    val wp = kept
+      .withColumn("prev", lag(col("event_type"), 1).over(w2))
+      .withColumn("krn", row_number().over(w2))
+      .withColumn("krd", row_number().over(w2d))
+    val trans = wp.filter(col("prev").isNotNull)
+      .select(col("prev").as("s"), col("event_type").as("t"))
+      .unionByName(wp.filter(col("krn") === 1)
+        .select(lit("START").as("s"), col("event_type").as("t")))
+      .unionByName(wp.filter(col("krd") === 1 && col("fp").isNull)
+        .select(col("event_type").as("s"), lit("DROP").as("t")))
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("n"))
+    // bounded model state: (types+1) x (types+2) rows
+    val mat: Map[(String, String), Long] = trans.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val states = mat.keys.map(_._1).toSeq.distinct.sorted
+    val rowTot = states.map(s =>
+      s -> mat.collect { case ((`s`, _), n) => n }.sum).toMap
+    def vIter(removed: Option[String]): Double = {
+      var v = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to rounds) {
+        v = states.map { s =>
+          val terms = mat.toSeq.filter(_._1._1 == s).sortBy(_._1._2)
+            .map { case ((_, t), n) =>
+              val p = n.toDouble / rowTot(s).toDouble
+              if (removed.contains(t)) 0.0
+              else if (t == "purchase") p * 1.0
+              else if (t == "DROP") 0.0
+              else p * v.getOrElse(t, 0.0)
+            }
+          s -> terms.foldLeft(0.0)(_ + _)
+        }.toMap
+      }
+      v.getOrElse("START", 0.0)
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val base = vIter(None)
+    val channels = mat.keys.map(_._2)
+      .filter(t => t != "purchase" && t != "DROP").toSeq.distinct.sorted
+    val rows = channels.map { c =>
+      val rem = vIter(Some(c))
+      val eff = if (base > 0) (base - rem) / base else 0.0
+      (c, r6(base), r6(rem), r6(eff))
+    }
+    rows.toDF("channel", "base_conv", "removed_conv", "removal_effect")
+      .orderBy(col("channel"))
+  }
+
   /** q233: per-user behavioral predictability — Shannon entropy of
     * each user's first-order event-type TRANSITION distribution.
     * q133's corpus transition matrix says what users do in aggregate;

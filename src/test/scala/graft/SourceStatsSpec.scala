@@ -164,6 +164,42 @@ class SourceStatsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("removal effect: a mandatory bridge scores 1.0, a bypassed channel less") {
+    import spark.implicits._
+    // users 1-3: view -> click -> purchase (click is the only bridge)
+    // user 4:    view -> purchase           (view has a direct path)
+    def path(u: Long, types: Seq[String], base: Int) = types.zipWithIndex.map {
+      case (t, i) => ((base + i).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${base / 10 + i}%02d:00"), u, t, 1.0, "{}")
+    }
+    val rows = path(1L, Seq("view", "click", "purchase"), 10) ++
+      path(2L, Seq("view", "click", "purchase"), 20) ++
+      path(3L, Seq("view", "click", "purchase"), 30) ++
+      path(4L, Seq("view", "purchase"), 40)
+    val dir = java.nio.file.Files.createTempDirectory("mre").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalExt.removalEffectAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    // every journey converts -> base = 1.0
+    assert(out.values.head._1 == 1.0, s"base ${out.values.head._1}")
+    // removing view kills every journey (all start view): effect 1.0;
+    // removing click kills 3 of 4
+    assert(out("view")._2 == 1.0, s"view ${out("view")._2}")
+    assert(math.abs(out("click")._2 - 0.75) < 1e-6, s"click ${out("click")._2}")
+  }
+
+  test("removal effect: 80 rounds is the fixpoint on real data") {
+    val a = RelationalExt.removalEffectAttribution(spark, sf, rounds = 80)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val b = RelationalExt.removalEffectAttribution(spark, sf, rounds = 90)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    a.foreach { case (c, (vb, vr)) =>
+      assert(math.abs(vb - b(c)._1) < 1e-6 && math.abs(vr - b(c)._2) < 1e-6,
+        s"channel $c: value iteration not converged at 80 rounds")
+    }
+  }
+
   test("recency score: events beyond the horizon weigh exactly zero") {
     import spark.implicits._
     val rows = Seq(
