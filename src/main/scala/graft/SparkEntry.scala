@@ -94,6 +94,9 @@ object SparkEntry {
     // Markov removal-effect attribution: absorbing-chain conversion
     // value, channels credited by indispensability (q186's complement)
     "q237_removal_effect"  -> ((s, d) => RelationalExt.removalEffectAttribution(s, d)),
+    // semantic-vs-lexical dedup agreement: q162 groups against q25
+    // pairs — is semantic dedup worth its embedding cost HERE?
+    "q238_sem_lex_agreement" -> ((s, d) => DedupOps.semLexAgreement(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1049,6 +1052,41 @@ object SparkEntry {
        |FROM ex ORDER BY exact, vec_id LIMIT $topK""".stripMargin
   }
 
+  /** q162 oracle (factored so q238's agreement query can embed the
+    * identical chain as a derived table). */
+  private lazy val semDedupOracleSql: String =
+      s"""WITH RECURSIVE ${kmeansStagesBody(
+            "SELECT greatest(2, CAST(ceil(CAST(count(*) AS DOUBLE) / 64) AS BIGINT)) FROM embeddings", 3)},
+        |cent AS (SELECT cl AS clabel, cent FROM c2),
+        |asg AS (
+        |  SELECT f.vec_id, f.cluster AS clabel, e.emb
+        |  FROM fin f JOIN e ON e.vec_id = f.vec_id),
+        |sc AS (
+        |  SELECT a.vec_id, a.clabel, a.emb,
+        |    round(
+        |      list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * c.cent[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(c.cent) + 1), i -> c.cent[i] * c.cent[i])))), 4) AS cos_c
+        |  FROM asg a JOIN cent c ON c.clabel = a.clabel),
+        |dup AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM asg a JOIN asg b ON a.clabel = b.clabel AND a.vec_id < b.vec_id
+        |  WHERE round(
+        |      list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * b.emb[i])))), 4) >= 0.35),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
+        |          UNION SELECT doc_b, doc_a FROM dup),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+        |lbl AS (SELECT a AS vec_id, least(a, min(b)) AS grp FROM reach GROUP BY a),
+        |g AS (
+        |  SELECT s.vec_id, s.clabel, coalesce(l.grp, s.vec_id) AS grp, s.cos_c
+        |  FROM sc s LEFT JOIN lbl l ON l.vec_id = s.vec_id)
+        |SELECT vec_id, clabel, grp, cos_c,
+        |  (row_number() OVER (PARTITION BY grp ORDER BY cos_c, vec_id)) = 1 AS kept
+        |FROM g ORDER BY vec_id""".stripMargin
+
   private lazy val kmeansOracleSql: String =
     s"""${kmeansStagesSql(8, 3)}
        |SELECT vec_id, cluster, round(d2, 6) AS d2 FROM fin ORDER BY vec_id""".stripMargin
@@ -1640,6 +1678,30 @@ object SparkEntry {
     "q235_bpe_ablation" -> bpeAblationOracleSql,
     "q236_decontam_ablation" -> decontamAblationOracleSql,
     "q237_removal_effect" -> removalEffectOracleSql,
+    // q238: both pair chains embedded verbatim as derived tables,
+    // lexical side restricted to embedded endpoints
+    "q238_sem_lex_agreement" ->
+      s"""WITH sem AS MATERIALIZED (SELECT vec_id, grp FROM ($semDedupOracleSql) t),
+         |sp AS MATERIALIZED (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM sem a JOIN sem b ON a.grp = b.grp AND a.vec_id < b.vec_id),
+         |lex0 AS MATERIALIZED (SELECT doc_a, doc_b FROM ($ngramPairsOracleSql) t),
+         |ids AS (SELECT vec_id FROM embeddings),
+         |lp AS MATERIALIZED (
+         |  SELECT l.doc_a, l.doc_b FROM lex0 l
+         |  JOIN ids i1 ON i1.vec_id = l.doc_a
+         |  JOIN ids i2 ON i2.vec_id = l.doc_b),
+         |bt AS (SELECT sp.doc_a, sp.doc_b FROM sp
+         |       JOIN lp ON lp.doc_a = sp.doc_a AND lp.doc_b = sp.doc_b),
+         |c AS (SELECT (SELECT count(*) FROM sp) AS n_semantic,
+         |             (SELECT count(*) FROM lp) AS n_lexical,
+         |             (SELECT count(*) FROM bt) AS n_both)
+         |SELECT n_semantic, n_lexical, n_both,
+         |  n_semantic - n_both AS sem_only, n_lexical - n_both AS lex_only,
+         |  ${TextOps.roundAtSql(
+              "CASE WHEN n_semantic + n_lexical - n_both = 0 THEN 0.0 " +
+              "ELSE CAST(n_both AS DOUBLE) / CAST(n_semantic + n_lexical - n_both AS DOUBLE) END", 6)} AS agreement
+         |FROM c""".stripMargin,
     "q178_bpe_round_trip" -> bpeRoundTripOracleSql,
     // q179: row_number ordinals over both batching orders; floor()
     // for the batch id on both engines (Spark's long cast truncates,
@@ -1835,38 +1897,7 @@ object SparkEntry {
     // pair cosines + q61's recursive min-label CC + the
     // keep-the-atypical window; both cosines rounded at 4 and every
     // DECISION compares the rounded value (q40 convention)
-    "q162_semdedup" ->
-      s"""WITH RECURSIVE ${kmeansStagesBody(
-            "SELECT greatest(2, CAST(ceil(CAST(count(*) AS DOUBLE) / 64) AS BIGINT)) FROM embeddings", 3)},
-        |cent AS (SELECT cl AS clabel, cent FROM c2),
-        |asg AS (
-        |  SELECT f.vec_id, f.cluster AS clabel, e.emb
-        |  FROM fin f JOIN e ON e.vec_id = f.vec_id),
-        |sc AS (
-        |  SELECT a.vec_id, a.clabel, a.emb,
-        |    round(
-        |      list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * c.cent[i])) /
-        |      (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, len(c.cent) + 1), i -> c.cent[i] * c.cent[i])))), 4) AS cos_c
-        |  FROM asg a JOIN cent c ON c.clabel = a.clabel),
-        |dup AS (
-        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-        |  FROM asg a JOIN asg b ON a.clabel = b.clabel AND a.vec_id < b.vec_id
-        |  WHERE round(
-        |      list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * b.emb[i])) /
-        |      (sqrt(list_sum(list_transform(range(1, len(a.emb) + 1), i -> a.emb[i] * a.emb[i]))) *
-        |       sqrt(list_sum(list_transform(range(1, len(b.emb) + 1), i -> b.emb[i] * b.emb[i])))), 4) >= 0.35),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM dup
-        |          UNION SELECT doc_b, doc_a FROM dup),
-        |reach AS (SELECT a, b FROM edges
-        |          UNION SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
-        |lbl AS (SELECT a AS vec_id, least(a, min(b)) AS grp FROM reach GROUP BY a),
-        |g AS (
-        |  SELECT s.vec_id, s.clabel, coalesce(l.grp, s.vec_id) AS grp, s.cos_c
-        |  FROM sc s LEFT JOIN lbl l ON l.vec_id = s.vec_id)
-        |SELECT vec_id, clabel, grp, cos_c,
-        |  (row_number() OVER (PARTITION BY grp ORDER BY cos_c, vec_id)) = 1 AS kept
-        |FROM g ORDER BY vec_id""".stripMargin,
+    "q162_semdedup" -> semDedupOracleSql,
     // q26: the xxhash production LSH, gated on equality with the
     // md5-twin replay (see minHashMd5OracleSql's soundness argument)
     "q26_neardup_minhash" -> minHashMd5OracleSql,

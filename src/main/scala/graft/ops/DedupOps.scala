@@ -640,6 +640,58 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q238: semantic-vs-lexical dedup agreement — the q203 detector-
+    * audit extended across REPRESENTATIONS: q162's SemDeDup groups
+    * (embedding space) against q25's shingle-Jaccard pairs (lexical),
+    * as pair-set counts and overlap. The number a curation team reads
+    * before deciding whether semantic dedup is worth its embedding
+    * cost ON THIS CORPUS: `sem_only` counts paraphrase-type dups
+    * lexical blocking can never see (the whole case for SemDeDup),
+    * `lex_only` counts near-verbatim pairs the embedding threshold
+    * missed, and high agreement says the cheap lexical pass already
+    * covers the corpus. Universes differ (embeddings cover a doc
+    * subset), so lexical pairs are restricted to embedded endpoints —
+    * stated in the output by carrying the restricted count.
+    *
+    * Exactness: pair sets are canonical (a < b) rows from the two
+    * oracle-gated builds; counts exact longs; agreement one guarded
+    * division under roundAt.
+    *
+    * Scale: each side's pair build is its own bounded pipeline; the
+    * intersection joins pair-keyed rows (pair-sized); the id
+    * restriction is two broadcast-able semi joins on the embedding
+    * roster. */
+  def semLexAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val sem = SimilarityOps.semDedup(spark, dir)
+      .select(col("vec_id"), col("grp"))
+    val semPairs = sem.groupBy(col("grp"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("doc_a"), col("ms"))
+      .select(col("doc_a"),
+        explode(filter(col("ms"), x => x > col("doc_a"))).as("doc_b"))
+      .localCheckpoint(false)
+    val ids = Tables.embeddings(spark, dir).select(col("vec_id"))
+    val lexPairs = nearDupNgram(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(ids.select(col("vec_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select(col("vec_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .localCheckpoint(false)
+    val both = semPairs.join(lexPairs, Seq("doc_a", "doc_b"), "left_semi")
+    val nS = semPairs.agg(count(lit(1)).as("n_semantic"))
+    val nL = lexPairs.agg(count(lit(1)).as("n_lexical"))
+    val nB = both.agg(count(lit(1)).as("n_both"))
+    nS.crossJoin(nL).crossJoin(nB)
+      .select(col("n_semantic"), col("n_lexical"), col("n_both"),
+        (col("n_semantic") - col("n_both")).as("sem_only"),
+        (col("n_lexical") - col("n_both")).as("lex_only"),
+        TextOps.roundAt(
+          when(col("n_semantic") + col("n_lexical") - col("n_both") === 0L, lit(0.0d))
+            .otherwise(col("n_both").cast("double") /
+              (col("n_semantic") + col("n_lexical") - col("n_both")).cast("double")),
+          6).as("agreement"))
+  }
+
   /** q232: near-dup THRESHOLD sensitivity sweep — verified pair count
     * and mean Jaccard at τ ∈ {0.005, 0.01, 0.1, 0.5} from ONE
     * candidate build. The knob-tuning readout run before committing a

@@ -49,6 +49,31 @@ class SourceStatsSpec extends AnyFunSuite {
     assert(badRank.count() == 0, "pick_rank must be gapless 1..quota")
   }
 
+  test("sem-lex agreement: identities hold on real data; forced overlap is found") {
+    val r = graft.ops.DedupOps.semLexAgreement(spark, sf).collect()(0)
+    assert(r.getLong(0) == r.getLong(3) + r.getLong(2), "sem_only + both != n_semantic")
+    assert(r.getLong(1) == r.getLong(4) + r.getLong(2), "lex_only + both != n_lexical")
+    // positive control: identical text AND identical embeddings for
+    // docs 0/1 -> the pair lands in BOTH sets
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("semlex").toString
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((0L, txt, "en", "t", txt.length.toLong),
+        (1L, txt, "en", "t", txt.length.toLong),
+        (2L, "one two three four five six seven eight nine ten", "en", "t", 49L),
+        (3L, "red green blue cyan magenta yellow black white gray pink", "en", "t", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val v0 = Array.fill(8)(1.0f); val v2 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val v3 = Array.tabulate(8)(i => (8 - i).toFloat)
+    Seq((0L, v0.toSeq, 0), (1L, v0.toSeq, 0), (2L, v2.toSeq, 1), (3L, v3.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val c = graft.ops.DedupOps.semLexAgreement(spark, dir).collect()(0)
+    assert(c.getLong(2) >= 1, s"forced (0,1) overlap not found: ${c.mkString(",")}")
+    assert(c.getDouble(5) > 0.0)
+  }
+
   test("recency score: closed form on a constructed user history") {
     import spark.implicits._
     val ts = (0 to 3).map(d => (d.toLong, java.sql.Timestamp.valueOf(
