@@ -1772,6 +1772,36 @@ object RelationalExt {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** q222's streaming state: the (user_id, first_day) MIN-MERGE table.
+    * Fully mergeable (min is associative + commutative + idempotent),
+    * so unlike [[ewmaStateAppend]] the contract is unordered: batches
+    * may arrive in ANY order and may even re-deliver events — a
+    * user's first-seen day only ever ratchets DOWN, and the
+    * acquisition curve is re-derived from the state, so a late early
+    * event correctly MOVES the user's cohort (the mutation a
+    * curve-increment state could never express). State is
+    * users-sized — the dedup-index state class, not corpus-sized. */
+  def acquisitionStateMerge(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(
+        batch.groupBy(col("user_id"))
+          .agg(min(date_trunc("day", col("ts"))).as("first_day")))
+      .groupBy(col("user_id")).agg(min(col("first_day")).as("first_day"))
+
+  /** The q222 curve served from the merged state. */
+  def acquisitionCurveFromState(state: DataFrame): DataFrame = {
+    val daily = state.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    globalRunningSum(daily, Seq(col("day")), col("n_new"), "cum_users")
+      .select(col("day"), col("n_new"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Empty acquisition state with the right schema. */
+  def acquisitionStateEmpty(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "first_day")
+  }
+
   /** q221's streaming state: (event_type, n_hours, ewma), appendable
     * per micro-batch of FINALIZED hourly buckets. Unlike the
     * count/sum/index states of the q121/q167/q180 family this fold is

@@ -66,6 +66,42 @@ class PrefixJoinSpec extends AnyFunSuite {
       s"rare-first prefixes should keep ~0.4 of postings, got $perDoc/$total")
   }
 
+  test("property: prefix join equals brute force on random word-soup corpora") {
+    // scalacheck-generated corpora exercise shapes real data can't:
+    // tiny docs (partial shingles), heavy duplication, near-empty
+    // vocabularies — the prefix filter's recall guarantee must hold on
+    // ALL of them, not just the fixture distribution
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("ab", "cd", "ef", "gh", "ij", "kl")
+    val genDoc: Gen[String] = for {
+      n <- Gen.chooseNum(1, 14)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    (1 to 4).foreach { trial =>
+      val docs = Gen.listOfN(24, genDoc)
+        .pureApply(Gen.Parameters.default, Seed(trial.toLong)).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val dir = java.nio.file.Files.createTempDirectory(s"pfxp$trial").toString
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val sets = Tables.documents(spark, dir)
+        .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+      val inter = size(array_intersect(col("sha"), col("shb")))
+      val brute = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+        .crossJoin(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(inter.cast("double") /
+            (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+      assert(pairSet(DedupOps.prefixJoinNearDup(spark, dir)) == pairSet(brute),
+        s"trial $trial: prefix join diverged from brute force")
+    }
+  }
+
   test("synthetic: a qualifying pair with DIFFERENT min-shingles is found") {
     // two 12-word docs sharing 9 of ~10 shingles but with distinct
     // minimum-md5 shingles would be invisible to 1-perm MinHash

@@ -889,4 +889,40 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         s"type $t: state $e vs q221 final ${last(t)}")
     }
   }
+
+  test("streaming acquisition state: unordered, re-delivered batches converge to q222") {
+    // q222's twin is MERGEABLE (min-merge), so unlike the EWMA twin
+    // the batches here are deliberately SHUFFLED and one is
+    // re-delivered — the state must still converge to the batch curve,
+    // including a late-arriving EARLY event moving a user's cohort
+    import graft.ops.RelationalExt
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf).select($"user_id", $"ts")
+    val rows = ev.as[(Long, java.sql.Timestamp)].collect().toSeq
+    // deterministic shuffle: sort by md5 of event index
+    val shuffled = rows.zipWithIndex.sortBy { case (_, i) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString
+    }.map(_._1)
+    var state = RelationalExt.acquisitionStateEmpty(spark).localCheckpoint()
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = input.toDF().toDF("user_id", "ts").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = RelationalExt.acquisitionStateMerge(state, batch).localCheckpoint()
+        ()
+      }.start()
+    try {
+      val chunks = shuffled.grouped(math.max(1, shuffled.length / 5)).toSeq
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      // re-deliver the first chunk: idempotence under at-least-once
+      input.addData(chunks.head); q.processAllAvailable()
+    } finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    val streamed = key(RelationalExt.acquisitionCurveFromState(state))
+    val batchCurve = key(RelationalExt.userAcquisition(spark, sf))
+    assert(streamed == batchCurve,
+      "min-merged state curve diverged from the one-shot q222")
+  }
 }
