@@ -97,6 +97,9 @@ object SparkEntry {
     // semantic-vs-lexical dedup agreement: q162 groups against q25
     // pairs — is semantic dedup worth its embedding cost HERE?
     "q238_sem_lex_agreement" -> ((s, d) => DedupOps.semLexAgreement(s, d)),
+    // alpha-trimmed mean per type: the robust-location completion of
+    // winsorize (q129) / median (q199) — 1e6-quantized exact sums
+    "q239_trimmed_mean"    -> ((s, d) => RelationalExt.trimmedMean(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -2127,6 +2130,29 @@ object SparkEntry {
          |SELECT user_id, n_trans, n_patterns,
          |  ${TextOps.roundAtSql("CAST(sc AS DOUBLE) / 1000000000000.0", 6)} AS entropy
          |FROM s ORDER BY user_id""".stripMargin,
+    // q239: integer trim bounds over the (value, event_id) rank,
+    // both means from 1e6-quantized exact-long sums
+    "q239_trimmed_mean" ->
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n,
+         |    CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v6
+         |  FROM events),
+         |g AS (
+         |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+         |    CAST(sum(v6) AS BIGINT) AS s_all,
+         |    CAST(sum(CASE WHEN rn > (n * 10) // 100 AND rn <= n - (n * 10) // 100
+         |      THEN v6 ELSE 0 END) AS BIGINT) AS s_trim,
+         |    CAST(sum(CASE WHEN rn > (n * 10) // 100 AND rn <= n - (n * 10) // 100
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_trim
+         |  FROM r GROUP BY 1)
+         |SELECT event_type, n, n_trim,
+         |  ${TextOps.roundAtSql(
+              "CAST(s_all AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)", 6)} AS mean_all,
+         |  ${TextOps.roundAtSql(
+              "CAST(s_trim AS DOUBLE) / (CAST(greatest(n_trim, 1) AS DOUBLE) * 1000000.0)", 6)} AS mean_trimmed
+         |FROM g ORDER BY event_type""".stripMargin,
     // q230: margins as cell-table rollups crossed back to a DENSE
     // grid (zero cells carry chi2 mass E); expected and contribution
     // each one fixed IEEE tree over exact longs

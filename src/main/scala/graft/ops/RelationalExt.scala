@@ -1540,6 +1540,51 @@ object RelationalExt {
       .orderBy(col("user_id"))
   }
 
+  /** q239: α-trimmed mean of event VALUE per type — the robust-
+    * location completion of the family: q129 winsorizes (clips
+    * outliers to the fence), q199 takes the median (discards all but
+    * one order statistic); the trimmed mean DROPS the top and bottom
+    * α% and averages the rest — the estimator of choice when the tail
+    * is garbage but the bulk is informative (latencies with timeout
+    * spikes, payments with test transactions). Both the trimmed and
+    * the untrimmed mean are emitted so the gap IS the outlier mass.
+    *
+    * Exactness: the trim boundary is integer arithmetic (k =
+    * (n·α) div 100; keep ranks k < rn ≤ n−k over the deterministic
+    * (value, event_id) order); each kept value is floor-scaled at
+    * 1e6 to an exact long (the q218 device — the OUTPUT is defined
+    * as the 1e6-quantized mean), so both sums are order-independent
+    * integer aggregations with one final division each. Long
+    * headroom: |value|·10⁶ × rows per type ≲ 2⁶³ to ~10¹² rows at
+    * value ~100.
+    *
+    * Scale: one (type)-keyed rank window + the rollup on the same
+    * partitioning; no corpus-global sort. */
+  def trimmedMean(spark: SparkSession, dir: String, alphaPct: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val grp = Window.partitionBy(col("event_type"))
+    val ranked = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(grp))
+      .withColumn("v6", floor(col("value") * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("k", expr(s"(n * $alphaPct) div 100"))
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(col("v6")).as("s_all"),
+        sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+          col("v6")).otherwise(lit(0L))).as("s_trim"),
+        sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"), 1L)
+          .otherwise(0L)).as("n_trim"))
+      .select(col("event_type"), col("n"), col("n_trim"),
+        TextOps.roundAt(col("s_all").cast("double") /
+          (col("n").cast("double") * 1e6), 6).as("mean_all"),
+        TextOps.roundAt(col("s_trim").cast("double") /
+          (greatest(col("n_trim"), lit(1L)).cast("double") * 1e6), 6).as("mean_trimmed"))
+      .orderBy(col("event_type"))
+  }
+
   /** q231: daily-volume OLS trend per event type — the least-squares
     * slope of daily counts against the day index, the
     * growing-or-dying readout q223's changepoint and q221's EWMA

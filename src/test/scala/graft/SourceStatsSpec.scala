@@ -74,6 +74,25 @@ class SourceStatsSpec extends AnyFunSuite {
     assert(c.getDouble(5) > 0.0)
   }
 
+  test("trimmed mean: drops exactly the planted outliers; untrimmed mean keeps them") {
+    import spark.implicits._
+    // 8 values of 10.0 plus outliers 0.0 and 1000.0: at alpha=10%,
+    // k = (10*10) div 100 = 1 -> exactly the two extremes drop
+    val rows = ((1 to 8).map(i => (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:${i}%02d:00"), 1L, "pay", 10.0, "{}")) ++ Seq(
+      (97L, java.sql.Timestamp.valueOf("2024-01-01 00:57:00"), 1L, "pay", 0.0, "{}"),
+      (98L, java.sql.Timestamp.valueOf("2024-01-01 00:58:00"), 1L, "pay", 1000.0, "{}")))
+    val dir = java.nio.file.Files.createTempDirectory("trim").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = RelationalExt.trimmedMean(spark, dir).collect()(0)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 8L)
+    assert(math.abs(r.getDouble(4) - 10.0) < 1e-9,
+      s"trimmed mean ${r.getDouble(4)} != 10.0")
+    assert(math.abs(r.getDouble(3) - 108.0) < 1e-9,
+      s"untrimmed mean ${r.getDouble(3)} != 108.0")
+  }
+
   test("recency score: closed form on a constructed user history") {
     import spark.implicits._
     val ts = (0 to 3).map(d => (d.toLong, java.sql.Timestamp.valueOf(
