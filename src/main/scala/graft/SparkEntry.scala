@@ -100,6 +100,10 @@ object SparkEntry {
     // alpha-trimmed mean per type: the robust-location completion of
     // winsorize (q129) / median (q199) — 1e6-quantized exact sums
     "q239_trimmed_mean"    -> ((s, d) => RelationalExt.trimmedMean(s, d)),
+    // session conversion by entry channel: where a session STARTS
+    // predicts conversion — q33 sessions, rank-1 entry label
+    "q240_entry_conversion" -> ((s, d) =>
+      graft.streaming.EventStream.entryChannelConversion(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -2130,6 +2134,32 @@ object SparkEntry {
          |SELECT user_id, n_trans, n_patterns,
          |  ${TextOps.roundAtSql("CAST(sc AS DOUBLE) / 1000000000000.0", 6)} AS entropy
          |FROM s ORDER BY user_id""".stripMargin,
+    // q240: the q33 session chain + rank-1 entry + any-purchase flag
+    "q240_entry_conversion" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |                        + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |  FROM ev),
+         |numbered AS (
+         |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM flagged),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+         |    ORDER BY ts, event_id) AS srn
+         |  FROM numbered),
+         |per_session AS (
+         |  SELECT user_id, session_seq,
+         |    max(CASE WHEN srn = 1 THEN event_type END) AS entry,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+         |  FROM ranked GROUP BY 1, 2)
+         |SELECT entry, count(*) AS n_sessions,
+         |  CAST(sum(converted) AS BIGINT) AS n_converted,
+         |  ${TextOps.roundAtSql(
+              "CAST(sum(converted) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS conv_rate
+         |FROM per_session GROUP BY entry ORDER BY entry""".stripMargin,
     // q239: integer trim bounds over the (value, event_id) rank,
     // both means from 1e6-quantized exact-long sums
     "q239_trimmed_mean" ->

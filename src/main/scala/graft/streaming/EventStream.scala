@@ -93,6 +93,45 @@ object EventStream {
         round(sum(col("value")), 4).as("total_value"))
   }
 
+  /** q240: session conversion by ENTRY channel — sessions from the
+    * same 30-minute gaps-and-islands as [[sessionizeBatch]], each
+    * labeled by its FIRST event's type, rolled up to sessions /
+    * converted-sessions (contains a purchase) / conversion rate per
+    * entry channel. The landing-page question q117's corpus funnel
+    * and q237's journey attribution both skip: WHERE a session starts
+    * predicts whether it converts, and entry channels with volume but
+    * no conversion are the acquisition spend to cut.
+    *
+    * Exactness: entry = rank-1 row of the deterministic (ts,
+    * event_id) session order; counts exact longs; rate one guarded
+    * division under roundAt. Scale: ONE user-keyed shuffle feeds
+    * sessionize, the entry rank and the per-session flag; the rollup
+    * is channels-sized. */
+  def entryChannelConversion(spark: SparkSession, dir: String,
+                             gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts") > lag(col("ts"), 1).over(w) + expr(s"INTERVAL $gapMinutes MINUTES"), 1
+    ).otherwise(0)
+    val sess = Tables.events(spark, dir)
+      .withColumn("session_seq",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val perSession = sess
+      .withColumn("srn", row_number().over(ws))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(max(when(col("srn") === 1, col("event_type"))).as("entry"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    perSession.groupBy(col("entry"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"))
+      .select(col("entry"), col("n_sessions"), col("n_converted"),
+        graft.ops.TextOps.roundAt(col("n_converted").cast("double") /
+          col("n_sessions").cast("double"), 6).as("conv_rate"))
+      .orderBy(col("entry"))
+  }
+
   /** Native session-window sessionization — Spark's built-in
     * `session_window(ts, gap)` instead of the hand-rolled
     * gaps-and-islands of [[sessionizeBatch]]: the same dynamic-gap

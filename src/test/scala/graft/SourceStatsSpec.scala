@@ -93,6 +93,30 @@ class SourceStatsSpec extends AnyFunSuite {
       s"untrimmed mean ${r.getDouble(3)} != 108.0")
   }
 
+  test("entry conversion: sessions partition, entries witness, a planted session converts") {
+    val out = graft.streaming.EventStream.entryChannelConversion(spark, sf).collect()
+    // sessions partition: sum over channels = total session count
+    val total = graft.streaming.EventStream.sessionizeBatch(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total, "entry channels must partition sessions")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "converted exceeds sessions")
+    }
+    // planted: one session entering at 'view' that purchases 10 min in
+    import spark.implicits._
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5L, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 5L, "purchase", 1.0, "{}"),
+      // a second session for the same user 2h later, entering at error
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:30:00"), 5L, "error", 1.0, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("entry").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.streaming.EventStream.entryChannelConversion(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("view" -> ((1L, 1L)), "error" -> ((1L, 0L))),
+      s"planted sessions mis-assigned: $got")
+  }
+
   test("recency score: closed form on a constructed user history") {
     import spark.implicits._
     val ts = (0 to 3).map(d => (d.toLong, java.sql.Timestamp.valueOf(
