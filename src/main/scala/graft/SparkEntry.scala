@@ -104,6 +104,9 @@ object SparkEntry {
     // predicts conversion — q33 sessions, rank-1 entry label
     "q240_entry_conversion" -> ((s, d) =>
       graft.streaming.EventStream.entryChannelConversion(s, d)),
+    // lang-ID calibration vs the true lang column: accuracy per
+    // q213 margin band — the reliability readout for is_ambiguous
+    "q241_langid_calibration" -> ((s, d) => TextOps.langIdCalibration(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -2073,6 +2076,39 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '${TextOps.DeStops}')) AS de,
         |  len(regexp_extract_all(lower(text), '${TextOps.FrStops}')) AS fr
         | FROM documents) t""".stripMargin,
+    // q241: the q22 evidence counts, q213's margin banded with sort
+    // prefixes, correctness = string equality vs the truth column
+    "q241_langid_calibration" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN zh > 0 THEN 'zh'
+         |         WHEN de > en AND de > es AND de > fr THEN 'de'
+         |         WHEN es > en AND es > fr THEN 'es'
+         |         WHEN fr > en THEN 'fr'
+         |         ELSE 'en' END AS lang_pred,
+         |    [zh, en, es, de, fr] AS cnts
+         |  FROM (SELECT doc_id, lang,
+         |    len(regexp_extract_all(text, '${TextOps.CjkPattern}')) AS zh,
+         |    len(regexp_extract_all(lower(text), '${TextOps.EnStops}')) AS en,
+         |    len(regexp_extract_all(lower(text), '${TextOps.EsStops}')) AS es,
+         |    len(regexp_extract_all(lower(text), '${TextOps.DeStops}')) AS de,
+         |    len(regexp_extract_all(lower(text), '${TextOps.FrStops}')) AS fr
+         |   FROM documents) t),
+         |m AS (
+         |  SELECT lang, lang_pred,
+         |    list_reverse(list_sort(cnts))[1] - list_reverse(list_sort(cnts))[2] AS margin
+         |  FROM ev),
+         |b AS (
+         |  SELECT CASE WHEN margin < 3 THEN '0_ambiguous'
+         |              WHEN margin < 6 THEN '1_low'
+         |              WHEN margin < 11 THEN '2_mid'
+         |              ELSE '3_high' END AS band,
+         |    CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS ok
+         |  FROM m)
+         |SELECT band, count(*) AS n_docs, CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  ${TextOps.roundAtSql(
+              "CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS accuracy
+         |FROM b GROUP BY band ORDER BY band""".stripMargin,
     "q23_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

@@ -165,6 +165,47 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q241: lang-ID CALIBRATION against ground truth — q213's
+    * confidence margins validated with the one asset this corpus
+    * uniquely offers: a true `lang` column. Accuracy per margin band
+    * is the reliability readout that justifies (or kills) q213's
+    * is_ambiguous threshold: a well-calibrated confidence shows
+    * accuracy RISING with margin, and the ambiguous band's measured
+    * accuracy is the review-queue cost of trusting the argmax there.
+    * The classifier-eval member of the model-audit family (q206
+    * scores retrieval, q204 a regressor's ranking; this scores a
+    * classifier's confidence).
+    *
+    * Exactness: margins and correctness are exact longs (prediction
+    * string equality against truth); band cuts are integer compares;
+    * accuracy one division under roundAt. Band labels carry a sort
+    * prefix so the output order is the confidence order on both
+    * engines. Scale: one narrow map + one bands-sized rollup. */
+  def langIdCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val counts = array(
+      nMatches(col("text"), CjkPattern),
+      nMatches(t, EnStops),
+      nMatches(t, EsStops),
+      nMatches(t, DeStops),
+      nMatches(t, FrStops))
+    val sorted = reverse(array_sort(counts))
+    val margin = element_at(sorted, 1) - element_at(sorted, 2)
+    val band = when(margin < 3, "0_ambiguous")
+      .when(margin < 6, "1_low")
+      .when(margin < 11, "2_mid")
+      .otherwise("3_high")
+    Tables.documents(spark, dir)
+      .select(band.as("band"),
+        when(langPredCol === col("lang"), 1L).otherwise(0L).as("ok"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+      .select(col("band"), col("n_docs"), col("n_correct"),
+        roundAt(col("n_correct").cast("double") / col("n_docs").cast("double"), 6)
+          .as("accuracy"))
+      .orderBy(col("band"))
+  }
+
   /** Normalized-content fingerprint: lowercase, strip non-alnum to
     * single spaces, md5. Exact-dup detection key that survives
     * whitespace/punctuation/case edits; distributable as a pure map

@@ -117,6 +117,27 @@ class SourceStatsSpec extends AnyFunSuite {
       s"planted sessions mis-assigned: $got")
   }
 
+  test("langid calibration: bands partition the corpus; confident English lands high and correct") {
+    val out = TextOps.langIdCalibration(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == total, "bands must partition the corpus")
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // positive control: a doc that is pure English stopwords (margin
+    // >= 11) must land in 3_high with accuracy 1.0
+    import spark.implicits._
+    val en = ("the and is in to of a that it was " * 3).trim
+    val dir = java.nio.file.Files.createTempDirectory("cal").toString
+    Seq((0L, en, "en", "t", en.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hi = TextOps.langIdCalibration(spark, dir).collect()
+    assert(hi.length == 1 && hi(0).getString(0) == "3_high" &&
+      hi(0).getDouble(3) == 1.0, s"control misbanded: ${hi.mkString(",")}")
+  }
+
   test("recency score: closed form on a constructed user history") {
     import spark.implicits._
     val ts = (0 to 3).map(d => (d.toLong, java.sql.Timestamp.valueOf(
