@@ -117,14 +117,59 @@ object Bench {
     }
   }
 
+  /** Cumulative JVM GC seconds across all collectors. A suite whose
+    * GC share balloons round-over-round on byte-identical code is
+    * accumulating memory pressure (the r17 localCheckpoint-residue
+    * lesson); recorded per run so a slow artifact can say whether the
+    * time went to GC or to stolen cores. */
+  private def gcSec(): Double = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+  }
+
+  /** Aggregated block-I/O delay of THIS process (delayacct_blkio_ticks,
+    * field 42 of /proc/self/stat), in seconds. Non-zero growth during
+    * a bench means tasks sat waiting on disk — the q128 shard-export
+    * dispersion signature — which CPU telemetry alone cannot see. */
+  private def blkioSec(): Double =
+    try {
+      val stat = {
+        val src = scala.io.Source.fromFile("/proc/self/stat")
+        try src.mkString finally src.close()
+      }
+      // comm (field 2) may contain spaces; split after the closing paren
+      val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+      // rest(0) is field 3; delayacct_blkio_ticks is field 42
+      val ticks = rest(42 - 3).toLong
+      ticks.toDouble / 100.0 // USER_HZ = 100 on linux
+    } catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val loadStart = loadAvg()
     val wallStart = System.nanoTime()
     val cpuStart = procCpuSec()
+    val gcStart = gcSec()
+    val blkioStart = blkioSec()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val broadcastMb = sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "10").toLong
-    val spark = SparkSession.builder()
+    // VERDICT r17 item 6: the sink queries (q128 shard export, q103/
+    // q105/q114 partitioned writes, Hive-table ops) derive their
+    // output path from the warehouse dir and rewrite it every rep —
+    // on a disk-backed warehouse, fsync/page-cache variance
+    // contributed up to 2.3× min/median dispersion (q128) to bench
+    // totals. The bench measures ENGINE cost, not the box's disk, so
+    // the BENCH warehouse lands on tmpfs when the box has one
+    // (Verify and the tests keep the default disk warehouse — write
+    // correctness is their concern, write-latency noise is not
+    // bench signal).
+    val shm = new java.io.File("/dev/shm")
+    val benchWarehouse: Option[String] =
+      if (shm.isDirectory && shm.canWrite)
+        Some(new java.io.File(shm, "graft_bench_warehouse").getAbsolutePath)
+      else None
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -135,6 +180,8 @@ object Bench {
       // Spark default stands.
       .config("spark.sql.autoBroadcastJoinThreshold", (broadcastMb * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
+    val spark = benchWarehouse
+      .fold(builder)(w => builder.config("spark.sql.warehouse.dir", w))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
@@ -275,21 +322,30 @@ object Bench {
       val ioMb = (mb(io.shuffleWrite - wPrev), mb(io.shuffleRead - rPrev),
         mb(io.spill - sPrev))
       wPrev = io.shuffleWrite; rPrev = io.shuffleRead; sPrev = io.spill
-      if (broken) { failed += name; name -> ((-1.0, -1.0, ioMb)) }
+      if (broken) { failed += name; name -> ((-1.0, -1.0, -1.0, ioMb)) }
       else {
         val sorted = times.sorted
-        name -> ((sorted.head, sorted(sorted.length / 2), ioMb))
+        // per-query rep dispersion max/min (VERDICT r17 item 5): a
+        // clean box reads ~1.0–1.3; a wide spread on one query is
+        // I/O or scheduling noise localized to it, a wide spread
+        // suite-wide is a contaminated run
+        val spread =
+          if (sorted.head > 0) math.round(sorted.last / sorted.head * 100) / 100.0
+          else -1.0
+        name -> ((sorted.head, sorted(sorted.length / 2), spread, ioMb))
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val med = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
-    val shw = results.map { case (k, v) => s"\"" + k + "\":" + v._3._1 }
+    val spreadJson = results.map { case (k, v) => s"\"" + k + "\":" + v._3 }
       .mkString("{", ",", "}")
-    val shr = results.map { case (k, v) => s"\"" + k + "\":" + v._3._2 }
+    val shw = results.map { case (k, v) => s"\"" + k + "\":" + v._4._1 }
       .mkString("{", ",", "}")
-    val spl = results.map { case (k, v) => s"\"" + k + "\":" + v._3._3 }
+    val shr = results.map { case (k, v) => s"\"" + k + "\":" + v._4._2 }
+      .mkString("{", ",", "}")
+    val spl = results.map { case (k, v) => s"\"" + k + "\":" + v._4._3 }
       .mkString("{", ",", "}")
     val slp = results.map { case (k, v) =>
       val ref = refTimes.getOrElse(k, -1.0)
@@ -318,11 +374,51 @@ object Bench {
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val cpuSec = { val c = procCpuSec(); if (c >= 0 && cpuStart >= 0) c - cpuStart else -1.0 }
     val cpuWall = if (cpuSec > 0 && wallSec > 0) math.round(cpuSec / wallSec * 100) / 100.0 else -1.0
+    val gcDelta = { val g = gcSec(); if (g >= 0 && gcStart >= 0) math.round((g - gcStart) * 100) / 100.0 else -1.0 }
+    val blkioDelta = {
+      val b = blkioSec()
+      if (b >= 0 && blkioStart >= 0) math.round((b - blkioStart) * 100) / 100.0 else -1.0
+    }
     val nCpus = Runtime.getRuntime.availableProcessors()
-    val contended = (loadEnd.head > nCpus * 1.25) || (cpuWall >= 0 && cpuWall < 1.5)
+    // VERDICT r17 item 5: the loadavg/cpu-wall heuristics missed a
+    // 1.46× driver-vs-repo disagreement (both runs self-reported
+    // clean), so the run now also compares itself per query against
+    // the COMMITTED last-adjudicated-clean artifact: on byte-identical
+    // code the suite-wide median of (this min / ref min) should sit
+    // near 1.0; above 1.3 the BOX (or a real suite-wide regression)
+    // moved and the artifact says so itself. Only minutes comparable
+    // at the same sf; refresh bench_ref_clean.json (copy the detail
+    // line) whenever a clean run is recorded in BASELINE.md.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref_clean.json")
+    val (medianRatio, refSfMatch) = try {
+      val src = scala.io.Source.fromFile(refPath)
+      val txt = try src.mkString finally src.close()
+      val refSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      val qIdx = txt.lastIndexOf("\"queries\":{")
+      if (qIdx < 0 || !refSf.contains(sfDir)) (-1.0, false)
+      else {
+        val body = txt.substring(qIdx + "\"queries\":{".length,
+          txt.indexOf('}', qIdx))
+        val refQ = body.split(",").flatMap { kv =>
+          val i = kv.lastIndexOf(':')
+          if (i < 0) None
+          else try Some(kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
+            -> kv.substring(i + 1).toDouble)
+          catch { case _: NumberFormatException => None }
+        }.toMap
+        val ratios = results.collect {
+          case (k, v) if v._1 > 0 && refQ.getOrElse(k, -1.0) > 0 => v._1 / refQ(k)
+        }.toSeq.sorted
+        if (ratios.isEmpty) (-1.0, false)
+        else (math.round(ratios(ratios.length / 2) * 100) / 100.0, true)
+      }
+    } catch { case _: Exception => (-1.0, false) }
+    val ratioFlagged = refSfMatch && medianRatio > 1.3
+    val contended = (loadEnd.head > nCpus * 1.25) ||
+      (cpuWall >= 0 && cpuWall < 1.5) || ratioFlagged
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
-    val boxJson = s""""box":{"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"wall_sec":${math.round(wallSec * 100) / 100.0},"proc_cpu_sec":${math.round(cpuSec * 100) / 100.0},"cpu_wall_ratio":$cpuWall,"ncpus":$nCpus,"contended":$contended}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir",$boxJson,"slope_ref":"${slopeDir.getOrElse("")}","slope":$slp,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}"""
+    val boxJson = s""""box":{"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"wall_sec":${math.round(wallSec * 100) / 100.0},"proc_cpu_sec":${math.round(cpuSec * 100) / 100.0},"cpu_wall_ratio":$cpuWall,"gc_sec":$gcDelta,"blkio_wait_sec":$blkioDelta,"ncpus":$nCpus,"median_ratio_vs_ref":$medianRatio,"ratio_flagged":$ratioFlagged,"tmpfs_warehouse":${benchWarehouse.isDefined},"contended":$contended}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir",$boxJson,"slope_ref":"${slopeDir.getOrElse("")}","slope":$slp,"rep_spread":$spreadJson,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}"""
     println(detail)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"reps":$reps,"estimator":"min","sf":"$sfDir",$boxJson}""")
     // The driver captures only a bounded stdout TAIL: in round 15 that

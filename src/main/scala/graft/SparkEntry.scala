@@ -166,7 +166,7 @@ object SparkEntry {
     // arrival-process health: exact inter-event gap percentiles
     "q209_event_gaps"      -> ((s, d) => RelationalExt.eventGapPercentiles(s, d)),
     // incremental k-means: mergeable (cl, n, Σx) state folded per batch
-    "q210_kmeans_refresh"  -> ((s, d) => SimilarityOps.kmeansRefresh(s, d)),
+    "q210_kmeans_refresh"  -> ((s, d) => SimilarityOps.kmeansRefreshRows(s, d)),
     // eval sampler: per-length-stratum hash quota — the subset's
     // length distribution matches the corpus by construction
     "q211_matched_sample"  -> ((s, d) => CurationOps.matchedEvalSample(s, d)),
@@ -253,18 +253,25 @@ object SparkEntry {
     // hash gate (struct_pack/list twins) — reads the repo-committed
     // WaterML fixture parquet by absolute path on BOTH engines (see
     // graft.pipeline.HydroFixture); the sf `dir` is ignored
+    // gate shape (round 18): the driver's compare cannot sort nested
+    // struct/array cells, so each stage goes through its scalar
+    // projection (featuresFlat/mergedFlat/collectionCanonical) — the
+    // operators themselves still emit the GeoJSON nested shapes
     "q195_hydro_features"  -> ((s, _) =>
-      graft.pipeline.HydroPipeline.toFeatures(
-        s.read.parquet(graft.pipeline.HydroFixture.FixtureFile))),
-    "q196_hydro_merged"    -> ((s, _) =>
-      graft.pipeline.HydroPipeline.mergeSites(
+      graft.pipeline.HydroPipeline.featuresFlat(
         graft.pipeline.HydroPipeline.toFeatures(
           s.read.parquet(graft.pipeline.HydroFixture.FixtureFile)))),
-    "q197_hydro_collection" -> ((s, _) =>
-      graft.pipeline.HydroPipeline.toFeatureCollection(
+    "q196_hydro_merged"    -> ((s, _) =>
+      graft.pipeline.HydroPipeline.mergedFlat(
         graft.pipeline.HydroPipeline.mergeSites(
           graft.pipeline.HydroPipeline.toFeatures(
             s.read.parquet(graft.pipeline.HydroFixture.FixtureFile))))),
+    "q197_hydro_collection" -> ((s, _) =>
+      graft.pipeline.HydroPipeline.collectionCanonical(
+        graft.pipeline.HydroPipeline.toFeatureCollection(
+          graft.pipeline.HydroPipeline.mergeSites(
+            graft.pipeline.HydroPipeline.toFeatures(
+              s.read.parquet(graft.pipeline.HydroFixture.FixtureFile)))))),
     // join-cardinality profile: exact output size from count tables
     "q192_join_cardinality" -> ((s, d) => RelationalExt.joinCardinalityProfile(s, d)),
     "q30_sim_ann_lsh"      -> ((s, d) => SimilarityOps.annTopK(s, d)),
@@ -748,7 +755,9 @@ object SparkEntry {
     * final centroid is one division per dim under the floor-form
     * rounding. Mirrors SimilarityOps.kmeansRefresh stage for stage
     * (batch-order state addition, left-join + coalesce for clusters a
-    * batch never touched). */
+    * batch never touched); emitted in kmeansRefreshRows' exploded
+    * (cluster, n_members, dim, c_v) shape — the driver compare can't
+    * sort an array<double> cell. */
   private lazy val kmeansRefreshOracleSql: String = {
     def dist(eTbl: String, cTbl: String) =
       s"""list_sum(list_transform(range(1, len(e.emb) + 1),
@@ -820,7 +829,8 @@ object SparkEntry {
        |${st("stb2", "f2a", "flat2")},
        |${fold("state2", "state1", "stb2")}
        |SELECT cl AS cluster, n AS n_members,
-       |  list_transform(sums, s -> floor(s / n * 1000000 + 0.5) / 1000000) AS centroid
+       |  CAST(unnest(range(0, len(sums))) AS BIGINT) AS dim,
+       |  unnest(list_transform(sums, s -> floor(s / n * 1000000 + 0.5) / 1000000)) AS c_v
        |FROM state2 ORDER BY cluster""".stripMargin
   }
 
@@ -829,7 +839,7 @@ object SparkEntry {
     * one avg update at iters=2, the (d2, cl)-rank assignment that
     * mirrors the engine's strict-< fold), the query's m×k LUT, the
     * fixed left-to-right ADC sum, the (adc, vec_id) shortlist and the
-    * exact-d2 rerank. m=4, k=4 over the 64-dim embeddings. */
+    * exact-d2 rerank. m=8, k=8 (sub=8) over the 64-dim embeddings. */
   private lazy val pqRerankOracleSql: String = {
     val m = 8; val k = 8; val sub = 8; val shortlist = 50; val topK = 10
     def d2(v: String, c: String) =
@@ -892,6 +902,13 @@ object SparkEntry {
     * bit-for-bit. */
   private lazy val removalEffectOracleSql: String = {
     val rounds = 80
+    // Static at SQL-generation time because each channel needs its own
+    // unrolled 80-round chain; the engine instead DERIVES channels from
+    // the observed journey targets. The per-row EXISTS guard below
+    // reconciles the two: a listed channel that never occurs as a
+    // target self-removes from the oracle (matching the engine's
+    // omission), and an UNLISTED channel that does occur makes the
+    // row-count gate fail loudly — the signal to extend this list.
     val channels = Seq("click", "error", "signup", "view")
     def roundCte(tag: String, r: Int, removed: Option[String]): String = {
       val removedCase = removed.map(c => s"WHEN tp.t = '$c' THEN 0.0\n         ").getOrElse("")
@@ -915,7 +932,8 @@ object SparkEntry {
          |  ${TextOps.roundAtSql(
               s"CASE WHEN (SELECT v FROM vb$rounds WHERE s = 'START') > 0 THEN " +
               s"((SELECT v FROM vb$rounds WHERE s = 'START') - (SELECT v FROM v$c$rounds WHERE s = 'START')) / " +
-              s"(SELECT v FROM vb$rounds WHERE s = 'START') ELSE 0.0 END", 6)} AS removal_effect""".stripMargin
+              s"(SELECT v FROM vb$rounds WHERE s = 'START') ELSE 0.0 END", 6)} AS removal_effect
+         |WHERE EXISTS (SELECT 1 FROM tp WHERE tp.t = '$c')""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ev AS (
        |  SELECT user_id, event_type,
@@ -1415,8 +1433,10 @@ object SparkEntry {
   /** q219 oracle: the canonical shingle-set CTE, global (df, shingle)
     * ordering, INTEGER prefix bound p = n − (3n+4)//5 + 1 and length
     * filter 5·min ≥ 3·max (τ = 3/5 as a rational on both engines —
-    * no decimal-vs-double ceil divergence), then the q25 rounded-at-4
-    * Jaccard keep. Mirrors DedupOps.prefixJoinNearDup exactly. */
+    * no decimal-vs-double ceil divergence), then the EXACT integer
+    * keep inter·5 ≥ union·3 (jaccard rounded at 4 for display only —
+    * a rounded keep would void the recall guarantee in the
+    * [τ−5e-5, τ) window). Mirrors DedupOps.prefixJoinNearDup. */
   private lazy val prefixJoinOracleSql: String =
     """WITH docs AS (
       |  SELECT doc_id,
@@ -1440,11 +1460,12 @@ object SparkEntry {
       |    AND least(a.n, b.n) * 5 >= greatest(a.n, b.n) * 3),
       |verified AS (
       |  SELECT c.doc_a, c.doc_b,
-      |    round(CAST(len(list_intersect(A.sh, B.sh)) AS DOUBLE) /
-      |          (len(A.sh) + len(B.sh) - len(list_intersect(A.sh, B.sh))), 4) AS jaccard
+      |    len(list_intersect(A.sh, B.sh)) AS inter,
+      |    len(A.sh) + len(B.sh) - len(list_intersect(A.sh, B.sh)) AS un
       |  FROM cand c JOIN docs A ON A.doc_id = c.doc_a
       |              JOIN docs B ON B.doc_id = c.doc_b)
-      |SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6""".stripMargin
+      |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
+      |FROM verified WHERE inter * 5 >= un * 3""".stripMargin
 
   /** q220 oracle: q25's pair chain as a derived table, symmetric
     * edges, then the h-index iteration UNROLLED to the same fixed 6
@@ -2344,9 +2365,9 @@ object SparkEntry {
         |  FROM c CROSS JOIN tot),
         |lf AS (SELECT 100 - sum(base) AS extra FROM qd),
         |quota AS (
-        |  SELECT source, base + CASE WHEN
+        |  SELECT source, least(base + CASE WHEN
         |      row_number() OVER (ORDER BY rem DESC, source) <= lf.extra
-        |    THEN 1 ELSE 0 END AS quota
+        |    THEN 1 ELSE 0 END, n) AS quota
         |  FROM qd CROSS JOIN lf),
         |m AS (
         |  SELECT source, doc_id,
@@ -4689,32 +4710,80 @@ object SparkEntry {
         |  ${TextOps.roundAtSql(
              "CAST(sum(n_hits) AS DOUBLE) / greatest(sum(n_grams), 1)", 6)} AS gram_rate
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
-    // q195: toFeatures replayed with struct_pack/list — field order
-    // matches the Spark struct construction exactly (dict-key order
-    // is part of the compare); 'undefined' coalescing, the v0 guard
-    // and the [lon, lat] coordinates array are the O5–O7 semantics
+    // q195: toFeatures replayed with struct_pack/list, then flattened
+    // to the gate's scalar shape (featuresFlat) — 'undefined'
+    // coalescing, the v0 guard and the [lon, lat] coordinates array
+    // are the O5–O7 semantics; lon/lat are untouched doubles on both
+    // engines so the bits come straight from the fixture parquet
     "q195_hydro_features" ->
       s"""$hydroFeaturesCte
-        |SELECT type, geometry, properties FROM feat""".stripMargin,
+        |SELECT type, geometry.type AS geom_type,
+        |  geometry.coordinates[1] AS lon, geometry.coordinates[2] AS lat,
+        |  properties.record AS record, properties.id AS id,
+        |  properties.site AS site, properties.srs AS srs,
+        |  properties.siteCode AS siteCode,
+        |  properties.variables[1].variableCode AS var_code,
+        |  properties.variables[1].variableUnit AS var_unit,
+        |  properties.variables[1].noDataValue AS var_nodata,
+        |  properties.variables[1]."value" AS var_value,
+        |  properties.variables[1]."timeStamp" AS var_ts
+        |FROM feat""".stripMargin,
     // q196: the O11 merge — min_by over the (id, value, timeStamp)
     // ordering-key HEAD (the engine's xxhash64 metadata tail has no
     // DuckDB twin; HydroFixture asserts the head is tie-free at
     // generation time, making head-only ordering winner-equivalent),
-    // per-branch winners via FILTER, one group per siteCode
+    // per-branch winners via FILTER, one group per siteCode, flattened
+    // to the gate's scalar shape (mergedFlat)
     "q196_hydro_merged" ->
       s"""$hydroFeaturesCte,
         |$hydroMergedCte
-        |SELECT geometry, properties FROM merged""".stripMargin,
-    // q197: the O13 collect-to-one — features listed in siteCode
-    // order inside one FeatureCollection row
+        |SELECT siteCode, geometry.type AS geom_type,
+        |  geometry.coordinates[1] AS lon, geometry.coordinates[2] AS lat,
+        |  properties.record AS record, properties.site AS site,
+        |  properties.srs AS srs,
+        |  properties.streamFlow.variableCode AS sf_code,
+        |  properties.streamFlow.variableUnit AS sf_unit,
+        |  properties.streamFlow.noDataValue AS sf_nodata,
+        |  properties.streamFlow."value" AS sf_value,
+        |  properties.streamFlow."timeStamp" AS sf_ts,
+        |  properties.gageHeight.variableCode AS gh_code,
+        |  properties.gageHeight.variableUnit AS gh_unit,
+        |  properties.gageHeight.noDataValue AS gh_nodata,
+        |  properties.gageHeight."value" AS gh_value,
+        |  properties.gageHeight."timeStamp" AS gh_ts
+        |FROM merged""".stripMargin,
+    // q197: the O13 collect-to-one, rendered as the gate's canonical
+    // pair (collectionCanonical): feature count + one SOH/STX/ETX-
+    // delimited string in siteCode order — coordinates as fixed-point
+    // micro-degrees through BIGINT so double→string rendering never
+    // enters the hash (the r17 hash-mismatch root cause)
     "q197_hydro_collection" ->
       s"""$hydroFeaturesCte,
-        |$hydroMergedCte
-        |SELECT list(struct_pack(type := 'Feature',
-        |         properties := properties, geometry := geometry)
-        |       ORDER BY properties.siteCode) AS data
-        |FROM merged
-        |WHERE geometry IS NOT NULL AND properties IS NOT NULL""".stripMargin,
+        |$hydroMergedCte,
+        |fs AS (
+        |  SELECT properties.siteCode AS sc,
+        |    concat_ws(chr(1), 'Feature', properties.siteCode,
+        |      geometry.type,
+        |      coalesce(CAST(CAST(floor(geometry.coordinates[1] * 1000000 + 0.5) AS BIGINT) AS VARCHAR), chr(2)),
+        |      coalesce(CAST(CAST(floor(geometry.coordinates[2] * 1000000 + 0.5) AS BIGINT) AS VARCHAR), chr(2)),
+        |      coalesce(properties.record, chr(2)),
+        |      coalesce(properties.site, chr(2)),
+        |      coalesce(properties.srs, chr(2)),
+        |      coalesce(properties.streamFlow.variableCode, chr(2)),
+        |      coalesce(properties.streamFlow.variableUnit, chr(2)),
+        |      coalesce(properties.streamFlow.noDataValue, chr(2)),
+        |      coalesce(properties.streamFlow."value", chr(2)),
+        |      coalesce(properties.streamFlow."timeStamp", chr(2)),
+        |      coalesce(properties.gageHeight.variableCode, chr(2)),
+        |      coalesce(properties.gageHeight.variableUnit, chr(2)),
+        |      coalesce(properties.gageHeight.noDataValue, chr(2)),
+        |      coalesce(properties.gageHeight."value", chr(2)),
+        |      coalesce(properties.gageHeight."timeStamp", chr(2))) AS fstr
+        |  FROM merged
+        |  WHERE geometry IS NOT NULL AND properties IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_features,
+        |  coalesce(string_agg(fstr, chr(3) ORDER BY sc), '') AS features
+        |FROM fs""".stripMargin,
     "q89_dup_spans" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -1035,8 +1035,11 @@ object CurationOps {
     * apportionment (Hamilton's method) — allocate a fixed sample
     * budget across sources exactly proportionally: base_i =
     * ⌊B·n_i/N⌋, then the B − Σbase leftover seats go to the largest
-    * remainders (tie → source asc), so Σquota = B EXACTLY and every
-    * source is within one doc of its ideal share. The floor-and-
+    * remainders (tie → source asc), so for B ≤ N Σquota = B EXACTLY
+    * and every source is within one doc of its ideal share; for
+    * B > N quotas clamp to each source's population and the sample
+    * degrades (announced by the quota column itself) to the whole
+    * corpus, Σquota = N. The floor-and-
     * redistribute step is what q82's per-stratum hash gate and q94's
     * expectation-only mixture can't give: those hit quotas only in
     * expectation, this hits the budget to the row — the contract an
@@ -1068,7 +1071,15 @@ object CurationOps {
     val quota = qd.crossJoin(broadcast(lf))
       .withColumn("rk", row_number().over(seats).cast("long"))
       .select(col("source"), col("n").as("n_docs"),
-        (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L)).as("quota"))
+        // clamp to the source's population: for budget < N Hamilton
+        // never exceeds n_i (base < n_i and the seat adds ≤ 1), so the
+        // clamp is inert and Σquota = B exactly; for budget ≥ N every
+        // quota clamps to n_i and the sample IS the corpus (Σ = N) —
+        // without the clamp the rn ≤ quota filter would truncate
+        // silently and the emitted quota column would overstate the
+        // actual sample (ADVICE r17)
+        least(col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L),
+          col("n")).as("quota"))
     val members = Window.partitionBy(col("source"))
       .orderBy(col("hk"), col("doc_id"))
     docs

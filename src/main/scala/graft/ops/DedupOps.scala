@@ -222,8 +222,10 @@ object DedupOps {
     * length prefilter den·min(na,nb) ≥ num·max(na,nb) (J ≥ τ forces
     * it), so no engine's decimal-vs-double ceil can disagree; the
     * ordering key (df, shingle string) is exact on both engines; the
-    * final Jaccard is the q25 rounded-at-4 convention with the keep
-    * decision on the rounded value.
+    * keep decision is the exact integer inter·den ≥ union·num (a
+    * rounded keep would admit true J ∈ [τ−5e-5, τ) pairs the prefix
+    * guarantee does not cover — ADVICE r17); the emitted jaccard is
+    * the q25 rounded-at-4 convention, display-only.
     *
     * Scale: one shingle pass (the codegen'd [[shingleRows]] chain),
     * one df aggregation (vocab-sized, map-side partials), one per-doc
@@ -268,11 +270,19 @@ object DedupOps {
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
     val inter = size(array_intersect(col("sha"), col("shb")))
+    val union = size(col("sha")) + size(col("shb")) - inter
     joined
+      // keep decision on the EXACT rational J >= num/den via integer
+      // cross-multiplication — NOT on the rounded display value: a
+      // pair with true J in [tau - 5e-5, tau) rounds up to tau but is
+      // not guaranteed to collide inside both prefixes, so a rounded
+      // keep would make the recall guarantee silently approximate at
+      // the boundary (ADVICE r17). Integer compare ⇒ the guarantee is
+      // exact for precisely the pairs this filter emits; the rounded
+      // jaccard column is display-only.
+      .filter(inter * lit(den.toLong) >= union * lit(num.toLong))
       .select(col("doc_a"), col("doc_b"),
-        round(inter.cast("double") /
-          (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+        round(inter.cast("double") / union, 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

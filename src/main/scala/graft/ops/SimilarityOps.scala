@@ -1475,6 +1475,21 @@ object SimilarityOps {
       .orderBy(col("cluster"))
   }
 
+  /** q210 gate shape: [[kmeansRefresh]] with the centroid array
+    * exploded to one (cluster, n_members, dim, c_v) row per dimension
+    * — the q150 flatten convention, because the driver's oracle
+    * compare sorts rows by every column and an array<double> cell is
+    * unsortable there (CORRECTNESS_r17 recorded q210 as `err`).
+    * Same state, same floor-form rounding; shape only. */
+  def kmeansRefreshRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    kmeansRefresh(spark, dir).as[(Long, Long, Seq[Double])]
+      .flatMap { case (cl, n, c) =>
+        c.iterator.zipWithIndex.map { case (v, i) => (cl, n, i.toLong, v) }
+      }.toDF("cluster", "n_members", "dim", "c_v")
+      .orderBy(col("cluster"), col("dim"))
+  }
+
   /** q184: IVF with a LEARNED codebook, end to end — q169's Lloyd
     * training produces the coarse centroids, every vector is assigned
     * to its nearest learned centroid (the inverted lists), the query

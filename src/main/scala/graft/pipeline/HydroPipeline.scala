@@ -330,6 +330,100 @@ object HydroPipeline {
         ))).as("sorted"))
       .select(transform(col("sorted"), e => e.getField("f")).as("data"))
 
+  // ---------------------------------------------------------------
+  // Driver-gate projections (round 18). The driver's oracle compare
+  // sorts result rows by every column in pandas; nested struct/array
+  // columns arrive as dict/ndarray cells and the sort throws
+  // (unhashable type) — CORRECTNESS_r17 recorded q195/q196 as `err`
+  // and q197's 1-row list<struct> cell as a rendering-dependent hash
+  // mismatch. These projections re-express the SAME operator outputs
+  // as scalar columns (the q116/q150 flatten convention) so the
+  // flagship sits under the real gate. They change the gate-facing
+  // SHAPE only — toFeatures/mergeSites/toFeatureCollection and every
+  // consumer of the nested shapes are untouched.
+  // ---------------------------------------------------------------
+
+  /** [[toFeatures]] output with every nested field as a scalar column.
+    * lon/lat pass through as raw doubles (no arithmetic on either
+    * engine, so the bits match the fixture parquet exactly). */
+  def featuresFlat(features: DataFrame): DataFrame = {
+    val v = col("properties.variables").getItem(0)
+    features.select(
+      col("type"),
+      col("geometry.type").as("geom_type"),
+      col("geometry.coordinates").getItem(0).as("lon"),
+      col("geometry.coordinates").getItem(1).as("lat"),
+      col("properties.record").as("record"),
+      col("properties.id").as("id"),
+      col("properties.site").as("site"),
+      col("properties.srs").as("srs"),
+      col("properties.siteCode").as("siteCode"),
+      v.getField("variableCode").as("var_code"),
+      v.getField("variableUnit").as("var_unit"),
+      v.getField("noDataValue").as("var_nodata"),
+      v.getField("value").as("var_value"),
+      v.getField("timeStamp").as("var_ts"))
+  }
+
+  /** [[mergeSites]] output with both variable branches flattened to
+    * scalar columns (sf_* = streamFlow, gh_* = gageHeight). */
+  def mergedFlat(merged: DataFrame): DataFrame = {
+    def branch(name: String, pfx: String): Seq[Column] = {
+      val b = col(s"properties.$name")
+      Seq(
+        b.getField("variableCode").as(s"${pfx}_code"),
+        b.getField("variableUnit").as(s"${pfx}_unit"),
+        b.getField("noDataValue").as(s"${pfx}_nodata"),
+        b.getField("value").as(s"${pfx}_value"),
+        b.getField("timeStamp").as(s"${pfx}_ts"))
+    }
+    merged.select(
+      Seq(
+        col("properties.siteCode").as("siteCode"),
+        col("geometry.type").as("geom_type"),
+        col("geometry.coordinates").getItem(0).as("lon"),
+        col("geometry.coordinates").getItem(1).as("lat"),
+        col("properties.record").as("record"),
+        col("properties.site").as("site"),
+        col("properties.srs").as("srs")) ++
+        branch("streamFlow", "sf") ++ branch("gageHeight", "gh"): _*)
+  }
+
+  /** [[toFeatureCollection]] output rendered as TWO scalar columns:
+    * the feature count and one canonical string — each feature's
+    * fields SOH(\\u0001)-joined (nulls → STX \\u0002 so positions stay aligned;
+    * concat_ws drops nulls), features ETX(\\u0003)-joined IN THE LIST'S OWN
+    * ORDER, so the collect-to-one ordering contract is part of the
+    * hash. Coordinates are fixed-point micro-degrees
+    * (floor(x·1e6 + 0.5), the repo's floor-form rounding) cast
+    * through BIGINT — both engines run the identical double
+    * arithmetic, and BIGINT→string rendering is engine-independent
+    * (double→string is not). */
+  def collectionCanonical(collection: DataFrame): DataFrame = {
+    def s(c: Column): Column = coalesce(c, lit("\u0002"))
+    def e6(c: Column): Column =
+      s(floor(c * 1000000.0d + 0.5d).cast("bigint").cast("string"))
+    def featStr(f: Column): Column = {
+      val p = f.getField("properties")
+      val g = f.getField("geometry")
+      def b(name: String): Seq[Column] = {
+        val v = p.getField(name)
+        Seq("variableCode", "variableUnit", "noDataValue", "value", "timeStamp")
+          .map(fld => s(v.getField(fld)))
+      }
+      concat_ws("\u0001",
+        Seq(s(f.getField("type")), s(p.getField("siteCode")),
+          s(g.getField("type")),
+          e6(g.getField("coordinates").getItem(0)),
+          e6(g.getField("coordinates").getItem(1)),
+          s(p.getField("record")), s(p.getField("site")),
+          s(p.getField("srs"))) ++ b("streamFlow") ++ b("gageHeight"): _*)
+    }
+    collection.select(
+      size(col("data")).cast("bigint").as("n_features"),
+      array_join(transform(col("data"), f => featStr(f)), "\u0003").as("features"))
+  }
+
   /** Scale path replacing O13's driver-side buffer: features as
     * distributed JSON lines (+ the enclosing FeatureCollection frame
     * is a trivial concat at read time). No single-point memory

@@ -23,17 +23,18 @@ class PrefixJoinSpec extends AnyFunSuite {
   private lazy val prefix = DedupOps.prefixJoinNearDup(spark, sf).cache()
 
   test("recall is exact: equals brute-force all-pairs tau-Jaccard") {
-    // brute force: every doc pair, same shingle sets, same rounded keep
+    // brute force: every doc pair, same shingle sets, same exact keep
     val sets = Tables.documents(spark, sf)
       .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
     val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     val inter = size(array_intersect(col("sha"), col("shb")))
+    // exact integer keep (inter*5 >= union*3), mirroring the operator:
+    // the rounded display value is NOT the keep decision (ADVICE r17)
     val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(inter.cast("double") /
-          (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(inter * lit(5L) >=
+        (size(col("sha")) + size(col("shb")) - inter) * lit(3L))
+      .select(col("doc_a"), col("doc_b"))
     assert(pairSet(prefix) == pairSet(brute))
   }
 
@@ -93,10 +94,9 @@ class PrefixJoinSpec extends AnyFunSuite {
       val brute = sets.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
         .crossJoin(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          round(inter.cast("double") /
-            (size(col("sha")) + size(col("shb")) - inter), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
+        .filter(inter * lit(5L) >=
+          (size(col("sha")) + size(col("shb")) - inter) * lit(3L))
+        .select(col("doc_a"), col("doc_b"))
       assert(pairSet(DedupOps.prefixJoinNearDup(spark, dir)) == pairSet(brute),
         s"trial $trial: prefix join diverged from brute force")
     }

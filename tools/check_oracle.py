@@ -18,7 +18,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+class NestedColumnError(TypeError):
+    """A result column carries struct/array cells the DRIVER's compare
+    cannot sort (pandas lexsort throws `unhashable type: 'dict'` /
+    'numpy.ndarray'). Round 17 shipped q195/q196/q210 green locally
+    because this checker stringified those cells — a gate laxer than
+    the driver's. Now they fail loudly in-repo: flatten the output or
+    serialize it to one string column ON BOTH ENGINES instead."""
+
+
+def _reject_nested(df: pd.DataFrame, side: str) -> None:
+    import numpy as np
+    nested = (dict, list, tuple, set, np.ndarray)
+    for c in df.columns:
+        if df[c].dtype == object and \
+                df[c].dropna().map(lambda v: isinstance(v, nested)).any():
+            raise NestedColumnError(
+                f"{side} column {c!r} holds struct/array cells — not "
+                "driver-checkable; flatten or canonical-string it on both engines")
+
+
+def canon(df: pd.DataFrame, side: str = "result") -> pd.DataFrame:
+    _reject_nested(df, side)
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize timestamp resolutions (ns vs us) to us
     for c in df.columns:
@@ -54,7 +75,7 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
             exp = con.sql(sql).df()
             got = con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
-            exp, got = canon(exp), canon(got)
+            exp, got = canon(exp, "oracle"), canon(got, "spark")
             if list(exp.columns) != list(got.columns):
                 print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
                 n_fail += 1
