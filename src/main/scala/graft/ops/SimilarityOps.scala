@@ -1724,19 +1724,30 @@ object SimilarityOps {
     // k-row centroid dimension table (broadcast) for the cos_c join
     val centRows = cents.map { case (cl, c) => (cl, c.toSeq) }
       .toDF("clabel", "cent")
+    // ONE materialization of the assign+cosine chain: withC feeds both
+    // self-join legs AND the final labeling join — uncheckpointed, the
+    // whole broadcast-assign + centroid-cosine chain re-evaluated per
+    // consumer (3×, measured ~2.4 s of q162's bench cost). LAZY so the
+    // pairs job below is what materializes it.
     val withC = lloydAssign(spark, e.select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"), col("embedding"), col("cluster").as("clabel"))
       .join(broadcast(centRows), Seq("clabel"))
       .select(col("vec_id"), col("clabel"), col("embedding"),
         round(cosToCent(col("embedding"), col("cent")), 4).as("cos_c"))
+      .localCheckpoint(false)
     val pairs = withC.select(col("clabel"), col("vec_id").as("doc_a"),
         col("embedding").as("ea"))
       .join(withC.select(col("clabel"), col("vec_id").as("doc_b"),
         col("embedding").as("eb")), Seq("clabel"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(round(cosineSimilarity(col("ea"), col("eb")), 4) >= threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val cc = DedupOps.connectedComponents(pairs)
+      .select(col("clabel").as("grp"), col("doc_a"), col("doc_b"))
+    // pairs are generated WITHIN clusters only, so components cannot
+    // span clusters — the containment [[DedupOps.boundedComponents]]
+    // needs to replace the O(diameter)-job global loop with one
+    // union-find shuffle (same min-id labeling; the global loop cost
+    // 3-5 s of per-round job latency on this chain at bench scale).
+    val cc = DedupOps.boundedComponents(pairs)
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("cos_c").asc, col("vec_id").asc)
     withC.join(cc, withC("vec_id") === cc("id"), "left")

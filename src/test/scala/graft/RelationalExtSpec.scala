@@ -155,6 +155,35 @@ class RelationalExtSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bounded components match the global loop on random grouped graphs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // boundedComponents' contract: edges are CONTAINED within grp, so
+    // per-group union-find must equal the global min-label loop run on
+    // the same (group-disjoint) edge set — including deep chains that
+    // would cost the loop one job per hop.
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { trial =>
+      val edges = (0 until 4).flatMap { g =>
+        val base = g * 1000L
+        val n = 5 + rnd.nextInt(25)
+        Seq.fill(n)((base + rnd.nextInt(30), base + rnd.nextInt(30)))
+          .filter { case (a, b) => a != b }
+          .map { case (a, b) => (g.toLong, math.min(a, b), math.max(a, b)) }
+          .distinct
+      } ++
+        // one deep chain group: diameter 15, the loop's worst shape
+        (0L until 15L).map(i => (9L, 9000L + i, 9001L + i))
+      val df = edges.toDF("grp", "doc_a", "doc_b")
+      val global = DedupOps.connectedComponents(
+          df.select(col("doc_a"), col("doc_b")), maxRounds = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bounded = DedupOps.boundedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bounded == global, s"trial $trial: bounded and global labelings diverge")
+    }
+  }
+
   test("connected components fail loudly when the round cap is hit") {
     val spark2 = spark
     import spark2.implicits._
