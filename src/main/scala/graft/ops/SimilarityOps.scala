@@ -720,8 +720,8 @@ object SimilarityOps {
     * ranks break ties on vec_id. The oracle replays every stage —
     * per-subspace Lloyd rounds included — as unrolled CTEs.
     *
-    * Scale: m driver-side training loops each collect only k×(d/m)
-    * model state per round; encode+ADC is ONE corpus pass against a
+    * Scale: ONE grouped training loop collects m×k×(d/m) model state
+    * per round (one corpus pass per round, not m); encode+ADC is ONE corpus pass against a
     * broadcast (m·k)-row codebook literal ending in a bounded
     * partial top-`shortlist` (TakeOrderedAndProject); the exact
     * rerank touches `shortlist` rows. The corpus is never shuffled
@@ -734,13 +734,18 @@ object SimilarityOps {
     val dim = e.select(size(col("embedding"))).head.getInt(0) // 1-row probe
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val cbs: Seq[(Long, Long, Seq[Double])] = (0 until m).flatMap { s =>
-      val subDf = e.select(col("vec_id"),
-        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
-      lloydCentroids(spark, subDf, k, iters)
-        .sortBy(_._1)
-        .map { case (cl, c) => (s.toLong, cl, c.toSeq) }
-    }
+    // all m subspace codebooks in ONE grouped training loop (one
+    // corpus pass per round, one plan shape — not m slice-literal
+    // variants); identical per-subspace seeds/argmin/update arithmetic
+    val eSub = e.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * sub + 1, sub)): _*)))
+      .select(col("pos").cast("long").as("g"), col("vec_id"),
+        col("col").as("embedding"))
+    val cbs: Seq[(Long, Long, Seq[Double])] =
+      lloydCentroidsGrouped(spark, eSub, k, iters, sub)
+        .sortBy(t => (t._1, t._2))
+        .map { case (g, cl, c) => (g, cl, c.toSeq) }
     val cbDf = Seq(Tuple1(cbs)).toDF("cbs")
     val q = e.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
     def subSlice(v: Column, s: Int) = slice(v, s * sub + 1, sub)
@@ -1331,6 +1336,68 @@ object SimilarityOps {
         lloydBest.getField("cl").as("cluster"), lloydBest.getField("d2").as("d2"))
   }
 
+  /** GROUPED nearest-centroid assignment: like [[lloydAssign]], but
+    * the input carries a group column `g` and the broadcast model is
+    * the flat (g, cl, centroid) list of EVERY group's codebook — each
+    * row folds only its own group's cl-ascending slice (the same
+    * filter-then-fold shape q234's ADC serve uses). One corpus pass
+    * assigns against all m codebooks at once. */
+  private def groupedAssign(spark: SparkSession, e: DataFrame,
+                            cents: Seq[(Long, Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    val centsDf = Seq(Tuple1(
+      cents.sortBy(t => (t._1, t._2))
+        .map { case (g, cl, c) => (g, cl, c.toSeq) })).toDF("all_cents")
+    val mine = filter(col("all_cents"), t => t.getField("_1") === col("g"))
+    val d2 = (c: Column) => aggregate(
+      zip_with(col("embedding"), c, (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
+      lit(0.0d), (acc, v) => acc + v)
+    val scored = transform(mine, s =>
+      struct(d2(s.getField("_3")).as("d2"), s.getField("_2").as("cl")))
+    val best = aggregate(scored,
+      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl")),
+      (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
+    e.crossJoin(broadcast(centsDf))
+      .select(col("g"), col("vec_id"), col("embedding"),
+        best.getField("cl").as("cluster"))
+  }
+
+  /** GROUPED Lloyd: train k centroids per GROUP in one loop — the m
+    * subspace codebooks of a product quantizer in ONE corpus pass per
+    * round instead of m sequential [[lloydCentroids]] loops (m plans,
+    * m× the scan I/O, m× the scheduler latency; at 100 TB the
+    * difference between reading the residual table once or m times
+    * per round). Input rows (g, vec_id, embedding); seeds, argmin
+    * tie-break and update arithmetic are [[lloydCentroids]]'s exactly,
+    * applied per group — per-(g, cl) per-dim sums are the same
+    * order-independent values, so the trained model is identical and
+    * the unrolled per-subspace oracle CTEs keep matching. Collects
+    * only (Σ groups)×k model-state rows per round. */
+  private[ops] def lloydCentroidsGrouped(spark: SparkSession, e: DataFrame,
+                                         k: Int, iters: Int,
+                                         dim: Int): Seq[(Long, Long, Array[Double])] = {
+    var cents: Seq[(Long, Long, Array[Double])] =
+      e.filter(col("vec_id") < k).orderBy(col("g"), col("vec_id"))
+        .select(col("g"), col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          r.getSeq[Any](2).map(_.asInstanceOf[Number].doubleValue).toArray)).toSeq
+    for (_ <- 1 until iters) {
+      val sums = groupedAssign(spark, e, cents)
+        .groupBy(col("g"), col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i")): _*)
+        .orderBy(col("g"), col("cluster"))
+        .collect() // (Σ groups)×k rows of model state
+      cents = sums.map { r =>
+        val n = r.getLong(2).toDouble
+        (r.getLong(0), r.getLong(1),
+          Array.tabulate(dim)(i => r.getDouble(i + 3) / n))
+      }.toSeq
+    }
+    cents
+  }
+
   /** The (d2, cl) argmin fold over a `cents` array column — shared by
     * assignment and the q184 probe-selection (which sorts the same
     * scored array instead of folding it). */
@@ -1584,13 +1651,18 @@ object SimilarityOps {
         zip_with(col("embedding"), centOfCluster(col("cents"), col("cluster")),
           (x, c) => x.cast("double") - c).as("embedding"))
       .localCheckpoint(false)
-    val pq: Seq[(Long, Long, Seq[Double])] = (0 until m).flatMap { s =>
-      lloydCentroids(spark,
-        res.select(col("vec_id"),
-          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
-        kPq, pqIters)
-        .sortBy(_._1).map { case (cl, c) => (s.toLong, cl, c.toSeq) }
-    }
+    // all m subspace codebooks in ONE grouped training loop: the
+    // residual table is read once per round (not m times), and one
+    // plan/codegen shape replaces m slice-literal variants
+    val resSub = res.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * sub + 1, sub)): _*)))
+      .select(col("pos").cast("long").as("g"), col("vec_id"),
+        col("col").as("embedding"))
+    val pq: Seq[(Long, Long, Seq[Double])] =
+      lloydCentroidsGrouped(spark, resSub, kPq, pqIters, sub)
+        .sortBy(t => (t._1, t._2))
+        .map { case (g, cl, c) => (g, cl, c.toSeq) }
     val pqDf = Seq(Tuple1(pq)).toDF("cbs")
     val probes = e.filter(col("vec_id") === queryId)
       .crossJoin(broadcast(coarseDf))

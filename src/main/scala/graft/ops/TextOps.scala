@@ -1864,8 +1864,25 @@ object TextOps {
     * `merges` rounds (cannot happen at any real corpus size). */
   def bpeLearnState(spark: SparkSession, docs: DataFrame,
                     merges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (learned, snaps) = bpeLearnSnapshots(spark, docs, Seq(merges))
+    (learned, snaps(merges))
+  }
+
+  /** One training loop to max(budgets), SNAPSHOTTING the segmentation
+    * state at each requested budget: BPE's greedy merge sequence is
+    * prefix-stable — the first b merges of a larger-budget run ARE
+    * the b-budget run (the argmax at round i depends only on rounds
+    * 1..i−1) — so a merge-budget ablation costs ONE loop, not one
+    * loop per budget. Each snapshot is the round's own lazily-
+    * checkpointed state (vocabulary-sized blocks, bounded). */
+  def bpeLearnSnapshots(spark: SparkSession, docs: DataFrame,
+                        budgets: Seq[Int]): (Seq[(Int, String, String, Long)], Map[Int, DataFrame]) = {
+    val want = budgets.distinct.sorted
+    require(want.nonEmpty && want.head >= 1, s"bad merge budgets: $budgets")
+    val merges = want.last
     var state = bpeInitState(docs).localCheckpoint(false)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
     for (i <- 1 to merges) {
       val top = bpePairCounts(state)
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
@@ -1877,8 +1894,9 @@ object TextOps {
       state = state
         .withColumn("syms", bpeApplyMerge(col("syms"), l, r))
         .localCheckpoint(false)
+      if (want.contains(i)) snaps(i) = state
     }
-    (learned.toSeq, state)
+    (learned.toSeq, snaps.toMap)
   }
 
   /** q159 — BPE merge-table induction over the documents corpus: the
@@ -1983,17 +2001,32 @@ object TextOps {
     * next is the marginal compression each extra merge buys PER
     * SOURCE, and a source whose fertility barely improves with budget
     * is one whose text the merge table wasn't learned on — the
-    * audit run before committing a vocab size. Cost is two training
-    * loops (each the q159 shape: corpus touched once, then
-    * vocabulary-sized rounds); the corpus word rollup is shared per
-    * leg. */
+    * audit run before committing a vocab size. Cost is ONE training
+    * loop to max(budgets) with per-budget snapshots
+    * ([[bpeLearnSnapshots]] — BPE's merge sequence is prefix-stable,
+    * so the smaller budget's dictionary falls out of the larger run
+    * for free), and the corpus word×source rollup is materialized
+    * once and shared across the legs. */
   def bpeFertilityAblation(spark: SparkSession, dir: String,
-                           budgets: Seq[Int] = Seq(8, 16)): DataFrame =
-    budgets.map(b => bpeFertility(spark, dir, b)
+                           budgets: Seq[Int] = Seq(8, 16)): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, snaps) = bpeLearnSnapshots(spark, docs, budgets)
+    val wordSrc = wordRowsOf(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint(false)
+    budgets.map { b =>
+      wordSrc
+        .join(snaps(b).select(col("word"),
+          size(col("syms")).cast("bigint").as("n_syms")), Seq("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_tokens"))
         .select(lit(b.toLong).as("merges"), col("source"),
-          col("n_words"), col("n_tokens"), col("fertility")))
+          col("n_words"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("n_words"), 4).as("fertility"))
+    }
       .reduce(_ unionByName _)
       .orderBy(col("merges"), col("source"))
+  }
 
   def bpeFertility(spark: SparkSession, dir: String, merges: Int = 16): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -150,6 +150,23 @@ class BpeSpec extends AnyFunSuite {
       s"BPE learning ran ${jobs.get} scheduler jobs for $merges rounds")
   }
 
+  test("prefix stability: the 16-budget run's snapshot at 8 IS the fresh 8-budget run") {
+    // the ablation's one-loop optimization rests on this: the argmax
+    // at round i depends only on rounds 1..i-1, so snapshotting a
+    // larger run at budget b must reproduce the b-budget training
+    // exactly - merges, counts, and the full dictionary segmentation
+    val spark = TestSpark.spark
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val (learned8, seg8) = graft.ops.TextOps.bpeLearnState(spark, docs, 8)
+    val (learned16, snaps) = graft.ops.TextOps.bpeLearnSnapshots(spark, docs, Seq(8, 16))
+    assert(learned16.take(8) == learned8, "merge sequences diverge in the shared prefix")
+    val fresh = seg8.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val snap = snaps(8).select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(snap == fresh, "snapshot-at-8 segmentation differs from the fresh 8-run")
+  }
+
   test("q235 ablation: fertility is monotone non-increasing in the merge budget") {
     // every extra merge can only shorten segmentations (a merge
     // replaces pairs, never splits), so per source the 16-merge
