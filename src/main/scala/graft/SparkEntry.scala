@@ -4597,8 +4597,12 @@ object SparkEntry {
         |        FROM documents) w),
         |dg AS (SELECT doc_id, md5(s) AS m FROM (SELECT doc_id, unnest(sh) AS s FROM docs) t),
         |idf AS (
+        |  -- one mirrored ln per gram, rounded to a 1e-6 fixed-point
+        |  -- BIGINT: per-pair sums become exact integers, so no float
+        |  -- fold order needs pinning on either engine
         |  SELECT m,
-        |    ln(CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE) / (count(*) + 1)) + 1.0 AS idf
+        |    CAST(floor((ln(CAST((SELECT count(*) FROM documents) + 1 AS DOUBLE) / (count(*) + 1)) + 1.0)
+        |      * 1000000 + 0.5) AS BIGINT) AS idf_fp
         |  FROM dg GROUP BY m),
         |keyed AS (SELECT doc_id, min(m) AS minsh, list(m) AS sh FROM dg GROUP BY doc_id),
         |pairs AS (
@@ -4609,16 +4613,18 @@ object SparkEntry {
         |  FROM pairs),
         |flg AS (
         |  SELECT e.doc_a, e.doc_b, e.m,
-        |    list_contains(e.sha, e.m) AS in_a, list_contains(e.shb, e.m) AS in_b, i.idf
+        |    list_contains(e.sha, e.m) AS in_a, list_contains(e.shb, e.m) AS in_b, i.idf_fp
         |  FROM ex e JOIN idf i ON i.m = e.m),
         |per AS (
         |  SELECT doc_a, doc_b,
-        |    list_sum(list(CASE WHEN in_a AND in_b THEN idf ELSE 0.0 END ORDER BY m)) AS wi,
-        |    list_sum(list(CASE WHEN in_a THEN idf ELSE 0.0 END ORDER BY m)) AS wa,
-        |    list_sum(list(CASE WHEN in_b THEN idf ELSE 0.0 END ORDER BY m)) AS wb
+        |    CAST(sum(CASE WHEN in_a AND in_b THEN idf_fp ELSE 0 END) AS BIGINT) AS wi,
+        |    CAST(sum(CASE WHEN in_a THEN idf_fp ELSE 0 END) AS BIGINT) AS wa,
+        |    CAST(sum(CASE WHEN in_b THEN idf_fp ELSE 0 END) AS BIGINT) AS wb
         |  FROM flg GROUP BY doc_a, doc_b)
-        |SELECT doc_a, doc_b, round(wi / least(wa, wb), 4) AS w_containment
-        |FROM per WHERE round(wi / least(wa, wb), 4) >= 0.6""".stripMargin,
+        |SELECT doc_a, doc_b,
+        |  floor(CAST(wi AS DOUBLE) / least(wa, wb) * 10000 + 0.5) / 10000 AS w_containment
+        |FROM per
+        |WHERE floor(CAST(wi AS DOUBLE) / least(wa, wb) * 10000 + 0.5) / 10000 >= 0.6""".stripMargin,
     "q40_neardup_emb_lsh" -> {
       def sign(p: Int) =
         s"(CASE WHEN substr(md5('${p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END)"

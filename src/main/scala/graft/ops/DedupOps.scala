@@ -65,6 +65,10 @@ object DedupOps {
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     shingleRowsOf(Tables.documents(spark, dir))
 
+  // temporary scratch-profiler access; remove with Scratch.scala
+  private[ops] def scratchShingleRows(spark: SparkSession, dir: String): DataFrame =
+    shingleRows(spark, dir)
+
   private def shingleRowsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = TextNorm.words(col("text"))
@@ -395,18 +399,21 @@ object DedupOps {
     * contain the same article".
     *
     * Cross-engine exactness: the blocking and pair population are
-    * q25's (min-md5 shingle); every per-pair weighted sum folds over
-    * the pair's gram terms in md5-KEY ORDER (array_sort ↔ list(…
-    * ORDER BY m) — grams are keyed by their md5 on BOTH engines here,
-    * not xxhash, precisely so the float fold order is shared); idf is
-    * one mirrored ln per distinct gram. Score rounded at 4, keep
-    * decision on the rounded value.
+    * q25's (min-md5 shingle); each gram's idf is ONE mirrored ln,
+    * immediately rounded to a 1e-6 FIXED-POINT LONG (the q210/q232
+    * floor-form convention) — so every per-pair weighted sum is an
+    * exact integer sum, order-independent by construction, and no
+    * float fold order needs pinning at all (this replaced the
+    * md5-key-ordered collect_list+array_sort float folds, which cost
+    * ~3.5 s of interpreted per-pair HOF work at bench sf). The score
+    * is one integer-ratio division rounded at 4; the keep decision
+    * sits on the rounded value over exact-integer inputs.
     *
     * Scale: candidates from the one-shuffle blocked build (pairs ≪
     * corpus); the verify explodes each pair to its gram union and
-    * joins the vocabulary-sized idf dim on the gram key — pair-bounded
-    * work, the q116 inverted-index join shape, no all-pairs
-    * anywhere. */
+    * joins the vocabulary-sized idf dim on the gram key, then ONE
+    * codegen'd hash aggregation per pair — pair-bounded work, the
+    * q116 inverted-index join shape, no all-pairs anywhere. */
   def nearDupWeighted(spark: SparkSession, dir: String,
                       threshold: Double = 0.6): DataFrame = {
     // dg feeds BOTH the idf dim and the blocked pair build; a lazy
@@ -423,7 +430,8 @@ object DedupOps {
     val idf = dg.groupBy(col("m")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("m"),
-        (log((col("n_docs") + 1L).cast("double") / (col("df") + 1L)) + 1.0d).as("idf"))
+        floor((log((col("n_docs") + 1L).cast("double") / (col("df") + 1L)) + 1.0d)
+          * 1e6 + 0.5d).cast("long").as("idf_fp"))
     val keyed = dg.groupBy(col("doc_id"))
       .agg(min(col("m")).as("minsh"), collect_set(col("m")).as("sh"))
       .groupBy(col("minsh"))
@@ -436,17 +444,14 @@ object DedupOps {
         array_contains(col("sha"), col("m")).as("in_a"),
         array_contains(col("shb"), col("m")).as("in_b"))
       .join(idf, Seq("m"))
-    def fsum(arr: Column, pred: Column => Column): Column = aggregate(
-      arr, lit(0.0d),
-      (acc, t) => acc + when(pred(t), t.getField("idf")).otherwise(lit(0.0d)))
     exploded.groupBy(col("doc_a"), col("doc_b"))
-      .agg(array_sort(collect_list(
-        struct(col("m"), col("idf"), col("in_a"), col("in_b")))).as("ts"))
+      .agg(
+        sum(when(col("in_a") && col("in_b"), col("idf_fp")).otherwise(0L)).as("wi"),
+        sum(when(col("in_a"), col("idf_fp")).otherwise(0L)).as("wa"),
+        sum(when(col("in_b"), col("idf_fp")).otherwise(0L)).as("wb"))
       .select(col("doc_a"), col("doc_b"),
-        round(
-          fsum(col("ts"), t => t.getField("in_a") && t.getField("in_b")) /
-            least(fsum(col("ts"), _.getField("in_a")),
-              fsum(col("ts"), _.getField("in_b"))), 4).as("w_containment"))
+        TextOps.roundAt(col("wi").cast("double") /
+          least(col("wa"), col("wb")).cast("double"), 4).as("w_containment"))
       .filter(col("w_containment") >= threshold)
   }
 
