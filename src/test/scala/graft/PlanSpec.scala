@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{CurationOps, Relational, RelationalExt, SimilarityOps, TextOps}
+import graft.ops.{CurationOps, DedupOps, Relational, RelationalExt, SimilarityOps, TextOps}
 
 /** Physical-plan assertions: the scale properties the engine promises
   * (pushdown, pruning, broadcast of bounded sides, partial top-k) must
@@ -407,6 +407,22 @@ class PlanSpec extends AnyFunSuite {
       "merge must shuffle exactly once")
     assert(!plan(df).contains("ObjectHashAggregate"),
       "min_by merge fell out of codegen aggregation")
+  }
+
+  test("q182: weighted sums are a codegen'd hash aggregation (no ObjectHashAggregate)") {
+    // the fixed-point-long rework's plan fact: per-pair weighted sums
+    // are plain integer sum() aggregates — a regression to the
+    // collect_list + array_sort float-fold form reintroduces
+    // ObjectHashAggregate (collect_list is object-hash-only) and the
+    // ~3.5 s of interpreted per-pair HOF work it cost
+    // formatted mode prints one detail block per operator; the blocked
+    // candidate BUILD legitimately collect_sets (object-hash-only), so
+    // the assertion is scoped to the blocks that aggregate idf_fp
+    val blocks = plan(DedupOps.nearDupWeighted(spark, sf)).split("\n\n")
+    val wSum = blocks.filter(b => b.contains("Aggregate") && b.contains("idf_fp"))
+    assert(wSum.nonEmpty, "no aggregate over idf_fp found in the plan")
+    wSum.foreach(b => assert(!b.contains("ObjectHashAggregate"),
+      s"the per-pair weighted-sum aggregation fell back to ObjectHashAggregate:\n$b"))
   }
 
   test("padding waste: corpus rows ride range partitions; only partition summaries funnel") {

@@ -89,4 +89,35 @@ class PqSpec extends AnyFunSuite {
     val d2s = out.map(_.getDouble(di))
     assert(d2s.sameElements(d2s.sorted), "output not ordered by exact d2")
   }
+
+  test("grouped training: all m codebooks cost ONE loop of jobs, not m loops") {
+    // the lloydCentroidsGrouped scale fact as a scheduler budget: the
+    // m=8 subspace codebooks train in one grouped loop (1 seed collect
+    // + iters-1 update rounds, each one action), so a full pqRerank is
+    // a HANDFUL of jobs. A regression to m sequential per-subspace
+    // loops adds ~m*(iters) collect actions and blows this bound by
+    // design. Bound is generous (AQE can split an action into a small
+    // constant number of scheduler jobs).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SimilarityOps.pqRerank(spark, sf).collect()
+      var last = -1
+      var settled = 0
+      while (settled < 3) {
+        Thread.sleep(100)
+        if (jobs.get == last) settled += 1 else { last = jobs.get; settled = 0 }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one dim probe + 1 seed collect + (iters-1)=1 grouped update + the
+    // serve ≈ 4 actions; ×3 for AQE sub-jobs, +4 slack. The old
+    // 8-sequential-loop form ran 8×2 training actions alone and lands
+    // ~3× past this bound.
+    assert(jobs.get <= 16, s"pqRerank ran ${jobs.get} scheduler jobs — " +
+      "did subspace training regress to per-subspace loops?")
+  }
 }
