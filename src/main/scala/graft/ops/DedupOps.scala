@@ -65,10 +65,6 @@ object DedupOps {
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
     shingleRowsOf(Tables.documents(spark, dir))
 
-  // temporary scratch-profiler access; remove with Scratch.scala
-  private[ops] def scratchShingleRows(spark: SparkSession, dir: String): DataFrame =
-    shingleRows(spark, dir)
-
   private def shingleRowsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = TextNorm.words(col("text"))
