@@ -107,6 +107,12 @@ object SparkEntry {
     // lang-ID calibration vs the true lang column: accuracy per
     // q213 margin band — the reliability readout for is_ambiguous
     "q241_langid_calibration" -> ((s, d) => TextOps.langIdCalibration(s, d)),
+    // DBSCAN-style density clustering: core/border/noise roles +
+    // min-id components of the ε-graph — k-free cluster discovery
+    "q242_density_clusters" -> ((s, d) => SimilarityOps.densityClusters(s, d)),
+    // one-permutation-hashing MinHash: 1 hash/shingle + bin minima +
+    // rotation densification — the O(|shingles|) signature build
+    "q243_neardup_oph"     -> ((s, d) => DedupOps.nearDupOPH(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1700,9 +1706,105 @@ object SparkEntry {
       |  TRUE AS round_trip_ok
       |FROM s$BpeMergeRounds ORDER BY word""".stripMargin
 
+  /** q242 oracle: the q28 label-blocked cosine pair CTE, symmetric
+    * degree counts, core gate at minPts=3, recursive closure over the
+    * core-core edges (the q61 reach pattern), isolated cores
+    * self-labeled, borders attached to the min core-neighbor cluster.
+    * Cosine rounds at 4 BEFORE the ≥ ε compare on both engines. */
+  private lazy val densityClustersOracleSql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    round(
+      |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      |      (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+      |       sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1),
+      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+      |      , 4) AS cos
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |e2 AS (SELECT va, vb FROM p WHERE cos >= 0.20),
+      |sym AS (SELECT va AS v, vb AS nb FROM e2 UNION ALL SELECT vb, va FROM e2),
+      |deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY 1),
+      |core AS (SELECT v FROM deg WHERE degree >= 3),
+      |ce AS (SELECT va AS a, vb AS b FROM e2
+      |       WHERE va IN (SELECT v FROM core) AND vb IN (SELECT v FROM core)),
+      |edges AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+      |reach AS (SELECT a, b FROM edges
+      |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |clus0 AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+      |clus AS (SELECT core.v AS id, coalesce(clus0.cluster, core.v) AS cluster
+      |         FROM core LEFT JOIN clus0 ON clus0.id = core.v),
+      |border AS (
+      |  SELECT s.v, min(c.cluster) AS cluster
+      |  FROM sym s JOIN clus c ON c.id = s.nb
+      |  WHERE s.v NOT IN (SELECT v FROM core)
+      |  GROUP BY 1),
+      |lab AS (SELECT id AS vec_id, cluster, 'core' AS role FROM clus
+      |        UNION ALL SELECT v AS vec_id, cluster, 'border' AS role FROM border)
+      |SELECT e.vec_id, CAST(e.label AS INTEGER) AS label,
+      |  CAST(coalesce(d.degree, 0) AS BIGINT) AS n_neighbors,
+      |  coalesce(l.role, 'noise') AS role,
+      |  CAST(coalesce(l.cluster, -1) AS BIGINT) AS cluster
+      |FROM embeddings e
+      |LEFT JOIN deg d ON d.v = e.vec_id
+      |LEFT JOIN lab l ON l.vec_id = e.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+
+  /** q243 oracle: the OPH pipeline replayed exactly — one md5 60-bit
+    * hash per distinct shingle (minima are duplicate-invariant, so
+    * the distinct list stands in for the engine's positional rows),
+    * 16 conditional bin minima, rotation densification as a 16-term
+    * coalesce chain per signature slot, 4 band buckets of 4 slots,
+    * bucket-collision candidates, exact string-set Jaccard verify. */
+  private lazy val ophOracleSql: String = {
+    val bins = 16; val bands = 4; val rpb = bins / bands
+    val binMins = (0 until bins).map(i =>
+      s"min(CASE WHEN h % $bins = $i THEN h END) AS m$i").mkString(",\n      ")
+    def dens(i: Int): String =
+      "coalesce(" + (0 until bins).map(j => s"m${(i + j) % bins}").mkString(", ") + ")"
+    val bandRows = (0 until bands).map { bd =>
+      val cols = (0 until rpb).map(r =>
+        s"CAST(${dens(bd * rpb + r)} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $bd AS band, $cols AS bucket FROM bm"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(0, greatest(len(words) - 3, 0) + 1),
+      |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+      |  FROM (SELECT doc_id,
+      |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+      |        FROM documents) w),
+      |hs AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(s), 17, 15))::BIGINT % 2147483647 AS h
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs) t),
+      |bm AS (
+      |  SELECT doc_id,
+      |      $binMins
+      |  FROM hs GROUP BY 1),
+      |br AS (
+      |  $bandRows),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM br a JOIN br b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+      |          len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+      |  FROM cand JOIN docs x ON x.doc_id = cand.doc_a
+      |            JOIN docs y ON y.doc_id = cand.doc_b)
+      |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q242_density_clusters" -> densityClustersOracleSql,
+    "q243_neardup_oph" -> ophOracleSql,
     "q159_bpe_merges" -> bpeMergesOracleSql,
     "q160_bpe_tokens" -> bpeTokensOracleSql,
     "q170_bpe_fertility" -> bpeFertilityOracleSql,

@@ -1496,6 +1496,64 @@ object DedupOps {
     .withColumn("h2",
       pmod(conv(substring(col("mhex"), 1, 15), 16, 10).cast("long"), lit(MinHashP)))
 
+  /** q243: one-permutation-hashing (OPH) MinHash near-dup — the
+    * signature build that makes banded MinHash affordable at 100 TB.
+    * Classic k-hash MinHash ([[nearDupMinHashMd5]]) evaluates k = 24
+    * hash functions per shingle row and k min-aggregates per doc; OPH
+    * (Li, Owen & Zhang 2012) hashes each shingle ONCE and partitions
+    * the hash space into `bins` residue classes — the per-bin minima
+    * ARE the signature, so the signature build is O(|shingles|)
+    * instead of O(k·|shingles|): same one-explode/one-groupBy shape,
+    * 1/k-th the hash arithmetic and the same map-side-combined
+    * shuffle. Empty bins (short docs) are filled by ROTATION
+    * densification (Shrivastava & Li 2014): bin i borrows the first
+    * non-empty bin at i, i+1, … (mod bins) — a plain coalesce chain,
+    * identical on both engines. Signatures band into `bands` buckets
+    * of bins/bands values; docs colliding in any band are candidates,
+    * verified by exact Jaccard — the same [[bucketPairs]] →
+    * [[jaccardVerify]] machinery as the whole near-dup family, so the
+    * output contract matches q26 row for row where both fire.
+    *
+    * The base hash is the md5 60-bit window (the [[md5BaseHashes]] h1
+    * construction), so signature build, densification, banding,
+    * candidate generation and verification are ALL hash-checked by
+    * the DuckDB oracle end to end; swap xxhash64 in for production.
+    *
+    * Exactness: bin residues, minima and the coalesce rotation are
+    * pure long arithmetic; verification Jaccard is exact-rational
+    * rounded at 4 for display (the q25 convention). */
+  def nearDupOPH(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                 bins: Int = 16, bands: Int = 4): DataFrame =
+    nearDupOPHOf(Tables.documents(spark, dir), threshold, bins, bands)
+
+  /** [[nearDupOPH]] over any (doc_id, text) frame — split out so specs
+    * can drive synthetic corpora with known duplicate structure. */
+  private[graft] def nearDupOPHOf(docs: DataFrame, threshold: Double,
+                                  bins: Int, bands: Int): DataFrame = {
+    require(bins % bands == 0, "bands must evenly partition bins")
+    val rowsPerBand = bins / bands
+    val tok = shingleRowsOf(docs)
+      .withColumn("h",
+        pmod(conv(substring(md5(col("s")), 17, 15), 16, 10).cast("long"), lit(MinHashP)))
+    // ONE aggregation: the doc's shingle-hash set (for exact verify)
+    // plus per-bin conditional minima — empty bins stay null
+    val keyed = tok.groupBy(col("doc_id")).agg(
+      collect_set(xxhash64(col("s"))).as("sh"),
+      (0 until bins).map(i =>
+        min(when(pmod(col("h"), lit(bins.toLong)) === i, col("h"))).as(s"m$i")): _*)
+    def densified(i: Int): Column =
+      coalesce((0 until bins).map(j => col(s"m${(i + j) % bins}")): _*)
+    val banded = keyed.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map { bd =>
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          densified(bd * rowsPerBand + r)): _*)
+      }: _*)))
+      .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+    jaccardVerify(bucketPairs(buckets), threshold).distinct()
+  }
+
   /** Near-dup ADMISSION: probe an arriving batch against the standing
     * corpus's MinHash band index and give each batch doc a verdict —
     * the near-duplicate member of the admission family (exact

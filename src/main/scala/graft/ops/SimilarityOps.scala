@@ -1828,4 +1828,81 @@ object SimilarityOps {
       .withColumn("kept", row_number().over(w) === 1)
       .orderBy(col("vec_id"))
   }
+
+  /** q242: DBSCAN-style density clustering over the embedding corpus —
+    * the density complement of centroid k-means (q169/q162): k-means
+    * forces every point into a ball and fixes k up front; density
+    * clustering discovers cluster COUNT and SHAPE from the data and
+    * names the leftovers noise, which is exactly the curation question
+    * "which embedding regions are dense enough to be a template/topic,
+    * and which docs are one-offs". Classic DBSCAN roles (Ester et al.
+    * 1996), with the ε-ball recast as cosine ≥ `threshold`:
+    *  - core: ≥ `minPts` neighbors within ε (self excluded),
+    *  - border: non-core with ≥ 1 core neighbor — attached to the
+    *    smallest cluster label among its core neighbors (deterministic
+    *    stand-in for DBSCAN's arrival-order assignment, which is not
+    *    well-defined on an unordered corpus),
+    *  - noise: everything else (cluster −1).
+    * Clusters = connected components of the core-core ε-graph, labeled
+    * by minimum member id.
+    *
+    * Exactness: cosine is rounded at 4 BEFORE the ≥ ε compare on both
+    * engines (the q28 convention), so the edge set — and everything
+    * downstream of it — is bit-identical; all counts/labels are longs.
+    *
+    * Scale: the ε-graph is label-blocked (the q28 candidate scheme —
+    * swap in the LSH bucket key via [[withBucket]] when no label
+    * exists), so no corpus self-join; edges are contained within label
+    * groups by construction, which lets clustering run as ONE
+    * [[DedupOps.boundedComponents]] union-find shuffle instead of
+    * O(diameter) global rounds; degree/border/rollup are one
+    * aggregation each. Isolated cores ride along as self-pairs so a
+    * dense-but-lonely point still gets its own cluster. */
+  def densityClusters(spark: SparkSession, dir: String,
+                      threshold: Double = 0.20, minPts: Int = 3): DataFrame =
+    densityClustersOf(Tables.embeddings(spark, dir), threshold, minPts)
+
+  /** [[densityClusters]] over any (vec_id, embedding, label) frame —
+    * the label column is the blocking key. Split out so specs can
+    * drive synthetic geometries with hand-computed DBSCAN roles. */
+  private[graft] def densityClustersOf(e: DataFrame,
+                                       threshold: Double, minPts: Int): DataFrame = {
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val und = a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(round(cosineSimilarity(col("emb_a"), col("emb_b")), 4) >= threshold)
+      .select(col("label").cast("long").as("grp"), col("vec_a"), col("vec_b"))
+      .localCheckpoint(false) // ε-edges feed degree, CC, and border
+    val sym = und.select(col("vec_a").as("v"), col("vec_b").as("nb"))
+      .unionByName(und.select(col("vec_b").as("v"), col("vec_a").as("nb")))
+    val deg = sym.groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val core = deg.filter(col("degree") >= minPts).select(col("v"))
+    val coreEdges = und
+      .join(core.select(col("v").as("vec_a")), Seq("vec_a"), "left_semi")
+      .join(core.select(col("v").as("vec_b")), Seq("vec_b"), "left_semi")
+      .select(col("grp"), col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    // isolated cores enter as self-pairs: union-find keeps the node,
+    // so a core with no core neighbor founds its own 1-core cluster
+    val coreSelf = e.join(core.select(col("v").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("label").cast("long").as("grp"),
+        col("vec_id").as("doc_a"), col("vec_id").as("doc_b"))
+    val clus = DedupOps.boundedComponents(coreEdges.unionByName(coreSelf))
+    val coreOut = clus.select(col("id").as("vec_id"), col("cluster"), lit("core").as("role"))
+    // border: non-core with ≥1 core neighbor → min core-neighbor cluster
+    // (joining nb against clus doubles as the nb-is-core filter)
+    val borderOut = sym
+      .join(clus.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+      .join(core, Seq("v"), "left_anti")
+      .groupBy(col("v")).agg(min(col("cluster")).as("cluster"))
+      .select(col("v").as("vec_id"), col("cluster"), lit("border").as("role"))
+    e.select(col("vec_id"), col("label").cast("int").as("label"))
+      .join(deg.select(col("v").as("vec_id"), col("degree")), Seq("vec_id"), "left")
+      .join(coreOut.unionByName(borderOut), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("degree"), lit(0L)).as("n_neighbors"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+      .orderBy(col("vec_id"))
+  }
 }
