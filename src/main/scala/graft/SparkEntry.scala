@@ -113,6 +113,22 @@ object SparkEntry {
     // one-permutation-hashing MinHash: 1 hash/shingle + bin minima +
     // rotation densification — the O(|shingles|) signature build
     "q243_neardup_oph"     -> ((s, d) => DedupOps.nearDupOPH(s, d)),
+    // trigram LM with stupid backoff (Brants 2007): per-doc avg NLL +
+    // the backoff RATE — the model-coverage readout q161 can't give
+    "q244_trigram_backoff" -> ((s, d) => TextOps.trigramBackoff(s, d)),
+    // 3-step session paths: occurrence + session-reach counts of exact
+    // event flows — the order-2 complement of q133's matrix
+    "q245_session_paths"   -> ((s, d) =>
+      graft.streaming.EventStream.sessionPathTrigrams(s, d)),
+    // power-user curve: users by distinct active days, share + CCDF —
+    // the distribution behind q187's one-number stickiness
+    "q246_active_days"     -> ((s, d) => RelationalExt.activeDaysHistogram(s, d)),
+    // dup-graph degree assortativity: hub-and-spoke vs peer-to-peer
+    // duplication in one exact-integer Pearson r
+    "q247_assortativity"   -> ((s, d) => DedupOps.dupGraphAssortativity(s, d)),
+    // Good-Turing unseen mass + Chao1 richness floor per source: the
+    // is-this-source-under-sampled readout
+    "q248_unseen_vocab"    -> ((s, d) => TextOps.unseenVocabEstimate(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1800,11 +1816,173 @@ object SparkEntry {
       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** q244 oracle: the q161 model-table chain one order up — trigram /
+    * rolled-up-bigram / unigram counts from the training slice, the
+    * stupid-backoff CASE tree mirrored literal-for-literal, per-doc
+    * terms folded in (w1, w2, w3) order, backoff counts as exact
+    * integer CASE sums. */
+  private lazy val trigramBackoffOracleSql: String =
+    s"""WITH ws AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' '),
+      |                x -> x <> '') AS w
+      |  FROM documents),
+      |tg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(0, greatest(len(w) - 2, 0)), i -> w[i + 1])) AS w1,
+      |    unnest(list_transform(range(0, greatest(len(w) - 2, 0)), i -> w[i + 2])) AS w2,
+      |    unnest(list_transform(range(0, greatest(len(w) - 2, 0)), i -> w[i + 3])) AS w3
+      |  FROM ws WHERE len(w) >= 3),
+      |train AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+      |t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg JOIN train USING (doc_id) GROUP BY 1, 2, 3),
+      |c3x AS (SELECT w1, w2, sum(c3) AS cc3 FROM t3 GROUP BY 1, 2),
+      |t2 AS (SELECT w2, w3, sum(c3) AS c2 FROM t3 GROUP BY 1, 2),
+      |c2x AS (SELECT w2, sum(c2) AS cc2 FROM t2 GROUP BY 1),
+      |cu AS (SELECT word AS w3, count(*) AS c1 FROM (
+      |         SELECT unnest(w) AS word FROM ws JOIN train USING (doc_id)) t
+      |       GROUP BY 1),
+      |sc AS (SELECT CAST(sum(c1) AS BIGINT) AS n_uni, count(*) AS v FROM cu),
+      |db AS (SELECT doc_id, w1, w2, w3, count(*) AS n FROM tg GROUP BY 1, 2, 3, 4),
+      |terms AS (
+      |  SELECT db.doc_id, db.w1, db.w2, db.w3, db.n,
+      |    CAST(db.n AS DOUBLE) * ln(
+      |      CASE WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / c3x.cc3
+      |           WHEN t2.c2 IS NOT NULL
+      |             THEN ${TextOps.TrigramAlpha} * (CAST(t2.c2 AS DOUBLE) / c2x.cc2)
+      |           ELSE ${TextOps.TrigramAlpha2} * (CAST(coalesce(cu.c1, 0) + 1 AS DOUBLE) /
+      |               (sc.n_uni + sc.v)) END) AS term,
+      |    CASE WHEN t3.c3 IS NOT NULL THEN 0 ELSE db.n END AS nb
+      |  FROM db
+      |  LEFT JOIN t3 ON t3.w1 = db.w1 AND t3.w2 = db.w2 AND t3.w3 = db.w3
+      |  LEFT JOIN c3x ON c3x.w1 = db.w1 AND c3x.w2 = db.w2
+      |  LEFT JOIN t2 ON t2.w2 = db.w2 AND t2.w3 = db.w3
+      |  LEFT JOIN c2x ON c2x.w2 = db.w2
+      |  LEFT JOIN cu ON cu.w3 = db.w3, sc),
+      |scored AS (
+      |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+      |    CAST(sum(nb) AS BIGINT) AS n_backoff,
+      |    -(list_sum(list(term ORDER BY w1, w2, w3))) / sum(n) AS nll_raw
+      |  FROM terms GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+      |  CAST(coalesce(s.n_backoff, 0) AS BIGINT) AS n_backoff,
+      |  ${TextOps.roundAtSql("s.nll_raw", 6)} AS nll,
+      |  ${TextOps.roundAtSql("CAST(s.n_backoff AS DOUBLE) / s.n_trigrams", 6)} AS backoff_rate
+      |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q242_density_clusters" -> densityClustersOracleSql,
     "q243_neardup_oph" -> ophOracleSql,
+    "q244_trigram_backoff" -> trigramBackoffOracleSql,
+    // q245: the q33 session CTE + per-session ordered type lists,
+    // triple-unnest adjacency, session reach via a per-session rollup
+    "q245_session_paths" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                        + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |seq AS (
+        |  SELECT user_id, session_seq, list(event_type ORDER BY ts, event_id) AS et
+        |  FROM numbered GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT user_id, session_seq,
+        |    unnest(list_transform(range(0, greatest(len(et) - 2, 0)), i -> et[i + 1])) AS t1,
+        |    unnest(list_transform(range(0, greatest(len(et) - 2, 0)), i -> et[i + 2])) AS t2,
+        |    unnest(list_transform(range(0, greatest(len(et) - 2, 0)), i -> et[i + 3])) AS t3
+        |  FROM seq WHERE len(et) >= 3),
+        |pc AS (
+        |  SELECT t1, t2, t3, user_id, session_seq, count(*) AS c
+        |  FROM tri GROUP BY 1, 2, 3, 4, 5)
+        |SELECT t1, t2, t3, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_sessions
+        |FROM pc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // q246: distinct (user, day) → per-user day counts → histogram,
+    // CCDF as a reverse running sum over the day-bounded histogram
+    "q246_active_days" ->
+      s"""WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events),
+        |pu AS (SELECT user_id, count(*) AS active_days FROM ud GROUP BY 1),
+        |h AS (SELECT active_days, count(*) AS n_users FROM pu GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nu FROM h),
+        |c AS (
+        |  SELECT active_days, n_users,
+        |    CAST(sum(n_users) OVER (ORDER BY active_days DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_least
+        |  FROM h)
+        |SELECT c.active_days, c.n_users,
+        |  ${TextOps.roundAtSql("CAST(c.n_users AS DOUBLE) / t.nu", 6)} AS share,
+        |  c.n_at_least,
+        |  ${TextOps.roundAtSql("CAST(c.n_at_least AS DOUBLE) / t.nu", 6)} AS ccdf
+        |FROM c, t ORDER BY active_days""".stripMargin,
+    // q247: the q61 pair chain → symmetric edges → exact integer
+    // sufficient statistics → one guarded Pearson expression
+    "q247_assortativity" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(0, greatest(len(words) - 3, 0) + 1),
+        |      i -> array_to_string(list_slice(words, i + 1, i + 3), ' '))) AS sh
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+        |        FROM documents) w),
+        |keyed AS (
+        |  SELECT doc_id, sh,
+        |    list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS minsh
+        |  FROM docs),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        |  FROM keyed a JOIN keyed b ON a.minsh = b.minsh AND a.doc_id < b.doc_id),
+        |dup AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM dup
+        |          UNION ALL SELECT doc_b, doc_a FROM dup),
+        |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+        |dd AS (
+        |  SELECT e.u, e.v, du.d AS du, dv.d AS dv
+        |  FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+        |g AS (
+        |  SELECT count(*) AS n, count(DISTINCT u) AS n_nodes,
+        |    CAST(sum(du) AS BIGINT) AS sx,
+        |    CAST(sum(du * du) AS BIGINT) AS sxx,
+        |    CAST(sum(du * dv) AS BIGINT) AS sxy
+        |  FROM dd)
+        |SELECT CAST(n // 2 AS BIGINT) AS n_edges, n_nodes,
+        |  ${TextOps.roundAtSql(
+             "CASE WHEN n * sxx - sx * sx = 0 THEN 0.0 " +
+             "ELSE CAST(n * sxy - sx * sx AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) END", 6)} AS assortativity
+        |FROM g""".stripMargin,
+    // q248: (source, word) exact counts → freq-of-freqs → Good-Turing
+    // p0 and bias-corrected Chao1, both single guarded divisions
+    "q248_unseen_vocab" ->
+      s"""WITH ws AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' '),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |wr AS (SELECT doc_id, unnest(w) AS word FROM ws),
+        |wc AS (
+        |  SELECT d.source, wr.word, count(*) AS c
+        |  FROM wr JOIN documents d USING (doc_id) GROUP BY 1, 2),
+        |g AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM wc GROUP BY 1)
+        |SELECT source, n_tokens, vocab, n1, n2,
+        |  ${TextOps.roundAtSql("CAST(n1 AS DOUBLE) / n_tokens", 6)} AS unseen_mass,
+        |  ${TextOps.roundAtSql(
+             "CAST(vocab AS DOUBLE) + CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(2 * (n2 + 1) AS DOUBLE)", 4)} AS chao1
+        |FROM g ORDER BY source""".stripMargin,
     "q159_bpe_merges" -> bpeMergesOracleSql,
     "q160_bpe_tokens" -> bpeTokensOracleSql,
     "q170_bpe_fertility" -> bpeFertilityOracleSql,

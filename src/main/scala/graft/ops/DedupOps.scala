@@ -837,6 +837,60 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q247: degree assortativity of the dup graph (Newman 2002) — the
+    * Pearson correlation of endpoint degrees over the edge list, the
+    * one-number answer to "is duplication hub-and-spoke or
+    * peer-to-peer?" that the rest of the graph family reads out
+    * piecewise (q119 finds the hubs, q198/q171 the cliquishness, q220
+    * the core depth): r > 0 means templates duplicate OTHER templates
+    * (a dense boilerplate core — dedup one cluster and the rest
+    * remains), r < 0 means hubs surrounded by one-off leaves (kill the
+    * hub doc and its whole star collapses — the cheap-win topology).
+    *
+    * Exactness: on the SYMMETRIZED edge list (each undirected edge
+    * contributes both orientations — the standard convention, making
+    * the two endpoint marginals identical), all five sufficient
+    * statistics (n, Σdu, Σdu², Σdu·dv and the shared marginal) are
+    * EXACT LONGS — the q231 integer-sufficient-statistics trick on a
+    * graph — and r is one guarded final expression under roundAt
+    * (degree-regular graphs have zero variance → r reads 0).
+    *
+    * Scale: edges come from the blocked near-dup pass (≪ corpus);
+    * degrees are one edge-keyed aggregation, the two attaches are
+    * broadcast-or-shuffle joins on the node key, and the rollup is a
+    * 1-row reduce with map-side partials. Long headroom: Σdu·dv ≤
+    * 2m·dmax² — overflow needs dmax ~ 2M at a billion edges, far past
+    * any blocked near-dup graph. */
+  def dupGraphAssortativity(spark: SparkSession, dir: String,
+                            threshold: Double = 0.5): DataFrame =
+    assortativityOf(nearDupNgram(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false))
+
+  /** [[dupGraphAssortativity]] over any undirected (doc_a, doc_b) pair
+    * frame — split out so specs can drive graphs with known r. */
+  private[graft] def assortativityOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val dd = edges
+      .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+    val g = dd.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("u")).as("n_nodes"),
+      sum(col("du")).as("sx"),
+      sum(col("du") * col("du")).as("sxx"),
+      sum(col("du") * col("dv")).as("sxy"))
+    // symmetric list ⇒ both marginals are (n, sx, sxx); r collapses to
+    // (n·sxy − sx²) / (n·sxx − sx²)
+    val den = g("n") * g("sxx") - g("sx") * g("sx")
+    val r = when(den === 0L, lit(0.0d))
+      .otherwise((g("n") * g("sxy") - g("sx") * g("sx")).cast("double") /
+        den.cast("double"))
+    g.select((g("n") / 2L).cast("bigint").as("n_edges"), g("n_nodes"),
+      TextOps.roundAt(r, 6).as("assortativity"))
+  }
+
   /** Orient each undirected a<b edge u→v toward its higher-(degree,
     * id) endpoint. The (degree, id) pair is a TOTAL order over nodes,
     * so the oriented graph is acyclic and every node's out-degree is

@@ -1702,6 +1702,44 @@ object RelationalExt {
       .orderBy(col("user_id"))
   }
 
+  /** q246: engagement-frequency histogram (the "power-user curve" /
+    * L-ness readout): how many users were active on exactly k distinct
+    * days — the shape chart product teams read before any mean DAU
+    * number, and the distribution q187's DAU/WAU ratio only summarizes
+    * (a 0.5 stickiness can be "everyone every other day" or "half
+    * daily, half once"; this says which). Emits user share per
+    * activity level plus the CCDF (share of users at ≥ k days — the
+    * retention-floor readout).
+    *
+    * Exactness: all counts exact longs; shares are guarded divisions
+    * under roundAt; CCDF from an exact reverse running sum over the
+    * day-level histogram (bounded by the observation window's day
+    * count — model state, not corpus).
+    *
+    * Scale: one distinct over (user, day) — a single exact-count
+    * shuffle with map-side partials — then a user-keyed count and a
+    * day-bounded rollup; the window runs on the histogram, never the
+    * corpus. */
+  def activeDaysHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val perUser = ud.groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
+    val hist = perUser.groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
+    val tot = hist.agg(sum(col("n_users")).as("nu"))
+    // histogram is day-count-sized: the unpartitioned window is model
+    // state by construction (same bound as q226's seat window)
+    val wc = Window.orderBy(col("active_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(tot))
+      .withColumn("n_at_least", sum(col("n_users")).over(wc))
+      .select(col("active_days"), col("n_users"),
+        TextOps.roundAt(col("n_users").cast("double") / col("nu"), 6).as("share"),
+        col("n_at_least"),
+        TextOps.roundAt(col("n_at_least").cast("double") / col("nu"), 6).as("ccdf"))
+      .orderBy(col("active_days"))
+  }
+
   /** q222: user-acquisition curve — daily NEW users (first-ever event
     * lands that day) plus the cumulative registered-user count. The
     * growth readout every event pipeline reports first, and the exact

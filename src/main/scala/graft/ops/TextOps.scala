@@ -1444,6 +1444,49 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
+  /** q248: unseen-vocabulary estimation per source — Good-Turing
+    * unseen mass p₀ = n₁/N (Good 1953: the probability the NEXT token
+    * is a word never seen in this source) and the bias-corrected
+    * Chao1 richness floor V + n₁(n₁−1)/(2(n₂+1)) (Chao 1984), from
+    * the frequency-of-frequencies table. The coverage-planning
+    * readout q175 (observed TTR) and q176 (empirical growth curve)
+    * can't give: those describe the vocabulary you HAVE; this bounds
+    * the vocabulary you HAVEN'T — a source with high unseen mass is
+    * under-sampled and its LM/tokenizer stats (q225, q167) are not
+    * yet trustworthy.
+    *
+    * Exactness: the freq-of-freqs table is exact longs; both
+    * estimators are single guarded IEEE divisions over integer
+    * numerators/denominators under roundAt (the bias-corrected Chao1
+    * form is chosen precisely because it stays finite at n₂ = 0).
+    *
+    * Scale: one (source, word) rollup with map-side partials, then a
+    * source-sized conditional-count rollup — nothing vocab-sized
+    * leaves the executors. */
+  def unseenVocabEstimate(spark: SparkSession, dir: String): DataFrame =
+    unseenVocabOf(Tables.documents(spark, dir))
+
+  /** [[unseenVocabEstimate]] over any (doc_id, text, source) frame —
+    * split out so specs can drive corpora with known hapax structure. */
+  private[graft] def unseenVocabOf(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val wc = wordRowsOf(docs)
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("n_tokens").cast("bigint").as("n_tokens"),
+        col("vocab"), col("n1"), col("n2"),
+        roundAt(col("n1").cast("double") / col("n_tokens"), 6).as("unseen_mass"),
+        roundAt(col("vocab").cast("double") +
+          (col("n1") * (col("n1") - lit(1L))).cast("double") /
+            (lit(2L) * (col("n2") + lit(1L))).cast("double"), 4).as("chao1"))
+      .orderBy(col("source"))
+  }
+
   /** q175: per-source vocabulary richness with an HLL sketch twin —
     * exact distinct-word count and type-token ratio per source, plus
     * an in-plan envelope flag asserting the approx_count_distinct
@@ -1785,6 +1828,91 @@ object TextOps {
   val BigramFloor = 0.1
   val BigramHeadMax = 3.75
   val BigramMiddleMax = 3.88
+
+  /** q244: trigram language model with STUPID BACKOFF (Brants et al.
+    * 2007 — the web-scale scoring rule: no discount mass bookkeeping,
+    * just score = c₃/c₂ₓ if the trigram was seen, else α·(c₂/c₁ₓ),
+    * else α²·Laplace-unigram; α = 0.4 as published). The per-doc
+    * outputs are avg trigram NLL (banding-free — q161 bands, this is
+    * the raw filter signal at one order higher) plus the BACKOFF RATE:
+    * the fraction of trigram positions the model had to back off for,
+    * which is the model-coverage readout q161 can't give — a doc can
+    * score a plausible NLL purely off the unigram floor, and the rate
+    * is what exposes that.
+    *
+    * Cross-engine exactness: exact integer counts; each position's
+    * term is one ln over a mirrored CASE tree; the per-doc float sum
+    * folds in (w1, w2, w3) order on both engines (q158 sorted-fold
+    * convention); backoff counts are exact longs and the rate one
+    * guarded division under roundAt. Docs with fewer than three words
+    * survive via the roster left join (null nll, rate, the q161
+    * 'short' convention minus the band column).
+    *
+    * Scale: model tables are observed-n-gram-sized (sublinear in
+    * corpus, Heaps' law) and broadcast here; too-big-to-broadcast
+    * models shuffle-join on the same keys with no other plan change.
+    * The trigram stream rides the ONE doc_id window shuffle the word
+    * stream already paid for. */
+  def trigramBackoff(spark: SparkSession, dir: String,
+                     trainSource: String = "src0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val words = wordRows(spark, dir)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tg = words
+      .select(col("doc_id"), col("word").as("w1"),
+        lead(col("word"), 1).over(w).as("w2"),
+        lead(col("word"), 2).over(w).as("w3"))
+      .filter(col("w3").isNotNull)
+    val train = docs.filter(col("source") === trainSource).select(col("doc_id"))
+    // model tables, all from the training slice
+    val t3 = tg.join(train, Seq("doc_id"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val c3x = t3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("cc3"))
+    val t2 = t3.groupBy(col("w2"), col("w3")).agg(sum(col("c3")).as("c2"))
+    val c2x = t2.groupBy(col("w2")).agg(sum(col("c2")).as("cc2"))
+    val cu = words.join(train, Seq("doc_id"))
+      .groupBy(col("word").as("w3")).agg(count(lit(1)).as("c1"))
+    val sc = cu.agg(sum(col("c1")).cast("bigint").as("n_uni"), count(lit(1)).as("v"))
+    val db = tg.groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+    val p = when(col("c3").isNotNull, col("c3").cast("double") / col("cc3"))
+      .when(col("c2").isNotNull,
+        lit(TrigramAlpha) * (col("c2").cast("double") / col("cc2")))
+      .otherwise(lit(TrigramAlpha2) *
+        ((coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_uni") + col("v"))))
+    val term = col("n").cast("double") * log(p)
+    val backed = when(col("c3").isNotNull, lit(0L)).otherwise(col("n"))
+    val scored = db
+      .join(broadcast(t3), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(c3x), Seq("w1", "w2"), "left")
+      .join(broadcast(t2), Seq("w2", "w3"), "left")
+      .join(broadcast(c2x), Seq("w2"), "left")
+      .join(broadcast(cu), Seq("w3"), "left")
+      .crossJoin(broadcast(sc))
+      .select(col("doc_id"), col("n"), backed.as("nb"),
+        struct(col("w1"), col("w2"), col("w3"), term.as("term")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_trigrams"), sum(col("nb")).as("n_backoff"),
+        ((-aggregate(
+          transform(array_sort(collect_list(col("s"))), x => x.getField("term")),
+          lit(0.0d), (a, t) => a + t)) / sum(col("n"))).as("nll_raw"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).cast("bigint").as("n_trigrams"),
+        coalesce(col("n_backoff"), lit(0L)).cast("bigint").as("n_backoff"),
+        roundAt(col("nll_raw"), 6).as("nll"),
+        roundAt(col("n_backoff").cast("double") / col("n_trigrams"), 6)
+          .as("backoff_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q244 stupid-backoff constants (Brants 2007's published α and its
+    * square for the two-level backoff), interpolated into the oracle
+    * verbatim. */
+  val TrigramAlpha = 0.4
+  val TrigramAlpha2 = 0.16
 
   // ===================== BPE vocabulary induction =====================
 

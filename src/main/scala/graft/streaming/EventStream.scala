@@ -132,6 +132,44 @@ object EventStream {
       .orderBy(col("entry"))
   }
 
+  /** q245: top common 3-step event paths WITHIN sessions — the
+    * sequence-mining readout between q133 (corpus transition matrix,
+    * order 1, no session boundary) and q237 (whole-journey
+    * attribution): which exact 3-step flows do users actually walk,
+    * with both occurrence volume and session reach (a path can repeat
+    * inside one looping session — n counts occurrences, n_sessions
+    * counts sessions touched, and the gap between them is the loopiness
+    * signal). Sessions are the same 30-minute gaps-and-islands as
+    * [[sessionizeBatch]]; steps follow the deterministic (ts,
+    * event_id) session order; trigrams never cross a session boundary.
+    *
+    * Exactness: all counts exact longs over a deterministic order.
+    *
+    * Scale: ONE user-keyed shuffle feeds sessionize and both lead
+    * windows (same partitioning, no extra exchange); the rollup output
+    * is types³-bounded — model-state-sized by construction. */
+  def sessionPathTrigrams(spark: SparkSession, dir: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      col("ts") > lag(col("ts"), 1).over(w) + expr(s"INTERVAL $gapMinutes MINUTES"), 1
+    ).otherwise(0)
+    val sess = Tables.events(spark, dir)
+      .withColumn("session_seq",
+        sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    sess
+      .select(col("user_id"), col("session_seq"), col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(ws).as("t2"),
+        lead(col("event_type"), 2).over(ws).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id"), col("session_seq")).as("n_sessions"))
+      .orderBy(col("t1"), col("t2"), col("t3"))
+  }
+
   /** Native session-window sessionization — Spark's built-in
     * `session_window(ts, gap)` instead of the hand-rolled
     * gaps-and-islands of [[sessionizeBatch]]: the same dynamic-gap

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{DedupOps, RelationalExt, TextOps}
+import graft.streaming.EventStream
+
+/** Round-18 analytics batch: q244 trigram stupid backoff, q245
+  * session paths, q246 power-user curve, q247 assortativity, q248
+  * unseen-vocabulary estimation. Each test pins either a closed-form
+  * synthetic or a corpus identity the operator must satisfy by
+  * construction. */
+class Round18OpsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+  import spark.implicits._
+
+  test("q244: training-slice docs never back off (their trigrams ARE the model)") {
+    val out = TextOps.trigramBackoff(spark, sf).localCheckpoint(false)
+    val trainIds = graft.Tables.documents(spark, sf)
+      .filter($"source" === "src0").select($"doc_id")
+    val trainBackoffs = out.join(trainIds, Seq("doc_id"), "left_semi")
+      .filter($"n_backoff" > 0)
+    assert(trainBackoffs.count() == 0,
+      "a src0 doc backed off — its own trigrams must be in the model")
+    // rate bounds + the short-doc convention
+    assert(out.filter($"n_backoff" > $"n_trigrams").count() == 0)
+    assert(out.filter($"n_trigrams" === 0 && $"nll".isNotNull).count() == 0)
+    assert(out.filter($"n_trigrams" > 0 && $"nll".isNull).count() == 0)
+    // non-train sources must exercise the backoff path somewhere
+    assert(out.filter($"n_backoff" > 0).count() > 0)
+  }
+
+  test("q245: trigram volume equals the sessionize identity Σ max(n_events − 2, 0)") {
+    val paths = EventStream.sessionPathTrigrams(spark, sf)
+    val total = paths.agg(sum($"n")).as[Long].collect().head
+    val expected = EventStream.sessionizeBatch(spark, sf)
+      .select(greatest($"n_events" - 2L, lit(0L)).as("t"))
+      .agg(sum($"t")).as[Long].collect().head
+    assert(total == expected, s"path occurrences $total != session identity $expected")
+    assert(paths.filter($"n_sessions" > $"n").count() == 0,
+      "session reach cannot exceed occurrence count")
+  }
+
+  test("q246: histogram mass, CCDF boundary and monotonicity") {
+    val h = RelationalExt.activeDaysHistogram(spark, sf).localCheckpoint(false)
+    val userDays = graft.Tables.events(spark, sf)
+      .select($"user_id", date_trunc("day", $"ts")).distinct().count()
+    val mass = h.select(sum($"active_days" * $"n_users")).as[Long].collect().head
+    assert(mass == userDays, "Σ k·n_users must equal |distinct (user, day)|")
+    val rows = h.select($"active_days", $"n_at_least", $"ccdf")
+      .orderBy($"active_days").as[(Long, Long, Double)].collect()
+    assert(rows.head._3 == 1.0, "CCDF at the minimum activity level must be 1")
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 <= a._2; case _ => true },
+      "CCDF counts must be non-increasing in active_days")
+  }
+
+  test("q247: star graph reads r = −1, equal-degree cycle reads guarded 0") {
+    // star: every edge joins degree 3 to degree 1 — perfect anticorrelation
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val rStar = DedupOps.assortativityOf(star)
+      .select($"assortativity").as[Double].collect().head
+    assert(rStar == -1.0, s"star graph: got $rStar, want -1.0")
+    // 4-cycle: all degrees 2 — zero variance, guard must emit 0.0
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.assortativityOf(cycle)
+      .select($"n_edges", $"n_nodes", $"assortativity")
+      .as[(Long, Long, Double)].collect().head
+    assert(got == ((4L, 4L, 0.0)), s"cycle: got $got")
+  }
+
+  test("q248: all-hapax source reads p0 = 1 and the Chao1 closed form") {
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta", "hapax"),  // 4 tokens, all distinct
+      (2L, "xx xx yy yy zz", "mixed")              // n1=1 (zz), n2=2 (xx, yy)
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.unseenVocabOf(docs)
+      .select($"source", $"n_tokens", $"vocab", $"n1", $"n2", $"unseen_mass", $"chao1")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // hapax: V=4, n1=4, n2=0 → p0 = 1, chao1 = 4 + 4·3/2 = 10
+    assert(got("hapax") == (("hapax", 4L, 4L, 4L, 0L, 1.0, 10.0)))
+    // mixed: N=5, V=3, n1=1, n2=2 → p0 = 0.2, chao1 = 3 + 0 = 3
+    assert(got("mixed") == (("mixed", 5L, 3L, 1L, 2L, 0.2, 3.0)))
+    // corpus invariants
+    val real = TextOps.unseenVocabEstimate(spark, sf)
+    assert(real.filter($"chao1" < $"vocab".cast("double")).count() == 0)
+    assert(real.filter($"unseen_mass" < 0 || $"unseen_mass" > 1).count() == 0)
+  }
+}
