@@ -129,6 +129,12 @@ object SparkEntry {
     // Good-Turing unseen mass + Chao1 richness floor per source: the
     // is-this-source-under-sampled readout
     "q248_unseen_vocab"    -> ((s, d) => TextOps.unseenVocabEstimate(s, d)),
+    // winnowing (MOSS) fingerprint overlap: window-min 3-gram hashes,
+    // guaranteed detection of >= 6-word shared runs — LOCAL overlap
+    "q249_winnow_overlap"  -> ((s, d) => DedupOps.winnowOverlap(s, d)),
+    // weekday x hour seasonality heatmap per type: the baseline an
+    // anomaly detector normalizes by (share + lift vs uniform 1/168)
+    "q250_seasonality"     -> ((s, d) => RelationalExt.seasonalityProfile(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1877,6 +1883,50 @@ object SparkEntry {
     "q242_density_clusters" -> densityClustersOracleSql,
     "q243_neardup_oph" -> ophOracleSql,
     "q244_trigram_backoff" -> trigramBackoffOracleSql,
+    // q249: positional 3-gram hash lists (q61's shingle construction
+    // WITH positions), window minima over 4-hash slides (short docs:
+    // one all-of-doc window), distinct fingerprints, pair counts
+    "q249_winnow_overlap" ->
+      """WITH wsr AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS wd
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, greatest(len(wd) - 3, 0) + 1),
+        |      i -> ('0x' || substr(md5(array_to_string(list_slice(wd, i + 1, i + 3), ' ')), 17, 15))::BIGINT) AS hl
+        |  FROM wsr),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(least(4, len(hl)), len(hl) + 1),
+        |        i -> list_aggregate(list_slice(hl, greatest(i - 3, 1), i), 'min'))) AS fp
+        |    FROM hs) t),
+        |pd AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, pa.nfp AS fp_a, pb.nfp AS fp_b,
+        |  round(CAST(n_shared AS DOUBLE) / least(pa.nfp, pb.nfp), 4) AS overlap
+        |FROM pr JOIN pd pa ON pa.doc_id = pr.doc_a
+        |        JOIN pd pb ON pb.doc_id = pr.doc_b
+        |WHERE n_shared >= 2 ORDER BY doc_a, doc_b""".stripMargin,
+    // q250: (type, dow, hour) exact cells + per-type totals; Sunday=0
+    // on both engines (Spark dayofweek−1 ↔ DuckDB dayofweek)
+    "q250_seasonality" ->
+      s"""WITH c AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1)
+        |SELECT c.event_type, c.dow, c.hod, c.n,
+        |  ${TextOps.roundAtSql("CAST(c.n AS DOUBLE) / t.nt", 6)} AS share,
+        |  ${TextOps.roundAtSql("CAST(c.n AS DOUBLE) * 168.0 / t.nt", 4)} AS lift
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY c.event_type, c.dow, c.hod""".stripMargin,
     // q245: the q33 session CTE + per-session ordered type lists,
     // triple-unnest adjacency, session reach via a per-session rollup
     "q245_session_paths" ->

@@ -1550,6 +1550,77 @@ object DedupOps {
     .withColumn("h2",
       pmod(conv(substring(col("mhex"), 1, 15), 16, 10).cast("long"), lit(MinHashP)))
 
+  /** q249: winnowing fingerprint overlap (Schleimer, Wilkerson &
+    * Aiken 2003 — the MOSS algorithm): slide a window of `w`
+    * consecutive 3-gram hashes over each document and keep each
+    * window's MINIMUM — the selected hashes are the document's
+    * fingerprints. The published guarantee: any shared run of at
+    * least w + k − 1 = 6 words produces at least one shared
+    * fingerprint, while only ~2/(w+1) of positions are kept — so this
+    * finds LOCAL plagiarism-style overlap (a paragraph lifted into an
+    * otherwise different doc) that whole-set Jaccard (q25) dilutes
+    * away and containment (q164) only sees in aggregate, at a
+    * fraction of the q89 dup-spans index size. Docs shorter than one
+    * window keep the minimum of what they have (one fingerprint), so
+    * short exact dups still collide.
+    *
+    * Exactness: fingerprints are pure long md5-window hashes selected
+    * by exact window minima over the deterministic position order;
+    * shared counts are exact; overlap = shared/min(|fp|) rounded at 4
+    * (the q25 display convention).
+    *
+    * Scale: ONE doc_id window shuffle builds positions + window
+    * minima (the shingleRows shape); pair generation is the standard
+    * [[bucketPairs]] explode on the fingerprint key — never a corpus
+    * self-join; a boilerplate fingerprint shared by a large doc
+    * fraction is the stop-bucket case, capped in production exactly
+    * like q138 (uncapped here so the oracle is exact-recall). */
+  def winnowOverlap(spark: SparkSession, dir: String,
+                    w: Int = 4, minShared: Int = 2): DataFrame =
+    winnowOverlapOf(Tables.documents(spark, dir), w, minShared)
+
+  /** [[winnowOverlap]] over any (doc_id, text) frame — split out so
+    * specs can drive planted shared runs against the w + k − 1
+    * detection guarantee. */
+  private[graft] def winnowOverlapOf(docs: DataFrame,
+                                     w: Int, minShared: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = TextNorm.words(col("text"))
+    val seq = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(words))
+      .select(col("doc_id"), col("pos"), col("col").as("w0"),
+        lead(col("col"), 1).over(seq).as("w1"),
+        lead(col("col"), 2).over(seq).as("w2"))
+      .filter(col("w2").isNotNull || col("pos") === 0)
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(concat_ws(" ", col("w0"), col("w1"), col("w2"))), 17, 15),
+          16, 10).cast("long").as("h"))
+    val fps = tok
+      .withColumn("rn", row_number().over(seq).cast("long"))
+      .withColumn("nsh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("wmin", min(col("h")).over(seq.rowsBetween(-(w - 1), 0)))
+      // a doc with fewer than w shingles keeps its single all-of-doc
+      // window (rn = nsh); full docs keep every complete window
+      .filter(col("rn") >= least(lit(w.toLong), col("nsh")))
+      .select(col("doc_id"), col("wmin").as("fp")).distinct()
+      .localCheckpoint(false) // fingerprints feed sizes and pairs
+    val perDoc = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val buckets = fps.groupBy(col("fp"))
+      .agg(collect_list(struct(col("doc_id"))).as("members"))
+    bucketPairs(buckets)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("nfp").as("fp_a")), Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("nfp").as("fp_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("fp_a"), col("fp_b"),
+        round(col("n_shared").cast("double") / least(col("fp_a"), col("fp_b")), 4)
+          .as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q243: one-permutation-hashing (OPH) MinHash near-dup — the
     * signature build that makes banded MinHash affordable at 100 TB.
     * Classic k-hash MinHash ([[nearDupMinHashMd5]]) evaluates k = 24

@@ -1702,6 +1702,38 @@ object RelationalExt {
       .orderBy(col("user_id"))
   }
 
+  /** q250: weekday × hour seasonality profile per event type — the
+    * folded-over-weeks heatmap behind every ops dashboard: q16 counts
+    * the raw hourly TIMELINE, q174/q199/q221 hunt anomalies against
+    * rolling baselines; this is the BASELINE ITSELF, the (dow, hour)
+    * profile an anomaly detector should normalize by before calling
+    * anything a spike (a Monday-9am peak is seasonality, not anomaly).
+    * Each observed cell carries its exact count, share of the type's
+    * volume, and lift vs the uniform 1/168 cell expectation.
+    *
+    * Exactness: counts exact longs; share and lift are single
+    * mirrored IEEE trees under roundAt. Weekday parity: Spark's
+    * dayofweek is 1-based Sunday, DuckDB's 0-based Sunday — the
+    * engine subtracts 1 so both emit Sunday = 0.
+    *
+    * Scale: one corpus collapse to (type, dow, hour) cells — 168 ×
+    * types rows, model state — with the per-type totals broadcast
+    * back. */
+  def seasonalityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("bigint").as("dow"),
+        hour(col("ts")).cast("bigint").as("hod"))
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    cells.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("hod"), col("n"),
+        TextOps.roundAt(col("n").cast("double") / col("nt"), 6).as("share"),
+        TextOps.roundAt(col("n").cast("double") * lit(168.0) / col("nt"), 4).as("lift"))
+      .orderBy(col("event_type"), col("dow"), col("hod"))
+  }
+
   /** q246: engagement-frequency histogram (the "power-user curve" /
     * L-ness readout): how many users were active on exactly k distinct
     * days — the shape chart product teams read before any mean DAU

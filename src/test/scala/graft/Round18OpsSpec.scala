@@ -68,6 +68,44 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(got == ((4L, 4L, 0.0)), s"cycle: got $got")
   }
 
+  test("q249: the w+k−1 detection guarantee; identical docs read overlap 1") {
+    val shared = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, s"aa bb cc dd ee $shared ff gg hh ii jj"),
+      (2L, s"zz yy xx ww vv uu $shared tt ss rr qq pp"),
+      (3L, "completely unrelated text with nothing in common at all here"),
+      (4L, "tiny pair of docs"), (5L, "tiny pair of docs")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.winnowOverlapOf(docs, w = 4, minShared = 1)
+      .select($"doc_a", $"doc_b", $"n_shared", $"overlap")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // a 12-word shared run is ≥ w+k−1 = 6 words → guaranteed ≥ 1
+    // shared fingerprint between 1 and 2
+    assert(got.contains((1L, 2L)), s"planted shared run not detected: $got")
+    // identical short docs share their single all-of-doc fingerprint
+    assert(got((4L, 5L)) == ((1L, 1.0)), s"short dup pair: ${got.get((4L, 5L))}")
+    // doc 3 shares nothing with anyone
+    assert(!got.keys.exists(k => k._1 == 3L || k._2 == 3L))
+    // real-corpus sanity: overlap bounded, shared ≤ min fingerprint count
+    val real = DedupOps.winnowOverlap(spark, sf)
+    assert(real.filter($"n_shared" > least($"fp_a", $"fp_b")).count() == 0)
+    assert(real.filter($"overlap" > 1.0 || $"overlap" <= 0.0).count() == 0)
+  }
+
+  test("q250: cells partition the corpus; dow/hour domains hold") {
+    val p = RelationalExt.seasonalityProfile(spark, sf).localCheckpoint(false)
+    val cellSum = p.agg(sum($"n")).as[Long].collect().head
+    val total = graft.Tables.events(spark, sf).count()
+    assert(cellSum == total, "cell counts must partition the event corpus")
+    assert(p.filter($"dow" < 0 || $"dow" > 6 || $"hod" < 0 || $"hod" > 23).count() == 0)
+    // per-type shares telescope to 1 (exact integer identity under the hood)
+    val off = p.groupBy($"event_type").agg(sum($"n").as("s"))
+      .join(p.groupBy($"event_type").agg(max($"n").as("m")), "event_type")
+      .filter($"s" <= 0)
+    assert(off.count() == 0)
+  }
+
   test("q248: all-hapax source reads p0 = 1 and the Chao1 closed form") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta", "hapax"),  // 4 tokens, all distinct
