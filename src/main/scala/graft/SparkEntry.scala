@@ -135,6 +135,9 @@ object SparkEntry {
     // weekday x hour seasonality heatmap per type: the baseline an
     // anomaly detector normalizes by (share + lift vs uniform 1/168)
     "q250_seasonality"     -> ((s, d) => RelationalExt.seasonalityProfile(s, d)),
+    // leading PC via power iteration on the exact integer scatter
+    // matrix: pc1 + anisotropy (lambda1/trace) — the whitening audit
+    "q251_pca_power"       -> ((s, d) => SimilarityOps.pcaPower(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1877,9 +1880,60 @@ object SparkEntry {
       |FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q251 oracle: the whole power-iteration chain replayed — 1e-6
+    * coordinate quantization, the exact integer scatter matrix
+    * M = n·Σqqᵀ − (Σq)(Σq)ᵀ, 20 unrolled MATERIALIZED matvec rounds
+    * (ascending-j folds, norm, 1e-12 re-quantization — the engine's
+    * driver-side loop literal-for-literal), final Rayleigh quotient
+    * over the trace. */
+  private lazy val pcaPowerOracleSql: String = {
+    val dim = 64; val iters = 100
+    def matvec(wn: String, prev: String): String =
+      s"""$wn AS MATERIALIZED (
+         |  SELECT m.i, list_sum(list(CAST(m.m AS DOUBLE) * v.v ORDER BY m.j)) AS w
+         |  FROM m JOIN $prev v ON v.i = m.j GROUP BY m.i)""".stripMargin
+    def round(r: Int): String = {
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""${matvec(s"w$r", prev)},
+         |n$r AS MATERIALIZED (SELECT sqrt(list_sum(list(w * w ORDER BY i))) AS nm FROM w$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT w.i, CASE WHEN nm = 0 THEN p.v
+         |    ELSE floor(w.w / nm * 1000000000000.0 + 0.5) / 1000000000000.0 END AS v
+         |  FROM w$r w JOIN $prev p ON p.i = w.i, n$r)""".stripMargin
+    }
+    s"""WITH dims AS (SELECT CAST(unnest(range(0, $dim)) AS BIGINT) AS i),
+      |e AS (
+      |  SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |nn0 AS (SELECT count(*) AS n FROM e),
+      |flat AS (SELECT d.i, e.q[d.i + 1] AS qi, e.q AS q FROM e, dims d),
+      |s1 AS (SELECT i, CAST(sum(qi) AS BIGINT) AS sq FROM flat GROUP BY 1),
+      |cells AS (
+      |  SELECT f.i, d2.i AS j, CAST(sum(f.qi * f.q[d2.i + 1]) AS BIGINT) AS sqq
+      |  FROM flat f, dims d2 GROUP BY 1, 2),
+      |m AS MATERIALIZED (
+      |  SELECT c.i, c.j, nn0.n * c.sqq - sa.sq * sb.sq AS m
+      |  FROM cells c JOIN s1 sa ON sa.i = c.i JOIN s1 sb ON sb.i = c.j, nn0),
+      |tr AS (SELECT CAST(sum(m) AS BIGINT) AS tr FROM m WHERE i = j),
+      |v0 AS MATERIALIZED (SELECT i, 0.125 AS v FROM dims),
+      |${(1 to iters).map(round).mkString(",\n")},
+      |${matvec("wf", s"v$iters")},
+      |lam AS (
+      |  SELECT list_sum(list(v.v * w.w ORDER BY v.i)) AS l
+      |  FROM v$iters v JOIN wf w ON w.i = v.i)
+      |SELECT d.i AS dim,
+      |  floor(CAST(sa.sq AS DOUBLE) / (nn0.n * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mu,
+      |  v.v AS pc1,
+      |  floor((lam.l / CAST(tr.tr AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS explained
+      |FROM dims d JOIN s1 sa ON sa.i = d.i JOIN v$iters v ON v.i = d.i, nn0, lam, tr
+      |ORDER BY dim""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q251_pca_power" -> pcaPowerOracleSql,
     "q242_density_clusters" -> densityClustersOracleSql,
     "q243_neardup_oph" -> ophOracleSql,
     "q244_trigram_backoff" -> trigramBackoffOracleSql,

@@ -1829,6 +1829,100 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** q251: leading principal component of the embedding corpus via
+    * POWER ITERATION on an exact integer scatter matrix — the spectral
+    * member of the embedding-infra family (q163 projects randomly,
+    * q169 clusters; this measures ANISOTROPY): pc1 is the direction
+    * ANN whitening would remove first, and `explained` = λ₁/trace is
+    * the one-number "how collapsed are these embeddings" health check
+    * (≈ 1/d for isotropic vectors; near 1 for embedding collapse —
+    * the readout that decides whether q163's isotropy assumption even
+    * holds).
+    *
+    * Exactness: coordinates quantize to 1e-6 longs, so the scatter
+    * matrix M = n·Σqqᵀ − (Σq)(Σq)ᵀ (= n²·Cov, shares eigenvectors) is
+    * EXACT INTEGER and order-free; the power rounds run driver-side
+    * on the collected 64×64 matrix with an ascending-j fold per entry
+    * and a 1e-12 re-quantization per round (the q210 per-round
+    * fixed-point device — kills cross-engine ulp drift at its
+    * source), mirrored by the oracle's unrolled MATERIALIZED matvec
+    * CTEs; λ/trace is one final mirrored division.
+    *
+    * Convergence contract: `explained` is the t-round RAYLEIGH
+    * QUOTIENT over the trace — a monotone lower bound on λ₁/trace
+    * that converges as (λ₂/λ₁)²ᵗ. On a near-degenerate spectrum
+    * (λ₁ ≈ λ₂ — this corpus reads gap ratio ≈ 0.987) the QUOTIENT
+    * converges long before the VECTOR stabilizes (pc1 is then "a
+    * unit vector of the top eigenspace achieving that quotient", the
+    * honest deliverable — no power method pins a vector inside a
+    * degenerate eigenspace); 100 rounds lands within 0.04% of true
+    * λ₁ here and is exactly replayed by the oracle either way.
+    *
+    * Scale: ONE corpus pass — a 64-way posexplode into a d×d cell
+    * aggregation with map-side partials — collects only the d² cell
+    * grid and the d column sums (model state, the lloydCentroids
+    * collect rule); iteration cost is driver-side d² per round,
+    * corpus-free. */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 100): DataFrame =
+    pcaPowerOf(Tables.embeddings(spark, dir),
+      Tables.embeddingDim(spark, dir), iters)
+
+  /** [[pcaPower]] over any frame with an `embedding` array column —
+    * split out so specs can drive planted-anisotropy geometries and
+    * the fixpoint-depth check. */
+  private[graft] def pcaPowerOf(emb: DataFrame, dim: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+    val flat = emb
+      .select(q.as("q"))
+      .select(posexplode(col("q")), col("q"))
+      .select(col("pos").as("i"), col("col").as("qi"), col("q"))
+    // one aggregation: row i of Σqqᵀ as dim sum-columns + the count
+    // and per-dim sums riding along (every sum an exact long)
+    val aggCols = Seq(count(lit(1)).as("n"), sum(col("qi")).as("sq")) ++
+      (0 until dim).map(j =>
+        sum(col("qi") * element_at(col("q"), j + 1)).as(s"c$j"))
+    val grid = flat.groupBy(col("i")).agg(aggCols.head, aggCols.tail: _*)
+    // d rows × d+2 columns: model state — the one permitted collect
+    val rows = grid.orderBy(col("i")).collect()
+    val n = rows.head.getAs[Long]("n")
+    val sq = rows.map(_.getAs[Long]("sq"))
+    val m = Array.tabulate(dim, dim)((i, j) =>
+      n * rows(i).getAs[Long](s"c$j") - sq(i) * sq(j))
+    // power iteration, ascending-j folds, 1e-12 re-quantization per
+    // round — replayed verbatim by the oracle's unrolled CTE chain
+    def quant(x: Double): Double = math.floor(x * 1e12 + 0.5) / 1e12
+    var v = Array.fill(dim)(0.125) // 1/√64 — exact in binary
+    def matvec(u: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += m(i)(j).toDouble * u(j); j += 1 }
+        s
+      }
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      var s2 = 0.0
+      var i = 0
+      while (i < dim) { s2 += w(i) * w(i); i += 1 }
+      val nm = math.sqrt(s2)
+      v = if (nm == 0.0) v else w.map(x => quant(x / nm))
+    }
+    val w = matvec(v)
+    val lambda = v.indices.foldLeft(0.0)((a, i) => a + v(i) * w(i))
+    val trace = (0 until dim).map(i => m(i)(i)).sum
+    val explained = lambda / trace.toDouble
+    import spark.implicits._
+    rows.indices.map { i =>
+      (i.toLong,
+        math.floor(sq(i).toDouble / (n * 1000000.0) * 1e6 + 0.5) / 1e6,
+        v(i),
+        math.floor(explained * 1e6 + 0.5) / 1e6)
+    }.toDF("dim", "mu", "pc1", "explained")
+      .orderBy(col("dim"))
+  }
+
   /** q242: DBSCAN-style density clustering over the embedding corpus —
     * the density complement of centroid k-means (q169/q162): k-means
     * forces every point into a ball and fixes k up front; density

@@ -106,6 +106,37 @@ class Round18OpsSpec extends AnyFunSuite {
     assert(off.count() == 0)
   }
 
+  test("q251: planted anisotropy recovers the dominant axis; Rayleigh quotient settled") {
+    import graft.ops.SimilarityOps
+    // 40 vectors hugging the e0 axis ± small e1 jitter: pc1 must be
+    // ±e0-dominated and explained >> isotropic 1/4
+    val planted = (1 to 40).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(0.5f * s, 0.01f * (i % 5), 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val p = SimilarityOps.pcaPowerOf(planted, dim = 4, iters = 20)
+      .select($"dim", $"pc1", $"explained").as[(Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(math.abs(p(0)._2) > 0.99, s"pc1 not e0-dominated: ${p.toSeq}")
+    assert(p(0)._3 > 0.9, s"explained ${p(0)._3} too low for a planted axis")
+    // real corpus: unit norm (within the 1e-12 quantization), explained
+    // in (0, 1], and the Rayleigh quotient is MONOTONE in rounds and
+    // numerically settled at the shipped depth (the vector itself may
+    // wander inside the near-degenerate top eigenspace — by design the
+    // quotient, not the vector, is the convergence contract)
+    def explainedAt(t: Int): Double = SimilarityOps.pcaPower(spark, sf, iters = t)
+      .select($"explained").as[Double].head()
+    val r100 = SimilarityOps.pcaPower(spark, sf, iters = 100)
+      .select($"dim", $"pc1", $"explained").as[(Long, Double, Double)].collect()
+    val norm2 = r100.map(x => x._2 * x._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-9, s"pc1 norm² $norm2")
+    assert(r100.forall(x => x._3 > 0.0 && x._3 <= 1.0))
+    val (e20, e100) = (explainedAt(20), r100.head._3)
+    assert(e100 >= e20 - 1e-9, s"Rayleigh not monotone: $e20 -> $e100")
+    assert(e100 - e20 < 0.05 * e100,
+      s"quotient still moving sharply past 20 rounds: $e20 -> $e100")
+  }
+
   test("q248: all-hapax source reads p0 = 1 and the Chao1 closed form") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta", "hapax"),  // 4 tokens, all distinct
