@@ -1752,10 +1752,16 @@ object RelationalExt {
     * shuffle with map-side partials — then a user-keyed count and a
     * day-bounded rollup; the window runs on the histogram, never the
     * corpus. */
-  def activeDaysHistogram(spark: SparkSession, dir: String): DataFrame = {
+  def activeDaysHistogram(spark: SparkSession, dir: String): DataFrame =
+    activeDaysHistogramOf(
+      Tables.events(spark, dir)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct())
+
+  /** The q246 rollup served from any distinct (user_id, day) activity
+    * table — shared by the batch query and the streaming state twin so
+    * the two cannot diverge. */
+  def activeDaysHistogramOf(ud: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ud = Tables.events(spark, dir)
-      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
     val perUser = ud.groupBy(col("user_id")).agg(count(lit(1)).as("active_days"))
     val hist = perUser.groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
     val tot = hist.agg(sum(col("n_users")).as("nu"))
@@ -1885,6 +1891,28 @@ object RelationalExt {
         (col("r.prev") > 0.0d &&
           col("r.n_events").cast("double") >= col("r.prev") * spikeFactor).as("is_spike"))
       .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** q246's streaming state: the distinct (user_id, day) activity
+    * table. Fully mergeable — set union is associative, commutative
+    * AND idempotent — so the contract is the widest in the state
+    * family: batches may arrive in any order and may re-deliver
+    * events (at-least-once), and the histogram re-derives from the
+    * state each time. State is (users × observation days)-sized —
+    * the dedup-index class, never corpus-sized. */
+  def activeDaysStateMerge(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(
+        batch.select(col("user_id"), date_trunc("day", col("ts")).as("day")))
+      .distinct()
+
+  /** The q246 histogram served from the merged state. */
+  def activeDaysHistogramFromState(state: DataFrame): DataFrame =
+    activeDaysHistogramOf(state)
+
+  /** Empty activity state with the right schema. */
+  def activeDaysStateEmpty(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "day")
   }
 
   /** q222's streaming state: the (user_id, first_day) MIN-MERGE table.

@@ -551,4 +551,24 @@ class PlanSpec extends AnyFunSuite {
       "membership rank must partition by source")
     assert(p.contains("BroadcastExchange"), "quota dim must broadcast back")
   }
+
+  test("trigram backoff: all five model tables broadcast onto the doc trigram stream") {
+    val p = plan(TextOps.trigramBackoff(spark, sf))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 5,
+      "t3/c3x/t2/c2x/cu must all broadcast — a shuffled model join " +
+        "would re-shuffle the corpus trigram stream per table")
+  }
+
+  test("seasonality: one corpus collapse with map-side partials; totals broadcast back") {
+    val p = plan(graft.ops.RelationalExt.seasonalityProfile(spark, sf))
+    assert(p.contains("partial_count"), "cell counts need map-side combine")
+    assert(p.contains("BroadcastHashJoin"), "the types-sized totals dim must broadcast")
+  }
+
+  test("winnowing: pair build is the bucket explode — no cartesian, no corpus self-join") {
+    val p = plan(DedupOps.winnowOverlap(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("explode(members"),
+      "candidate pairs must come from exploding bucket member lists")
+  }
 }
