@@ -138,6 +138,12 @@ object SparkEntry {
     // leading PC via power iteration on the exact integer scatter
     // matrix: pc1 + anisotropy (lambda1/trace) — the whitening audit
     "q251_pca_power"       -> ((s, d) => SimilarityOps.pcaPower(s, d)),
+    // add-1 unigram NB source classifier + held-out confusion matrix:
+    // exact-integer log-prob sums, the source-separability audit
+    "q253_nb_confusion"    -> ((s, d) => TextOps.nbSourceConfusion(s, d)),
+    // Kaplan-Meier churn survival with honest right-censoring: the
+    // what-fraction-survives-past-t curve q118/q222 sidestep
+    "q254_survival_curve"  -> ((s, d) => RelationalExt.survivalCurve(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1934,6 +1940,99 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q251_pca_power" -> pcaPowerOracleSql,
+    // q253: q137's split rule, train model CTEs, dense test-word ×
+    // source grid, exact 1e12-long log-prob sums, (score desc, cand)
+    // argmax, confusion rollup
+    "q253_nb_confusion" ->
+      s"""WITH sp AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN substr(md5('split_' || CAST(doc_id AS VARCHAR)), 1, 1)
+        |              IN ('0', '1', '2') THEN 'test' ELSE 'train' END AS split
+        |  FROM documents),
+        |trw AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' '),
+        |                       x -> x <> '')) AS word
+        |  FROM sp WHERE split = 'train'),
+        |tw AS (
+        |  SELECT s.source, t.word, count(*) AS c
+        |  FROM trw t JOIN sp s USING (doc_id) GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt FROM tw GROUP BY 1),
+        |vsz AS (SELECT count(DISTINCT word) AS v FROM tw),
+        |pr AS (SELECT source, count(*) AS nd FROM sp WHERE split = 'train' GROUP BY 1),
+        |ntr AS (SELECT count(*) AS ntr FROM sp WHERE split = 'train'),
+        |srcdim AS (
+        |  SELECT st.source AS cand,
+        |    CAST(floor(ln(CAST(pr.nd AS DOUBLE) / ntr.ntr) * 1000000000000.0 + 0.5) AS BIGINT) AS pterm,
+        |    st.nt + vsz.v AS den
+        |  FROM st JOIN pr USING (source), vsz, ntr),
+        |tew AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' '),
+        |                       x -> x <> '')) AS word
+        |  FROM sp WHERE split = 'test'),
+        |dw AS (SELECT doc_id, word, count(*) AS n FROM tew GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT dw.doc_id, sd.cand,
+        |    CAST(max(sd.pterm) + sum(dw.n *
+        |      CAST(floor(ln(CAST(coalesce(tw.c, 0) + 1 AS DOUBLE) / sd.den)
+        |        * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score
+        |  FROM dw CROSS JOIN srcdim sd
+        |  LEFT JOIN tw ON tw.source = sd.cand AND tw.word = dw.word
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, cand AS pred FROM (
+        |    SELECT doc_id, cand,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |    FROM scored) t WHERE rn = 1),
+        |cells AS (
+        |  SELECT s.source, p.pred, count(*) AS n
+        |  FROM sp s JOIN pred p USING (doc_id)
+        |  WHERE s.split = 'test' GROUP BY 1, 2),
+        |rt AS (SELECT source, CAST(sum(n) AS BIGINT) AS nr FROM cells GROUP BY 1)
+        |SELECT c.source, c.pred, c.n,
+        |  ${TextOps.roundAtSql("CAST(c.n AS DOUBLE) / rt.nr", 6)} AS share
+        |FROM cells c JOIN rt USING (source)
+        |ORDER BY c.source, c.pred""".stripMargin,
+    // q254: time-to-first-purchase lifetimes + never-purchased
+    // censoring, reverse-cumulative risk sets, 1e12-long ln factors
+    // prefix-summed, one mirrored exp
+    "q254_survival_curve" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS fd FROM ev GROUP BY 1),
+        |p AS (SELECT user_id, min(day) AS pd FROM ev
+        |      WHERE event_type = 'purchase' GROUP BY 1),
+        |mx AS (SELECT max(day) AS mxd FROM ev),
+        |u AS (
+        |  SELECT CAST(CASE WHEN p.pd IS NOT NULL THEN datediff('day', f.fd, p.pd)
+        |              ELSE datediff('day', f.fd, mx.mxd) END AS BIGINT) AS t,
+        |    p.pd IS NULL AS cens
+        |  FROM f LEFT JOIN p USING (user_id), mx),
+        |byt AS (
+        |  SELECT t,
+        |    CAST(sum(CASE WHEN cens THEN 0 ELSE 1 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM u GROUP BY 1),
+        |wr AS (
+        |  SELECT *, CAST(sum(d + c) OVER (ORDER BY t DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |  FROM byt),
+        |wt AS (
+        |  SELECT *,
+        |    CAST(max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dead,
+        |    CAST(sum(CASE WHEN d = n_risk THEN 0 WHEN d = 0 THEN 0
+        |      ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+        |        * 1000000000000.0 + 0.5) AS BIGINT) END)
+        |      OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lt
+        |  FROM wr)
+        |SELECT t, n_risk, d AS n_converted, c AS n_censored,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |       ELSE ${TextOps.roundAtSql("exp(CAST(lt AS DOUBLE) / 1000000000000.0)", 6)}
+        |  END AS survival
+        |FROM wt ORDER BY t""".stripMargin,
     "q242_density_clusters" -> densityClustersOracleSql,
     "q243_neardup_oph" -> ophOracleSql,
     "q244_trigram_backoff" -> trigramBackoffOracleSql,

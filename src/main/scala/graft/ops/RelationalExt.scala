@@ -1702,6 +1702,74 @@ object RelationalExt {
       .orderBy(col("user_id"))
   }
 
+  /** q254: Kaplan-Meier time-to-conversion survival (Kaplan & Meier
+    * 1958) — S(t) = Π_{u≤t} (1 − d_u/n_u) over each user's days from
+    * FIRST EVENT to FIRST PURCHASE, with honest RIGHT-CENSORING: a
+    * user who never purchases is censored at the corpus end, not
+    * counted as "converted never" or silently dropped (either is the
+    * classic time-to-event bias — dropping non-converters OVERSTATES
+    * conversion speed exactly when conversion is rare). S(t) reads
+    * "fraction still unconverted after t days" — the curve behind
+    * q215's latency percentiles (which only see CONVERTED users) and
+    * q240's binary rates (which ignore time entirely). Standard tie
+    * convention: conversions precede censorings at equal t, both
+    * count in their own t's risk set.
+    *
+    * Exactness: all counts exact longs (risk set = reverse running
+    * sum over the T-bounded day table); each factor's ln((n−d)/n)
+    * floor-scales to a 1e12 LONG so the cumulative product is an
+    * exact-integer prefix sum, exponentiated once per row (single
+    * mirrored exp under roundAt); a day where everyone at risk
+    * converts zeroes the curve exactly via the cumulative flag, never
+    * a ln(0).
+    *
+    * Scale: two user-keyed reductions + a 1-row broadcast max-day;
+    * everything after runs on the lifetime-bounded day table (model
+    * state — the q246 histogram-window argument). */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame =
+    survivalCurveOf(Tables.events(spark, dir))
+
+  /** [[survivalCurve]] over any (user_id, event_type, ts) frame —
+    * split out so specs can drive hand-computed KM curves with
+    * censoring actually exercised. */
+  private[graft] def survivalCurveOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+    val f = ev.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("day")).as("pd"))
+    val mx = ev.agg(max(col("day")).as("mxd"))
+    val u = f.join(p, Seq("user_id"), "left").crossJoin(broadcast(mx))
+      .select(
+        when(col("pd").isNotNull, datediff(col("pd"), col("fd")))
+          .otherwise(datediff(col("mxd"), col("fd"))).cast("long").as("t"),
+        col("pd").isNull.as("cens"))
+    val byT = u.groupBy(col("t")).agg(
+      sum(when(!col("cens"), 1L).otherwise(0L)).as("d"),
+      sum(when(col("cens"), 1L).otherwise(0L)).as("c"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRisk = byT.withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+    val term = when(col("d") === 0L, lit(0L))
+      .otherwise(floor(log((col("n_risk") - col("d")).cast("double") /
+        col("n_risk")) * lit(1e12) + lit(0.5)).cast("long"))
+    withRisk
+      .withColumn("dead", max(when(col("d") === col("n_risk"), 1L).otherwise(0L))
+        .over(wAsc))
+      .withColumn("lt", sum(when(col("d") === col("n_risk"), lit(0L))
+        .otherwise(term)).over(wAsc))
+      .select(col("t"), col("n_risk"), col("d").as("n_converted"),
+        col("c").as("n_censored"),
+        when(col("dead") === 1L, lit(0.0d))
+          .otherwise(TextOps.roundAt(
+            exp(col("lt").cast("double") / lit(1e12)), 6)).as("survival"))
+      .orderBy(col("t"))
+  }
+
   /** q250: weekday × hour seasonality profile per event type — the
     * folded-over-weeks heatmap behind every ops dashboard: q16 counts
     * the raw hourly TIMELINE, q174/q199/q221 hunt anomalies against

@@ -1444,6 +1444,73 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
+  /** q253: add-1 unigram Naive Bayes source classifier with a held-out
+    * CONFUSION MATRIX — the source-attribution audit (given only its
+    * words, which source does a doc look like?) that doubles as the
+    * measured upper bound on how separable the sources' language
+    * actually is; q225's KL matrix says the distributions differ,
+    * this says whether the difference CLASSIFIES. Split = the q137
+    * md5 first-hex-char rule (≈19% test), model trained on the rest.
+    *
+    * Exactness: every log term is floor-scaled to a 1e12 LONG once
+    * per (source, word) (the q225 device), doc scores are then EXACT
+    * INTEGER sums (order-free), and argmax breaks ties by smallest
+    * source — the whole matrix is hash-exact with no roundAt anywhere
+    * in the decision path.
+    *
+    * Scale: model tables are train-vocabulary-sized (broadcast); the
+    * dense scoring grid is test word rows × S sources via a broadcast
+    * S-row dim — the per-doc reduction is one exact-long aggregation;
+    * never a corpus² anything. */
+  def nbSourceConfusion(spark: SparkSession, dir: String): DataFrame =
+    nbSourceConfusionOf(Tables.documents(spark, dir))
+
+  /** [[nbSourceConfusion]] over any (doc_id, source, text) frame —
+    * split out so specs can drive separable synthetic vocabularies. */
+  private[graft] def nbSourceConfusionOf(docs: DataFrame): DataFrame = {
+    val isTest = substring(
+      md5(concat(lit("split_"), col("doc_id").cast("string"))), 1, 1)
+      .isin("0", "1", "2")
+    val withSplit = docs.select(col("doc_id"), col("source"), col("text"),
+      when(isTest, lit("test")).otherwise(lit("train")).as("split"))
+    val train = withSplit.filter(col("split") === "train")
+    val test = withSplit.filter(col("split") === "test")
+    val tw = wordRowsOf(train.select(col("doc_id"), col("text")))
+      .join(train.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    val st = tw.groupBy(col("source")).agg(sum(col("c")).as("nt"))
+    val vsz = tw.agg(countDistinct(col("word")).as("v"))
+    val prior = train.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val ntr = train.agg(count(lit(1)).as("ntr"))
+    // per-source model dim: prior term + smoothing denominator,
+    // S rows — broadcast everywhere downstream
+    val srcDim = st.join(prior, Seq("source")).crossJoin(vsz).crossJoin(ntr)
+      .select(col("source").as("cand"),
+        floor(log(col("nd").cast("double") / col("ntr")) * lit(1e12) + lit(0.5))
+          .cast("long").as("pterm"),
+        (col("nt") + col("v")).as("den"))
+    val dw = wordRowsOf(test.select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+    val scored = dw.crossJoin(broadcast(srcDim))
+      .join(broadcast(tw.select(col("source").as("cand"), col("word"), col("c"))),
+        Seq("cand", "word"), "left")
+      .select(col("doc_id"), col("cand"), col("pterm"),
+        (col("n") * floor(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          col("den")) * lit(1e12) + lit(0.5)).cast("long")).as("wterm"))
+      .groupBy(col("doc_id"), col("cand"))
+      .agg((first(col("pterm")) + sum(col("wterm"))).as("score"))
+    val pred = scored.groupBy(col("doc_id"))
+      .agg(min_by(col("cand"), struct((-col("score")).as("ns"), col("cand"))).as("pred"))
+    val cells = test.select(col("doc_id"), col("source"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("source"), col("pred")).agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col("source")).agg(sum(col("n")).as("nr"))
+    cells.join(broadcast(rowTot), Seq("source"))
+      .select(col("source"), col("pred"), col("n"),
+        roundAt(col("n").cast("double") / col("nr"), 6).as("share"))
+      .orderBy(col("source"), col("pred"))
+  }
+
   /** q248: unseen-vocabulary estimation per source — Good-Turing
     * unseen mass p₀ = n₁/N (Good 1953: the probability the NEXT token
     * is a word never seen in this source) and the bias-corrected

@@ -154,6 +154,52 @@ class Round18OpsSpec extends AnyFunSuite {
       s"quotient still moving sharply past 20 rounds: $e20 -> $e100")
   }
 
+  test("q253: separable vocabularies classify perfectly; cells partition the test slice") {
+    def md5TestSide(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split_$id".getBytes("UTF-8"))
+      "0123456789abcdef".charAt((d(0) >> 4) & 0xf) <= '2'
+    }
+    val docs = (1L to 60L).map { i =>
+      val s = if (i % 2 == 0) "alpha" else "beta"
+      (i, s, if (s == "alpha") "aaa bbb ccc aaa" else "xxx yyy zzz xxx")
+    }.toDF("doc_id", "source", "text")
+    val got = TextOps.nbSourceConfusionOf(docs)
+      .select($"source", $"pred", $"n").as[(String, String, Long)].collect()
+    assert(got.forall(r => r._1 == r._2),
+      s"separable sources misclassified: ${got.filter(r => r._1 != r._2).toSeq}")
+    val expectedTest = (1L to 60L).count(md5TestSide)
+    assert(got.map(_._3).sum == expectedTest,
+      "confusion cells must partition the md5 test slice")
+  }
+
+  test("q254: hand-computed KM curve with censoring exercised; survival non-increasing") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    // A converts t=0; B,D convert t=2; E censored t=2; C censored t=4
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "purchase", ts(0)),
+      (2L, "view", ts(0)), (2L, "purchase", ts(2)),
+      (3L, "view", ts(1)), (3L, "view", ts(5)),
+      (4L, "view", ts(0)), (4L, "purchase", ts(2)),
+      (5L, "view", ts(3)), (5L, "view", ts(5))
+    ).toDF("user_id", "event_type", "ts")
+    val got = RelationalExt.survivalCurveOf(ev)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 5L, 1L, 0L, 0.8),
+      (2L, 4L, 2L, 1L, 0.4),
+      (4L, 1L, 0L, 1L, 0.4)), s"got $got")
+    // real corpus: risk sets telescope and survival never increases
+    val real = RelationalExt.survivalCurve(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    real.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._2 == a._2 - a._3 - a._4, "risk set must telescope")
+        assert(b._5 <= a._5, "survival must be non-increasing")
+      case _ =>
+    }
+  }
+
   test("q248: all-hapax source reads p0 = 1 and the Chao1 closed form") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta", "hapax"),  // 4 tokens, all distinct
