@@ -138,6 +138,9 @@ object SparkEntry {
     // leading PC via power iteration on the exact integer scatter
     // matrix: pc1 + anisotropy (lambda1/trace) — the whitening audit
     "q251_pca_power"       -> ((s, d) => SimilarityOps.pcaPower(s, d)),
+    // Rocchio pseudo-relevance feedback: BM25 round 1 → top-5 docs →
+    // top-3 TF-IDF expansion terms at beta=0.5 → re-score
+    "q252_rocchio_prf"     -> ((s, d) => TextOps.rocchioPrf(s, d)),
     // add-1 unigram NB source classifier + held-out confusion matrix:
     // exact-integer log-prob sums, the source-separability audit
     "q253_nb_confusion"    -> ((s, d) => TextOps.nbSourceConfusion(s, d)),
@@ -1938,8 +1941,61 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** q252 oracle: both BM25 rounds replayed with the per-doc sorted
+    * fold (scores bit-identical doubles → identical feedback set and
+    * final ranking), the feedback-vocab TF-IDF expansion, and the
+    * weighted re-score. DOUBLE casts on the weight literals (DuckDB
+    * parses bare decimals as DECIMAL — the q155 lesson). */
+  private lazy val rocchioPrfOracleSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    def scoreCtes(termsCte: String, out: String): String =
+      s"""${out}_tf AS (
+         |  SELECT wr.doc_id, wr.word, t.wt, count(*) AS tf
+         |  FROM wr JOIN $termsCte t USING (word) GROUP BY 1, 2, 3),
+         |${out}_df AS (SELECT word, count(DISTINCT doc_id) AS df FROM ${out}_tf GROUP BY 1),
+         |$out AS (
+         |  SELECT tf.doc_id,
+         |    list_sum(list(
+         |      tf.wt * ln((nn.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |      ((tf.tf * ${k1 + 1}) / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / ad.avgdl)))
+         |      ORDER BY tf.word)) AS score
+         |  FROM ${out}_tf tf JOIN ${out}_df df USING (word)
+         |       JOIN dl USING (doc_id), nn, ad
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH ws AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(${graft.functions.TextNorm.sqlNorm("text")}, ' '),
+      |                x -> x <> '') AS w
+      |  FROM documents),
+      |wr AS (SELECT doc_id, unnest(w) AS word FROM ws),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM wr GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+      |t0 AS (SELECT word, CAST(wt AS DOUBLE) AS wt
+      |       FROM (VALUES ('data', 1.0), ('analysis', 1.0), ('model', 1.0)) v(word, wt)),
+      |${scoreCtes("t0", "s0")},
+      |fb AS (SELECT doc_id FROM s0 ORDER BY score DESC, doc_id LIMIT 5),
+      |fbtf AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS stf
+      |  FROM wr JOIN fb USING (doc_id)
+      |  WHERE word NOT IN ('data', 'analysis', 'model') GROUP BY 1),
+      |cdf AS (
+      |  SELECT word, count(DISTINCT doc_id) AS df FROM wr
+      |  WHERE word IN (SELECT word FROM fbtf) GROUP BY 1),
+      |exp0 AS (
+      |  SELECT fbtf.word, CAST(fbtf.stf AS DOUBLE) * ln(nn.n_docs / cdf.df) AS esc
+      |  FROM fbtf JOIN cdf USING (word), nn),
+      |exp1 AS (SELECT word, CAST(0.5 AS DOUBLE) AS wt
+      |         FROM exp0 ORDER BY esc DESC, word LIMIT 3),
+      |t1 AS (SELECT * FROM t0 UNION ALL SELECT * FROM exp1),
+      |${scoreCtes("t1", "s1")}
+      |SELECT doc_id, ${TextOps.roundAtSql("score", 6)} AS bm25_prf
+      |FROM s1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q251_pca_power" -> pcaPowerOracleSql,
+    "q252_rocchio_prf" -> rocchioPrfOracleSql,
     // q253: q137's split rule, train model CTEs, dense test-word ×
     // source grid, exact 1e12-long log-prob sums, (score desc, cand)
     // argmax, confusion rollup

@@ -1444,6 +1444,92 @@ object TextOps {
       .orderBy(col("decile"))
   }
 
+  /** q252: Rocchio pseudo-relevance feedback retrieval (Rocchio 1971,
+    * the PRF shape every classic IR stack ships): round 1 scores the
+    * original query with BM25 and takes the top `fb` documents as
+    * assumed-relevant feedback; the `expand` highest-TF-IDF terms of
+    * that feedback set (originals excluded) join the query at weight
+    * β = 0.5; round 2 re-scores with the weighted expanded query —
+    * the vocabulary-mismatch fix q130/q141 can't give (a relevant doc
+    * that says "statistics" instead of "analysis" is invisible to the
+    * literal query until feedback pulls its vocabulary in).
+    *
+    * Exactness: BOTH rounds fold per-doc term contributions in sorted
+    * word order (q161 device) so scores are bit-identical doubles and
+    * the feedback set / final ranking (score desc, doc_id) match
+    * exactly across engines — no reliance on aggregation arrival
+    * order; expansion scores are (Σtf)·ln(N/df), one product of an
+    * exact long and one ln, tie-broken by word.
+    *
+    * Scale: same plan as q130 twice — the tf branch prunes to the
+    * (expanded) term list before any shuffle, model dims broadcast,
+    * top-k is a rank over a feedback/k-bounded set; the expansion
+    * candidate rollup is semi-join-pruned to the 5 feedback docs'
+    * vocabulary, never a corpus-wide term sort. */
+  def rocchioPrf(spark: SparkSession, dir: String,
+                 query: Seq[String] = Seq("data", "analysis", "model"),
+                 fb: Int = 5, expand: Int = 3, beta: Double = 0.5,
+                 k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rocchioPrfOf(Tables.documents(spark, dir), query, fb, expand, beta, k, k1, b)
+
+  /** [[rocchioPrf]] over any (doc_id, text) frame — split out so specs
+    * can plant a vocabulary-mismatch corpus the literal query misses. */
+  private[graft] def rocchioPrfOf(docs: DataFrame, query: Seq[String],
+                                  fb: Int, expand: Int, beta: Double,
+                                  k: Int, k1: Double, b: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val words = wordRowsOf(docs.select(col("doc_id"), col("text")))
+      .localCheckpoint(false)
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(false)
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    // weighted BM25 with the per-doc SORTED fold — scores are
+    // bit-identical doubles, so rank order is engine-independent
+    def score(terms: DataFrame): DataFrame = {
+      val tf = words.join(broadcast(terms), Seq("word"))
+        .groupBy(col("doc_id"), col("word"), col("wt")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(broadcast(df), Seq("word"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+        .select(col("doc_id"),
+          struct(col("word"), (col("wt") * idf * norm).as("term")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(col("s"))), x => x.getField("term")),
+          lit(0.0d), (a, t) => a + t).as("score"))
+    }
+    import spark.implicits._
+    val terms0 = query.map(w => (w, 1.0)).toDF("word", "wt")
+    // top-k via orderBy+limit = TakeOrderedAndProject (partial per
+    // partition, k-row driver merge) — never a one-task global window
+    val feedback = score(terms0)
+      .orderBy(col("score").desc, col("doc_id")).limit(fb)
+      .select(col("doc_id")).localCheckpoint(false)
+    // expansion candidates: the feedback set's vocabulary, original
+    // terms excluded; candidate df comes from the corpus rollup
+    // semi-join-pruned to that (5-doc) vocabulary
+    val fbTf = words.join(feedback, Seq("doc_id"))
+      .filter(!col("word").isin(query: _*))
+      .groupBy(col("word")).agg(sum(lit(1L)).as("stf"))
+    val candDf = words.join(fbTf.select(col("word")), Seq("word"), "left_semi")
+      .groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+    val expansion = fbTf.join(candDf, Seq("word"))
+      .crossJoin(broadcast(n))
+      .select(col("word"),
+        (col("stf").cast("double") * log(col("n_docs") / col("df"))).as("esc"))
+      .orderBy(col("esc").desc, col("word")).limit(expand)
+      .select(col("word"), lit(beta).as("wt"))
+    val terms1 = terms0.unionByName(expansion)
+    score(terms1)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), roundAt(col("score"), 6).as("bm25_prf"))
+  }
+
   /** q253: add-1 unigram Naive Bayes source classifier with a held-out
     * CONFUSION MATRIX — the source-attribution audit (given only its
     * words, which source does a doc look like?) that doubles as the

@@ -154,6 +154,24 @@ class Round18OpsSpec extends AnyFunSuite {
       s"quotient still moving sharply past 20 rounds: $e20 -> $e100")
   }
 
+  test("q252: feedback expansion surfaces docs the literal query cannot see") {
+    // docs 1-5 match the query and all carry 'wombat'; docs 6-10 are
+    // wombat-only (round-1 score: nonexistent); 11-20 are noise
+    val docs = ((1L to 5L).map(i => (i, "data analysis model wombat")) ++
+      (6L to 10L).map(i => (i, "wombat quokka numbat")) ++
+      (11L to 20L).map(i => (i, "completely unrelated filler text"))
+    ).toDF("doc_id", "text")
+    val got = TextOps.rocchioPrfOf(docs, Seq("data", "analysis", "model"),
+      fb = 5, expand = 3, beta = 0.5, k = 10, k1 = 1.2, b = 0.75)
+      .select($"doc_id").as[Long].collect().toSet
+    assert((6L to 10L).forall(got), s"wombat-only docs missing from PRF top-10: $got")
+    assert((11L to 20L).forall(i => !got(i)), "noise docs must not enter the top-10")
+    // real corpus: exactly k rows, scores positive
+    val real = TextOps.rocchioPrf(spark, sf)
+    assert(real.count() == 10)
+    assert(real.filter($"bm25_prf" <= 0.0).count() == 0)
+  }
+
   test("q253: separable vocabularies classify perfectly; cells partition the test slice") {
     def md5TestSide(id: Long): Boolean = {
       val d = java.security.MessageDigest.getInstance("MD5")
