@@ -147,6 +147,9 @@ object SparkEntry {
     // Kaplan-Meier churn survival with honest right-censoring: the
     // what-fraction-survives-past-t curve q118/q222 sidestep
     "q254_survival_curve"  -> ((s, d) => RelationalExt.survivalCurve(s, d)),
+    // CUPED variance reduction: theta + rho^2 per event-type metric —
+    // what the pre-period covariate is worth experimentally
+    "q255_cuped"           -> ((s, d) => RelationalExt.cupedVarianceReduction(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1996,6 +1999,48 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q251_pca_power" -> pcaPowerOracleSql,
     "q252_rocchio_prf" -> rocchioPrfOracleSql,
+    // q255: 1e-3-quantized per-(user, type, period) sums, dense grid,
+    // exact long sufficient stats, one mirrored double tree per cell
+    "q255_cuped" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM events),
+        |bounds AS (SELECT min(day) AS mnd, max(day) AS mxd FROM ev),
+        |cells AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(CASE WHEN datediff('day', mnd, day) * 2 <
+        |                       datediff('day', mnd, mxd)
+        |             THEN v ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN datediff('day', mnd, day) * 2 <
+        |                       datediff('day', mnd, mxd)
+        |             THEN 0 ELSE v END) AS BIGINT) AS y
+        |  FROM ev, bounds GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+        |  FROM (SELECT DISTINCT user_id FROM ev) u
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+        |  LEFT JOIN cells c ON c.user_id = u.user_id AND c.event_type = t.event_type),
+        |g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM grid GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n, sx, sy,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+        |  FROM g)
+        |SELECT event_type, n AS n_users,
+        |  ${TextOps.roundAtSql("CAST(sy AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)", 6)} AS mean_post,
+        |  ${TextOps.roundAtSql("CASE WHEN vx = 0.0 THEN 0.0 ELSE cv / vx END", 6)} AS theta,
+        |  ${TextOps.roundAtSql(
+             "CASE WHEN vx = 0.0 OR vy = 0.0 THEN 0.0 ELSE (cv * cv) / (vx * vy) END", 6)} AS var_reduction
+        |FROM d ORDER BY event_type""".stripMargin,
     // q253: q137's split rule, train model CTEs, dense test-word ×
     // source grid, exact 1e12-long log-prob sums, (score desc, cand)
     // argmax, confusion rollup

@@ -1702,6 +1702,74 @@ object RelationalExt {
       .orderBy(col("user_id"))
   }
 
+  /** q255: CUPED variance reduction (Deng et al. 2013 — the
+    * pre-experiment covariate adjustment every large A/B platform
+    * runs): split the corpus timeline at its midpoint, treat each
+    * user's PRE-period value sum per event type as the covariate for
+    * their POST-period metric, and report θ = cov(pre, post)/var(pre)
+    * plus the achieved variance reduction ρ² — the factor by which an
+    * experiment on this metric could shrink its confidence intervals
+    * (equivalently: how much smaller a sample buys the same power).
+    * The A/B-readiness audit for the q216 correlation matrix's
+    * strongest covariate: q216 says pre and post correlate, this says
+    * what that correlation is WORTH experimentally.
+    *
+    * Exactness: event values quantize to 1e-3 longs, so the five
+    * sufficient statistics per type (n, Σx, Σy, Σx², Σxy, Σy²) are
+    * EXACT LONGS over the full users × types grid (absent users count
+    * 0 — the honest population); everything after is one mirrored
+    * double expression tree per output cell under roundAt (long →
+    * double casts are IEEE-identical on both engines even past 2⁵³).
+    * Zero-variance metrics guard to θ = 0, ρ² = 0.
+    *
+    * Scale: one corpus collapse to (user, type, period) cells, one
+    * grid fill against the types-sized dim (broadcast), one types-
+    * sized rollup with map-side partials. */
+  def cupedVarianceReduction(spark: SparkSession, dir: String): DataFrame =
+    cupedOf(Tables.events(spark, dir))
+
+  /** [[cupedVarianceReduction]] over any (user_id, event_type, ts,
+    * value) frame — split out so specs can plant exactly-correlated
+    * pre/post metrics with known θ and ρ². */
+  private[graft] def cupedOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        floor(col("value") * lit(1000.0) + lit(0.5)).cast("long").as("v"))
+    val bounds = ev.agg(min(col("day")).as("mnd"), max(col("day")).as("mxd"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("pre",
+        datediff(col("day"), col("mnd")) * 2 < datediff(col("mxd"), col("mnd")))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(when(col("pre"), col("v")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("v")).otherwise(0L)).as("y"))
+    // the honest population: every user × every type (absent = 0)
+    val users = ev.select(col("user_id")).distinct()
+    val types = ev.select(col("event_type")).distinct()
+    val grid = users.crossJoin(broadcast(types))
+      .join(cells, Seq("user_id", "event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("x"), lit(0L)).as("x"), coalesce(col("y"), lit(0L)).as("y"))
+    val g = grid.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    val cv = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val theta = when(vx === 0.0d, lit(0.0d)).otherwise(cv / vx)
+    val rho2 = when(vx === 0.0d || vy === 0.0d, lit(0.0d))
+      .otherwise((cv * cv) / (vx * vy))
+    g.select(col("event_type"), col("n").as("n_users"),
+        TextOps.roundAt(col("sy").cast("double") / (nD * lit(1000.0)), 6).as("mean_post"),
+        TextOps.roundAt(theta, 6).as("theta"),
+        TextOps.roundAt(rho2, 6).as("var_reduction"))
+      .orderBy(col("event_type"))
+  }
+
   /** q254: Kaplan-Meier time-to-conversion survival (Kaplan & Meier
     * 1958) — S(t) = Π_{u≤t} (1 − d_u/n_u) over each user's days from
     * FIRST EVENT to FIRST PURCHASE, with honest RIGHT-CENSORING: a

@@ -218,6 +218,28 @@ class Round18OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q255: exactly-correlated pre/post reads theta 2 and full variance reduction") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    // span day0..day9, midpoint split: days 0-4 pre, 5-9 post;
+    // y = 2x exactly → theta = 2, rho² = 1
+    val ev = ((1 to 4).flatMap { i =>
+      Seq((i.toLong, "view", ts(0), i.toDouble),
+        (i.toLong, "view", ts(9), 2.0 * i))
+    } :+ ((1L, "click", ts(9), 7.0))) // no pre variance → guarded zeros
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = RelationalExt.cupedOf(ev)
+      .select($"event_type", $"n_users", $"mean_post", $"theta", $"var_reduction")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("view") == (("view", 4L, 5.0, 2.0, 1.0)), s"view: ${got("view")}")
+    assert(got("click") == (("click", 4L, 1.75, 0.0, 0.0)), s"click: ${got("click")}")
+    // real corpus: rho² in [0, 1], population is all users for every type
+    val real = RelationalExt.cupedVarianceReduction(spark, sf).localCheckpoint(false)
+    assert(real.filter($"var_reduction" < 0.0 || $"var_reduction" > 1.0).count() == 0)
+    assert(real.select($"n_users").distinct().count() == 1,
+      "every metric must be computed over the same full user population")
+  }
+
   test("q248: all-hapax source reads p0 = 1 and the Chao1 closed form") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta", "hapax"),  // 4 tokens, all distinct
