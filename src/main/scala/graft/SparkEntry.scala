@@ -150,6 +150,9 @@ object SparkEntry {
     // CUPED variance reduction: theta + rho^2 per event-type metric —
     // what the pre-period covariate is worth experimentally
     "q255_cuped"           -> ((s, d) => RelationalExt.cupedVarianceReduction(s, d)),
+    // stationary distribution of the q133 transition chain: long-run
+    // attention share per type via 50 mirrored power rounds
+    "q256_stationary"      -> ((s, d) => RelationalExt.stationaryDistribution(s, d)),
     // asymmetric containment |A∩B|/min(|A|,|B|): subset-duplication
     // detection over the SAME q25 candidate build
     "q164_neardup_containment" -> ((s, d) => DedupOps.nearDupContainment(s, d)),
@@ -1996,9 +1999,46 @@ object SparkEntry {
       |FROM s1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** q256 oracle: q133's pair CTE, row totals, then the 50 power
+    * rounds unrolled as MATERIALIZED CTEs — per-target ascending-s
+    * folds over the observed cells (zero cells add exactly +0.0 in
+    * the engine, so skipping them is value-identical) with the q251
+    * 1e-12 per-round re-quantization; uniform quantized start. */
+  private lazy val stationaryOracleSql: String = {
+    val iters = 50
+    def round(r: Int): String = {
+      val prev = if (r == 1) "p0" else s"p${r - 1}"
+      s"""it$r AS MATERIALIZED (
+         |  SELECT m.j AS i,
+         |    list_sum(list(v.v * (CAST(m.c AS DOUBLE) / m.rt) ORDER BY m.s)) AS w
+         |  FROM m JOIN $prev v ON v.i = m.s GROUP BY m.j),
+         |p$r AS MATERIALIZED (
+         |  SELECT i, floor(w * 1000000000000.0 + 0.5) / 1000000000000.0 AS v
+         |  FROM it$r)""".stripMargin
+    }
+    s"""WITH pr AS (
+      |  SELECT event_type AS s,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS t
+      |  FROM events),
+      |tc AS (SELECT s, t, count(*) AS c FROM pr WHERE t IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT s, CAST(sum(c) AS BIGINT) AS rt FROM tc GROUP BY 1),
+      |m AS MATERIALIZED (SELECT tc.s, tc.t AS j, tc.c, rt.rt FROM tc JOIN rt USING (s)),
+      |kk AS (SELECT count(*) AS k FROM rt),
+      |p0 AS MATERIALIZED (
+      |  SELECT s AS i,
+      |    floor(CAST(1.0 AS DOUBLE) / k * 1000000000000.0 + 0.5) / 1000000000000.0 AS v
+      |  FROM rt, kk),
+      |${(1 to iters).map(round).mkString(",\n")}
+      |SELECT r.s AS event_type, r.rt AS n_out, p.v AS pi
+      |FROM rt r JOIN p$iters p ON p.i = r.s
+      |ORDER BY event_type""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q251_pca_power" -> pcaPowerOracleSql,
     "q252_rocchio_prf" -> rocchioPrfOracleSql,
+    "q256_stationary" -> stationaryOracleSql,
     // q255: 1e-3-quantized per-(user, type, period) sums, dense grid,
     // exact long sufficient stats, one mirrored double tree per cell
     "q255_cuped" ->

@@ -1702,6 +1702,83 @@ object RelationalExt {
       .orderBy(col("user_id"))
   }
 
+  /** q256: stationary distribution of the event-transition Markov
+    * chain — the long-run attention share per event type, the
+    * equilibrium the q133 matrix implies but never states: q133 says
+    * where users go NEXT, q237 what removing a channel costs, this is
+    * where the chain SPENDS ITS TIME as t → ∞ — the steady-state load
+    * profile a capacity plan or content-mix decision actually wants
+    * (raw event frequencies ≠ stationary mass when transition
+    * structure is asymmetric).
+    *
+    * Mechanism: exact transition counts (q133's pair construction
+    * verbatim), row-normalized to P implicitly (each update term is
+    * π_s · c_st/rt_s), 50 synchronous power rounds from the uniform
+    * start with ascending-(s) folds per target and the q251 1e-12
+    * per-round re-quantization; states lacking outgoing transitions
+    * are excluded from the chain (and the output) — with lag pairs
+    * over long user streams every observed type has outgoing mass
+    * here, asserted by the spec.
+    *
+    * Exactness: counts exact longs; each round is a mirrored double
+    * tree replayed by the oracle's unrolled MATERIALIZED CTEs; the
+    * emitted π values are the 1e-12-quantized round-`iters` vector,
+    * identical on both engines by construction (the q251 contract).
+    *
+    * Scale: ONE user-keyed shuffle to the types²-sized count matrix
+    * (bounded model state — the q237 collect rule); iteration is
+    * driver-side types² per round, corpus-free. */
+  def stationaryDistribution(spark: SparkSession, dir: String,
+                             iters: Int = 50): DataFrame =
+    stationaryOf(Tables.events(spark, dir), iters)
+
+  /** [[stationaryDistribution]] over any (user_id, event_id,
+    * event_type, ts) frame — split out so specs can drive chains with
+    * closed-form stationary vectors. */
+  private[graft] def stationaryOf(events: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tc = events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("t", lead(col("event_type"), 1).over(w))
+      .filter(col("t").isNotNull)
+      .groupBy(col("event_type").as("s"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    // types²-bounded model state — the q237 collect rule
+    val cells = tc.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = cells.map(_._1).distinct.sorted // states WITH outgoing mass
+    val idx = states.zipWithIndex.toMap
+    val k = states.length
+    val cnt = Array.ofDim[Long](k, k)
+    val rt = Array.ofDim[Long](k)
+    cells.foreach { case (s, t, c) =>
+      // a target type with no outgoing transitions would leak mass out
+      // of the restricted chain; no such type exists here (spec-pinned)
+      require(idx.contains(t), s"absorbing target state $t — chain not closed")
+      cnt(idx(s))(idx(t)) += c
+      rt(idx(s)) += c
+    }
+    def quant(x: Double): Double = math.floor(x * 1e12 + 0.5) / 1e12
+    var pi = Array.fill(k)(quant(1.0 / k))
+    for (_ <- 1 to iters) {
+      val nx = Array.tabulate(k) { j =>
+        var acc = 0.0
+        var s = 0
+        while (s < k) {
+          acc += pi(s) * (cnt(s)(j).toDouble / rt(s)); s += 1
+        }
+        acc
+      }
+      pi = nx.map(quant)
+    }
+    import spark.implicits._
+    states.indices.map(i => (states(i), rt(i), pi(i)))
+      .toDF("event_type", "n_out", "pi")
+      .orderBy(col("event_type"))
+  }
+
   /** q255: CUPED variance reduction (Deng et al. 2013 — the
     * pre-experiment covariate adjustment every large A/B platform
     * runs): split the corpus timeline at its midpoint, treat each

@@ -240,6 +240,28 @@ class Round18OpsSpec extends AnyFunSuite {
       "every metric must be computed over the same full user population")
   }
 
+  test("q256: two-state chain converges to the closed-form (1/3, 2/3) stationary vector") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // stream [a b b a b]: c(a→b)=2, c(b→b)=1, c(b→a)=1 →
+    // P = [[0,1],[1/2,1/2]] → π = (1/3, 2/3)
+    val ev = Seq(
+      (1L, 1L, "a", ts(0)), (1L, 2L, "b", ts(1)), (1L, 3L, "b", ts(2)),
+      (1L, 4L, "a", ts(3)), (1L, 5L, "b", ts(4))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = RelationalExt.stationaryOf(ev, iters = 50)
+      .select($"event_type", $"n_out", $"pi")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 == 2L && got("b")._2 == 2L)
+    assert(math.abs(got("a")._3 - 1.0 / 3) < 1e-9, s"pi(a) = ${got("a")._3}")
+    assert(math.abs(got("b")._3 - 2.0 / 3) < 1e-9, s"pi(b) = ${got("b")._3}")
+    // real corpus: the chain is closed (engine would have thrown
+    // otherwise), π sums to 1 and every state carries positive mass
+    val real = RelationalExt.stationaryDistribution(spark, sf)
+      .select($"pi").as[Double].collect()
+    assert(math.abs(real.sum - 1.0) < 1e-6, s"Σπ = ${real.sum}")
+    assert(real.forall(_ > 0.0))
+  }
+
   test("q248: all-hapax source reads p0 = 1 and the Chao1 closed form") {
     val docs = Seq(
       (1L, "alpha bravo charlie delta", "hapax"),  // 4 tokens, all distinct
