@@ -1750,9 +1750,15 @@ object SparkEntry {
     * degree counts, core gate at minPts=3, recursive closure over the
     * core-core edges (the q61 reach pattern), isolated cores
     * self-labeled, borders attached to the min core-neighbor cluster.
-    * Cosine rounds at 4 BEFORE the ≥ ε compare on both engines. */
+    * Cosine rounds at 4 BEFORE the ≥ ε compare on both engines. The
+    * `adm` CTE mirrors the engine's stop-block cap (labels with more
+    * than 1000 members contribute NO pairs — the q138 wholesale-
+    * exclusion semantics; member counts are deterministic, so the
+    * oracle re-derives the same exclusions). */
   private lazy val densityClustersOracleSql: String =
-    """WITH RECURSIVE p AS (
+    """WITH RECURSIVE adm AS (
+      |  SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 1000),
+      |p AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb,
       |    round(
       |      list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -1763,7 +1769,8 @@ object SparkEntry {
       |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
       |      , 4) AS cos
       |  FROM embeddings a JOIN embeddings b
-      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  JOIN adm ON adm.label = a.label),
       |e2 AS (SELECT va, vb FROM p WHERE cos >= 0.20),
       |sym AS (SELECT va AS v, vb AS nb FROM e2 UNION ALL SELECT vb, va FROM e2),
       |deg AS (SELECT v, count(*) AS degree FROM sym GROUP BY 1),
@@ -1897,10 +1904,10 @@ object SparkEntry {
 
   /** q251 oracle: the whole power-iteration chain replayed — 1e-6
     * coordinate quantization, the exact integer scatter matrix
-    * M = n·Σqqᵀ − (Σq)(Σq)ᵀ, 20 unrolled MATERIALIZED matvec rounds
-    * (ascending-j folds, norm, 1e-12 re-quantization — the engine's
-    * driver-side loop literal-for-literal), final Rayleigh quotient
-    * over the trace. */
+    * M = n·Σqqᵀ − (Σq)(Σq)ᵀ, `iters` (= 100) unrolled MATERIALIZED
+    * matvec rounds (ascending-j folds, norm, 1e-12 re-quantization —
+    * the engine's driver-side loop literal-for-literal), final
+    * Rayleigh quotient over the trace. */
   private lazy val pcaPowerOracleSql: String = {
     val dim = 64; val iters = 100
     def matvec(wn: String, prev: String): String =
@@ -1950,8 +1957,13 @@ object SparkEntry {
   /** q252 oracle: both BM25 rounds replayed with the per-doc sorted
     * fold (scores bit-identical doubles → identical feedback set and
     * final ranking), the feedback-vocab TF-IDF expansion, and the
-    * weighted re-score. DOUBLE casts on the weight literals (DuckDB
-    * parses bare decimals as DECIMAL — the q155 lesson). */
+    * weighted re-score. DOUBLE casts on the weight literals AND on
+    * every bare decimal that multiplies a non-DOUBLE operand (DuckDB
+    * parses bare decimals as DECIMAL — the q155 lesson): `tf.tf *
+    * ${"$"}{k1 + 1}` with BIGINT tf would evaluate in exact DECIMAL,
+    * not the engine's IEEE double (2.2 decimal ≠ 2.2 double at the
+    * last ulp), so the raw-score feedback cut could pick a different
+    * feedback set on near-tied corpora. */
   private lazy val rocchioPrfOracleSql: String = {
     val (k1, b) = (1.2, 0.75)
     def scoreCtes(termsCte: String, out: String): String =
@@ -1963,7 +1975,8 @@ object SparkEntry {
          |  SELECT tf.doc_id,
          |    list_sum(list(
          |      tf.wt * ln((nn.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-         |      ((tf.tf * ${k1 + 1}) / (tf.tf + $k1 * (${1.0 - b} + $b * dl.dl / ad.avgdl)))
+         |      ((CAST(tf.tf AS DOUBLE) * CAST(${k1 + 1} AS DOUBLE)) /
+         |       (tf.tf + CAST($k1 AS DOUBLE) * (${1.0 - b} + CAST($b AS DOUBLE) * dl.dl / ad.avgdl)))
          |      ORDER BY tf.word)) AS score
          |  FROM ${out}_tf tf JOIN ${out}_df df USING (word)
          |       JOIN dl USING (doc_id), nn, ad
@@ -2003,7 +2016,15 @@ object SparkEntry {
     * rounds unrolled as MATERIALIZED CTEs — per-target ascending-s
     * folds over the observed cells (zero cells add exactly +0.0 in
     * the engine, so skipping them is value-identical) with the q251
-    * 1e-12 per-round re-quantization; uniform quantized start. */
+    * 1e-12 per-round re-quantization; uniform quantized start.
+    *
+    * Closed-chain contract, mirrored: the engine require()-crashes on
+    * an ABSORBING target (an event type appearing only as a
+    * transition target — mass would leak out of the restricted
+    * chain), so the `chk` CTE makes DuckDB error() on exactly the
+    * same inputs instead of silently iterating a leaky chain. The
+    * pinned corpus is outgoing-closed (spec-asserted), so the guard
+    * costs one anti-join and fires on neither engine here. */
   private lazy val stationaryOracleSql: String = {
     val iters = 50
     def round(r: Int): String = {
@@ -2023,6 +2044,10 @@ object SparkEntry {
       |  FROM events),
       |tc AS (SELECT s, t, count(*) AS c FROM pr WHERE t IS NOT NULL GROUP BY 1, 2),
       |rt AS (SELECT s, CAST(sum(c) AS BIGINT) AS rt FROM tc GROUP BY 1),
+      |chk AS (SELECT CASE WHEN count(*) > 0
+      |          THEN error('absorbing target state - chain not closed')
+      |          ELSE 1 END AS ok
+      |        FROM tc WHERE t NOT IN (SELECT s FROM rt)),
       |m AS MATERIALIZED (SELECT tc.s, tc.t AS j, tc.c, rt.rt FROM tc JOIN rt USING (s)),
       |kk AS (SELECT count(*) AS k FROM rt),
       |p0 AS MATERIALIZED (
@@ -2031,7 +2056,8 @@ object SparkEntry {
       |  FROM rt, kk),
       |${(1 to iters).map(round).mkString(",\n")}
       |SELECT r.s AS event_type, r.rt AS n_out, p.v AS pi
-      |FROM rt r JOIN p$iters p ON p.i = r.s
+      |FROM rt r JOIN p$iters p ON p.i = r.s, chk
+      |WHERE chk.ok = 1
       |ORDER BY event_type""".stripMargin
   }
 
@@ -5045,7 +5071,11 @@ object SparkEntry {
         |GROUP BY a.doc_id""".stripMargin,
     // q130: same formula with IDENTICAL parenthesization and literal
     // arithmetic ((1.2 + 1), not 2.2 — the engines must round the
-    // same IEEE operations, not just the same math)
+    // same IEEE operations, not just the same math). The numerator
+    // casts to DOUBLE explicitly: bare-decimal × BIGINT evaluates in
+    // DuckDB DECIMAL (exact 2.2), not the engine's IEEE double 2.2 —
+    // one ulp apart, enough to flip a near-tied raw-score ORDER BY
+    // (the q252 lesson, same latent bug here).
     "q130_bm25_topk" ->
       """WITH words AS (
         |  SELECT doc_id,
@@ -5062,8 +5092,8 @@ object SparkEntry {
         |scored AS (
         |  SELECT t.doc_id,
         |    sum(ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
-        |        (t.tf * (1.2 + 1) /
-        |         (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / ad.avgdl)))) AS score_raw
+        |        (CAST(t.tf AS DOUBLE) * CAST((1.2 + 1) AS DOUBLE) /
+        |         (t.tf + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + CAST(0.75 AS DOUBLE) * l.dl / ad.avgdl)))) AS score_raw
         |  FROM tf t JOIN df d USING (word) JOIN dl l ON t.doc_id = l.doc_id, n, ad
         |  GROUP BY t.doc_id)
         |SELECT doc_id, floor(score_raw * 1000000 + 0.5) / 1000000 AS bm25

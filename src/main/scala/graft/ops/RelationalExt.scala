@@ -1715,10 +1715,14 @@ object RelationalExt {
     * verbatim), row-normalized to P implicitly (each update term is
     * π_s · c_st/rt_s), 50 synchronous power rounds from the uniform
     * start with ascending-(s) folds per target and the q251 1e-12
-    * per-round re-quantization; states lacking outgoing transitions
-    * are excluded from the chain (and the output) — with lag pairs
-    * over long user streams every observed type has outgoing mass
-    * here, asserted by the spec.
+    * per-round re-quantization. Closed-chain contract: the corpus
+    * must be OUTGOING-CLOSED — every transition target also appears
+    * as a source; an absorbing target would leak mass out of the
+    * restricted chain, so the engine require()-crashes and the
+    * oracle's `chk` CTE error()s on exactly the same inputs
+    * (crash-vs-answer divergence eliminated; with lag pairs over
+    * long user streams every observed type has outgoing mass here,
+    * asserted by the spec).
     *
     * Exactness: counts exact longs; each round is a mirrored double
     * tree replayed by the oracle's unrolled MATERIALIZED CTEs; the
@@ -1799,6 +1803,17 @@ object RelationalExt {
     * double casts are IEEE-identical on both engines even past 2⁵³).
     * Zero-variance metrics guard to θ = 0, ρ² = 0.
     *
+    * Overflow headroom (the q247 convention): Σx² and Σxy scale as
+    * n_users·X² where X = max |per-user fixed-point period sum| —
+    * int64 runs out when n·X² nears 2⁶³ (e.g. X ≈ 3e9/√n; at 1e6
+    * users that is per-user period sums past ~3e6 value units).
+    * Spark's non-ANSI long sum would WRAP silently there while the
+    * oracle's DuckDB BIGINT multiply raises, so the rollup carries
+    * max|x|/max|y| and raise_errors when n·X² (checked in double,
+    * conservative margin) could exceed int64 — engine and oracle now
+    * fail the same inputs loudly. Past that, rescale the 1e-3 value
+    * quantization.
+    *
     * Scale: one corpus collapse to (user, type, period) cells, one
     * grid fill against the types-sized dim (broadcast), one types-
     * sized rollup with map-side partials. */
@@ -1832,15 +1847,25 @@ object RelationalExt {
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
       sum(col("x") * col("x")).as("sxx"),
       sum(col("x") * col("y")).as("sxy"),
-      sum(col("y") * col("y")).as("syy"))
+      sum(col("y") * col("y")).as("syy"),
+      greatest(max(abs(col("x"))), max(abs(col("y")))).as("mxy"))
     val nD = col("n").cast("double")
+    // post-hoc overflow audit (see docstring): n and max|x|,|y| are
+    // wrap-free themselves, so they certify the long sums after the
+    // fact; 9.0e18 leaves margin under 2⁶³ for the double check
+    val sumsSafe =
+      nD * col("mxy").cast("double") * col("mxy").cast("double") < lit(9.0e18)
     val vx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
     val vy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
     val cv = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
     val theta = when(vx === 0.0d, lit(0.0d)).otherwise(cv / vx)
     val rho2 = when(vx === 0.0d || vy === 0.0d, lit(0.0d))
       .otherwise((cv * cv) / (vx * vy))
-    g.select(col("event_type"), col("n").as("n_users"),
+    g.select(col("event_type"),
+        when(sumsSafe, col("n")).otherwise(raise_error(concat(
+          lit("cuped sufficient statistics would overflow int64 for event_type "),
+          col("event_type"), lit(" — rescale the value quantization")))
+          .cast("long")).as("n_users"),
         TextOps.roundAt(col("sy").cast("double") / (nD * lit(1000.0)), 6).as("mean_post"),
         TextOps.roundAt(theta, 6).as("theta"),
         TextOps.roundAt(rho2, 6).as("var_reduction"))

@@ -731,7 +731,7 @@ object SimilarityOps {
                shortlist: Int = 50, topK: Int = 10): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    val dim = e.select(size(col("embedding"))).head.getInt(0) // 1-row probe
+    val dim = e.select(size(col("embedding"))).head().getInt(0) // 1-row probe
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     // all m subspace codebooks in ONE grouped training loop (one
@@ -1888,8 +1888,18 @@ object SimilarityOps {
     val rows = grid.orderBy(col("i")).collect()
     val n = rows.head.getAs[Long]("n")
     val sq = rows.map(_.getAs[Long]("sq"))
+    // Overflow headroom (the q247 convention): cell magnitudes scale
+    // as n²·maxq² — at unit-norm 64-dim (q ≈ 1.25e5) int64 runs out
+    // near n ≈ 2.4e4 embeddings. DuckDB's BIGINT multiply RAISES
+    // there while a bare Scala `*` would wrap silently (engine wrong,
+    // oracle loud) — so the exact-arithmetic ops make the engine fail
+    // the same way the oracle does, at the same inputs. Past that
+    // corpus size, pre-aggregate (mean-center per partition) or
+    // coarsen the 1e-6 quantization before calling this.
     val m = Array.tabulate(dim, dim)((i, j) =>
-      n * rows(i).getAs[Long](s"c$j") - sq(i) * sq(j))
+      Math.subtractExact(
+        Math.multiplyExact(n, rows(i).getAs[Long](s"c$j")),
+        Math.multiplyExact(sq(i), sq(j))))
     // power iteration, ascending-j folds, 1e-12 re-quantization per
     // round — replayed verbatim by the oracle's unrolled CTE chain
     def quant(x: Double): Double = math.floor(x * 1e12 + 0.5) / 1e12
@@ -1951,18 +1961,43 @@ object SimilarityOps {
     * [[DedupOps.boundedComponents]] union-find shuffle instead of
     * O(diameter) global rounds; degree/border/rollup are one
     * aggregation each. Isolated cores ride along as self-pairs so a
-    * dense-but-lonely point still gets its own cluster. */
+    * dense-but-lonely point still gets its own cluster.
+    *
+    * Stop-block cap (`maxLabel`, the [[DedupOps.nearDupNgramCapped]]
+    * guard transplanted): a label shared by a large corpus fraction is
+    * the blocking analog of a stopword — its within-label self-join is
+    * O(group²) with no upper bound as the corpus grows, the one
+    * quadratic blow-up the rest of the near-dup family is hardened
+    * against. Labels whose member count EXCEEDS the cap are excluded
+    * WHOLESALE from ε-edge generation (their members report degree 0 /
+    * noise / cluster −1 — "too hot to density-cluster at this blocking
+    * granularity; refine the blocking key"), so candidate pairs are
+    * hard-bounded by labels × cap² whatever the data does. Because
+    * edges never cross labels, exclusion is exactly label-local:
+    * admitted labels' rows are bit-identical to the uncapped run
+    * (DensityClusterSpec pins this plus the cap boundary). The oracle
+    * mirrors the cap via a HAVING count ≤ cap admission CTE. */
   def densityClusters(spark: SparkSession, dir: String,
-                      threshold: Double = 0.20, minPts: Int = 3): DataFrame =
-    densityClustersOf(Tables.embeddings(spark, dir), threshold, minPts)
+                      threshold: Double = 0.20, minPts: Int = 3,
+                      maxLabel: Option[Int] = Some(1000)): DataFrame =
+    densityClustersOf(Tables.embeddings(spark, dir), threshold, minPts, maxLabel)
 
   /** [[densityClusters]] over any (vec_id, embedding, label) frame —
     * the label column is the blocking key. Split out so specs can
     * drive synthetic geometries with hand-computed DBSCAN roles. */
   private[graft] def densityClustersOf(e: DataFrame,
-                                       threshold: Double, minPts: Int): DataFrame = {
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+                                       threshold: Double, minPts: Int,
+                                       maxLabel: Option[Int] = None): DataFrame = {
+    // stop-block admission: only labels within the cap emit pairs; the
+    // label dim is tiny (it IS a blocking key), so the semi-join
+    // broadcasts — no extra shuffle on the corpus side
+    val admitted = maxLabel.fold(e) { cap =>
+      val ok = e.groupBy(col("label")).agg(count(lit(1)).as("n_lab"))
+        .filter(col("n_lab") <= cap).select(col("label"))
+      e.join(broadcast(ok), Seq("label"), "left_semi")
+    }
+    val a = admitted.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = admitted.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     val und = a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .filter(round(cosineSimilarity(col("emb_a"), col("emb_b")), 4) >= threshold)

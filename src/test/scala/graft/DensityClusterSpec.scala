@@ -47,6 +47,38 @@ class DensityClusterSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("stop-block cap: boundary inclusion, wholesale exclusion, label-local identity") {
+    // group sizes on the synthetic geometry: label 0 → 5 members,
+    // label 1 → 2, label 2 → 1, label 3 → 3
+    val e = Seq(
+      (1L, vec(0), 0), (2L, vec(10), 0), (3L, vec(20), 0),
+      (4L, vec(40), 0), (5L, vec(90), 0),
+      (6L, vec(0), 1), (7L, vec(5), 1),
+      (8L, vec(0), 2),
+      (9L, vec(13), 3), (10L, vec(0), 3), (11L, vec(26), 3)
+    ).toDF("vec_id", "embedding", "label")
+    def run(cap: Option[Int]) =
+      SimilarityOps.densityClustersOf(e, threshold = 0.9, minPts = 2, maxLabel = cap)
+        .select($"vec_id", $"label", $"n_neighbors", $"role", $"cluster")
+        .as[(Long, Int, Long, String, Long)].collect().toSet
+    val uncapped = run(None)
+    // boundary: cap == largest group ⇒ nothing excluded, bit-identical
+    assert(run(Some(5)) == uncapped, "cap at the boundary must admit every label")
+    // cap one below: label 0 (5 members) excluded WHOLESALE — its
+    // members all read degree-0 noise; every other label's rows are
+    // identical to the uncapped run (edges never cross labels)
+    val capped = run(Some(4))
+    val (cap0, capRest) = capped.partition(_._2 == 0)
+    val (unc0, uncRest) = uncapped.partition(_._2 == 0)
+    assert(capRest == uncRest, "admitted labels must be label-local identical")
+    assert(cap0.map(_._1) == unc0.map(_._1), "excluded label keeps all its rows")
+    assert(cap0.forall(r => r._3 == 0L && r._4 == "noise" && r._5 == -1L),
+      "excluded label's members must be degree-0 noise")
+    // subset: the capped run's non-noise rows are a subset of the
+    // uncapped run's (the recall-loss-only contract)
+    assert(capped.filter(_._4 != "noise").subsetOf(uncapped.filter(_._4 != "noise")))
+  }
+
   test("real-corpus invariants: role gates, noise labels, min-member clusters") {
     val out = SimilarityOps.densityClusters(spark, sf).localCheckpoint(false)
     assert(out.filter(($"role" === "core") =!= ($"n_neighbors" >= 3)).count() == 0,
