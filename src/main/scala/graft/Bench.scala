@@ -413,14 +413,63 @@ object Bench {
         else (math.round(ratios(ratios.length / 2) * 100) / 100.0, true)
       }
     } catch { case _: Exception => (-1.0, false) }
-    val ratioFlagged = refSfMatch && medianRatio > 1.3
+    // VERDICT r18 item 2: the r18 driver artifact read median_ratio
+    // 1.29 against a 1.3 threshold — unflagged — while 28 of 256
+    // queries showed >3× max/min rep spread (q107 at 57×) and the
+    // median-sum was 1.8× the min-sum. A run that noisy must
+    // self-identify, so (a) the median-ratio threshold drops to 1.25
+    // and (b) a rep-spread trigger fires when ≥5 queries exceed 3×
+    // spread — localized I/O noise on a couple of queries stays below
+    // it, suite-wide scheduling contention cannot (replayed against
+    // bench_full_latest.json: the r18 artifact trips both ways).
+    val ratioFlagged = refSfMatch && medianRatio > 1.25
+    val spreadCount = results.values.count(v => v._3 > 3.0)
+    val spreadFlagged = spreadCount >= 5
     val contended = (loadEnd.head > nCpus * 1.25) ||
-      (cpuWall >= 0 && cpuWall < 1.5) || ratioFlagged
+      (cpuWall >= 0 && cpuWall < 1.5) || ratioFlagged || spreadFlagged
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
-    val boxJson = s""""box":{"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"wall_sec":${math.round(wallSec * 100) / 100.0},"proc_cpu_sec":${math.round(cpuSec * 100) / 100.0},"cpu_wall_ratio":$cpuWall,"gc_sec":$gcDelta,"blkio_wait_sec":$blkioDelta,"ncpus":$nCpus,"median_ratio_vs_ref":$medianRatio,"ratio_flagged":$ratioFlagged,"tmpfs_warehouse":${benchWarehouse.isDefined},"contended":$contended}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir",$boxJson,"slope_ref":"${slopeDir.getOrElse("")}","slope":$slp,"rep_spread":$spreadJson,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}"""
+    // VERDICT r18 item 7: per-query bench budgets. With 256 queries a
+    // single total hides everything, so each query carries a committed
+    // clean-box ceiling (bench_budget.json = 2× its last-adjudicated
+    // clean median, regenerated by tools/make_bench_budget.py whenever
+    // bench_ref_clean.json refreshes) and the run names its breaches
+    // instead of polluting the total. Only meaningful at the budget's
+    // own sf; queries without a budget row (or non-matching sf) are
+    // exempt. On a CONTENDED run breaches measure the box, not the
+    // code — the breach list plus the contention flags let a reader
+    // separate the two without a judge round.
+    val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json")
+    val budget: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile(budgetPath)
+      val txt = try src.mkString finally src.close()
+      val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+      if (!sfOk) Map.empty
+      else {
+        val bIdx = txt.lastIndexOf("\"budgets\":{")
+        if (bIdx < 0) Map.empty
+        else txt.substring(bIdx + "\"budgets\":{".length, txt.indexOf('}', bIdx))
+          .split(",").flatMap { kv =>
+            val i = kv.lastIndexOf(':')
+            if (i < 0) None
+            else try Some(kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
+              -> kv.substring(i + 1).toDouble)
+            catch { case _: NumberFormatException => None }
+          }.toMap
+      }
+    } catch { case _: Exception => Map.empty }
+    val breaches = results.collect {
+      case (k, v) if v._1 >= 0 && budget.getOrElse(k, Double.MaxValue) < v._1 => k
+    }.toSeq.sortBy(k => -(results(k)._1 / budget(k)))
+    val breachJson = breaches.map(k =>
+      s"\"" + k + "\":{\"min\":" + results(k)._1 + ",\"budget\":" + budget(k) + "}")
+      .mkString("{", ",", "}")
+    // headline stays compact: count + worst few names only
+    val breachHead = breaches.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val boxJson = s""""box":{"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"wall_sec":${math.round(wallSec * 100) / 100.0},"proc_cpu_sec":${math.round(cpuSec * 100) / 100.0},"cpu_wall_ratio":$cpuWall,"gc_sec":$gcDelta,"blkio_wait_sec":$blkioDelta,"ncpus":$nCpus,"median_ratio_vs_ref":$medianRatio,"ratio_flagged":$ratioFlagged,"spread_gt3x":$spreadCount,"spread_flagged":$spreadFlagged,"tmpfs_warehouse":${benchWarehouse.isDefined},"contended":$contended}"""
+    val budgetJson = s""""budget_breach_count":${breaches.size},"budget_breaches_top":$breachHead"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir",$boxJson,$budgetJson,"budget_breaches":$breachJson,"slope_ref":"${slopeDir.getOrElse("")}","slope":$slp,"rep_spread":$spreadJson,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}"""
     println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"reps":$reps,"estimator":"min","sf":"$sfDir",$boxJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"reps":$reps,"estimator":"min","sf":"$sfDir",$boxJson,$budgetJson}""")
     // The driver captures only a bounded stdout TAIL: in round 15 that
     // truncation dropped 100 of 158 per-query numbers from the BENCH
     // artifact, blinding round-over-round comparison. So the full
