@@ -1311,29 +1311,23 @@ object SimilarityOps {
       .orderBy(col("cluster"), col("rnk"))
   }
 
-  /** Nearest-centroid assignment against a trained model. The model
-    * rides as DATA (one broadcast row holding the cl-ordered array of
-    * (cl, centroid) structs), NOT as plan literals: literal centroids
-    * change the generated code every round, and Janino-recompiling
-    * the k×dim expression tree per round cost more than all the
-    * arithmetic (measured 25+ s at sf0.1 vs ~2 s for this form — same
-    * trap as a struct `least`, which additionally falls out of
-    * codegen entirely). With the model as data the plan/code shape is
-    * identical across rounds (codegen cache hit); only the broadcast
-    * leaf changes.
+  /** Nearest-centroid assignment against a trained model, via the
+    * codegen'd [[graft.functions.L2Argmin]] expression (model as a
+    * codegen REFERENCE OBJECT — constant generated source across
+    * training rounds, so no Janino recompile; see that expression's
+    * scaladoc for the history: plan-literal centroids recompiled per
+    * round at 25+ s, and the interim broadcast-data HOF fold ran
+    * interpreted at ~1.2 s per Lloyd round, 10× this form).
     *
-    * The per-row argmin folds the centroid array IN cl ORDER keeping
-    * the strictly-smaller d2 — the identical lowest-cl tie rule as
-    * the oracle's ORDER BY d2, cl; d2 itself is the q87/q162
-    * zip_with+aggregate fixed-order fold. */
+    * The per-row argmin scans centroids IN cl ORDER keeping the
+    * strictly-smaller d2 — the identical lowest-cl tie rule as the
+    * oracle's ORDER BY d2, cl; d2 itself accumulates (x−w)² in
+    * ascending dim order, the q87/q162 fixed-order fold. */
   private[ops] def lloydAssign(spark: SparkSession, e: DataFrame,
                                cents: Seq[(Long, Array[Double])]): DataFrame = {
-    import spark.implicits._
-    val centsDf = Seq(Tuple1(cents.map { case (cl, c) => (cl, c.toSeq) }))
-      .toDF("cents")
-    e.crossJoin(broadcast(centsDf))
-      .select(col("vec_id"), col("embedding"),
-        lloydBest.getField("cl").as("cluster"), lloydBest.getField("d2").as("d2"))
+    val best = graft.functions.L2Argmin.l2Argmin(col("embedding"), cents)
+    e.select(col("vec_id"), col("embedding"),
+      best.getField("cl").as("cluster"), best.getField("d2").as("d2"))
   }
 
   /** GROUPED nearest-centroid assignment: like [[lloydAssign]], but
