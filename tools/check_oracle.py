@@ -108,6 +108,55 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
     return 1 if n_fail else 0
 
 
+def selftest() -> int:
+    """Standing gate on the gate (VERDICT r18 item 6): prove that a
+    nested (struct/array) result column FAILS this checker the same way
+    it would fail the driver's pandas-lexsort compare, and that the
+    faithful replica of the driver's canonicalization (all-column
+    lexsort + hash_pandas_object md5) agrees with canon() on a flat
+    frame. Run `python3 tools/check_oracle.py --selftest` before
+    committing any query whose OUTPUT SCHEMA changes; a zero exit means
+    the gate still rejects what the driver cannot sort."""
+    import hashlib
+    import numpy as np
+    failures = []
+    # 1. nested cells must raise NestedColumnError (round-17 regression:
+    #    this checker once stringified them and passed queries the
+    #    driver then failed)
+    for bad in (pd.DataFrame({"a": [1, 2], "s": [{"x": 1}, {"x": 2}]}),
+                pd.DataFrame({"a": [1], "v": [np.array([1.0, 2.0])]}),
+                pd.DataFrame({"a": [1], "l": [[1, 2]]})):
+        try:
+            canon(bad, "selftest")
+            failures.append(f"nested column {list(bad.columns)} passed canon()")
+        except NestedColumnError:
+            pass
+    # 2. flat frames sail through, and the driver-replica hash
+    #    (columns sorted by name, rows lexsorted, md5 of
+    #    hash_pandas_object) matches across column/row permutations —
+    #    the property the driver's compare relies on
+    flat = pd.DataFrame({"b": [2.0, 1.0], "a": ["y", "x"]})
+    perm = pd.DataFrame({"a": ["x", "y"], "b": [1.0, 2.0]})
+
+    def driver_hash(df: pd.DataFrame) -> str:
+        c = canon(df, "selftest")
+        return hashlib.md5(
+            pd.util.hash_pandas_object(c, index=False).values.tobytes()).hexdigest()
+
+    if driver_hash(flat) != driver_hash(perm):
+        failures.append("driver-replica hash not permutation-invariant")
+    if driver_hash(flat) == driver_hash(
+            pd.DataFrame({"a": ["x", "y"], "b": [1.0, 3.0]})):
+        failures.append("driver-replica hash blind to a value change")
+    for f in failures:
+        print(f"SELFTEST FAIL: {f}")
+    print(f"== selftest {'FAILED' if failures else 'passed'}: nested-output "
+          f"rejection + driver-hash replica ==")
+    return 1 if failures else 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2],
                   sys.argv[3] if len(sys.argv) > 3 else ""))
