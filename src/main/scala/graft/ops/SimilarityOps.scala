@@ -1083,10 +1083,9 @@ object SimilarityOps {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val cents = lloydCentroids(spark, e, k, iters)
-    val centsDf = Seq(Tuple1(cents.map { case (cl, c) => (cl, c.toSeq) }))
-      .toDF("cents")
-    val scored = e.crossJoin(broadcast(centsDf))
-      .select(col("vec_id"), lloydScored.as("scored"))
+    val scored = e
+      .select(col("vec_id"),
+        graft.functions.L2Argmin.l2Scored(col("embedding"), cents).as("scored"))
       .select(col("vec_id"), col("scored"),
         aggregate(col("scored"),
           struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl")),
@@ -1331,29 +1330,19 @@ object SimilarityOps {
   }
 
   /** GROUPED nearest-centroid assignment: like [[lloydAssign]], but
-    * the input carries a group column `g` and the broadcast model is
-    * the flat (g, cl, centroid) list of EVERY group's codebook — each
-    * row folds only its own group's cl-ascending slice (the same
-    * filter-then-fold shape q234's ADC serve uses). One corpus pass
-    * assigns against all m codebooks at once. */
+    * the input carries a group column `g` and the model is the flat
+    * (g, cl, centroid) list of EVERY group's codebook — each row folds
+    * only its own group's (g, cl)-ascending slice, via the codegen'd
+    * [[graft.functions.GroupedL2Argmin]] (same reference-object /
+    * constant-source form as lloydAssign; the previous broadcast
+    * filter-then-HOF-fold ran interpreted). One corpus pass assigns
+    * against all m codebooks at once. */
   private def groupedAssign(spark: SparkSession, e: DataFrame,
                             cents: Seq[(Long, Long, Array[Double])]): DataFrame = {
-    import spark.implicits._
-    val centsDf = Seq(Tuple1(
-      cents.sortBy(t => (t._1, t._2))
-        .map { case (g, cl, c) => (g, cl, c.toSeq) })).toDF("all_cents")
-    val mine = filter(col("all_cents"), t => t.getField("_1") === col("g"))
-    val d2 = (c: Column) => aggregate(
-      zip_with(col("embedding"), c, (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
-      lit(0.0d), (acc, v) => acc + v)
-    val scored = transform(mine, s =>
-      struct(d2(s.getField("_3")).as("d2"), s.getField("_2").as("cl")))
-    val best = aggregate(scored,
-      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl")),
-      (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
-    e.crossJoin(broadcast(centsDf))
-      .select(col("g"), col("vec_id"), col("embedding"),
-        best.getField("cl").as("cluster"))
+    val best = graft.functions.L2Argmin.groupedL2Argmin(
+      col("g"), col("embedding"), cents.sortBy(t => (t._1, t._2)))
+    e.select(col("g"), col("vec_id"), col("embedding"),
+      best.getField("cl").as("cluster"))
   }
 
   /** GROUPED Lloyd: train k centroids per GROUP in one loop — the m
@@ -1577,17 +1566,15 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"), col("embedding"))
     val cents = lloydCentroids(spark,
       e.select(col("vec_id"), col("embedding")), kClusters, iters)
-    val centsDf = Seq(Tuple1(cents.map { case (cl, c) => (cl, c.toSeq) }))
-      .toDF("cents")
     val probes = e.filter(col("vec_id") === queryId)
-      .crossJoin(broadcast(centsDf))
       .select(col("embedding").as("q_emb"),
-        transform(slice(array_sort(lloydScored), 1, nprobe),
+        transform(slice(array_sort(
+            graft.functions.L2Argmin.l2Scored(col("embedding"), cents)), 1, nprobe),
           s => s.getField("cl")).as("probe_cls"))
     e.filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(centsDf))
       .select(col("vec_id"), col("label"), col("embedding"),
-        lloydBest.getField("cl").as("cluster"))
+        graft.functions.L2Argmin.l2Argmin(col("embedding"), cents)
+          .getField("cl").as("cluster"))
       .crossJoin(broadcast(probes))
       .filter(array_contains(col("probe_cls"), col("cluster")))
       .withColumn("cos", round(cosineSimilarity(col("embedding"), col("q_emb")), 4))
@@ -1638,11 +1625,18 @@ object SimilarityOps {
       .toDF("cents")
     def centOfCluster(centsCol: Column, cl: Column): Column =
       element_at(filter(centsCol, t => t.getField("_1") === cl), 1).getField("_2")
-    val res = e.crossJoin(broadcast(coarseDf))
-      .select(col("vec_id"), col("embedding"), col("cents"),
-        lloydBest.getField("cl").as("cluster"))
+    // residual build: codegen'd argmin + a k-row broadcast join for
+    // the centroid vector (was an interpreted fold + per-row array
+    // filter over the whole corpus)
+    val coarseTbl = coarse.map { case (cl, c) => (cl, c.toSeq) }
+      .toDF("cluster", "cent")
+    val res = e
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.L2Argmin.l2Argmin(col("embedding"), coarse)
+          .getField("cl").as("cluster"))
+      .join(broadcast(coarseTbl), Seq("cluster"))
       .select(col("vec_id"), col("cluster"),
-        zip_with(col("embedding"), centOfCluster(col("cents"), col("cluster")),
+        zip_with(col("embedding"), col("cent"),
           (x, c) => x.cast("double") - c).as("embedding"))
       .localCheckpoint(false)
     // all m subspace codebooks in ONE grouped training loop: the
