@@ -418,13 +418,19 @@ object Bench {
     // queries showed >3× max/min rep spread (q107 at 57×) and the
     // median-sum was 1.8× the min-sum. A run that noisy must
     // self-identify, so (a) the median-ratio threshold drops to 1.25
-    // and (b) a rep-spread trigger fires when ≥5 queries exceed 3×
-    // spread — localized I/O noise on a couple of queries stays below
-    // it, suite-wide scheduling contention cannot (replayed against
-    // bench_full_latest.json: the r18 artifact trips both ways).
+    // and (b) a rep-spread trigger fires when ≥8 queries exceed 3×
+    // spread — localized I/O noise on a handful of queries stays
+    // below it, suite-wide intermittent contention cannot. Calibrated
+    // against the record: the cleanest full run on file (r18 morning,
+    // 167.0 s) reads 5 such queries (roaming single-slot spikes —
+    // q93-class), a mildly patchy idle run reads ~12, the contended
+    // r18 driver artifact reads 28 — so 8 separates "normal roaming
+    // singletons" from "the box is interfering" with margin both ways
+    // (replayed against bench_full_latest.json: the r18 artifact
+    // trips both this and the ratio check).
     val ratioFlagged = refSfMatch && medianRatio > 1.25
     val spreadCount = results.values.count(v => v._3 > 3.0)
-    val spreadFlagged = spreadCount >= 5
+    val spreadFlagged = spreadCount >= 8
     val contended = (loadEnd.head > nCpus * 1.25) ||
       (cpuWall >= 0 && cpuWall < 1.5) || ratioFlagged || spreadFlagged
     def loadJson(l: Seq[Double]) = l.mkString("[", ",", "]")
