@@ -1075,9 +1075,11 @@ object SimilarityOps {
     * (with one cluster "nearest other centroid" is undefined — the
     * metric itself is, not just the query).
     *
-    * Scale: the trained model broadcasts as data (the lloydAssign
-    * codegen-cache form); ONE corpus pass computes all k distances
-    * per row; the aggregation is k-sized with map-side partials. */
+    * Scale: the trained model rides in the codegen'd
+    * [[graft.functions.L2Scored]] expression (reference-object form —
+    * the lloydAssign discipline); ONE corpus pass computes all k
+    * distances per row; the aggregation is k-sized with map-side
+    * partials. */
   def kmeansSilhouette(spark: SparkSession, dir: String, k: Int = 8,
                        iters: Int = 3): DataFrame = {
     import spark.implicits._
@@ -1381,9 +1383,13 @@ object SimilarityOps {
     cents
   }
 
-  /** The (d2, cl) argmin fold over a `cents` array column — shared by
-    * assignment and the q184 probe-selection (which sorts the same
-    * scored array instead of folding it). */
+  /** The (d2, cl) scored fold over a `cents` DATA column — the HOF
+    * twin of [[graft.functions.L2Scored]], kept for the one consumer
+    * whose model arrives as a column rather than a driver-side matrix
+    * (ivfPqTopK's single-row probe selection, where the probes frame
+    * must also carry the raw cents array forward for the residual
+    * ADC). Corpus-wide paths use the codegen'd expressions; this HOF
+    * form is interpreted and must stay off hot paths. */
   private def lloydScored: Column = {
     val d2 = (c: Column) => aggregate(
       zip_with(col("embedding"), c, (x, w) => (x.cast("double") - w) * (x.cast("double") - w)),
@@ -1392,9 +1398,6 @@ object SimilarityOps {
       struct(d2(s.getField("_2")).as("d2"), s.getField("_1").as("cl")))
   }
 
-  private def lloydBest: Column = aggregate(lloydScored,
-    struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cl")),
-    (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
 
   /** The Lloyd training loop: seed from the first k vectors, `iters`
     * assignment passes with an update after each but the last; the
@@ -1753,12 +1756,25 @@ object SimilarityOps {
     * Scale: the paper's own bound — candidate pairs are generated
     * within clusters only, O(Σ|c|²) with k ∝ corpus so clusters stay
     * ≈ target-sized (SemDedupScaleSpec pins max-cluster growth ≪ row
-    * growth across sf0.001→sf0.1); the trained model is k×dim
-    * bounded MODEL STATE (broadcast, the q159 rule — sizing it costs
-    * one count() action); cluster pairing is one shuffle join on
-    * clabel; CC runs on the duplicate-pair graph (tiny relative to
-    * the corpus — most vectors are not near-duplicates); the keeper
-    * window sorts only within dup groups (≤ cluster-sized). */
+    * growth across sf0.001→sf0.1); the trained model is k×dim MODEL
+    * STATE shipped per executor (the q159 rule — sizing it costs one
+    * count() action); cluster pairing is one shuffle join on clabel;
+    * CC runs on the duplicate-pair graph (tiny relative to the
+    * corpus — most vectors are not near-duplicates); the keeper
+    * window sorts only within dup groups (≤ cluster-sized).
+    *
+    * Model-size ceiling (honest): k ∝ corpus makes the k×dim model
+    * itself grow linearly — at n = 10⁹ vectors (d = 64, target 64)
+    * the model is n doubles ≈ 8 GB, past any per-executor ship
+    * (expression reference and broadcast alike — the two forms cost
+    * the same to distribute; the ceiling is the ALGORITHM's, not the
+    * ship mechanism's). Past roughly k×d ≈ 10⁸ cells, production
+    * SemDeDup switches to hierarchical assignment: a √k-way coarse
+    * Lloyd (bounded model), then per-coarse-cell fine Lloyd trained
+    * and assigned WITHIN the cell's partition (model sharded with the
+    * data — no global model object ever exists). The within-cluster
+    * pairing, CC and keeper stages are unchanged under that swap,
+    * which is why they are factored the way they are. */
   def semDedup(spark: SparkSession, dir: String,
                threshold: Double = 0.35,
                targetClusterSize: Long = 64L, iters: Int = 3): DataFrame = {
