@@ -1875,13 +1875,13 @@ object SparkEntry {
       |sc AS (SELECT CAST(sum(c1) AS BIGINT) AS n_uni, count(*) AS v FROM cu),
       |db AS (SELECT doc_id, w1, w2, w3, count(*) AS n FROM tg GROUP BY 1, 2, 3, 4),
       |terms AS (
-      |  SELECT db.doc_id, db.w1, db.w2, db.w3, db.n,
-      |    CAST(db.n AS DOUBLE) * ln(
+      |  SELECT db.doc_id, db.n,
+      |    db.n * CAST(floor(ln(
       |      CASE WHEN t3.c3 IS NOT NULL THEN CAST(t3.c3 AS DOUBLE) / c3x.cc3
       |           WHEN t2.c2 IS NOT NULL
       |             THEN ${TextOps.TrigramAlpha} * (CAST(t2.c2 AS DOUBLE) / c2x.cc2)
       |           ELSE ${TextOps.TrigramAlpha2} * (CAST(coalesce(cu.c1, 0) + 1 AS DOUBLE) /
-      |               (sc.n_uni + sc.v)) END) AS term,
+      |               (sc.n_uni + sc.v)) END) * 1000000000000.0 + 0.5) AS BIGINT) AS tl,
       |    CASE WHEN t3.c3 IS NOT NULL THEN 0 ELSE db.n END AS nb
       |  FROM db
       |  LEFT JOIN t3 ON t3.w1 = db.w1 AND t3.w2 = db.w2 AND t3.w3 = db.w3
@@ -1892,7 +1892,8 @@ object SparkEntry {
       |scored AS (
       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
       |    CAST(sum(nb) AS BIGINT) AS n_backoff,
-      |    -(list_sum(list(term ORDER BY w1, w2, w3))) / sum(n) AS nll_raw
+      |    (-(CAST(sum(tl) AS DOUBLE) / 1000000000000.0)) /
+      |      CAST(sum(n) AS DOUBLE) AS nll_raw
       |  FROM terms GROUP BY doc_id)
       |SELECT d.doc_id,
       |  CAST(coalesce(s.n_trigrams, 0) AS BIGINT) AS n_trigrams,

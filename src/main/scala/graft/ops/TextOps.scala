@@ -1994,18 +1994,27 @@ object TextOps {
     * is what exposes that.
     *
     * Cross-engine exactness: exact integer counts; each position's
-    * term is one ln over a mirrored CASE tree; the per-doc float sum
-    * folds in (w1, w2, w3) order on both engines (q158 sorted-fold
-    * convention); backoff counts are exact longs and the rate one
-    * guarded division under roundAt. Docs with fewer than three words
-    * survive via the roster left join (null nll, rate, the q161
-    * 'short' convention minus the band column).
+    * ln over the mirrored CASE tree floor-scales to a 1e12 LONG (the
+    * q225/q182 device), so the per-doc total is an EXACT INTEGER sum
+    * of n·⌊ln(p)·10¹²⌉ — order-free, one codegen'd hash aggregation
+    * (this replaced the r18 collect_list + array_sort + interpreted
+    * fold, the q182 lesson: a sorted float fold pins order at the
+    * cost of running interpreted over the whole trigram stream).
+    * Overflow headroom: |⌊ln(p)·10¹²⌉| ≤ ~2e13 on any corpus whose
+    * rarest unigram denominator stays under e⁻²⁰·10¹², so a single
+    * doc stays inside int64 to ~4×10⁵ trigram positions — far past
+    * any real document. Backoff counts are exact longs and the rate
+    * one guarded division under roundAt. Docs with fewer than three
+    * words survive via the roster left join (null nll, rate, the
+    * q161 'short' convention minus the band column).
     *
     * Scale: model tables are observed-n-gram-sized (sublinear in
     * corpus, Heaps' law) and broadcast here; too-big-to-broadcast
     * models shuffle-join on the same keys with no other plan change.
-    * The trigram stream rides the ONE doc_id window shuffle the word
-    * stream already paid for. */
+    * The trigram stream rides ONE doc_id window shuffle, lazily
+    * checkpointed — both its consumers (the train-slice model build
+    * and the all-docs scoring table) read the materialization instead
+    * of re-running the parse + explode + window. */
   def trigramBackoff(spark: SparkSession, dir: String,
                      trainSource: String = "src0"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2017,6 +2026,7 @@ object TextOps {
         lead(col("word"), 1).over(w).as("w2"),
         lead(col("word"), 2).over(w).as("w3"))
       .filter(col("w3").isNotNull)
+      .localCheckpoint(false) // two consumers: model build + scoring
     val train = docs.filter(col("source") === trainSource).select(col("doc_id"))
     // model tables, all from the training slice
     val t3 = tg.join(train, Seq("doc_id"))
@@ -2035,7 +2045,10 @@ object TextOps {
       .otherwise(lit(TrigramAlpha2) *
         ((coalesce(col("c1"), lit(0L)) + lit(1L)).cast("double") /
           (col("n_uni") + col("v"))))
-    val term = col("n").cast("double") * log(p)
+    // each position's ln term floor-scales to a 1e12 long ONCE, so the
+    // per-doc reduction is an exact-integer codegen'd hash aggregation
+    // (order-free by construction — see the docstring)
+    val termL = col("n") * floor(log(p) * lit(1e12) + lit(0.5)).cast("long")
     val backed = when(col("c3").isNotNull, lit(0L)).otherwise(col("n"))
     val scored = db
       .join(broadcast(t3), Seq("w1", "w2", "w3"), "left")
@@ -2044,13 +2057,13 @@ object TextOps {
       .join(broadcast(c2x), Seq("w2"), "left")
       .join(broadcast(cu), Seq("w3"), "left")
       .crossJoin(broadcast(sc))
-      .select(col("doc_id"), col("n"), backed.as("nb"),
-        struct(col("w1"), col("w2"), col("w3"), term.as("term")).as("s"))
+      .select(col("doc_id"), col("n"), backed.as("nb"), termL.as("tl"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_trigrams"), sum(col("nb")).as("n_backoff"),
-        ((-aggregate(
-          transform(array_sort(collect_list(col("s"))), x => x.getField("term")),
-          lit(0.0d), (a, t) => a + t)) / sum(col("n"))).as("nll_raw"))
+        sum(col("tl")).as("tls"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_backoff"),
+        ((-(col("tls").cast("double") / lit(1e12))) /
+          col("n_trigrams").cast("double")).as("nll_raw"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_trigrams"), lit(0L)).cast("bigint").as("n_trigrams"),
