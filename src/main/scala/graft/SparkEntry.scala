@@ -2516,8 +2516,10 @@ object SparkEntry {
         |FROM deg d LEFT JOIN tric t USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // q161: full model replay — exact counts, one ln per distinct
-    // (doc, bigram) mirrored literal-for-literal, per-doc fold in
-    // (w1, w2) order (q158 convention), band on the RAW avg-NLL
+    // (doc, bigram) mirrored literal-for-literal, floor-scaled to a
+    // 1e12 BIGINT so the per-doc total is an exact-integer sum (the
+    // q244/q182 device — order-free, no fold order to pin), band on
+    // the RAW avg-NLL
     "q161_bigram_fluency" ->
       s"""WITH ws AS (
         |  SELECT doc_id,
@@ -2538,19 +2540,20 @@ object SparkEntry {
         |cx AS (SELECT w1, sum(cb) AS cctx FROM tb GROUP BY 1),
         |db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
         |terms AS (
-        |  SELECT db.doc_id, db.w1, db.w2, db.n,
-        |    CAST(db.n AS DOUBLE) * ln(
+        |  SELECT db.doc_id, db.n,
+        |    db.n * CAST(floor(ln(
         |      ${TextOps.BigramLambda} * (CASE WHEN cx.cctx IS NOT NULL
         |          THEN CAST(coalesce(tb.cb, 0) AS DOUBLE) / cx.cctx ELSE 0.0 END) +
         |      ${TextOps.BigramFloor} * (CAST(coalesce(cu.cu, 0) + 1 AS DOUBLE) /
-        |          (sc.n_uni + sc.v))) AS term
+        |          (sc.n_uni + sc.v))) * 1000000000000.0 + 0.5) AS BIGINT) AS tl
         |  FROM db
         |  LEFT JOIN tb ON tb.w1 = db.w1 AND tb.w2 = db.w2
         |  LEFT JOIN cx ON cx.w1 = db.w1
         |  LEFT JOIN cu ON cu.w2 = db.w2, sc),
         |scored AS (
         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-        |    -(list_sum(list(term ORDER BY w1, w2))) / sum(n) AS nll_raw
+        |    (-(CAST(sum(tl) AS DOUBLE) / 1000000000000.0)) /
+        |      CAST(sum(n) AS DOUBLE) AS nll_raw
         |  FROM terms GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  ${TextOps.roundAtSql("s.nll_raw", 6)} AS nll,

@@ -1909,11 +1909,14 @@ object TextOps {
     *
     * Cross-engine exactness: all counts are exact integers; the
     * per-bigram term is one ln over an explicitly ordered arithmetic
-    * expression mirrored literal-for-literal in the oracle; the
-    * per-document float sum folds in (w1, w2) order on both engines
-    * (the q158 sorted-fold convention — never an engine-ordered float
-    * aggregation); band compares the RAW avg-NLL (the filter decision
-    * itself, not a rounded proxy — the q80 convention). Documents
+    * expression mirrored literal-for-literal in the oracle, floor-
+    * scaled to a 1e12 LONG so the per-document total is an EXACT
+    * INTEGER sum — order-free, one codegen'd hash aggregation (the
+    * q244/q182 device; replaced the r18 sorted float fold, which
+    * pinned order at the cost of an interpreted pass over the whole
+    * bigram stream); band compares the RAW avg-NLL (the filter
+    * decision itself, not a rounded proxy — the q80 convention).
+    * Documents
     * with fewer than two words stay in the output via the roster left
     * join (band 'short', the q149 zero-word convention).
     *
@@ -1933,6 +1936,7 @@ object TextOps {
       .select(col("doc_id"), col("word").as("w1"),
         lead(col("word"), 1).over(w).as("w2"))
       .filter(col("w2").isNotNull)
+      .localCheckpoint(false) // two consumers: model build + scoring
     val train = docs.filter(col("source") === trainSource).select(col("doc_id"))
     val cu = words.join(train, Seq("doc_id"))
       .groupBy(col("word").as("w2")).agg(count(lit(1)).as("cu"))
@@ -1946,22 +1950,25 @@ object TextOps {
     val pBig = when(col("cctx").isNotNull,
       coalesce(col("cb"), lit(0L)).cast("double") / col("cctx"))
       .otherwise(lit(0.0d))
-    val term = col("n").cast("double") * log(
+    // the q244/q182 fixed-point device: each position's ln floor-
+    // scales to a 1e12 long once, so the per-doc reduction is an
+    // exact-integer codegen'd hash aggregation — order-free, no
+    // cross-engine fold order to pin (replaced the sorted float fold)
+    val termL = col("n") * floor(log(
       lit(BigramLambda) * pBig +
         lit(BigramFloor) * ((coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double") /
-          (col("n_uni") + col("v"))))
+          (col("n_uni") + col("v")))) * lit(1e12) + lit(0.5)).cast("long")
     val scored = db
       .join(broadcast(tb), Seq("w1", "w2"), "left")
       .join(broadcast(cx), Seq("w1"), "left")
       .join(broadcast(cu), Seq("w2"), "left")
       .crossJoin(broadcast(sc))
-      .select(col("doc_id"), col("n"),
-        struct(col("w1"), col("w2"), term.as("term")).as("s"))
+      .select(col("doc_id"), col("n"), termL.as("tl"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_bigrams"),
-        ((-aggregate(
-          transform(array_sort(collect_list(col("s"))), x => x.getField("term")),
-          lit(0.0d), (a, t) => a + t)) / sum(col("n"))).as("nll_raw"))
+      .agg(sum(col("n")).as("n_bigrams"), sum(col("tl")).as("tls"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((-(col("tls").cast("double") / lit(1e12))) /
+          col("n_bigrams").cast("double")).as("nll_raw"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).cast("bigint").as("n_bigrams"),
