@@ -386,6 +386,27 @@ class PlanSpec extends AnyFunSuite {
     // codegen-capable IntDotProduct + TakeOrdered.
   }
 
+  test("lloyd assignment: the L2Argmin kernel runs inside WholeStageCodegen") {
+    // the r18 form folded a broadcast model column with higher-order
+    // functions — CodegenFallback, so the n×k×d kernel ran interpreted
+    // (~1.2 s per training round at sf0.1). The codegen'd expression
+    // must appear in a Project that carries a codegen id; if this
+    // breaks, the whole Lloyd family (q150/q162/q202/q210/q218/q238)
+    // silently re-interprets its hot loop.
+    // codegen markers only appear on the FINAL AQE plan, so drive THIS
+    // dataframe's own execution (a write would execute a separate
+    // command plan and leave df's AdaptiveSparkPlan un-finalized, with
+    // no codegen ids to read)
+    val df = SimilarityOps.kmeansLloyd(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val argminLines = p.linesIterator.filter(_.contains("l2argmin")).toSeq
+    assert(argminLines.nonEmpty, "no plan line mentions l2argmin:\n" + p)
+    assert(argminLines.exists(_.contains("*(")),
+      "the l2argmin projection fell out of WholeStageCodegen:\n" +
+        argminLines.mkString("\n"))
+  }
+
   test("cluster-aware split: the representative lookup joins on doc_id, never a corpus product") {
     val p = plan(CurationOps.clusterAwareSplit(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
