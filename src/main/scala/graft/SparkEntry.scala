@@ -1756,8 +1756,9 @@ object SparkEntry {
     * exclusion semantics; member counts are deterministic, so the
     * oracle re-derives the same exclusions). */
   private lazy val densityClustersOracleSql: String =
-    """WITH RECURSIVE adm AS (
-      |  SELECT label FROM embeddings GROUP BY label HAVING count(*) <= 1000),
+    s"""WITH RECURSIVE adm AS (
+      |  SELECT label FROM embeddings GROUP BY label
+      |  HAVING count(*) <= ${SimilarityOps.DensityMaxLabel}),
       |p AS (
       |  SELECT a.vec_id AS va, b.vec_id AS vb,
       |    round(

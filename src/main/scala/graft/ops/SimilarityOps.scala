@@ -1981,9 +1981,13 @@ object SimilarityOps {
     * admitted labels' rows are bit-identical to the uncapped run
     * (DensityClusterSpec pins this plus the cap boundary). The oracle
     * mirrors the cap via a HAVING count ≤ cap admission CTE. */
+  /** q242's default stop-block cap, interpolated into the oracle's
+    * HAVING admission CTE so engine and SQL can never drift. */
+  val DensityMaxLabel = 1000
+
   def densityClusters(spark: SparkSession, dir: String,
                       threshold: Double = 0.20, minPts: Int = 3,
-                      maxLabel: Option[Int] = Some(1000)): DataFrame =
+                      maxLabel: Option[Int] = Some(DensityMaxLabel)): DataFrame =
     densityClustersOf(Tables.embeddings(spark, dir), threshold, minPts, maxLabel)
 
   /** [[densityClusters]] over any (vec_id, embedding, label) frame —
