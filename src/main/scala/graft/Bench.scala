@@ -420,16 +420,19 @@ object Bench {
     // self-identify, so (a) the median-ratio threshold drops to 1.25
     // and (b) a rep-spread trigger fires when ≥8 queries exceed 3×
     // spread — localized I/O noise on a handful of queries stays
-    // below it, suite-wide intermittent contention cannot. Calibrated
-    // against the record: the cleanest full run on file (r18 morning,
-    // 167.0 s) reads 5 such queries (roaming single-slot spikes —
-    // q93-class), a mildly patchy idle run reads ~12, the contended
-    // r18 driver artifact reads 28 — so 8 separates "normal roaming
-    // singletons" from "the box is interfering" with margin both ways
-    // (replayed against bench_full_latest.json: the r18 artifact
-    // trips both this and the ratio check).
+    // below it, suite-wide intermittent contention cannot. Only
+    // queries with min ≥ 0.2 s count: sub-200ms queries read 3×
+    // spreads from pure scheduling jitter (an sf0.01 contract run
+    // tripped the unfloored trigger on an idle box), which is noise,
+    // not stolen cores. Calibrated against the record (floored
+    // counts): the r19 clean 207.5 s run reads 3 (roaming
+    // single-slot spikes — q93-class), the patchy same-day window 9,
+    // the contended r18 driver artifact 23 — so 8 separates "normal
+    // roaming singletons" from "the box is interfering" with margin
+    // both ways (replayed against bench_full_latest.json: the r18
+    // artifact trips both this and the ratio check).
     val ratioFlagged = refSfMatch && medianRatio > 1.25
-    val spreadCount = results.values.count(v => v._3 > 3.0)
+    val spreadCount = results.values.count(v => v._3 > 3.0 && v._1 >= 0.2)
     val spreadFlagged = spreadCount >= 8
     val contended = (loadEnd.head > nCpus * 1.25) ||
       (cpuWall >= 0 && cpuWall < 1.5) || ratioFlagged || spreadFlagged
