@@ -451,12 +451,20 @@ object Bench {
     val budget: Map[String, Double] = try {
       val src = scala.io.Source.fromFile(budgetPath)
       val txt = try src.mkString finally src.close()
-      val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+      // whitespace-tolerant: python json.dump(indent=N) writes
+      // `"sf": "..."` with a space — the strict `"sf":"` regex
+      // silently exempted EVERY query on the first budget file (a
+      // 10.5 s q180 spike sailed past a 4.6 s ceiling unnamed)
+      val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(txt).exists(_.group(1) == sfDir)
       if (!sfOk) Map.empty
       else {
-        val bIdx = txt.lastIndexOf("\"budgets\":{")
+        // same whitespace tolerance for the map locator: find the
+        // "budgets" key, then its opening brace
+        val kIdx = txt.lastIndexOf("\"budgets\"")
+        val bIdx = if (kIdx < 0) -1 else txt.indexOf('{', kIdx)
         if (bIdx < 0) Map.empty
-        else txt.substring(bIdx + "\"budgets\":{".length, txt.indexOf('}', bIdx))
+        else txt.substring(bIdx + 1, txt.indexOf('}', bIdx))
           .split(",").flatMap { kv =>
             val i = kv.lastIndexOf(':')
             if (i < 0) None
