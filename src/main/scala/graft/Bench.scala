@@ -448,32 +448,38 @@ object Bench {
     // code — the breach list plus the contention flags let a reader
     // separate the two without a judge round.
     val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json")
-    val budget: Map[String, Double] = try {
-      val src = scala.io.Source.fromFile(budgetPath)
-      val txt = try src.mkString finally src.close()
-      // whitespace-tolerant: python json.dump(indent=N) writes
-      // `"sf": "..."` with a space — the strict `"sf":"` regex
-      // silently exempted EVERY query on the first budget file (a
-      // 10.5 s q180 spike sailed past a 4.6 s ceiling unnamed)
-      val sfOk = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
-        .findFirstMatchIn(txt).exists(_.group(1) == sfDir)
-      if (!sfOk) Map.empty
-      else {
-        // same whitespace tolerance for the map locator: find the
-        // "budgets" key, then its opening brace
-        val kIdx = txt.lastIndexOf("\"budgets\"")
-        val bIdx = if (kIdx < 0) -1 else txt.indexOf('{', kIdx)
-        if (bIdx < 0) Map.empty
-        else txt.substring(bIdx + 1, txt.indexOf('}', bIdx))
-          .split(",").flatMap { kv =>
-            val i = kv.lastIndexOf(':')
-            if (i < 0) None
-            else try Some(kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
-              -> kv.substring(i + 1).toDouble)
-            catch { case _: NumberFormatException => None }
-          }.toMap
+    // Parsed with Jackson (on Spark's classpath), not a hand-rolled
+    // string scan: two rounds of silent-exemption bugs (strict-regex
+    // whitespace, then json.dump reordering) proved the scan shape
+    // fails open. An empty map with the file PRESENT is now loud —
+    // budget_loaded lands in the artifact and stderr names the cause —
+    // so "no budget file" and "parser returned nothing" are
+    // distinguishable after the fact.
+    val budgetFile = new java.io.File(budgetPath)
+    val budget: Map[String, Double] =
+      if (!budgetFile.isFile) Map.empty
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(budgetFile)
+        val fileSf = root.path("sf").asText("")
+        if (fileSf != sfDir) {
+          System.err.println(
+            s"bench budget $budgetPath is for sf '$fileSf', this run is '$sfDir' — all queries exempt")
+          Map.empty
+        } else {
+          import scala.jdk.CollectionConverters._
+          root.path("budgets").properties().asScala
+            .filter(_.getValue.isNumber)
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"bench budget $budgetPath unreadable (${e.getMessage}) — all queries exempt")
+          Map.empty
       }
-    } catch { case _: Exception => Map.empty }
+    if (budgetFile.isFile && budget.isEmpty)
+      System.err.println(
+        s"bench budget $budgetPath present but ZERO budgets loaded — every query is exempt")
     val breaches = results.collect {
       case (k, v) if v._1 >= 0 && budget.getOrElse(k, Double.MaxValue) < v._1 => k
     }.toSeq.sortBy(k => -(results(k)._1 / budget(k)))
@@ -483,7 +489,7 @@ object Bench {
     // headline stays compact: count + worst few names only
     val breachHead = breaches.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     val boxJson = s""""box":{"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadEnd)},"wall_sec":${math.round(wallSec * 100) / 100.0},"proc_cpu_sec":${math.round(cpuSec * 100) / 100.0},"cpu_wall_ratio":$cpuWall,"gc_sec":$gcDelta,"blkio_wait_sec":$blkioDelta,"ncpus":$nCpus,"median_ratio_vs_ref":$medianRatio,"ratio_flagged":$ratioFlagged,"spread_gt3x":$spreadCount,"spread_flagged":$spreadFlagged,"tmpfs_warehouse":${benchWarehouse.isDefined},"contended":$contended}"""
-    val budgetJson = s""""budget_breach_count":${breaches.size},"budget_breaches_top":$breachHead"""
+    val budgetJson = s""""budget_loaded":${budget.size},"budget_breach_count":${breaches.size},"budget_breaches_top":$breachHead"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min","failed":$failedJson,"reps":$reps,"sf":"$sfDir",$boxJson,$budgetJson,"budget_breaches":$breachJson,"slope_ref":"${slopeDir.getOrElse("")}","slope":$slp,"rep_spread":$spreadJson,"medians":$med,"shuffle_write_mb":$shw,"shuffle_read_mb":$shr,"spill_mb":$spl,"queries":$qs}"""
     println(detail)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"reps":$reps,"estimator":"min","sf":"$sfDir",$boxJson,$budgetJson}""")

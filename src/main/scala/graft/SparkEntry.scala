@@ -4573,8 +4573,8 @@ object SparkEntry {
         |scored AS (
         |  SELECT t.doc_id, t.passage_id,
         |    sum(ln((n.n_passages - d.df + 0.5) / (d.df + 0.5) + 1.0) *
-        |        (t.tf * (1.2 + 1) /
-        |         (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / ad.avgdl)))) AS score_raw
+        |        (CAST(t.tf AS DOUBLE) * CAST((1.2 + 1) AS DOUBLE) /
+        |         (t.tf + CAST(1.2 AS DOUBLE) * (0.25 + CAST(0.75 AS DOUBLE) * l.dl / ad.avgdl)))) AS score_raw
         |  FROM tf t JOIN df d USING (word)
         |  JOIN dl l ON t.doc_id = l.doc_id AND t.passage_id = l.passage_id, n, ad
         |  GROUP BY 1, 2)

@@ -94,25 +94,35 @@ case class L2Argmin(child: Expression, cls: Array[Long],
     val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
     val clsRef = ctx.addReferenceObj("cls", cls, "long[]")
     val getter = if (childIsFloat) "getFloat" else "getDouble"
+    // Every local via freshName: with a non-nullable child,
+    // nullSafeCodeGen emits no scoping block, so two kernel instances
+    // in one generated function (e.g. subexpressionElimination off)
+    // would otherwise collide in Janino and silently fall back to
+    // interpreted execution.
+    val n = ctx.freshName("n"); val bestD = ctx.freshName("bestD")
+    val bestC = ctx.freshName("bestC"); val j = ctx.freshName("j")
+    val w = ctx.freshName("w"); val s = ctx.freshName("s")
+    val i = ctx.freshName("i"); val x = ctx.freshName("x")
+    val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, a => {
       s"""
-         |int n = $a.numElements();
-         |double bestD = Double.MAX_VALUE;
-         |long bestC = -1L;
-         |for (int j = 0; j < $centsRef.length; j++) {
-         |  double[] w = $centsRef[j];
-         |  if (w.length == n) {
-         |    double s = 0.0;
-         |    for (int i = 0; i < n; i++) {
-         |      double x = (double) $a.$getter(i);
-         |      double d = x - w[i];
-         |      s += d * d;
+         |int $n = $a.numElements();
+         |double $bestD = Double.MAX_VALUE;
+         |long $bestC = -1L;
+         |for (int $j = 0; $j < $centsRef.length; $j++) {
+         |  double[] $w = $centsRef[$j];
+         |  if ($w.length == $n) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = (double) $a.$getter($i);
+         |      double $d = $x - $w[$i];
+         |      $s += $d * $d;
          |    }
-         |    if (s < bestD) { bestD = s; bestC = $clsRef[j]; }
+         |    if ($s < $bestD) { $bestD = $s; $bestC = $clsRef[$j]; }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{ java.lang.Double.valueOf(bestD), java.lang.Long.valueOf(bestC) });
+         |  new Object[]{ java.lang.Double.valueOf($bestD), java.lang.Long.valueOf($bestC) });
        """.stripMargin
     })
   }
@@ -206,25 +216,30 @@ case class L2Scored(child: Expression, cls: Array[Long],
     val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
     val clsRef = ctx.addReferenceObj("cls", cls, "long[]")
     val getter = if (childIsFloat) "getFloat" else "getDouble"
+    // freshName every local — see L2Argmin.doGenCode.
+    val n = ctx.freshName("n"); val out = ctx.freshName("out")
+    val j = ctx.freshName("j"); val w = ctx.freshName("w")
+    val s = ctx.freshName("s"); val i = ctx.freshName("i")
+    val x = ctx.freshName("x"); val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, a => {
       s"""
-         |int n = $a.numElements();
-         |Object[] out = new Object[$centsRef.length];
-         |for (int j = 0; j < $centsRef.length; j++) {
-         |  double[] w = $centsRef[j];
-         |  double s = Double.POSITIVE_INFINITY;
-         |  if (w.length == n) {
-         |    s = 0.0;
-         |    for (int i = 0; i < n; i++) {
-         |      double x = (double) $a.$getter(i);
-         |      double d = x - w[i];
-         |      s += d * d;
+         |int $n = $a.numElements();
+         |Object[] $out = new Object[$centsRef.length];
+         |for (int $j = 0; $j < $centsRef.length; $j++) {
+         |  double[] $w = $centsRef[$j];
+         |  double $s = Double.POSITIVE_INFINITY;
+         |  if ($w.length == $n) {
+         |    $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $x = (double) $a.$getter($i);
+         |      double $d = $x - $w[$i];
+         |      $s += $d * $d;
          |    }
          |  }
-         |  out[j] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |    new Object[]{ java.lang.Double.valueOf(s), java.lang.Long.valueOf($clsRef[j]) });
+         |  $out[$j] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ java.lang.Double.valueOf($s), java.lang.Long.valueOf($clsRef[$j]) });
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
   }
@@ -301,27 +316,33 @@ case class GroupedL2Argmin(left: Expression, right: Expression,
     val clsRef = ctx.addReferenceObj("cls", cls, "long[]")
     val gsRef = ctx.addReferenceObj("gs", gs, "long[]")
     val getter = if (childIsFloat) "getFloat" else "getDouble"
+    // freshName every local — see L2Argmin.doGenCode.
+    val n = ctx.freshName("n"); val bestD = ctx.freshName("bestD")
+    val bestC = ctx.freshName("bestC"); val j = ctx.freshName("j")
+    val w = ctx.freshName("w"); val s = ctx.freshName("s")
+    val i = ctx.freshName("i"); val x = ctx.freshName("x")
+    val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, (g, a) => {
       s"""
-         |int n = $a.numElements();
-         |double bestD = Double.MAX_VALUE;
-         |long bestC = -1L;
-         |for (int j = 0; j < $centsRef.length; j++) {
-         |  if ($gsRef[j] == $g) {
-         |    double[] w = $centsRef[j];
-         |    if (w.length == n) {
-         |      double s = 0.0;
-         |      for (int i = 0; i < n; i++) {
-         |        double x = (double) $a.$getter(i);
-         |        double d = x - w[i];
-         |        s += d * d;
+         |int $n = $a.numElements();
+         |double $bestD = Double.MAX_VALUE;
+         |long $bestC = -1L;
+         |for (int $j = 0; $j < $centsRef.length; $j++) {
+         |  if ($gsRef[$j] == $g) {
+         |    double[] $w = $centsRef[$j];
+         |    if ($w.length == $n) {
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        double $x = (double) $a.$getter($i);
+         |        double $d = $x - $w[$i];
+         |        $s += $d * $d;
          |      }
-         |      if (s < bestD) { bestD = s; bestC = $clsRef[j]; }
+         |      if ($s < $bestD) { $bestD = $s; $bestC = $clsRef[$j]; }
          |    }
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-         |  new Object[]{ java.lang.Double.valueOf(bestD), java.lang.Long.valueOf(bestC) });
+         |  new Object[]{ java.lang.Double.valueOf($bestD), java.lang.Long.valueOf($bestC) });
        """.stripMargin
     })
   }

@@ -1861,14 +1861,23 @@ object RelationalExt {
     val theta = when(vx === 0.0d, lit(0.0d)).otherwise(cv / vx)
     val rho2 = when(vx === 0.0d || vy === 0.0d, lit(0.0d))
       .otherwise((cv * cv) / (vx * vy))
+    // The audit must ride EVERY derived output: if it guarded only
+    // n_users, a consumer selecting just theta/var_reduction would let
+    // Catalyst column-prune the raise_error away and read silently
+    // wrapped sums — defeating the fail-the-same-inputs-loudly
+    // contract. sumsSafe is a per-group scalar; the duplicated check
+    // folds into one codegen'd branch per column.
+    val overflowErr = raise_error(concat(
+      lit("cuped sufficient statistics would overflow int64 for event_type "),
+      col("event_type"), lit(" — rescale the value quantization")))
+    def guarded(c: org.apache.spark.sql.Column, tpe: String) =
+      when(sumsSafe, c).otherwise(overflowErr.cast(tpe))
     g.select(col("event_type"),
-        when(sumsSafe, col("n")).otherwise(raise_error(concat(
-          lit("cuped sufficient statistics would overflow int64 for event_type "),
-          col("event_type"), lit(" — rescale the value quantization")))
-          .cast("long")).as("n_users"),
-        TextOps.roundAt(col("sy").cast("double") / (nD * lit(1000.0)), 6).as("mean_post"),
-        TextOps.roundAt(theta, 6).as("theta"),
-        TextOps.roundAt(rho2, 6).as("var_reduction"))
+        guarded(col("n"), "long").as("n_users"),
+        guarded(TextOps.roundAt(col("sy").cast("double") / (nD * lit(1000.0)), 6),
+          "double").as("mean_post"),
+        guarded(TextOps.roundAt(theta, 6), "double").as("theta"),
+        guarded(TextOps.roundAt(rho2, 6), "double").as("var_reduction"))
       .orderBy(col("event_type"))
   }
 

@@ -1954,7 +1954,7 @@ object TextOps {
     // scales to a 1e12 long once, so the per-doc reduction is an
     // exact-integer codegen'd hash aggregation — order-free, no
     // cross-engine fold order to pin (replaced the sorted float fold)
-    val termL = col("n") * floor(log(
+    val term1 = floor(log(
       lit(BigramLambda) * pBig +
         lit(BigramFloor) * ((coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double") /
           (col("n_uni") + col("v")))) * lit(1e12) + lit(0.5)).cast("long")
@@ -1963,12 +1963,24 @@ object TextOps {
       .join(broadcast(cx), Seq("w1"), "left")
       .join(broadcast(cu), Seq("w2"), "left")
       .crossJoin(broadcast(sc))
-      .select(col("doc_id"), col("n"), termL.as("tl"))
+      .select(col("doc_id"), col("n"), term1.as("t1"),
+        (col("n") * term1).as("tl"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_bigrams"), sum(col("tl")).as("tls"))
+      .agg(sum(col("n")).as("n_bigrams"), sum(col("tl")).as("tls"),
+        max(abs(col("t1"))).as("mt"))
       .select(col("doc_id"), col("n_bigrams"),
-        ((-(col("tls").cast("double") / lit(1e12))) /
-          col("n_bigrams").cast("double")).as("nll_raw"))
+        // q247/q255 post-hoc audit, embedded in nll_raw so nll AND
+        // band both ride the guard (see trigramBackoff for the full
+        // argument): n_bigrams and max|term| are wrap-free and certify
+        // the per-doc long sum; the engine now fails loudly on the
+        // same inputs DuckDB's raising BIGINT arithmetic does.
+        when(col("n_bigrams").cast("double") * col("mt").cast("double") < lit(9.0e18),
+          (-(col("tls").cast("double") / lit(1e12))) /
+            col("n_bigrams").cast("double"))
+          .otherwise(raise_error(concat(
+            lit("bigram NLL fixed-point sum would overflow int64 for doc "),
+            col("doc_id"), lit(" — rescale the 1e12 quantization")))
+            .cast("double")).as("nll_raw"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).cast("bigint").as("n_bigrams"),
@@ -2010,7 +2022,10 @@ object TextOps {
     * Overflow headroom: |⌊ln(p)·10¹²⌉| ≤ ~2e13 on any corpus whose
     * rarest unigram denominator stays under e⁻²⁰·10¹², so a single
     * doc stays inside int64 to ~4×10⁵ trigram positions — far past
-    * any real document. Backoff counts are exact longs and the rate
+    * any real document, and now ENFORCED (q247 convention): per doc,
+    * max|term| × n_trigrams — both wrap-free — certify the long sum
+    * post hoc, and a breach raises instead of wrapping, the same
+    * loud failure DuckDB's BIGINT arithmetic gives the oracle. Backoff counts are exact longs and the rate
     * one guarded division under roundAt. Docs with fewer than three
     * words survive via the roster left join (null nll, rate, the
     * q161 'short' convention minus the band column).
@@ -2055,7 +2070,7 @@ object TextOps {
     // each position's ln term floor-scales to a 1e12 long ONCE, so the
     // per-doc reduction is an exact-integer codegen'd hash aggregation
     // (order-free by construction — see the docstring)
-    val termL = col("n") * floor(log(p) * lit(1e12) + lit(0.5)).cast("long")
+    val term1 = floor(log(p) * lit(1e12) + lit(0.5)).cast("long")
     val backed = when(col("c3").isNotNull, lit(0L)).otherwise(col("n"))
     val scored = db
       .join(broadcast(t3), Seq("w1", "w2", "w3"), "left")
@@ -2064,13 +2079,26 @@ object TextOps {
       .join(broadcast(c2x), Seq("w2"), "left")
       .join(broadcast(cu), Seq("w3"), "left")
       .crossJoin(broadcast(sc))
-      .select(col("doc_id"), col("n"), backed.as("nb"), termL.as("tl"))
+      .select(col("doc_id"), col("n"), backed.as("nb"),
+        term1.as("t1"), (col("n") * term1).as("tl"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_trigrams"), sum(col("nb")).as("n_backoff"),
-        sum(col("tl")).as("tls"))
+        sum(col("tl")).as("tls"), max(abs(col("t1"))).as("mt"))
       .select(col("doc_id"), col("n_trigrams"), col("n_backoff"),
-        ((-(col("tls").cast("double") / lit(1e12))) /
-          col("n_trigrams").cast("double")).as("nll_raw"))
+        // the q247/q255 post-hoc audit: n_trigrams (a count) and
+        // max|per-position term| are wrap-free, so they certify both
+        // each n·term product and the per-doc long sum after the fact;
+        // embedded IN nll_raw so every derived output (nll here) rides
+        // the guard and column pruning cannot drop it. DuckDB's BIGINT
+        // arithmetic raises on its own — this closes the engine side
+        // of the crash-vs-wrong-answer divergence.
+        when(col("n_trigrams").cast("double") * col("mt").cast("double") < lit(9.0e18),
+          (-(col("tls").cast("double") / lit(1e12))) /
+            col("n_trigrams").cast("double"))
+          .otherwise(raise_error(concat(
+            lit("trigram NLL fixed-point sum would overflow int64 for doc "),
+            col("doc_id"), lit(" — rescale the 1e12 quantization")))
+            .cast("double")).as("nll_raw"))
     docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_trigrams"), lit(0L)).cast("bigint").as("n_trigrams"),
