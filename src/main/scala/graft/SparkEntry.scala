@@ -1947,7 +1947,7 @@ object SparkEntry {
       |  SELECT list_sum(list(v.v * w.w ORDER BY v.i)) AS l
       |  FROM v$iters v JOIN wf w ON w.i = v.i)
       |SELECT d.i AS dim,
-      |  floor(CAST(sa.sq AS DOUBLE) / (nn0.n * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mu,
+      |  floor(CAST(sa.sq AS DOUBLE) / (CAST(nn0.n AS DOUBLE) * 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS mu,
       |  v.v AS pc1,
       |  floor((lam.l / CAST(tr.tr AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS explained
       |FROM dims d JOIN s1 sa ON sa.i = d.i JOIN v$iters v ON v.i = d.i, nn0, lam, tr
@@ -3296,7 +3296,7 @@ object SparkEntry {
         |  FROM h),
         |m AS (
         |  SELECT event_type,
-        |    max(CASE WHEN rn = CAST(ceil(nb * 0.5) AS BIGINT) THEN n_events END) AS med
+        |    max(CASE WHEN rn = CAST(ceil(CAST(nb AS DOUBLE) * 0.5) AS BIGINT) THEN n_events END) AS med
         |  FROM r GROUP BY event_type),
         |d AS (
         |  SELECT h.event_type, h.hour, h.n_events, m.med,
@@ -3309,7 +3309,7 @@ object SparkEntry {
         |  FROM d),
         |md AS (
         |  SELECT event_type,
-        |    max(CASE WHEN rn = CAST(ceil(nb * 0.5) AS BIGINT) THEN dev END) AS mad
+        |    max(CASE WHEN rn = CAST(ceil(CAST(nb AS DOUBLE) * 0.5) AS BIGINT) THEN dev END) AS mad
         |  FROM r2 GROUP BY event_type)
         |SELECT d.event_type, d.hour, d.n_events, d.med, md.mad,
         |  ${TextOps.roundAtSql(
@@ -3392,8 +3392,8 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY event_type) AS n
         |  FROM f)
         |SELECT event_type, max(n) AS n_gaps,
-        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN gap_us END) AS p50_us,
-        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN gap_us END) AS p95_us,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN gap_us END) AS p50_us,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.95) AS BIGINT) THEN gap_us END) AS p95_us,
         |  max(gap_us) AS max_us
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     // q208: per-source exact double centroids, index-order L2/cos
@@ -3504,8 +3504,8 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY event_type, day) AS n
         |  FROM b)
         |SELECT event_type, day, CAST(max(n) AS BIGINT) AS n_events,
-        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
-        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95
+        |  max(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.95) AS BIGINT) THEN value END) AS p95
         |FROM r GROUP BY event_type, day
         |ORDER BY event_type, day""".stripMargin,
     // q186: LOCF carry of the last click ts over (ts, event_id) order,
@@ -3621,7 +3621,7 @@ object SparkEntry {
         |  ${TextOps.roundAtSql("CAST(t.cnt AS DOUBLE) / s.n_rows", 6)} AS share,
         |  s.n_keys, s.n_rows, s.max_mult,
         |  ${TextOps.roundAtSql(
-             "2.0 * s.s_rank / (s.n_keys * s.n_rows) - " +
+             "2.0 * CAST(s.s_rank AS DOUBLE) / (s.n_keys * s.n_rows) - " +
              "CAST(s.n_keys + 1 AS DOUBLE) / s.n_keys", 6)} AS gini
         |FROM t, s WHERE t.rank <= 5 ORDER BY t.rank""".stripMargin,
     // q192: per-key count tables joined — exact join output size
@@ -4128,8 +4128,8 @@ object SparkEntry {
         |    count(*) OVER () AS n
         |  FROM l)
         |SELECT max(n) AS n_conversions,
-        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN lat_us END) AS p50_us,
-        |  max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN lat_us END) AS p95_us,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN lat_us END) AS p50_us,
+        |  max(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) * 0.95) AS BIGINT) THEN lat_us END) AS p95_us,
         |  max(lat_us) AS max_us
         |FROM r""".stripMargin,
     // q213: q22's count columns sorted desc — margin on pure evidence

@@ -9,6 +9,7 @@ the parquet result Verify dumped, after sorting columns by name and rows
 by all columns. Reports per-query PASS/FAIL with first differences.
 """
 import json
+import re
 import sys
 
 import duckdb
@@ -16,6 +17,88 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# --------------------------------------------------------------------
+# bare-decimal lint (VERDICT r19 item 3)
+# --------------------------------------------------------------------
+# DuckDB evaluates DECIMAL-literal x BIGINT multiplication in exact
+# DECIMAL while the engine mirrors every literal as an IEEE double —
+# a one-ulp divergence that flips near-tied ORDER BYs / round
+# boundaries. This class was hand-fixed three times (q155, q252/q130,
+# q141) before becoming mechanical here. Facts the rules rest on
+# (probed against this duckdb build):
+#   - `/` ALWAYS returns DOUBLE (even DECIMAL/DECIMAL), so division
+#     is never the exact-DECIMAL path and any `/`-derived operand is
+#     DOUBLE;
+#   - DECIMAL * DOUBLE returns DOUBLE with the literal converted to
+#     the same double the engine's mirrored literal denotes — safe;
+#   - DECIMAL * BIGINT (or * DECIMAL) stays DECIMAL — the bug class.
+# Flagged shapes (string literals blanked first):
+#   decimal * identifier        e.g.  0.85 * cnt
+#   identifier * decimal        e.g.  t.tf * 1.2
+#   identifier * ( decimal ...  e.g.  t.tf * (1.2 + 1)   [the q141 bug]
+# NOT flagged (documented limitations, audited 2026-08-15):
+#   - any `/` (always DOUBLE in DuckDB);
+#   - function-call operands (ln/exp/CAST/... return DOUBLE; the hole
+#     is sum()/least() over DECIMAL args, which the lint would catch
+#     at the inner expression when one exists);
+#   - `(...) * decimal` with a close-paren left operand (130 audited
+#     instances, all double-valued quality-score / roundAt chains);
+#   - identifiers whose left chain ends in `/` (the chain is DOUBLE).
+# Exemptions assert the identifier operand is DOUBLE-typed, making
+# the product DOUBLE with an exactly-converted literal. A new hit
+# fails check_oracle until CAST to DOUBLE (preferred) or exempted
+# here WITH the type argument.
+LINT_EXEMPT = {
+    # p_retailprice is DOUBLE in the testdata parquet
+    "q14_scalar_funcs": [r"p_retailprice \* 1\.1"],
+    # prev is a list_reduce((a+b)/2.0) EWMA — `/`-derived DOUBLE
+    "q221_ewma_rates": [r"prev \* 2\.0"],
+    # tp.p is a transition probability (count ratio) — DOUBLE; x1.0
+    # is an IEEE no-op that keeps the CASE branches one type
+    "q237_removal_effect": [r"tp\.p \* 1\.0"],
+    # events.value is DOUBLE in the testdata parquet
+    "q255_cuped": [r"value \* 1000\.0"],
+    # w is the power-iteration eigenvector component — DOUBLE
+    "q256_stationary": [r"w \* 1000000000000\.0"],
+}
+
+_DEC = r"\d+\.\d+(?![\w.eE])"
+_ID = r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*"
+
+
+def _strip_strings(sql: str) -> str:
+    return re.sub(r"'(?:[^']|'')*'", lambda m: " " * len(m.group(0)), sql)
+
+
+def lint_bare_decimals(oracle: dict) -> list:
+    """Return [(query, snippet)] for every non-exempt bare-decimal
+    multiply against a non-CAST identifier operand."""
+    findings = []
+    for name, sql0 in sorted(oracle.items()):
+        sql = _strip_strings(sql0)
+        spans = []
+        # decimal * identifier (identifier not a function call)
+        for m in re.finditer(
+                r"(?<![\w.])" + _DEC + r"\s*\*\s*" + _ID + r"\b(?!\s*\()", sql):
+            spans.append(m)
+        # identifier * decimal / identifier * ( decimal ...
+        for m in re.finditer(
+                _ID + r"\b\s*\*\s*\(?\s*" + _DEC, sql):
+            prev_ch = sql[m.start() - 1] if m.start() > 0 else " "
+            if prev_ch.isalnum() or prev_ch in "._":
+                continue  # mid-identifier artifact
+            if sql[:m.start()].rstrip().endswith("/"):
+                continue  # left chain contains a division -> DOUBLE
+            spans.append(m)
+        exempt = [re.compile(p) for p in LINT_EXEMPT.get(name, [])]
+        for m in spans:
+            snippet = re.sub(r"\s+", " ", m.group(0))
+            if any(p.search(snippet) for p in exempt):
+                continue
+            ctx = re.sub(r"\s+", " ", sql[max(0, m.start() - 30):m.end() + 30])
+            findings.append((name, f"{snippet!r} in ...{ctx}..."))
+    return findings
 
 
 class NestedColumnError(TypeError):
@@ -67,7 +150,11 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
     if keep and not (keep & set(oracle)):
         print("ERROR: query filter matched nothing; no checks ran", file=sys.stderr)
         return 2
-    n_pass = n_fail = 0
+    lint_scope = {n: s for n, s in oracle.items() if not keep or n in keep}
+    lint = lint_bare_decimals(lint_scope)
+    for name, msg in lint:
+        print(f"LINT {name}: bare-decimal multiply — {msg}")
+    n_pass, n_fail = 0, len(lint)
     for name, sql in sorted(oracle.items()):
         if keep and name not in keep:
             continue
@@ -148,10 +235,34 @@ def selftest() -> int:
     if driver_hash(flat) == driver_hash(
             pd.DataFrame({"a": ["x", "y"], "b": [1.0, 3.0]})):
         failures.append("driver-replica hash blind to a value change")
+    # 3. the bare-decimal lint must fire on the known-bad shapes
+    #    (q141's actual pre-fix bug among them), stay quiet on the
+    #    CAST/division/scientific-literal safe forms, and honor the
+    #    exemption table
+    bad_sqls = {
+        "t1": "SELECT t.tf * (1.2 + 1) AS x FROM t",       # the q141 bug
+        "t2": "SELECT 0.85 * cnt AS x FROM t",
+        "t3": "SELECT sum(ln(x) * (a.b * 1.2)) FROM t a",
+    }
+    for n, s in bad_sqls.items():
+        if not lint_bare_decimals({n: s}):
+            failures.append(f"decimal lint missed known-bad shape {n}: {s}")
+    good_sqls = {
+        "g1": "SELECT CAST(t.tf AS DOUBLE) * CAST((1.2 + 1) AS DOUBLE) FROM t",
+        "g2": "SELECT a / b * 5.0 FROM t",                  # /-chain is DOUBLE
+        "g3": "SELECT x * 1e12 FROM t",                     # scientific = DOUBLE
+        "g4": "SELECT ln(x) * 2.0, 0.5 * exp(y) FROM t",    # fn calls return DOUBLE
+        "g5": "SELECT '0.5 * lit' AS s, x FROM t",          # inside a string
+        "q221_ewma_rates": "SELECT prev * 2.0 FROM t",      # exempt table honored
+    }
+    for n, s in good_sqls.items():
+        got = lint_bare_decimals({n: s})
+        if got:
+            failures.append(f"decimal lint false-positive on {n}: {got}")
     for f in failures:
         print(f"SELFTEST FAIL: {f}")
     print(f"== selftest {'FAILED' if failures else 'passed'}: nested-output "
-          f"rejection + driver-hash replica ==")
+          f"rejection + driver-hash replica + bare-decimal lint ==")
     return 1 if failures else 0
 
 
