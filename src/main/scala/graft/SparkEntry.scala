@@ -2353,7 +2353,7 @@ object SparkEntry {
         |SELECT source, n_tokens, vocab, n1, n2,
         |  ${TextOps.roundAtSql("CAST(n1 AS DOUBLE) / n_tokens", 6)} AS unseen_mass,
         |  ${TextOps.roundAtSql(
-             "CAST(vocab AS DOUBLE) + CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(2 * (n2 + 1) AS DOUBLE)", 4)} AS chao1
+             "CAST(vocab AS DOUBLE) + CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE) / CAST(2 * (n2 + 1) AS DOUBLE)", 4)} AS chao1
         |FROM g ORDER BY source""".stripMargin,
     "q159_bpe_merges" -> bpeMergesOracleSql,
     "q160_bpe_tokens" -> bpeTokensOracleSql,

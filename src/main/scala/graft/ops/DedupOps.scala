@@ -1295,29 +1295,34 @@ object DedupOps {
     * shuffle at all; the per-round distinct keeps the edge multiset
     * at most |E|.
     *
-    * Convergence = the round was a no-op: the (count, xor-of-xxhash64)
-    * fingerprint of the edge set is unchanged (xor, not sum — the
-    * commutative combine that cannot overflow under ANSI arithmetic;
-    * edges are distinct so pairwise cancellation needs a hash
-    * collision). A fixed point of the
-    * alternation is exactly a star forest centered at component
-    * minima, so stationarity IS the answer (hash-collision
-    * false-convergence is ~2⁻⁶⁴ per round — negligible against any
-    * infrastructure failure rate). Fusing the
-    * fingerprint into the checkpoint job via an accumulator — the
-    * min-label trick — was considered and REJECTED: xor under
-    * at-least-once accumulator semantics is retry-UNSAFE (a retried
-    * task xors its partition twice and self-cancels, silently faking
-    * convergence), where min-label's changed-counter was safe because
-    * retries can only over-count. Instead the round's checkpoint is
-    * LAZY (`localCheckpoint(eager = false)`) and the fingerprint
-    * aggregation is the action that materializes it — ONE Spark job
-    * per round, not a checkpoint job plus a fingerprint job. The
+    * Convergence = the edge set IS a star forest, tested EXACTLY and
+    * one round earlier than stationarity can see it. Under canonical
+    * u > v edges a star forest centered at component minima is
+    * precisely the edge sets where (a) the u-side and v-side node
+    * sets are DISJOINT (a u-side node is a member, a v-side node is
+    * a center; a node on both sides is a chain link) and (b) every
+    * u-side node has degree 1 (a member pointing at two centers —
+    * {(5,1),(5,2)} — is side-disjoint yet still merges them), and
+    * the alternation's fixed points are exactly those star forests —
+    * so the two-part shape test is an exact fixpoint test, not a
+    * probabilistic one. Through round 19 convergence was a (count, xor-of-xxhash64)
+    * stationarity fingerprint; it was replaced because stationarity
+    * is only observable one round LATE — run a no-op round, notice
+    * nothing changed — while star-forest-ness is a property of the
+    * CURRENT edge set. Each invocation stops one round-job earlier,
+    * and an input that is ALREADY a star forest (q143's later folds
+    * when a slice's edges land inside settled components) runs ZERO
+    * rounds: the setup probe carries the same test. The probe rides
+    * the round's single materializing action (the checkpoint stays
+    * LAZY; the probe aggregation materializes it — ONE Spark job per
+    * round): explode each edge into its two (node, side) rows,
+    * per-node min/max of side, count both-sided nodes — one extra
+    * edge-sized shuffle versus the old flat fingerprint agg, bought
+    * back several times over by the saved no-op round, because the
     * iterative shape is uniquely sensitive to per-job scheduler
     * latency (r15's driver artifact read q97 at 27.4 s under box
     * contention vs 2.9 s solo — job fan-out amplifies whatever
-    * latency the box adds), so halving the job count halves that
-    * exposure with zero semantic change. Like
+    * latency the box adds). Like
     * min-label, hitting the cap THROWS rather than returning an
     * under-merged labeling, and localCheckpoint cuts lineage so the
     * loop cannot build an unbounded plan.
@@ -1375,35 +1380,39 @@ object DedupOps {
     // the price of late-round time imbalance bounded by the largest
     // component. Deployments expecting giant components set
     // saltThreshold=0 to force salting unconditionally.
-    // ONE setup action folds three former jobs together: it
+    // ONE setup action folds the former jobs together: it
     // materializes the lazy edge checkpoint, computes the max degree
-    // (posexplode both endpoints, per-node count), and computes the
-    // initial (count, xor) fingerprint — each edge's pos-0 row carries
-    // its xxhash64 exactly once (grouped under n = u), so xor of the
-    // per-node partial xors is the edge-set xor and sum of the pos-0
-    // counts is the edge count.
-    val probeRow = edges
+    // (posexplode both endpoints, per-node count), and runs the exact
+    // star-forest convergence test on the INPUT — per node, pos spans
+    // {0} (u-side only), {1} (v-side only), or both; any node with
+    // min(pos)=0 AND max(pos)=1 sits on both sides, so the edge set
+    // is not yet a disjoint-star forest (see scaladoc). An input that
+    // is already a star forest runs zero rounds.
+    // A node VIOLATES star-forest shape iff it sits on both sides
+    // (chain link: member that is also a center) OR it is a u-side
+    // node of degree > 1 (member pointing at two centers — the edge
+    // set is side-disjoint yet those centers still merge through it,
+    // e.g. {(5,1),(5,2)}). Zero violations ⟺ disjoint canonical
+    // stars ⟺ fixpoint (see scaladoc).
+    def starProbeAgg(e: DataFrame): DataFrame = e
       .select(col("u"), col("v"),
         posexplode(array(col("u"), col("v"))).as(Seq("pos", "n")))
       .groupBy(col("n")).agg(
         count(lit(1)).as("deg"),
-        sum(when(col("pos") === 0, lit(1L)).otherwise(lit(0L))).as("ec"),
-        expr("bit_xor(CASE WHEN pos = 0 THEN xxhash64(u, v) END)").as("x"))
+        min(col("pos")).as("mnp"), max(col("pos")).as("mxp"))
       .agg(coalesce(max(col("deg")), lit(0L)),
-        coalesce(sum(col("ec")), lit(0L)),
-        coalesce(expr("bit_xor(x)"), lit(0L))).head()
+        coalesce(sum(when(col("mnp") === 0 &&
+            (col("mxp") === 1 || col("deg") > 1L), lit(1L))
+          .otherwise(lit(0L))), lit(0L)))
+    val probeRow = starProbeAgg(edges).head()
     val maxDeg = probeRow.getLong(0)
     val useSalt = maxDeg >= saltThreshold
     def minAttach(l: DataFrame, mins: DataFrame): DataFrame =
       if (useSalt) Skew.saltedJoin(l, mins, col("u"), col("nu"), skewFactor)
       else l.join(mins, col("u") === col("nu"))
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var fp = (probeRow.getLong(1), probeRow.getLong(2))
-    var converged = false
+    def isStarForest(e: DataFrame): Boolean =
+      starProbeAgg(e).head().getLong(1) == 0L
+    var converged = probeRow.getLong(1) == 0L
     var rounds = 0
     // (node, min-neighbor) via hash aggregate — the partial combine is
     // what makes a 10⁹-degree hub cost one row per map partition
@@ -1422,12 +1431,10 @@ object DedupOps {
         .select(col("v").as("u"), col("mn").as("v"))
         .union(minsS.select(col("nu").as("u"), col("mn").as("v")))
         .distinct()
-        .localCheckpoint(false) // lazy: fingerprint() below is the
+        .localCheckpoint(false) // lazy: isStarForest() below is the
                                 // action that materializes it — one
                                 // job per round (see scaladoc)
-      val nfp = fingerprint(small)
-      converged = nfp == fp
-      fp = nfp
+      converged = isStarForest(small)
       edges = small
       rounds += 1
     }

@@ -1190,7 +1190,10 @@ object RelationalExt {
     * `2·Σ(i·cᵢ)/(n·Σc) − (n+1)/n` over counts ranked ascending —
     * every sum is EXACT LONG arithmetic (rank×count products), so
     * there is no float fold order to coordinate; the final ratio is
-    * one fixed IEEE tree rounded at 6.
+    * one fixed IEEE tree rounded at 6. Int64 headroom: Σ rk·cnt ≤
+    * n_keys·n_rows, so the sum wraps only past n_keys·n_rows ≈
+    * 9.2e18 (e.g. 10⁶ keys × 10¹³ rows) — see the BASELINE.md
+    * exact-long audit table.
     *
     * Scale: the per-key aggregation is one corpus shuffle with
     * map-side partials; everything after operates on the KEY
@@ -1234,9 +1237,26 @@ object RelationalExt {
     def profile(name: String, l: DataFrame, r: DataFrame): DataFrame = {
       val lc = l.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("cl"))
       val rc = r.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("cr"))
+      // q247-convention post-hoc audit: join output cardinality is
+      // EXACTLY the long sum that explodes in the wild (two 4e9-hot
+      // keys wrap int64). n_matched, max(cl), max(cr) are wrap-free
+      // and certify both every per-key product and the sum; a breach
+      // raises like the oracle's BIGINT arithmetic instead of
+      // returning a silently wrapped profile.
       val joined = lc.join(rc, Seq("k"))
-        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("join_rows"),
-          count(lit(1)).as("n_matched_keys"))
+        .agg(coalesce(sum(col("cl") * col("cr")), lit(0L)).as("join_rows_raw"),
+          count(lit(1)).as("n_matched_keys"),
+          coalesce(max(col("cl")), lit(0L)).as("mcl"),
+          coalesce(max(col("cr")), lit(0L)).as("mcr"))
+        .select(
+          when(col("n_matched_keys").cast("double") *
+              col("mcl").cast("double") * col("mcr").cast("double") < lit(9.0e18),
+            col("join_rows_raw"))
+            .otherwise(raise_error(lit(
+              s"join cardinality profile '$name' would overflow int64 — " +
+                "the join output itself exceeds long range")).cast("long"))
+            .as("join_rows"),
+          col("n_matched_keys"))
       lc.agg(count(lit(1)).as("ndv_left"), sum(col("cl")).as("rows_left"),
           max(col("cl")).as("max_mult_left"))
         .crossJoin(rc.agg(count(lit(1)).as("ndv_right"), sum(col("cr")).as("rows_right"),
@@ -1263,7 +1283,10 @@ object RelationalExt {
     * WHAT arrives (content drift), this watches HOW MUCH.
     *
     * Determinism: hourly counts are exact longs, so Σx and Σx² are
-    * exact; mean and the textbook variance `(Σx² − (Σx)²/n)/(n−1)`
+    * exact (int64 headroom: Σx² ≤ n_buckets·max_hourly² wraps only
+    * past ~3e9 events in one hour — see the BASELINE.md exact-long
+    * audit table); mean and the textbook variance
+    * `(Σx² − (Σx)²/n)/(n−1)`
     * are then fixed IEEE expression trees both engines share — no
     * engine stddev function is used precisely because sample/pop
     * conventions and accumulation orders differ across engines. An

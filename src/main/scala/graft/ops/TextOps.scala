@@ -1634,8 +1634,13 @@ object TextOps {
       .select(col("source"), col("n_tokens").cast("bigint").as("n_tokens"),
         col("vocab"), col("n1"), col("n2"),
         roundAt(col("n1").cast("double") / col("n_tokens"), 6).as("unseen_mass"),
+        // each factor cast to double BEFORE the multiply: both are
+        // exact (< 2^53), so the IEEE product is the correctly-rounded
+        // exact product — bit-identical to casting the BIGINT product —
+        // while the long form silently wraps past n1 ~ 3e9 hapaxes
+        // (reachable at 100 TB; DuckDB's BIGINT raises, Spark's wrapped)
         roundAt(col("vocab").cast("double") +
-          (col("n1") * (col("n1") - lit(1L))).cast("double") /
+          col("n1").cast("double") * (col("n1") - lit(1L)).cast("double") /
             (lit(2L) * (col("n2") + lit(1L))).cast("double"), 4).as("chao1"))
       .orderBy(col("source"))
   }

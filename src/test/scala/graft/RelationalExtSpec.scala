@@ -243,6 +243,33 @@ class RelationalExtSpec extends AnyFunSuite {
     assert(got2.filter($"cluster" =!= 1L).count() == 0, "hub-as-max star mislabeled")
   }
 
+  test("star convergence probe: side-disjoint non-function edge sets still merge") {
+    val spark2 = spark
+    import spark2.implicits._
+    // The exact-fixpoint probe's near-miss (caught in round 20): in
+    // {(5,1),(5,2)} no node sits on both sides of the canonical edge
+    // list, yet 1 and 2 are connected through 5 — a u-side node of
+    // degree 2 is NOT a star forest and must run rounds, not declare
+    // convergence at the probe. Both a pure instance and one embedded
+    // beside settled stars (the q143 fold shape).
+    val fork = Seq((5L, 1L), (5L, 2L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponentsStar(fork, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 1L), s"fork mislabeled: $got")
+    val mixed = Seq((5L, 1L), (5L, 2L), (30L, 10L), (31L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got2 = DedupOps.connectedComponentsStar(mixed, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 5L -> 1L,
+      10L -> 10L, 30L -> 10L, 31L -> 10L), s"mixed mislabeled: $got2")
+    // an input that already IS a star forest converges at the setup
+    // probe (zero rounds) with identical labels
+    val settled = Seq((3L, 1L), (2L, 1L), (9L, 7L)).toDF("doc_a", "doc_b")
+    val got3 = DedupOps.connectedComponentsStar(settled, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("property: star components agree with min-label and union-find on random graphs") {
     val spark2 = spark
     import spark2.implicits._
