@@ -49,6 +49,47 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Per-query budget loader (VERDICT r18 item 7 ceilings). Parsed
+    * with Jackson, not a hand-rolled string scan: two rounds of
+    * silent-exemption bugs (strict-regex whitespace, then json.dump
+    * key reordering) proved the scan shape fails OPEN — every query
+    * exempt, no signal anything was wrong. An empty map with the
+    * file PRESENT is now loud: `budget_loaded` lands in the artifact
+    * and stderr names the cause, so "no budget file" and "parser
+    * returned nothing" are distinguishable after the fact. A budget
+    * file for a different sf exempts everything BY DESIGN (ceilings
+    * are only meaningful at their own scale), but still warns.
+    * Split out of main() so BenchBudgetSpec can pin the historical
+    * failure modes without driving a full bench run. */
+  private[graft] def loadBudget(budgetPath: String, sfDir: String): Map[String, Double] = {
+    val budgetFile = new java.io.File(budgetPath)
+    val budget: Map[String, Double] =
+      if (!budgetFile.isFile) Map.empty
+      else try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(budgetFile)
+        val fileSf = root.path("sf").asText("")
+        if (fileSf != sfDir) {
+          System.err.println(
+            s"bench budget $budgetPath is for sf '$fileSf', this run is '$sfDir' — all queries exempt")
+          Map.empty
+        } else {
+          import scala.jdk.CollectionConverters._
+          root.path("budgets").properties().asScala
+            .filter(_.getValue.isNumber)
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"bench budget $budgetPath unreadable (${e.getMessage}) — all queries exempt")
+          Map.empty
+      }
+    if (budgetFile.isFile && budget.isEmpty)
+      System.err.println(
+        s"bench budget $budgetPath present but ZERO budgets loaded — every query is exempt")
+    budget
+  }
+
   /** Task-level I/O accumulator: shuffle bytes written/read and disk
     * spill, summed across completed stages. Timing noise (box
     * contention — see the reps saga above) hides shuffle regressions;
@@ -448,38 +489,7 @@ object Bench {
     // code — the breach list plus the contention flags let a reader
     // separate the two without a judge round.
     val budgetPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "bench_budget.json")
-    // Parsed with Jackson (on Spark's classpath), not a hand-rolled
-    // string scan: two rounds of silent-exemption bugs (strict-regex
-    // whitespace, then json.dump reordering) proved the scan shape
-    // fails open. An empty map with the file PRESENT is now loud —
-    // budget_loaded lands in the artifact and stderr names the cause —
-    // so "no budget file" and "parser returned nothing" are
-    // distinguishable after the fact.
-    val budgetFile = new java.io.File(budgetPath)
-    val budget: Map[String, Double] =
-      if (!budgetFile.isFile) Map.empty
-      else try {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(budgetFile)
-        val fileSf = root.path("sf").asText("")
-        if (fileSf != sfDir) {
-          System.err.println(
-            s"bench budget $budgetPath is for sf '$fileSf', this run is '$sfDir' — all queries exempt")
-          Map.empty
-        } else {
-          import scala.jdk.CollectionConverters._
-          root.path("budgets").properties().asScala
-            .filter(_.getValue.isNumber)
-            .map(e => e.getKey -> e.getValue.asDouble()).toMap
-        }
-      } catch {
-        case e: Exception =>
-          System.err.println(
-            s"bench budget $budgetPath unreadable (${e.getMessage}) — all queries exempt")
-          Map.empty
-      }
-    if (budgetFile.isFile && budget.isEmpty)
-      System.err.println(
-        s"bench budget $budgetPath present but ZERO budgets loaded — every query is exempt")
+    val budget: Map[String, Double] = loadBudget(budgetPath, sfDir)
     val breaches = results.collect {
       case (k, v) if v._1 >= 0 && budget.getOrElse(k, Double.MaxValue) < v._1 => k
     }.toSeq.sortBy(k => -(results(k)._1 / budget(k)))
