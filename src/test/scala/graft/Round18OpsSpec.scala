@@ -240,6 +240,33 @@ class Round18OpsSpec extends AnyFunSuite {
       "every metric must be computed over the same full user population")
   }
 
+  test("q255: the int64 overflow audit fires loudly, even under column pruning") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    // Values sit in the band where NOTHING actually overflows (ANSI
+    // mode — the Spark 4 session default — would itself throw on a
+    // genuine long wrap) but the conservative certificate trips:
+    // x₁ = 2.5e9 quantized → x₁² = 6.25e18 < 2⁶³−1, while
+    // n·max|x|² = 2·6.25e18 = 1.25e19 ≥ 9e18. The audit must raise
+    // its DESCRIPTIVE error before arithmetic ever wraps (and it is
+    // the only guard at all for ansi=false deployments). Every output
+    // column must carry it — the r19 ADVICE gap was the guard riding
+    // only n_users, so a theta-only projection let Catalyst prune the
+    // raise_error away.
+    val ev = Seq(
+      (1L, "view", ts(0), 2.5e6), (1L, "view", ts(9), 1.0),
+      (2L, "view", ts(0), 0.0), (2L, "view", ts(9), 1.0)
+    ).toDF("user_id", "event_type", "ts", "value")
+    val full = intercept[Exception] {
+      RelationalExt.cupedOf(ev).collect()
+    }
+    assert(full.getMessage.contains("overflow int64"), s"got: ${full.getMessage}")
+    val pruned = intercept[Exception] {
+      RelationalExt.cupedOf(ev).select($"theta").collect()
+    }
+    assert(pruned.getMessage.contains("overflow int64"),
+      s"theta-only projection must still carry the guard: ${pruned.getMessage}")
+  }
+
   test("q256: two-state chain converges to the closed-form (1/3, 2/3) stationary vector") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     // stream [a b b a b]: c(a→b)=2, c(b→b)=1, c(b→a)=1 →
