@@ -17,6 +17,7 @@ dependency-free parser (lastIndexOf + first closing brace) stays
 correct.
 """
 import json
+import math
 import sys
 
 ref_path = sys.argv[1] if len(sys.argv) > 1 else "bench_ref_clean.json"
@@ -26,7 +27,12 @@ with open(ref_path) as f:
     ref = json.load(f)
 
 medians = ref["medians"]
-budgets = {q: round(2.0 * m, 3) for q, m in sorted(medians.items()) if m > 0}
+# CEIL to 3 decimals, never round-half: round() once produced a
+# ceiling a hair BELOW 2x the true median (q144: budget 0.854 vs a
+# re-measured min of 0.854107 — a 1.0001x "breach" that was pure
+# quantization). Ceiling keeps every budget >= 2x median exactly.
+budgets = {q: math.ceil(2000.0 * m) / 1000.0
+           for q, m in sorted(medians.items()) if m > 0}
 out = {
     "sf": ref["sf"],
     "source": ref_path,
