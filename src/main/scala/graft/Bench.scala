@@ -90,6 +90,33 @@ object Bench {
     budget
   }
 
+  /** Clean-reference per-query minima for the median_ratio_vs_ref
+    * self-check. Parsed with Jackson, not the original hand-rolled
+    * regex/string scan: that scan required the compact `"sf":"..."` /
+    * `"queries":{` forms the bench itself prints, but from r20 on
+    * tools/box_era.py refresh rewrites the reference via python
+    * json.dump (`"sf": "..."` with a space) — so the self-check
+    * silently read -1 ("reference unavailable") on EVERY run,
+    * including the driver's BENCH_r20 artifact, exactly the
+    * fails-open failure mode the budget parser hit twice (r19) before
+    * it moved to Jackson. Empty map = no usable reference (absent
+    * file, sf mismatch, or no numeric queries); the caller reports
+    * -1 / unflagged, same degradation as before. Split out so
+    * BenchBudgetSpec pins both accepted formats and the mismatch
+    * path. */
+  private[graft] def loadRef(refPath: String, sfDir: String): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(refPath))
+      if (root == null || root.path("sf").asText("") != sfDir) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        root.path("queries").properties().asScala
+          .filter(_.getValue.isNumber)
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      }
+    } catch { case _: Exception => Map.empty }
+
   /** Task-level I/O accumulator: shuffle bytes written/read and disk
     * spill, summed across completed stages. Timing noise (box
     * contention — see the reps saga above) hides shuffle regressions;
@@ -431,29 +458,14 @@ object Bench {
     // at the same sf; refresh bench_ref_clean.json (copy the detail
     // line) whenever a clean run is recorded in BASELINE.md.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref_clean.json")
-    val (medianRatio, refSfMatch) = try {
-      val src = scala.io.Source.fromFile(refPath)
-      val txt = try src.mkString finally src.close()
-      val refSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      val qIdx = txt.lastIndexOf("\"queries\":{")
-      if (qIdx < 0 || !refSf.contains(sfDir)) (-1.0, false)
-      else {
-        val body = txt.substring(qIdx + "\"queries\":{".length,
-          txt.indexOf('}', qIdx))
-        val refQ = body.split(",").flatMap { kv =>
-          val i = kv.lastIndexOf(':')
-          if (i < 0) None
-          else try Some(kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
-            -> kv.substring(i + 1).toDouble)
-          catch { case _: NumberFormatException => None }
-        }.toMap
-        val ratios = results.collect {
-          case (k, v) if v._1 > 0 && refQ.getOrElse(k, -1.0) > 0 => v._1 / refQ(k)
-        }.toSeq.sorted
-        if (ratios.isEmpty) (-1.0, false)
-        else (math.round(ratios(ratios.length / 2) * 100) / 100.0, true)
-      }
-    } catch { case _: Exception => (-1.0, false) }
+    val refQ = loadRef(refPath, sfDir)
+    val (medianRatio, refSfMatch) = {
+      val ratios = results.collect {
+        case (k, v) if v._1 > 0 && refQ.getOrElse(k, -1.0) > 0 => v._1 / refQ(k)
+      }.toSeq.sorted
+      if (ratios.isEmpty) (-1.0, false)
+      else (math.round(ratios(ratios.length / 2) * 100) / 100.0, true)
+    }
     // VERDICT r18 item 2: the r18 driver artifact read median_ratio
     // 1.29 against a 1.3 threshold — unflagged — while 28 of 256
     // queries showed >3× max/min rep spread (q107 at 57×) and the

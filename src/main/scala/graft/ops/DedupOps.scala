@@ -1493,13 +1493,58 @@ object DedupOps {
 
   private def minHashLshPairs(tok: DataFrame, bands: Int, rowsPerBand: Int,
                               threshold: Double): DataFrame = {
-    val banded = bandedRows(tok, bands, rowsPerBand)
+    // Banding previously rode [[bandedRows]], which carries each doc's
+    // full xxhash64 shingle set on every band row — the heaviest column
+    // duplicated ×bands through the band-bucket exchange and again per
+    // candidate collision (r20 clean run: q75 at 3.0 s vs q25's 0.9 s
+    // on the SAME shingle base — the delta was almost entirely these
+    // payload bytes). Guide §2.3: shuffle keys and metadata, not
+    // payloads. Band rows now carry (doc_id, n=|sh|) only; candidate
+    // pairs are size-ratio-prefiltered on that metadata, deduped
+    // across bands BEFORE any payload moves (verify once per pair,
+    // not once per collision), and the two set fetches join the
+    // pair-sized candidate list against the once-materialized keyed
+    // frame on doc_id (the prefixJoinNearDup shape). The checkpoint
+    // materializes doc-sized model rows (sh + k minima), shared by
+    // banding and both fetches. [[nearDupAdmissionVerdicts]] keeps the
+    // payload-carrying [[bandedRows]]: its batch side is broadcast
+    // (bounded) and the index side never repartitions — fetching sets
+    // post-hoc would add the corpus-side shuffle the admission
+    // contract exists to avoid.
+    val k = bands * rowsPerBand
+    val keyed = tok.groupBy(col("doc_id")).agg(
+      collect_set(xxhash64(col("s"))).as("sh"),
+      (0 until k).map(i =>
+        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(MinHashP))).as(s"m$i")): _*)
+      .localCheckpoint(false)
+    val banded = keyed.select(
+      col("doc_id"), size(col("sh")).as("n"),
+      posexplode(array((0 until bands).map { bd =>
+        concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"m${bd * rowsPerBand + r}")): _*)
+      }: _*)))
+      .select(col("doc_id"), col("n"), col("pos").as("band"), col("col").as("bucket"))
     val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
-    // a similar pair can collide in several bands: verify per
-    // occurrence (bounded ×bands), dedupe on the scalar result — far
-    // cheaper than a distinct that shuffles both shingle arrays
-    jaccardVerify(bucketPairs(buckets), threshold).distinct()
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("members"))
+    val cand = bucketPairs(buckets)
+      // the jaccardVerify size-ratio prefilter, applied to the n
+      // metadata before the distinct and the payload fetch:
+      // J ≤ min/max, so min < t·max can never pass
+      .filter(least(col("x.n"), col("y.n")).cast("double") >=
+        greatest(col("x.n"), col("y.n")) * threshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = keyed.select(col("doc_id"), col("sh"))
+    val joined = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+    val sa = size(col("sha"))
+    val sb = size(col("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    joined
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / (sa + sb - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Banded MinHash LSH candidate pairs + exact Jaccard verification.
@@ -1673,17 +1718,37 @@ object DedupOps {
       collect_set(xxhash64(col("s"))).as("sh"),
       (0 until bins).map(i =>
         min(when(pmod(col("h"), lit(bins.toLong)) === i, col("h"))).as(s"m$i")): _*)
+      .localCheckpoint(false) // feeds banding AND both set fetches
     def densified(i: Int): Column =
       coalesce((0 until bins).map(j => col(s"m${(i + j) % bins}")): _*)
-    val banded = keyed.select(col("doc_id"), col("sh"),
+    // band rows carry (doc_id, |sh|) metadata only — the shingle-set
+    // payload is fetched per deduped candidate pair, never duplicated
+    // ×bands through the bucket exchange (the minHashLshPairs
+    // restructure; guide §2.3)
+    val banded = keyed.select(col("doc_id"), size(col("sh")).as("n"),
       posexplode(array((0 until bands).map { bd =>
         concat_ws(",", (0 until rowsPerBand).map(r =>
           densified(bd * rowsPerBand + r)): _*)
       }: _*)))
-      .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+      .select(col("doc_id"), col("n"), col("pos").as("band"), col("col").as("bucket"))
     val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
-    jaccardVerify(bucketPairs(buckets), threshold).distinct()
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("members"))
+    val cand = bucketPairs(buckets)
+      .filter(least(col("x.n"), col("y.n")).cast("double") >=
+        greatest(col("x.n"), col("y.n")) * threshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = keyed.select(col("doc_id"), col("sh"))
+    val joined = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+    val sa = size(col("sha"))
+    val sb = size(col("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    joined
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / (sa + sb - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Near-dup ADMISSION: probe an arriving batch against the standing

@@ -990,29 +990,54 @@ object SimilarityOps {
     val sims = ea.join(broadcast(eb), col("a") =!= col("b"))
       .select(col("a"), col("b"),
         round(cosineSimilarity(col("ea"), col("eb")), 4).as("sim"))
-      .localCheckpoint(false)
-    // greedy unroll: each pick is a one-row lazy checkpoint (leaf), so
-    // the plan stays linear in k instead of exponential in references
-    val first = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), col("rel"), col("rel").as("mmr"), lit(1L).as("rank"))
-      .localCheckpoint(false)
-    var picks = Vector(first)
-    for (r <- 2 to k) {
-      val selIds = picks.map(_.select(col("vec_id"))).reduce(_ unionByName _)
-      val msim = sims
-        .join(broadcast(selIds.toDF("b")), Seq("b"))
-        .groupBy(col("a")).agg(max(col("sim")).as("msim"))
-      val pick = cand
-        .join(selIds, Seq("vec_id"), "left_anti")
-        .join(msim, col("vec_id") === col("a"))
-        .select(col("vec_id"), col("rel"),
-          (lit(lam) * col("rel") - lit(1.0 - lam) * col("msim")).as("mmr"))
-        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-        .withColumn("rank", lit(r.toLong))
-        .localCheckpoint(false)
-      picks = picks :+ pick
+    // The greedy loop runs DRIVER-SIDE over the collected candidate
+    // list and sim matrix — candK and candK² rows of bounded
+    // query-time model state (the house IVF-probe/q159 collect rule;
+    // candK is a query constant, never corpus-scaled). The previous
+    // unroll ran one lazy-checkpoint Spark job per pick: k−1
+    // scheduler round-trips over ≤ candK-row frames, ~2.5 s of pure
+    // job latency at any scale (r20 clean: 3.27 s for a query whose
+    // distributed work — one TakeOrdered scan + one candK² broadcast
+    // join — costs well under a second). Arithmetic is unchanged
+    // IEEE: rel/sim are the collected rounded-at-4 doubles, each
+    // pick maximizes lam·rel − (1−lam)·msim with the vec_id
+    // tie-break, and the display rounding stays Spark's own round()
+    // so the output is bit-identical to the unrolled plan.
+    val candLocal = cand.orderBy(col("rel").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val simLocal = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val msim = scala.collection.mutable.Map.empty[Long, Double]
+    var picks = Vector.empty[(Long, Long, Double, Double)] // rank, id, rel, mmr
+    for (r <- 1 to k) {
+      val chosen =
+        if (r == 1) {
+          val (id, rel) = candLocal.head // already (rel desc, vec_id asc)
+          (id, rel, rel)
+        } else {
+          val selected = picks.map(_._2).toSet
+          candLocal.iterator
+            .filter { case (id, _) => !selected.contains(id) }
+            .map { case (id, rel) =>
+              (id, rel, lam * rel - (1.0 - lam) * msim(id))
+            }
+            // max mmr, ties to the smallest vec_id: candLocal is
+            // vec_id-ascending within equal rel, but mmr reorders, so
+            // compare explicitly
+            .reduceLeft { (best, c) =>
+              if (c._3 > best._3 || (c._3 == best._3 && c._1 < best._1)) c else best
+            }
+        }
+      picks = picks :+ ((r.toLong, chosen._1, chosen._2, chosen._3))
+      candLocal.foreach { case (id, _) =>
+        if (id != chosen._1) {
+          val s = simLocal((id, chosen._1))
+          if (!msim.contains(id) || s > msim(id)) msim(id) = s
+        }
+      }
     }
-    picks.reduce(_ unionByName _)
+    import spark.implicits._
+    picks.toDF("rank", "vec_id", "rel", "mmr")
       .select(col("rank"), col("vec_id"), col("rel"),
         round(col("mmr"), 6).as("mmr"))
       .orderBy(col("rank"))
@@ -1301,7 +1326,10 @@ object SimilarityOps {
     val ncl = assign.agg(countDistinct(col("cluster")).as("ncl"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("score_raw").desc, col("word"))
-    cw.join(broadcast(dfreq), "word")
+    // dfreq is vocabulary-sized (unbounded at web scale): unhinted —
+    // AQE broadcasts at sf scale, shuffle-joins on word at 100 TB
+    // (de-force sweep). ncl is a 1-row aggregate — bounded, hinted.
+    cw.join(dfreq, "word")
       .crossJoin(broadcast(ncl))
       .withColumn("score_raw",
         col("tf") * (log((col("ncl") + 1.0) / (col("df") + 1.0)) + 1.0))

@@ -383,7 +383,13 @@ object TextOps {
       .agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_raw").desc, col("word"))
-    tf.join(broadcast(df), "word")
+    // df is UNBOUNDED (Heaps-law vocabulary — 1e8-1e9 entries at web
+    // scale): no broadcast hint, so Spark's size check decides — AQE
+    // promotes the tiny sf-scale table to broadcast at runtime, a
+    // 100 TB vocabulary shuffle-joins on word instead of OOMing the
+    // executors (OPTIMIZATION_r21 de-force sweep). n is a 1-row
+    // aggregate — bounded, hinted.
+    tf.join(df, "word")
       .crossJoin(broadcast(n))
       .withColumn("score_raw",
         col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
@@ -435,7 +441,10 @@ object TextOps {
     val stats = tf.groupBy(col("word"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
       .filter(col("df").between(minDf, maxDf))
-    tf.join(broadcast(stats), Seq("word"))
+    // stats is df-BANDED but still vocabulary-sized (unbounded at web
+    // scale): unhinted — AQE broadcasts at sf scale, shuffle-joins at
+    // 100 TB (de-force sweep).
+    tf.join(stats, Seq("word"))
       .groupBy(col("word"), col("df"), col("total_tf"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
@@ -681,8 +690,11 @@ object TextOps {
         greatest(col("L") - 2, lit(0L))).cast("double").as("np"))
     val pmiRaw = log((col("pair_n").cast("double") / col("np")) /
       ((col("na") / col("nw")) * (col("nb") / col("nw"))))
-    pc.join(broadcast(wc.select(col("word").as("a"), col("n").as("na"))), "a")
-      .join(broadcast(wc.select(col("word").as("b"), col("n").as("nb"))), "b")
+    // wc is vocabulary-sized (unbounded): unhinted twice — AQE
+    // broadcasts at sf scale, word-keyed shuffle join at 100 TB
+    // (de-force sweep). nw/np are 1-row aggregates — bounded, hinted.
+    pc.join(wc.select(col("word").as("a"), col("n").as("na")), "a")
+      .join(wc.select(col("word").as("b"), col("n").as("nb")), "b")
       .crossJoin(broadcast(nw)).crossJoin(broadcast(np))
       .withColumn("pmi_raw", pmiRaw)
       .orderBy(col("pmi_raw").desc, col("a"), col("b")).limit(k)
@@ -810,7 +822,10 @@ object TextOps {
     val words = wordRows(spark, dir)
     val freq = words.groupBy(col("word")).agg(count(lit(1)).as("wn"))
     val total = words.agg(count(lit(1)).as("total"))
-    words.join(broadcast(freq), Seq("word"))
+    // freq is vocabulary-sized (unbounded): unhinted — AQE broadcasts
+    // at sf scale, shuffle-joins on word at 100 TB (de-force sweep).
+    // total is a 1-row aggregate — bounded, hinted.
+    words.join(freq, Seq("word"))
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
@@ -1350,9 +1365,11 @@ object TextOps {
     * practice) reads mean 0.0 on both engines rather than relying on
     * engine divide-by-zero conventions.
     *
-    * Scale: one narrow map (one md5 + B modmuls per row), one
-    * source-keyed aggregation with map-side partials carrying 2B+2
-    * columns; everything after is sources-sized. */
+    * Scale: one narrow map (one md5 per row) into a pipelined
+    * replicate explode (B modmuls per row, combined map-side to
+    * S×B partial rows per partition before the exchange), one
+    * (source, b)-keyed aggregation; everything after is
+    * sources-sized. */
   def qualityBootstrap(spark: SparkSession, dir: String,
                        reps: Int = 64): DataFrame = {
     val base = Tables.documents(spark, dir)
@@ -1364,22 +1381,42 @@ object TextOps {
           lit(BootP)).as("h1"),
         pmod(conv(substring(col("mhex"), 1, 15), 16, 10).cast("long"),
           lit(BootP)).as("h2"))
-    val wCols = (1 to reps).map { b =>
-      val u = pmod(col("h1") + lit(b.toLong) * col("h2"), lit(BootP))
-        .cast("double") / lit(BootP.toDouble)
-      PoissonCdf.map(t => when(u >= lit(t), lit(1L)).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"w$b")
-    }
-    val weighted = base.select((col("source") +: col("qint") +: wCols): _*)
-    val aggs = Seq(count(lit(1)).as("n"), sum(col("qint")).as("sq")) ++
-      (1 to reps).flatMap(b => Seq(
-        sum(col(s"w$b")).as(s"sw$b"),
-        sum(col(s"w$b") * col("qint")).as(s"swq$b")))
-    val grouped = weighted.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
-    val means = array_sort(array((1 to reps).map(b =>
-      when(col(s"sw$b") === 0L, lit(0.0d))
-        .otherwise(col(s"swq$b").cast("double") /
-          (col(s"sw$b").cast("double") * lit(1e6)))): _*))
+    // TALL-SKINNY replicate dimension (r21): the original form carried
+    // b = 1..B as 2B+2 WIDE aggregate columns — semantically the
+    // Chamandy one-pass shape, but the B-fold expression tree (B
+    // Poisson when-chains + 2B aggregates) made Catalyst
+    // analysis/optimization + codegen the dominant cost: the bench
+    // read 4.05 s at sf0.1 with a 0.93 scale slope (sf0.1 ≈ sf0.01 —
+    // pure fixed plan cost, zero shuffle bytes). Exploding b instead
+    // makes ONE weight expression and FOUR aggregates; the explode is
+    // a pipelined narrow Generate (map-side partial aggregation still
+    // combines to S×B rows per partition before the exchange, so at
+    // 100 TB the shuffle stays partitions × S × B partials — the same
+    // zero-data-expansion contract as the wide form, with a
+    // constant-size plan). Every sum is the SAME exact-long total the
+    // wide columns held, so the output is bit-identical; the oracle
+    // replays the b dimension the same way it always did.
+    val b = explode(sequence(lit(1L), lit(reps.toLong))).as("b")
+    val u = pmod(col("h1") + col("b") * col("h2"), lit(BootP))
+      .cast("double") / lit(BootP.toDouble)
+    val w = PoissonCdf.map(t => when(u >= lit(t), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val perRep = base
+      .select(col("source"), col("qint"), col("h1"), col("h2"), b)
+      .select(col("source"), col("b"), w.as("w"), col("qint"))
+      .groupBy(col("source"), col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("qint")).as("swq"),
+        count(lit(1)).as("nb"), sum(col("qint")).as("sqb"))
+    val meanB = when(col("sw") === 0L, lit(0.0d))
+      .otherwise(col("swq").cast("double") / (col("sw").cast("double") * lit(1e6)))
+    // per-source rollup: every b-row carries the identical n_docs/sq
+    // (each replicate sees every doc once), so max() recovers them
+    // without a second corpus pass; means sort ascending, so the
+    // collect_list order is irrelevant (array_sort of the same B
+    // doubles the wide form sorted)
+    val grouped = perRep.groupBy(col("source"))
+      .agg(max(col("nb")).as("n"), max(col("sqb")).as("sq"),
+        array_sort(collect_list(meanB)).as("ms"))
     val loIdx = math.ceil(0.025 * reps).toInt.max(1)
     val hiIdx = math.ceil(0.975 * reps).toInt
     val sm = aggregate(col("ms"), lit(0.0d), (a, x) => a + x)
@@ -1390,7 +1427,7 @@ object TextOps {
       .select(col("source"), col("n").as("n_docs"),
         roundAt(col("sq").cast("double") /
           (col("n").cast("double") * lit(1e6)), 6).as("mean_q"),
-        means.as("ms"))
+        col("ms"))
       .select(col("source"), col("n_docs"), col("mean_q"),
         roundAt(element_at(col("ms"), loIdx), 6).as("boot_lo"),
         roundAt(element_at(col("ms"), hiIdx), 6).as("boot_hi"),
@@ -1577,8 +1614,12 @@ object TextOps {
         (col("nt") + col("v")).as("den"))
     val dw = wordRowsOf(test.select(col("doc_id"), col("text")))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n"))
+    // srcDim is S-row (sources dimension — bounded, hinted); tw is
+    // train-vocabulary × S (unbounded): unhinted — AQE broadcasts at
+    // sf scale, shuffle-joins on (cand, word) at 100 TB (de-force
+    // sweep).
     val scored = dw.crossJoin(broadcast(srcDim))
-      .join(broadcast(tw.select(col("source").as("cand"), col("word"), col("c"))),
+      .join(tw.select(col("source").as("cand"), col("word"), col("c")),
         Seq("cand", "word"), "left")
       .select(col("doc_id"), col("cand"), col("pterm"),
         (col("n") * floor(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
@@ -1963,10 +2004,16 @@ object TextOps {
       lit(BigramLambda) * pBig +
         lit(BigramFloor) * ((coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double") /
           (col("n_uni") + col("v")))) * lit(1e12) + lit(0.5)).cast("long")
+    // tb is bigram-model-sized and cx/cu vocabulary-sized — all three
+    // UNBOUNDED (n-gram vocabularies grow superlinearly at web scale):
+    // unhinted, so AQE broadcasts the tiny sf-scale models at runtime
+    // and a 100 TB model shuffle-joins on its own keys with no plan
+    // change elsewhere (exactly the docstring's contract; de-force
+    // sweep). sc is a 1-row scalar — bounded, hinted.
     val scored = db
-      .join(broadcast(tb), Seq("w1", "w2"), "left")
-      .join(broadcast(cx), Seq("w1"), "left")
-      .join(broadcast(cu), Seq("w2"), "left")
+      .join(tb, Seq("w1", "w2"), "left")
+      .join(cx, Seq("w1"), "left")
+      .join(cu, Seq("w2"), "left")
       .crossJoin(broadcast(sc))
       .select(col("doc_id"), col("n"), term1.as("t1"),
         (col("n") * term1).as("tl"))
@@ -2077,12 +2124,18 @@ object TextOps {
     // (order-free by construction — see the docstring)
     val term1 = floor(log(p) * lit(1e12) + lit(0.5)).cast("long")
     val backed = when(col("c3").isNotNull, lit(0L)).otherwise(col("n"))
+    // t3/c3x/t2/c2x are n-gram-model-sized and cu vocabulary-sized —
+    // all five UNBOUNDED (trigram vocabularies grow superlinearly at
+    // web scale): unhinted, so AQE broadcasts the tiny sf-scale models
+    // at runtime and a 100 TB model shuffle-joins on its own keys with
+    // no plan change elsewhere (de-force sweep). sc is a 1-row scalar
+    // — bounded, hinted.
     val scored = db
-      .join(broadcast(t3), Seq("w1", "w2", "w3"), "left")
-      .join(broadcast(c3x), Seq("w1", "w2"), "left")
-      .join(broadcast(t2), Seq("w2", "w3"), "left")
-      .join(broadcast(c2x), Seq("w2"), "left")
-      .join(broadcast(cu), Seq("w3"), "left")
+      .join(t3, Seq("w1", "w2", "w3"), "left")
+      .join(c3x, Seq("w1", "w2"), "left")
+      .join(t2, Seq("w2", "w3"), "left")
+      .join(c2x, Seq("w2"), "left")
+      .join(cu, Seq("w3"), "left")
       .crossJoin(broadcast(sc))
       .select(col("doc_id"), col("n"), backed.as("nb"),
         term1.as("t1"), (col("n") * term1).as("tl"))

@@ -63,6 +63,42 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(Bench.loadBudget(mixed, SF) == Map("qa" -> 1.5, "qc" -> 2.0))
   }
 
+  test("loadRef accepts BOTH reference formats: the bench detail line and json.dump") {
+    // r21 found the median_ratio_vs_ref self-check silently dead: the
+    // r20 box_era refresh rewrote bench_ref_clean.json via python
+    // json.dump ("sf": "..." with a space) and Bench's regex required
+    // the compact form — every run since read -1 "reference
+    // unavailable" (the budget parser's historical fails-open mode,
+    // third instance). Pin both formats.
+    val compact = write(
+      s"""{"metric":"total","value":220.0,"sf":"$SF","queries":{"qa":1.5,"qb":0.25}}""")
+    assert(Bench.loadRef(compact, SF) == Map("qa" -> 1.5, "qb" -> 0.25))
+    val dumped = write(
+      s"""{
+         | "metric": "total",
+         | "sf": "$SF",
+         | "queries": {
+         |  "qa": 1.5,
+         |  "qb": 0.25
+         | }
+         |}""".stripMargin)
+    assert(Bench.loadRef(dumped, SF) == Map("qa" -> 1.5, "qb" -> 0.25))
+  }
+
+  test("loadRef: sf mismatch, missing file, malformed json all degrade to no-reference") {
+    val p = write(s"""{"sf":"/root/testdata/sf0.01","queries":{"qa":1.0}}""")
+    assert(Bench.loadRef(p, SF).isEmpty)
+    assert(Bench.loadRef("/nonexistent/ref.json", SF).isEmpty)
+    assert(Bench.loadRef(write("{broken"), SF).isEmpty)
+  }
+
+  test("the COMMITTED bench_ref_clean.json is loadable by the self-check at its own sf") {
+    // the regression that motivated loadRef: the committed artifact
+    // must actually parse, whatever tool last wrote it
+    val ref = Bench.loadRef("bench_ref_clean.json", SF)
+    assert(ref.size >= 200, s"committed reference yields only ${ref.size} query rows")
+  }
+
   test("the committed bench_budget.json parses, matches its sf, and covers the registry") {
     val b = Bench.loadBudget("bench_budget.json", SF)
     assert(b.size == SparkEntry.queries.size,

@@ -54,9 +54,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("o_totalprice") && !read.contains("o_custkey"))
   }
 
-  test("tf-idf: the vocabulary-sized df side is broadcast, not shuffled onto terms") {
-    val p = plan(TextOps.tfidfTop(spark, sf))
-    assert(p.contains("BroadcastHashJoin"))
+  test("tf-idf: the vocabulary-sized df side broadcasts via AQE, not by hint") {
+    // the broadcast HINT was removed (r21 de-force sweep): a forced
+    // broadcast of an unbounded Heaps-law vocabulary OOMs executors at
+    // 100 TB with no fallback. At test scale AQE must still promote
+    // the tiny df side to a broadcast join at RUNTIME — the
+    // scale-adaptive behavior the de-force exists to restore — so the
+    // assertion reads the FINAL adaptive plan, not the static one.
+    val df = TextOps.tfidfTop(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "AQE did not promote the df side to broadcast:\n" + p)
+  }
+
+  test("bigram fluency: de-forced model joins all broadcast via AQE at test scale") {
+    // tb/cx/cu lost their broadcast hints (n-gram model tables are
+    // unbounded — the one real 100 TB OOM risk the r20 verdict named);
+    // AQE must promote all three model joins at runtime. sc (1-row)
+    // stays hinted, so the final plan carries >= 4 broadcast joins.
+    val df = TextOps.bigramFluency(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val nBhj = p.split("BroadcastHashJoin").length - 1
+    assert(nBhj >= 3, s"expected >=3 runtime broadcast joins, got $nBhj:\n$p")
   }
 
   test("histogram and stats aggregate with a map-side partial phase") {
@@ -258,12 +279,20 @@ class PlanSpec extends AnyFunSuite {
     // sort this shape exists to avoid.
     for ((name, df) <- Seq(
       "percentileGate" -> CurationOps.percentileGate(spark, sf),
-      "winsorize" -> CurationOps.winsorize(spark, sf),
-      "invertedIndex" -> TextOps.invertedIndex(spark, sf))) {
+      "winsorize" -> CurationOps.winsorize(spark, sf))) {
       val p = plan(df)
       assert(p.contains("BroadcastHashJoin"), s"$name: threshold join is not broadcast:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$name: a shuffled join appeared:\n$p")
     }
+    // invertedIndex's stats side is vocabulary-sized — its hint was
+    // REMOVED in the r21 de-force sweep (unbounded at web scale), so
+    // its broadcast promotion is AQE's call at runtime: assert on the
+    // final adaptive plan instead of the static one
+    val ii = TextOps.invertedIndex(spark, sf)
+    ii.collect()
+    val iip = ii.queryExecution.executedPlan.toString
+    assert(iip.contains("BroadcastHashJoin"),
+      s"invertedIndex: AQE did not promote the stats join:\n$iip")
     // negative control: the SAME two-pass shape without the hint and
     // with auto-broadcast off plans a shuffled join — proving the
     // assertions above can fail when the hint is lost
@@ -573,17 +602,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "quota dim must broadcast back")
   }
 
-  test("trigram backoff: all five model tables broadcast onto the doc trigram stream") {
-    val p = plan(TextOps.trigramBackoff(spark, sf))
+  test("trigram backoff: all five model tables broadcast onto the doc trigram stream via AQE") {
+    // the five model-table hints were removed (r21 de-force sweep —
+    // n-gram vocabularies are unbounded at web scale), so the
+    // promotion is AQE's runtime decision: read the FINAL plan
+    val df = TextOps.trigramBackoff(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.split("BroadcastHashJoin").length - 1 >= 5,
-      "t3/c3x/t2/c2x/cu must all broadcast — a shuffled model join " +
-        "would re-shuffle the corpus trigram stream per table")
+      "t3/c3x/t2/c2x/cu must all broadcast at test scale — a shuffled " +
+        "model join here would mean AQE stopped promoting them:\n" + p)
   }
 
   test("seasonality: one corpus collapse with map-side partials; totals broadcast back") {
     val p = plan(graft.ops.RelationalExt.seasonalityProfile(spark, sf))
     assert(p.contains("partial_count"), "cell counts need map-side combine")
     assert(p.contains("BroadcastHashJoin"), "the types-sized totals dim must broadcast")
+  }
+
+  test("minhash banding: band rows carry size metadata, never the shingle-set payload") {
+    // the r21 restructure (guide §2.3 — shuffle keys and metadata, not
+    // payloads): the band-bucket aggregation must collect (doc_id, n)
+    // structs; the xxhash64 shingle SET is fetched per deduped
+    // candidate pair from the checkpointed keyed frame, never
+    // duplicated ×bands through the bucket exchange. A collect_list
+    // carrying sh means the payload crept back into the banding.
+    for ((name, df) <- Seq(
+      "minhash-md5" -> DedupOps.nearDupMinHashMd5(spark, sf),
+      "minhash-xx" -> DedupOps.nearDupMinHash(spark, sf),
+      "oph" -> DedupOps.nearDupOPH(spark, sf))) {
+      val p = plan(df)
+      val cl = p.linesIterator.filter(_.contains("collect_list")).toSeq
+      assert(cl.nonEmpty, s"$name: expected a bucket-members collect_list")
+      assert(cl.forall(l => !l.contains("sh#")),
+        s"$name: a band/bucket aggregation carries the sh payload:\n" +
+          cl.mkString("\n"))
+    }
   }
 
   test("winnowing: pair build is the bucket explode — no cartesian, no corpus self-join") {

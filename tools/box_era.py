@@ -72,7 +72,12 @@ def median_ratio(cand, ref):
     (the convention graft.Bench uses for median_ratio_vs_ref)."""
     if cand.get("sf") != ref.get("sf"):
         return None, 0
-    cq, rq = cand["queries"], ref["queries"]
+    # .get, not [] — a headline-only artifact (no "queries" map) at the
+    # matching sf must degrade to the documented conservative
+    # "no comparable queries" path, not a KeyError (ADVICE r20)
+    cq, rq = cand.get("queries"), ref.get("queries")
+    if not isinstance(cq, dict) or not isinstance(rq, dict):
+        return None, 0
     ratios = [cq[q] / rq[q] for q in cq
               if q in rq and cq[q] > 0 and rq[q] > 0]
     if not ratios:
@@ -166,11 +171,15 @@ def cmd_refresh(cand_path, prior_path=None, ref_path=REF):
         f.write("\n")
     subprocess.run([sys.executable, "tools/make_bench_budget.py",
                     ref_path, BUDGET], check=True)
-    v = verdict(cand, {"sf": cand.get("sf"), "queries": cand["queries"]})
     print(f"refreshed {ref_path} + {BUDGET} from {cand_path}: {reason}")
     print("BASELINE.md line to commit:")
+    # the gate allows grace-band breaches, so the provenance line must
+    # carry the candidate's ACTUAL count, not a hardcoded zero
+    # (ADVICE r20); significant breaches are zero by the gate above
+    nb = cand.get("budget_breach_count", 0)
     print(f"  - box-era refresh: {ref_path} <- {cand_path} "
-          f"(total {cand.get('value')} s, contended false, breaches 0; {reason})")
+          f"(total {cand.get('value')} s, contended false, "
+          f"breaches {nb} (0 significant); {reason})")
     return 0
 
 

@@ -57,6 +57,10 @@ LINT_EXEMPT = {
     # tp.p is a transition probability (count ratio) — DOUBLE; x1.0
     # is an IEEE no-op that keeps the CASE branches one type
     "q237_removal_effect": [r"tp\.p \* 1\.0"],
+    # sum's argument is r.pr / d.deg — DuckDB `/` always returns
+    # DOUBLE, so the sum (and the product) is float arithmetic, not
+    # the DECIMAL*BIGINT class the aggregate-call rule targets
+    "q119_pagerank_dups": [r"0\.85 \* sum\("],
     # events.value is DOUBLE in the testdata parquet
     "q255_cuped": [r"value \* 1000\.0"],
     # w is the power-iteration eigenvector component — DOUBLE
@@ -71,6 +75,33 @@ def _strip_strings(sql: str) -> str:
     return re.sub(r"'(?:[^']|'')*'", lambda m: " " * len(m.group(0)), sql)
 
 
+# Functions whose DuckDB return type is DOUBLE regardless of argument
+# type — a decimal literal times one of these is float arithmetic, not
+# the DECIMAL*integer bug class. count()/sum()/min()/max() over
+# integers return BIGINT/HUGEINT and are deliberately NOT here: `0.5 *
+# count(*)` is exactly the bug shape the lint exists for (ADVICE r20 —
+# the old blanket `(?!\s*\()` exempted every call). CAST is handled
+# separately: only CAST(... AS DOUBLE) is safe.
+_DOUBLE_FUNCS = {
+    "ln", "log", "log2", "log10", "log1p", "exp", "sqrt", "power", "pow",
+    "avg", "mean", "median", "stddev", "stddev_samp", "stddev_pop",
+    "var_pop", "var_samp", "variance", "corr", "degrees", "radians",
+}
+
+
+def _call_is_double(sql: str, ident: str, open_paren: int) -> bool:
+    """True when ident(...) at open_paren returns DOUBLE for sure."""
+    base = ident.split(".")[-1].lower()
+    if base in _DOUBLE_FUNCS:
+        return True
+    if base in ("cast", "try_cast"):
+        # safe only when the cast target is DOUBLE
+        return bool(re.match(r"[^()]*\bas\s+double\s*\)",
+                             sql[open_paren + 1:open_paren + 200],
+                             re.IGNORECASE))
+    return False
+
+
 def lint_bare_decimals(oracle: dict) -> list:
     """Return [(query, snippet)] for every non-exempt bare-decimal
     multiply against a non-CAST identifier operand."""
@@ -82,6 +113,13 @@ def lint_bare_decimals(oracle: dict) -> list:
         for m in re.finditer(
                 r"(?<![\w.])" + _DEC + r"\s*\*\s*" + _ID + r"\b(?!\s*\()", sql):
             spans.append(m)
+        # decimal * fn(...) where fn is NOT a known DOUBLE-returning
+        # function: count()/sum() over integers return BIGINT/HUGEINT,
+        # so this is still the DECIMAL*integer class (ADVICE r20)
+        for m in re.finditer(
+                r"(?<![\w.])" + _DEC + r"\s*\*\s*(" + _ID + r")\s*\(", sql):
+            if not _call_is_double(sql, m.group(1), m.end() - 1):
+                spans.append(m)
         # identifier * decimal / identifier * ( decimal ...
         for m in re.finditer(
                 _ID + r"\b\s*\*\s*\(?\s*" + _DEC, sql):
@@ -243,6 +281,13 @@ def selftest() -> int:
         "t1": "SELECT t.tf * (1.2 + 1) AS x FROM t",       # the q141 bug
         "t2": "SELECT 0.85 * cnt AS x FROM t",
         "t3": "SELECT sum(ln(x) * (a.b * 1.2)) FROM t a",
+        # DECIMAL * aggregate-over-integers: count()/sum() return
+        # BIGINT/HUGEINT, so this is the bug class even though the
+        # right operand is a function call (ADVICE r20)
+        "t4": "SELECT 0.5 * count(*) AS x FROM t",
+        "t5": "SELECT 0.25 * sum(n) AS x FROM t",
+        # CAST to a non-DOUBLE target stays integer arithmetic
+        "t6": "SELECT 0.5 * CAST(n AS BIGINT) AS x FROM t",
     }
     for n, s in bad_sqls.items():
         if not lint_bare_decimals({n: s}):
@@ -251,8 +296,10 @@ def selftest() -> int:
         "g1": "SELECT CAST(t.tf AS DOUBLE) * CAST((1.2 + 1) AS DOUBLE) FROM t",
         "g2": "SELECT a / b * 5.0 FROM t",                  # /-chain is DOUBLE
         "g3": "SELECT x * 1e12 FROM t",                     # scientific = DOUBLE
-        "g4": "SELECT ln(x) * 2.0, 0.5 * exp(y) FROM t",    # fn calls return DOUBLE
+        "g4": "SELECT ln(x) * 2.0, 0.5 * exp(y) FROM t",    # DOUBLE fns whitelisted
         "g5": "SELECT '0.5 * lit' AS s, x FROM t",          # inside a string
+        "g6": "SELECT 0.5 * CAST(n AS DOUBLE) FROM t",      # DOUBLE cast is safe
+        "g7": "SELECT 0.5 * avg(n) FROM t",                 # avg returns DOUBLE
         "q221_ewma_rates": "SELECT prev * 2.0 FROM t",      # exempt table honored
     }
     for n, s in good_sqls.items():

@@ -12,9 +12,9 @@ BASELINE.md. Queries newer than the reference have no row and are
 exempt until the next refresh (graft.Bench treats missing rows - and a
 non-matching sf - as exempt).
 
-The output keeps "budgets" as the final flat map so graft.Bench's
-dependency-free parser (lastIndexOf + first closing brace) stays
-correct.
+Bench.loadBudget parses this file with Jackson (order- and
+whitespace-insensitive since the r20 hardening); the flat "budgets"
+map plus the top-level "sf" string is simply the agreed schema.
 """
 import json
 import math
