@@ -263,14 +263,27 @@ object CurationOps {
   private[ops] def maximalSpansOf(grams: DataFrame, k: Int,
                                   minDocs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sharedGrams = grams
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("occ"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+    // Gram identity rides xxhash64 through every exchange (r21): the
+    // span output carries positions only — no gram text — so the
+    // 8-word gram STRINGS (~60-80 bytes each) existed solely to be
+    // compared for equality; hashing them at the source cuts the one
+    // gram-keyed exchange and the shared-set semi join to 8-byte
+    // longs (guide §2.3 narrow-the-shuffle-key; at corpus scale the
+    // gram exchange is the operator's dominant bytes). A hash
+    // collision could mark an unshared gram shared — the same
+    // ~2^-64-per-pair class the whole verify family accepts (q25's
+    // argument); q89 (duplicateSpans), whose OUTPUT is the gram
+    // text, keeps full strings.
+    val g = grams.select(col("doc_id"), col("pos"),
+      xxhash64(col("gram")).as("gram_h"))
+    val sharedGrams = g
+      .groupBy(col("doc_id"), col("gram_h")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("gram_h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select(col("gram"))
+      .select(col("gram_h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams
-      .join(sharedGrams, Seq("gram"), "left_semi")
+    g
+      .join(sharedGrams, Seq("gram_h"), "left_semi")
       .withColumn("island", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).cast("bigint").as("span_start"),

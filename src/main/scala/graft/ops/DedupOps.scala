@@ -416,30 +416,42 @@ object DedupOps {
     // localCheckpoint materializes the shingle pass once instead of
     // twice (measured 5.2 s → the q25-family ~1.2 s per pass — the
     // whole regex+window shingle chain was the duplicated cost). The
-    // cached rows are (doc_id, md5) pairs — the explicit
+    // cached rows are (doc_id, xxhash64, md5) triples — the explicit
     // cache-vs-recompute tradeoff a 100 TB run tunes; recompute is
     // one conf flip away (drop the checkpoint).
+    // Gram identity rides a 64-bit xxhash64 everywhere EXCEPT the
+    // blocking key (r21): the md5 STRING survives only as min(m) — the
+    // oracle-mirrored min-md5 block key, which must stay a string min
+    // — while the per-doc sets, the idf dim key, and the per-pair
+    // union explode all carry longs. 32-char strings were ~4x the
+    // bytes through the checkpoint, the bucket exchange, and the
+    // pair-verify explode (19.5 MB shuffled at sf0.1), and string
+    // equality dominated the array_contains verify. df per hash ==
+    // df per gram up to the same ~2^-64 xxhash collision the whole
+    // verify family accepts (q25's argument), so every idf_fp sum is
+    // unchanged and the output is hash-identical.
     val dg = shingleRows(spark, dir)
-      .select(col("doc_id"), md5(col("s")).as("m")).distinct()
+      .select(col("doc_id"), xxhash64(col("s")).as("h"), md5(col("s")).as("m"))
+      .distinct()
       .localCheckpoint(false)
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val idf = dg.groupBy(col("m")).agg(count(lit(1)).as("df"))
+    val idf = dg.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .select(col("m"),
+      .select(col("h"),
         floor((log((col("n_docs") + 1L).cast("double") / (col("df") + 1L)) + 1.0d)
           * 1e6 + 0.5d).cast("long").as("idf_fp"))
     val keyed = dg.groupBy(col("doc_id"))
-      .agg(min(col("m")).as("minsh"), collect_set(col("m")).as("sh"))
+      .agg(min(col("m")).as("minsh"), collect_set(col("h")).as("sh"))
       .groupBy(col("minsh"))
       .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
     val exploded = bucketPairs(keyed)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        explode(array_union(col("x.sh"), col("y.sh"))).as("m"),
+        explode(array_union(col("x.sh"), col("y.sh"))).as("h"),
         col("x.sh").as("sha"), col("y.sh").as("shb"))
-      .select(col("doc_a"), col("doc_b"), col("m"),
-        array_contains(col("sha"), col("m")).as("in_a"),
-        array_contains(col("shb"), col("m")).as("in_b"))
-      .join(idf, Seq("m"))
+      .select(col("doc_a"), col("doc_b"), col("h"),
+        array_contains(col("sha"), col("h")).as("in_a"),
+        array_contains(col("shb"), col("h")).as("in_b"))
+      .join(idf, Seq("h"))
     exploded.groupBy(col("doc_a"), col("doc_b"))
       .agg(
         sum(when(col("in_a") && col("in_b"), col("idf_fp")).otherwise(0L)).as("wi"),
